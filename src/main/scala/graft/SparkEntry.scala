@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY.md §2) to DataFrame builders over a
+  * scale-factor directory of parquet tables; `oracleSql` carries the
+  * DuckDB-equivalent SQL for the driver's correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the CDC pipeline core on sf0.001 — events adapted to Debezium
+    * envelopes, routed by subject, with per-subject/op delivery counts
+    * (the automated form of the reference's test-cdc.sh event ledger).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    graft.cdc.EventsAsChangeLog.envelopes(events)
+      .groupBy(col("subject"), col("op"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("subject"), col("op"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries ++
+      graft.queries.CdcAnalog.queries ++
+      graft.queries.Corpus.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracleSql ++
+      graft.queries.CdcAnalog.oracleSql ++
+      graft.queries.Corpus.oracleSql
 }

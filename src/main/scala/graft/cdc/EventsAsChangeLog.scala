@@ -1,0 +1,56 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Adapts the driver's generic `events` table (TESTDATA.md) into a
+  * Debezium-style change-event stream so the CDC operators can be exercised
+  * (and benchmarked) at scale on driver-provided data.
+  *
+  * Envelope shape per reference `docs/cdc-guide.md:134-151`:
+  * `{before, after, source{version,connector,name,ts_ms,db,table}, op, ts_ms}`.
+  *
+  * Deterministic op mapping: `signup -> 'c'` (row created), `error -> 'd'`
+  * (row deleted), everything else (`click`/`view`/`purchase`) -> `'u'`.
+  */
+object EventsAsChangeLog {
+
+  val opCol =
+    when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+
+  /** The full row image carried in before/after. */
+  private val rowImage =
+    struct(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("props"))
+
+  /** events table -> envelope DataFrame
+    * (before, after, source, op, ts_ms, subject, event_key).
+    */
+  def envelopes(events: DataFrame): DataFrame = {
+    val op = opCol.as("op")
+    events
+      .withColumn("op", opCol)
+      .select(
+        when(col("op") =!= "c", rowImage).as("before"),
+        when(col("op") =!= "d", rowImage).as("after"),
+        struct(
+          lit("1.0").as("version"),
+          lit("graft").as("connector"),
+          lit("HCM.CDC.HR").as("name"),
+          unix_millis(col("ts")).as("ts_ms"),
+          lit("hrdb").as("db"),
+          lit("events").as("table")).as("source"),
+        col("op"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("ts"),
+        // NATS-style routing subject: HCM.CDC.HR.<db>.<table>; here the
+        // event_type plays the role of the table for fan-out realism.
+        concat_ws(".", lit("HCM"), lit("CDC"), lit("HR"), lit("hrdb"),
+          col("event_type")).as("subject"),
+        // key = JSON of the primary key (application.properties:26-27)
+        to_json(struct(col("event_id").as("id"))).as("event_key"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.cdc.EventsAsChangeLog
+import graft.functions.Subject.subject_matches
+
+/** CDC operator surface exercised on the driver's `events` table via the
+  * EventsAsChangeLog adapter (SURVEY.md §2): envelope construction + unwrap
+  * (O-12), subject routing + wildcard match (O-6/O-16), duplicate-window
+  * suppression (O-8, batch analog), field-level diff (O-31 analog), metrics
+  * counters (O-22), JSON path extraction (§2.6).
+  */
+object CdcAnalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Event ledger: per-op counts over the change stream (test-cdc.sh:148-151
+    // upgraded to an automated assertion shape).
+    "cdc_ledger" -> ((s, dir) => {
+      import s.implicits._
+      EventsAsChangeLog.envelopes(Tables(s, dir, "events"))
+        .groupBy($"op")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"op")
+    }),
+
+    // ExtractNewRecordState / unwrap (O-12): flatten to the after image,
+    // keeping tombstones out (dropTombstones = true path).
+    "cdc_unwrap" -> ((s, dir) => {
+      import s.implicits._
+      EventsAsChangeLog.envelopes(Tables(s, dir, "events"))
+        .filter($"after".isNotNull)
+        .select(
+          $"after.event_id".as("event_id"),
+          $"after.user_id".as("user_id"),
+          $"after.event_type".as("event_type"),
+          $"after.value".as("value"),
+          $"op")
+        .orderBy($"event_id")
+    }),
+
+    // Subject router + NATS wildcard subscription filter (O-6 + O-16).
+    "cdc_subject_route" -> ((s, dir) => {
+      import s.implicits._
+      EventsAsChangeLog.envelopes(Tables(s, dir, "events"))
+        .filter(subject_matches($"subject", lit("HCM.CDC.HR.*.purchase")))
+        .groupBy($"subject")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"subject")
+    }),
+
+    // JetStream duplicate-window analog (O-8): drop events whose predecessor
+    // with the same key arrived within 120s (batch form of
+    // dropDuplicatesWithinWatermark; micros on both engines).
+    "cdc_dedup_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .filter($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 120000000L)
+        .select($"event_id")
+        .orderBy($"event_id")
+    }),
+
+    // Field-level audit diff analog (O-31): old/new value per consecutive
+    // change of the same aggregate.
+    "cdc_field_diff" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .withColumn("old_value", lag($"value", 1).over(w))
+        .filter($"old_value".isNotNull && $"old_value" =!= $"value")
+        .select($"user_id", $"event_id", $"old_value", $"value".as("new_value"))
+        .orderBy($"event_id")
+    }),
+
+    // Metrics counters by event type (O-22): events.published.total analog.
+    "cdc_event_metrics" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy($"event_type")
+    }),
+
+    // Unique-constraint validation (§2.6: groupBy(key).count.filter(>1) —
+    // the engine-side analog of the DDL UNIQUE checks).
+    "cdc_unique_violations" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" > 1)
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // JSON path extraction over the props payload (§2.6; docs/cdc-guide.md:95-97).
+    "cdc_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select(get_json_object($"props", "$.k").cast("bigint").as("k"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cdc_ledger" ->
+      """SELECT CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+        |  count(*) AS n
+        |FROM events GROUP BY op ORDER BY op""".stripMargin,
+
+    "cdc_unwrap" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op
+        |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+
+    "cdc_subject_route" ->
+      """SELECT 'HCM.CDC.HR.hrdb.' || event_type AS subject, count(*) AS n
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY subject ORDER BY subject""".stripMargin,
+
+    "cdc_dedup_window" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+        |  FROM events) t
+        |WHERE prev_us IS NULL OR us - prev_us > 120000000
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_field_diff" ->
+      """SELECT user_id, event_id, old_value, new_value FROM (
+        |  SELECT user_id, event_id,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS old_value,
+        |    value AS new_value
+        |  FROM events) t
+        |WHERE old_value IS NOT NULL AND old_value <> new_value
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_event_metrics" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "cdc_unique_violations" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "cdc_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline operators over the `documents`/`embeddings` tables:
+  * exact dedup, token/quality stats, brute-force cosine top-k ANN baseline.
+  * (The sketch-based variants — MinHash/SimHash/LSH — live in
+  * graft.operators and are verified by ScalaTest; where a DuckDB-equivalent
+  * formulation exists it is given here.)
+  */
+object Corpus {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cosine similarity between two array<float> columns, computed in double
+    * with a sequential fold (deterministic order ⇒ reproducible bit pattern).
+    */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact deduplication by content hash (hash-groupBy; scale path: the
+    // md5 shuffle key distributes uniformly so no skew at 100 TB).
+    "doc_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"content_hash")
+    }),
+
+    // Token counting + quality stats per language (text-analysis surface).
+    "doc_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(
+          $"lang",
+          size(split($"text", " ")).cast("bigint").as("n_tokens"),
+          length($"text").cast("bigint").as("len"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          sum($"len").as("total_chars"))
+        .orderBy($"lang")
+    }),
+
+    // Brute-force cosine top-k: the ANN correctness baseline. Query vector =
+    // vec_id 0; at scale this is one broadcast vector against a scan.
+    "knn_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("query_vec"))
+      e.filter($"vec_id" =!= 0)
+        .join(broadcast(q))
+        .select(
+          $"vec_id",
+          round(cosine($"embedding", $"query_vec"), 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+        .limit(10)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "doc_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  sum(length(text)) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "knn_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])), 6) AS sim
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+  )
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational/SQL surface of the reference (SURVEY.md §2.3 O-21, §2.6):
+  * aggregation, joins (broadcast + shuffle), semi-joins/subqueries, window
+  * functions, date functions. Each query has a DuckDB oracle; money sums go
+  * through DECIMAL so results are bit-exact regardless of partial-agg order,
+  * then back to DOUBLE so both engines emit identical output schemas.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(28,6)")), 2).cast("double").as("sum_disc_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "q2_revenue_filter" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(
+          round(sum(($"l_extendedprice" * $"l_discount").cast("decimal(28,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey", $"o_orderpriority")
+        .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(28,6)")), 2).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    "q4_priority_exists" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem").filter($"l_quantity" > 49)
+      o.join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(o, $"c_custkey" === $"o_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .join(su, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(28,6)")), 2).cast("double").as("revenue"))
+        .orderBy($"n_name")
+    }),
+
+    "q6_window_topn" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter($"rnk" <= 2)
+        .select($"o_custkey", $"o_orderkey", $"rnk")
+        .orderBy($"o_custkey", $"rnk")
+    }),
+
+    "q7_month_partition" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy(date_format($"o_orderdate", "yyyyMM").as("event_month"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy($"event_month")
+    }),
+
+    "q8_fk_orphans" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey")
+        .orderBy($"c_custkey")
+    }),
+
+    "q9_enrich_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("acctbal"))
+        .orderBy($"r_name", $"n_name")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_revenue_filter" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q6_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q7_month_partition" ->
+      """SELECT strftime(o_orderdate, '%Y%m') AS event_month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY event_month ORDER BY event_month""".stripMargin,
+
+    "q8_fk_orphans" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q9_enrich_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+  )
+}

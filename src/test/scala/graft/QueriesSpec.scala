@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class QueriesSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      withClue(s"query $name: ") { assert(df.count() >= 0) }
+    }
+  }
+
+  test("every query has an oracle or is explicitly exempt") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Keep this list tiny and intentional: only genuinely non-SQL operators.
+    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+  }
+
+  test("cdc_ledger ops partition the stream") {
+    import spark.implicits._
+    val ledger = graft.queries.CdcAnalog.queries("cdc_ledger")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val total = Tables(spark, sf, "events").count()
+    assert(ledger.keySet == Set("c", "u", "d"))
+    assert(ledger.values.sum == total)
+  }
+}
+
+class SubjectSpec extends AnyFunSuite {
+  import graft.functions.Subject.matches
+
+  test("literal match") {
+    assert(matches("HCM.CDC.HR.hrdb.employees", "HCM.CDC.HR.hrdb.employees"))
+    assert(!matches("HCM.CDC.HR.hrdb.employees", "HCM.CDC.HR.hrdb.positions"))
+  }
+  test("star matches exactly one token") {
+    assert(matches("HCM.CDC.HR.hrdb.employees", "HCM.CDC.HR.*.*"))
+    assert(!matches("HCM.CDC.HR.hrdb", "HCM.CDC.HR.*.*"))
+    assert(!matches("HCM.CDC.HR.hrdb.employees.extra", "HCM.CDC.HR.*.*"))
+  }
+  test("gt matches one or more trailing tokens") {
+    assert(matches("HCM.CDC.HR.hrdb.employees", "HCM.>"))
+    assert(matches("HCM.x", "HCM.>"))
+    assert(!matches("HCM", "HCM.>"))
+    assert(!matches("OTHER.CDC", "HCM.>"))
+  }
+  test("prefix-only pattern does not match longer subject") {
+    assert(!matches("HCM.CDC.HR", "HCM.CDC"))
+  }
+}

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare Verify output
+parquet against DuckDB running oracle_sql.json on the same sf tables.
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, duckdb, math
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
+        gcols = sorted(got.columns)
+        g = con.sql(f"SELECT {', '.join(gcols)} FROM got ORDER BY ALL").fetchall()
+        exp = con.sql(sql)
+        ecols = sorted(exp.columns)
+        e = con.sql(f"SELECT {', '.join(ecols)} FROM exp ORDER BY ALL").fetchall()
+    except Exception as ex:
+        print(f"FAIL {name}: error {ex}")
+        fails += 1
+        continue
+    if gcols != ecols:
+        print(f"FAIL {name}: columns {gcols} vs {ecols}"); fails += 1; continue
+    if len(g) != len(e):
+        print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
+    bad = None
+    for i, (rg, re) in enumerate(zip(g, e)):
+        if rg != re:
+            # show first mismatch with float detail
+            bad = (i, rg, re); break
+    if bad:
+        print(f"FAIL {name}: first mismatch row {bad[0]}:\n  got {bad[1]}\n  exp {bad[2]}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(g)} rows)")
+print("FAILS:", fails)
+sys.exit(1 if fails else 0)
