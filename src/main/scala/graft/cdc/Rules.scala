@@ -1,0 +1,225 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The pattern-match transformer rule set (O-13/O-14) — CDC envelope →
+  * domain event. Rule tables: reference `docs/design.md:247-277`,
+  * `docs/system-design.md:159-186`; predicate logic `docs/design.md:283-322`
+  * and `docs/system-design.md:213-227`.
+  *
+  * Every predicate is a pure column expression, so the whole rule engine
+  * stays inside whole-stage codegen and Catalyst can fuse the N rule branches
+  * over one shared scan. Dispatch by (table, op) is part of each rule's
+  * filter; the engine unions the per-rule outputs (flatMap semantics:
+  * one input event may fire several rules, `docs/design.md:628-650`).
+  */
+final case class TransformerRule(
+    eventType: String,
+    eventCategory: String,
+    aggregateType: String,
+    table: String,
+    op: String,
+    /** Extra predicate over `before`/`after` (beyond table+op dispatch). */
+    predicate: Column,
+    /** Aggregate id expression (string). */
+    aggregateId: Column,
+    /** Event-specific business payload (struct; serialized to JSON). */
+    payload: Column,
+    enabled: Boolean = true) {
+
+  /** Outbound subject per the reference's subject table
+    * (docs/system-design.md:159-186; scheme docs/design.md:600-605).
+    */
+  def subject: String = Rules.subjects.getOrElse(
+    eventType,
+    s"events.hr.$eventCategory.${eventType.toLowerCase}")
+
+  /** Apply to one table's envelope DataFrame → domain events (0..n rows). */
+  def apply(envelopes: DataFrame): DataFrame =
+    envelopes
+      .filter(col("source.table") === table && col("op") === op && predicate)
+      .select(
+        // Deterministic id = idempotency key (docs/system-design.md:367):
+        // stable across replays, which makes the at-least-once sink
+        // effectively exactly-once after dedup.
+        md5(concat_ws("|", lit(eventType), aggregateId, col("ts_ms"))).as("eventId"),
+        lit(eventType).as("eventType"),
+        lit(eventCategory).as("eventCategory"),
+        timestamp_millis(col("ts_ms")).as("timestamp"),
+        aggregateId.cast("string").as("aggregateId"),
+        lit(aggregateType).as("aggregateType"),
+        lit("1.0").as("version"),
+        to_json(payload).as("payload"),
+        struct(
+          lit("hr-event-publisher").as("source"),
+          concat_ws("|", col("source.table"), col("op"), col("ts_ms")).as("causationId"),
+          lit(null).cast("string").as("correlationId"),
+          lit(null).cast("string").as("userId")).as("metadata"),
+        lit(subject).as("subject"))
+}
+
+object Rules {
+
+  /** Subject per event type — docs/system-design.md:159-186 verbatim;
+    * spec-gap types (DataUpdated, StockGranted) follow the same scheme.
+    */
+  val subjects: Map[String, String] = Map(
+    "EmployeeHired" -> "events.hr.employee.hired",
+    "EmployeePromoted" -> "events.hr.employee.promoted",
+    "EmployeeTerminated" -> "events.hr.employee.terminated",
+    "EmployeeTransferred" -> "events.hr.employee.transferred",
+    "EmployeeDataUpdated" -> "events.hr.employee.updated",
+    "DepartmentCreated" -> "events.hr.org.department.created",
+    "DepartmentRestructured" -> "events.hr.org.department.restructured",
+    "ManagerAssigned" -> "events.hr.org.manager.assigned",
+    "TeamCompositionChanged" -> "events.hr.org.team.changed",
+    "SalaryAdjusted" -> "events.hr.compensation.salary.adjusted",
+    "BonusAwarded" -> "events.hr.compensation.bonus.awarded",
+    "StockGranted" -> "events.hr.compensation.stock.granted",
+    "LeaveRequested" -> "events.hr.attendance.leave.requested",
+    "LeaveApproved" -> "events.hr.attendance.leave.approved",
+    "AttendanceMarked" -> "events.hr.attendance.marked")
+
+  private def ch(field: String): Column = // null-safe "field changed"
+    !(col(s"before.$field") <=> col(s"after.$field"))
+
+  private val afterImage: Column = col("after")
+
+  /** The full rule set, in evaluation order. */
+  val all: Seq[TransformerRule] = Seq(
+    TransformerRule("EmployeeHired", "employee", "Employee",
+      "employees", "c", lit(true),
+      col("after.id"),
+      struct(afterImage.as("employee"))),
+
+    TransformerRule("EmployeePromoted", "employee", "Employee",
+      "employees", "u",
+      ch("position_id") && col("after.salary") > col("before.salary") &&
+        col("after.status") === "active",
+      col("after.id"),
+      struct(
+        col("after.id").as("employeeId"),
+        col("before.position_id").as("previousPositionId"),
+        col("after.position_id").as("newPositionId"),
+        col("before.salary").as("previousSalary"),
+        col("after.salary").as("newSalary"))),
+
+    TransformerRule("EmployeeTerminated", "employee", "Employee",
+      "employees", "u",
+      col("before.status") === "active" && col("after.status") === "terminated",
+      col("after.id"),
+      struct(
+        col("after.id").as("employeeId"),
+        col("after.hire_date").as("hireDate"),
+        col("after.department_id").as("departmentId"))),
+
+    TransformerRule("EmployeeTransferred", "employee", "Employee",
+      "employees", "u",
+      ch("department_id") && !ch("position_id"),
+      col("after.id"),
+      struct(
+        col("after.id").as("employeeId"),
+        col("before.department_id").as("fromDepartmentId"),
+        col("after.department_id").as("toDepartmentId"))),
+
+    TransformerRule("EmployeeDataUpdated", "employee", "Employee",
+      "employees", "u",
+      // "other employee updates": none of the specific lifecycle rules fired
+      !(ch("position_id") && col("after.salary") > col("before.salary") &&
+        col("after.status") === "active") &&
+        !(col("before.status") === "active" && col("after.status") === "terminated") &&
+        !(ch("department_id") && !ch("position_id")),
+      col("after.id"),
+      struct(afterImage.as("employee"))),
+
+    TransformerRule("DepartmentCreated", "org", "Department",
+      "departments", "c", lit(true),
+      col("after.id"),
+      struct(afterImage.as("department"))),
+
+    TransformerRule("DepartmentRestructured", "org", "Department",
+      "departments", "u", ch("parent_department_id"),
+      col("after.id"),
+      struct(
+        col("after.id").as("departmentId"),
+        col("before.parent_department_id").as("previousParentId"),
+        col("after.parent_department_id").as("newParentId"))),
+
+    TransformerRule("ManagerAssigned", "org", "Department",
+      "departments", "u", ch("manager_id"),
+      col("after.id"),
+      struct(
+        col("after.id").as("departmentId"),
+        col("before.manager_id").as("previousManagerId"),
+        col("after.manager_id").as("newManagerId"))),
+
+    TransformerRule("SalaryAdjusted", "compensation", "Employee",
+      "salary_changes", "c", lit(true),
+      col("after.employee_id"),
+      struct(
+        col("after.employee_id").as("employeeId"),
+        col("after.old_salary").as("oldSalary"),
+        col("after.new_salary").as("newSalary"),
+        col("after.reason").as("reason"),
+        col("after.effective_date").as("effectiveDate"))),
+
+    TransformerRule("BonusAwarded", "compensation", "Employee",
+      "bonuses", "c", lit(true),
+      col("after.employee_id"),
+      struct(afterImage.as("bonus"))),
+
+    TransformerRule("StockGranted", "compensation", "Employee",
+      "stock_grants", "c", lit(true),
+      col("after.employee_id"),
+      struct(afterImage.as("grant"))),
+
+    TransformerRule("LeaveRequested", "attendance", "LeaveRequest",
+      "leave_requests", "c", lit(true),
+      col("after.id"),
+      struct(
+        col("after.id").as("leaveRequestId"),
+        col("after.employee_id").as("employeeId"),
+        col("after.leave_type").as("leaveType"),
+        col("after.start_date").as("startDate"),
+        col("after.end_date").as("endDate"),
+        col("after.reason").as("reason"))),
+
+    TransformerRule("LeaveApproved", "attendance", "LeaveRequest",
+      "leave_requests", "u",
+      col("before.status") =!= "approved" && col("after.status") === "approved",
+      col("after.id"),
+      struct(
+        col("after.id").as("leaveRequestId"),
+        col("after.employee_id").as("employeeId"),
+        col("after.approved_by").as("approvedBy"))),
+
+    TransformerRule("AttendanceMarked", "attendance", "AttendanceRecord",
+      "attendance_records", "c", lit(true),
+      col("after.id"),
+      struct(
+        col("after.id").as("attendanceRecordId"),
+        col("after.employee_id").as("employeeId"),
+        col("after.attendance_date").as("attendanceDate"),
+        col("after.status").as("status"))))
+
+  def byEventType(t: String): TransformerRule = all.find(_.eventType == t).get
+
+  /** Run every enabled rule whose table matches this envelope stream and
+    * union the domain events. All branches share one scan (same parent
+    * DataFrame) — Catalyst reuses the exchange/scan across branches.
+    */
+  def applyAll(envelopes: DataFrame, table: String,
+               rules: Seq[TransformerRule] = all): DataFrame = {
+    val relevant = rules.filter(r => r.enabled && r.table == table)
+    relevant.map(_.apply(envelopes)).reduceLeft(_.unionByName(_))
+  }
+
+  /** Multi-table entry: map of table -> envelope DataFrame (each with that
+    * table's before/after schema) → single unioned domain-event stream.
+    */
+  def applyAll(byTable: Map[String, DataFrame]): DataFrame =
+    byTable.collect {
+      case (t, df) if all.exists(r => r.enabled && r.table == t) => applyAll(df, t)
+    }.reduceLeft(_.unionByName(_))
+}

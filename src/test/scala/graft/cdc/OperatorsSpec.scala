@@ -1,0 +1,152 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class FieldDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salary update explodes into exactly the changed fields") {
+    val envs = Fixtures.parse(spark, "employees", Seq(
+      Fixtures.env("employees", "u",
+        Fixtures.emp(), Fixtures.emp(salary = "95000.00"), Fixtures.T0)))
+    val audit = FieldDiff.audit(envs).collect()
+    assert(audit.map(_.getAs[String]("field_name")).toSet == Set("salary"))
+    val row = audit.head
+    assert(row.getAs[String]("old_value") == "90000.00")
+    assert(row.getAs[String]("new_value") == "95000.00")
+    assert(row.getAs[String]("operation") == "UPDATE")
+    assert(row.getAs[String]("entity_type") == "employees")
+    assert(row.getAs[String]("entity_id") == "999")
+  }
+
+  test("insert diffs every non-null field from null") {
+    val envs = Fixtures.parse(spark, "employees", Seq(
+      Fixtures.env("employees", "c", "null", Fixtures.emp(), Fixtures.T0)))
+    val audit = FieldDiff.audit(envs)
+    // every field of the after image is non-null except manager_id
+    assert(audit.count() == Schemas.employees.fields.length - 1)
+    assert(audit.filter(col("old_value").isNotNull).count() == 0)
+  }
+}
+
+class ValidateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("valid events pass, broken events go to dead-letter with reason") {
+    val good = Rules.applyAll(Fixtures.crudScenario(spark))
+    val broken = good.withColumn("aggregateId",
+      when(col("eventType") === "EmployeeHired", lit(null).cast("string"))
+        .otherwise(col("aggregateId")))
+    val split = Validate.split(broken)
+    assert(split.valid.count() == good.count() - 1)
+    val dl = split.deadLetter.collect()
+    assert(dl.length == 1)
+    assert(dl.head.getAs[String]("reason") == "structural")
+  }
+
+  test("unparseable payload is structural dead-letter") {
+    val good = Rules.applyAll(Fixtures.crudScenario(spark))
+    val broken = good.withColumn("payload", lit("{not json"))
+    assert(Validate.split(broken).deadLetter.count() == good.count())
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bulk-1000 with duplicates: in-window dropped, out-of-window kept") {
+    import spark.implicits._
+    // F-4: 1000 events; 50 duplicate keys re-published 30s later (inside the
+    // 120s window); 5 re-published 10min later (outside). Expect 1005 out.
+    val base = (1 to 1000).map(i => (s"evt$i", Fixtures.T0 + i * 1000L))
+    val inWin = (1 to 50).map(i => (s"evt$i", Fixtures.T0 + i * 1000L + 30000L))
+    val outWin = (1 to 5).map(i => (s"evt$i", Fixtures.T0 + i * 1000L + 600000L))
+    val df = (base ++ inWin ++ outWin)
+      .toDF("eventId", "ts_ms")
+      .withColumn("timestamp", timestamp_millis(col("ts_ms")))
+    val deduped = Dedup.batchWindowed(df, Seq("eventId"))
+    assert(deduped.count() == 1005)
+    // and exact-first keeps exactly one per key
+    assert(Dedup.exactFirst(df, Seq("eventId")).count() == 1000)
+  }
+}
+
+class EnrichSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("promotion enriched with position titles and department name") {
+    val envs = Fixtures.parse(spark, "employees", Seq(Fixtures.promotionFiring))
+    val events = Rules.applyAll(envs, "employees")
+      .filter(col("eventType") === "EmployeePromoted")
+    val enriched = Enrich.promotions(events,
+      Fixtures.seedPositions(spark), Fixtures.seedDepartments(spark),
+      Fixtures.seedEmployees(spark)).collect().head
+    assert(enriched.getAs[String]("previousPositionTitle") == "Senior Engineer")
+    assert(enriched.getAs[String]("newPositionTitle") == "Staff Engineer")
+    assert(enriched.getAs[String]("departmentName") == "Engineering")
+  }
+
+  test("termination enrichment computes tenure in months") {
+    val envs = Fixtures.parse(spark, "employees", Seq(Fixtures.terminationFiring))
+    val events = Rules.applyAll(envs, "employees")
+      .filter(col("eventType") === "EmployeeTerminated")
+    val t = Enrich.terminations(events).collect().head
+    // hire 2024-06-10 (fixture default), term 2024-06-10 => 0 months
+    assert(t.getAs[Int]("tenureMonths") == 0)
+  }
+
+  test("org distance over the hierarchy") {
+    import spark.implicits._
+    // Engineering(1) -> Platform(4) -> Infra(5); Sales(3) root.
+    val depts = Seq(
+      (1, "Engineering", None: Option[Int]),
+      (3, "Sales", None: Option[Int]),
+      (4, "Platform", Some(1)),
+      (5, "Infra", Some(4)))
+      .toDF("id", "name", "parent_department_id")
+    val dist = Enrich.orgDistance(depts)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(dist((1, 1)) == 0)
+    assert(dist((1, 4)) == 1)
+    assert(dist((1, 5)) == 2)
+    assert(dist((4, 5)) == 1)
+    assert(dist((1, 3)) == 2) // via virtual common root
+    assert(dist((5, 3)) == 4)
+  }
+
+  test("PII masking: salary hashed, email partially masked") {
+    val df = Fixtures.seedEmployees(spark)
+    val masked = Mask(df).collect().head
+    assert(masked.getAs[String]("email") == "j***@company.com")
+    assert(masked.getAs[String]("salary").length == 64) // sha2-256 hex
+  }
+}
+
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("event store is month-partitioned and readable with pruning") {
+    val out = java.nio.file.Files.createTempDirectory("eventstore").toString
+    val events = Rules.applyAll(Fixtures.crudScenario(spark))
+    Sinks.writeEventStore(events, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == events.count())
+    assert(back.columns.contains("event_month"))
+    // partition directory exists for the fixture month
+    assert(new java.io.File(out, "event_month=202406").exists())
+  }
+
+  test("retention sweep drops only expired month partitions") {
+    val out = java.nio.file.Files.createTempDirectory("retention").toString
+    val events = Rules.applyAll(Fixtures.crudScenario(spark))
+    Sinks.writeEventStore(events, out)
+    // 13 months after the fixture month -> partition expired at max_age=12mo
+    val nowMs = Fixtures.T0 + 13L * 31 * 24 * 3600 * 1000
+    val dropped = Sinks.sweepRetention(out, 12, nowMs)
+    assert(dropped == Seq("event_month=202406"))
+    assert(!new java.io.File(out, "event_month=202406").exists())
+  }
+}
