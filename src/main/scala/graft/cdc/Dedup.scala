@@ -25,20 +25,41 @@ object Dedup {
       .withWatermark(eventTimeCol, window)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Batch replay form: drop rows whose previous same-key row is within
-    * `windowMicros`. Equivalent to the streaming semantics on an ordered
-    * replay. One shuffle on the key — at 100 TB the key (eventId) is unique
-    * and uniform, so no skew.
+  /** Batch replay form with ANCHORED-window semantics, matching
+    * `dropDuplicatesWithinWatermark` / the JetStream duplicate window: the
+    * first event per key is kept and becomes the anchor; every later copy
+    * within `windowMicros` of the *kept* event is dropped; the first copy
+    * beyond the window is kept and becomes the new anchor. (A plain `lag`
+    * compares to the previous row kept-or-dropped, which collapses a chain
+    * of duplicates spanning more than one window — wrong.)
+    *
+    * Physical plan: one hash shuffle on the key + a sort within partitions,
+    * then a streaming per-partition scan carrying only (current key, anchor)
+    * — O(1) state per task regardless of group size, so no skew-driven OOM
+    * at 100 TB even if one key dominates a partition.
     */
   def batchWindowed(df: DataFrame, keyCols: Seq[String],
                     eventTimeCol: String = "timestamp",
                     windowMicros: Long = 120000000L): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(eventTimeCol))
-    df.withColumn("_prev_us", lag(unix_micros(col(eventTimeCol)), 1).over(w))
-      .filter(col("_prev_us").isNull ||
-        unix_micros(col(eventTimeCol)) - col("_prev_us") > windowMicros)
-      .drop("_prev_us")
+    val sorted = df
+      .withColumn("_us", unix_micros(col(eventTimeCol)))
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col) :+ col("_us"): _*)
+    val schema = sorted.schema
+    val kIdx = keyCols.map(schema.fieldIndex)
+    val usIdx = schema.fieldIndex("_us")
+    val kept = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var anchorUs = Long.MinValue
+      it.filter { row =>
+        val k = kIdx.map(row.get)
+        val us = row.getLong(usIdx)
+        if (k != curKey) { curKey = k; anchorUs = us; true }
+        else if (us - anchorUs > windowMicros) { anchorUs = us; true }
+        else false
+      }
+    }
+    df.sparkSession.createDataFrame(kept, schema).drop("_us")
   }
 
   /** Exact dedup on a key (idempotent-consumer replay: keep first by time). */

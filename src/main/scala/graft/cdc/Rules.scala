@@ -125,11 +125,16 @@ object Rules {
 
     TransformerRule("EmployeeDataUpdated", "employee", "Employee",
       "employees", "u",
-      // "other employee updates": none of the specific lifecycle rules fired
-      !(ch("position_id") && col("after.salary") > col("before.salary") &&
-        col("after.status") === "active") &&
-        !(col("before.status") === "active" && col("after.status") === "terminated") &&
-        !(ch("department_id") && !ch("position_id")),
+      // "other employee updates": none of the specific lifecycle rules fired.
+      // Each sub-predicate is coalesced to false before negation: the source
+      // leaves salary/status nullable (init-db.sql), and under three-valued
+      // logic a NULL comparand would make the negation NULL and silently
+      // drop the event from every rule instead of falling through here.
+      !coalesce(ch("position_id") && col("after.salary") > col("before.salary") &&
+        col("after.status") === "active", lit(false)) &&
+        !coalesce(col("before.status") === "active" &&
+          col("after.status") === "terminated", lit(false)) &&
+        !coalesce(ch("department_id") && !ch("position_id"), lit(false)),
       col("after.id"),
       struct(afterImage.as("employee"))),
 
@@ -212,7 +217,11 @@ object Rules {
   def applyAll(envelopes: DataFrame, table: String,
                rules: Seq[TransformerRule] = all): DataFrame = {
     val relevant = rules.filter(r => r.enabled && r.table == table)
-    relevant.map(_.apply(envelopes)).reduceLeft(_.unionByName(_))
+    if (relevant.isEmpty) // e.g. "positions": captured but no rules → empty stream
+      envelopes.sparkSession.createDataFrame(
+        envelopes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.domainEvent)
+    else relevant.map(_.apply(envelopes)).reduceLeft(_.unionByName(_))
   }
 
   /** Multi-table entry: map of table -> envelope DataFrame (each with that

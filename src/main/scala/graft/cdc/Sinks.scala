@@ -55,24 +55,28 @@ object Sinks {
     */
   def sweepRetention(path: String, maxAgeMonths: Int, nowMs: Long,
                      partitionCol: String = "event_month"): Seq[String] = {
+    import org.apache.hadoop.fs.Path
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMM")
     val cutoff = java.time.Instant.ofEpochMilli(nowMs)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate
-      .minusMonths(maxAgeMonths.toLong)
-    val dir = new java.io.File(path)
-    val dropped = Option(dir.listFiles()).getOrElse(Array.empty)
+      .minusMonths(maxAgeMonths.toLong).withDayOfMonth(1)
+    // Hadoop FileSystem API, not java.io.File: the sweep must work on
+    // whatever scheme the store lives on (HDFS, S3A, local), and the
+    // recursive delete removes nested files the flat listing would miss.
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    val dropped = fs.listStatus(root)
       .filter(_.isDirectory)
-      .filter(_.getName.startsWith(s"$partitionCol="))
+      .filter(_.getPath.getName.startsWith(s"$partitionCol="))
       .filter { d =>
-        val month = d.getName.stripPrefix(s"$partitionCol=")
+        val month = d.getPath.getName.stripPrefix(s"$partitionCol=")
         scala.util.Try(
           java.time.YearMonth.parse(month, fmt).atDay(1)
-            .isBefore(cutoff.withDayOfMonth(1))).getOrElse(false)
+            .isBefore(cutoff)).getOrElse(false)
       }
-    dropped.foreach { d =>
-      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      d.delete()
-    }
-    dropped.map(_.getName).toSeq
+    dropped.foreach(d => fs.delete(d.getPath, true))
+    dropped.map(_.getPath.getName).toSeq
   }
 }

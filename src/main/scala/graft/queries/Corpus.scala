@@ -6,9 +6,6 @@ import graft.Tables
 
 /** Training-data-pipeline operators over the `documents`/`embeddings` tables:
   * exact dedup, token/quality stats, brute-force cosine top-k ANN baseline.
-  * (The sketch-based variants — MinHash/SimHash/LSH — live in
-  * graft.operators and are verified by ScalaTest; where a DuckDB-equivalent
-  * formulation exists it is given here.)
   */
 object Corpus {
 
@@ -75,8 +72,8 @@ object Corpus {
 
     "doc_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS total_tokens,
-        |  sum(length(text)) AS total_chars
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "knn_cosine_topk" ->

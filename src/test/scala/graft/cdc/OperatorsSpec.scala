@@ -71,6 +71,50 @@ class DedupSpec extends AnyFunSuite {
     // and exact-first keeps exactly one per key
     assert(Dedup.exactFirst(df, Seq("eventId")).count() == 1000)
   }
+
+  test("chained duplicates anchor on the KEPT event, not the previous row") {
+    import spark.implicits._
+    // t=0s,100s,200s,230s: anchored semantics keeps 0s (anchor), drops 100s
+    // (within 120s of anchor), keeps 200s (beyond window -> new anchor),
+    // drops 230s (within 120s of the 200s anchor). A lag-based filter would
+    // wrongly drop 200s too (it is only 100s after the dropped 100s row).
+    val df = Seq(
+      ("k1", 0L), ("k1", 100000L), ("k1", 200000L), ("k1", 230000L),
+      ("k2", 50000L))
+      .toDF("eventId", "ms")
+      .withColumn("timestamp", timestamp_millis(col("ms") + Fixtures.T0))
+    val kept = Dedup.batchWindowed(df, Seq("eventId"))
+      .select("eventId", "ms").as[(String, Long)].collect().toSet
+    assert(kept == Set(("k1", 0L), ("k1", 200000L), ("k2", 50000L)))
+  }
+}
+
+class RuleDispatchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("applyAll on a table with no rules yields an empty domain-event frame") {
+    val envs = Fixtures.parse(spark, "positions", Seq(
+      Fixtures.env("positions",
+        "c", "null", Fixtures.pos("IC9", "Distinguished", "300000", "400000"),
+        Fixtures.T0)))
+    val out = Rules.applyAll(envs, "positions")
+    assert(out.count() == 0)
+    assert(out.schema == Schemas.domainEvent)
+  }
+
+  test("NULL salary update falls through to EmployeeDataUpdated, not dropped") {
+    // position changed + salary NULL: the promotion predicate is NULL, and
+    // without coalesce its negation would be NULL too — the event would fire
+    // no rule at all. Reference classifies it as "other UPDATE operations".
+    val nullSalaryBefore = Fixtures.emp(salary = "null")
+    val nullSalaryAfter =
+      Fixtures.emp(posId = "IC3", salary = "null")
+    val envs = Fixtures.parse(spark, "employees", Seq(
+      Fixtures.env("employees", "u", nullSalaryBefore, nullSalaryAfter, Fixtures.T0)))
+    val fired = Rules.applyAll(envs, "employees")
+      .select("eventType").collect().map(_.getString(0)).toSet
+    assert(fired == Set("EmployeeDataUpdated"))
+  }
 }
 
 class EnrichSpec extends AnyFunSuite {
