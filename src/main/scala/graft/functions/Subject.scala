@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** NATS-style subject matching (reference: `config/nats/stream.json:4`,
   * `config/debezium/application.properties:23`, `docs/design.md:497-510`).
@@ -13,10 +18,21 @@ import org.apache.spark.sql.functions.udf
   *
   * e.g. `HCM.>` matches `HCM.CDC.HR.hrdb.employees`;
   *      `HCM.CDC.HR.*.*` matches subjects with exactly five tokens.
+  *
+  * Physical strategy (this is the hot consumer-side filter, so it must stay
+  * inside whole-stage codegen AND prune the subject-partitioned store):
+  *   - literal pattern, no wildcards      → `=== pattern` (partition pruning)
+  *   - literal `prefix.>`                 → `startsWith("prefix.")` — pushes
+  *     down as `StringStartsWith`, so a wildcard consumer reads only its
+  *     subject partitions instead of scanning every directory
+  *   - literal pattern with `*`           → anchored `rlike` (codegen'd)
+  *   - non-literal pattern column         → native codegen `Expression`
+  *     calling the scalar matcher (never a Scala UDF — no boxing, no
+  *     codegen fence)
   */
 object Subject {
 
-  /** Pure-Scala matcher, usable from both driver code and UDFs. */
+  /** Pure-Scala matcher, usable from driver code and generated code. */
   def matches(subject: String, pattern: String): Boolean = {
     if (subject == null || pattern == null) return false
     val s = subject.split('.')
@@ -37,10 +53,62 @@ object Subject {
     s.length == p.length
   }
 
-  /** Column form: `subject_matches(subjectCol, lit(pattern))`. */
-  val subjectMatchesUdf =
-    udf((subject: String, pattern: String) => matches(subject, pattern))
+  /** Entry point for generated code (UTF8String-native, no row boxing). */
+  def matchesUtf8(subject: UTF8String, pattern: UTF8String): Boolean =
+    matches(subject.toString, pattern.toString)
 
+  /** Compile a literal pattern to the cheapest native predicate. NULL
+    * subjects yield NULL (dropped by filters), where the scalar matcher
+    * returns false — identical under filter semantics.
+    */
+  def compilePattern(subject: Column, pattern: String): Column = {
+    val toks = pattern.split('.')
+    val gtIdx = toks.indexOf(">")
+    if (gtIdx >= 0 && gtIdx != toks.length - 1) lit(false) // '>' mid-pattern never matches
+    else if (!toks.exists(t => t == "*" || t == ">")) subject === lit(pattern)
+    else if (toks.length == 1 && toks.head == ">") subject.isNotNull // ">" matches any subject
+    else if (toks.last == ">" && !toks.init.contains("*"))
+      subject.startsWith(toks.init.mkString("", ".", "."))
+    else {
+      val body = toks.map {
+        case "*" => "[^.]+"
+        case ">" => ">" // placeholder; handled below (always last here)
+        case t   => java.util.regex.Pattern.quote(t)
+      }
+      val re =
+        if (toks.last == ">") body.init.mkString("\\.") + "\\..+"
+        else body.mkString("\\.")
+      subject.rlike("^" + re + "$")
+    }
+  }
+
+  /** Column form: `subject_matches(subjectCol, patternCol)`. */
   def subject_matches(subject: Column, pattern: Column): Column =
-    subjectMatchesUdf(subject, pattern)
+    ColumnBridge.literalString(pattern) match {
+      case Some(p)                                 => compilePattern(subject, p)
+      case None if ColumnBridge.isNullLiteral(pattern) => lit(false)
+      case None =>
+        ColumnBridge.column(
+          SubjectMatchesExpr(
+            ColumnBridge.expression(subject), ColumnBridge.expression(pattern)))
+    }
+}
+
+/** Codegen-native fallback for non-literal patterns: stays inside
+  * whole-stage codegen via a static call, unlike a Scala UDF which forces
+  * row materialization and blocks every downstream optimization.
+  */
+case class SubjectMatchesExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Predicate {
+
+  override protected def nullSafeEval(s: Any, p: Any): Any =
+    Subject.matchesUtf8(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, p) => s"graft.functions.Subject.matchesUtf8($s, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubjectMatchesExpr =
+    copy(left = newLeft, right = newRight)
 }
