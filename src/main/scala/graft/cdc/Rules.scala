@@ -35,28 +35,38 @@ final case class TransformerRule(
     eventType,
     s"events.hr.$eventCategory.${eventType.toLowerCase}")
 
+  /** Full dispatch predicate: (table, op) routing + the business predicate. */
+  def fires: Column =
+    col("source.table") === table && col("op") === op && predicate
+
+  /** The domain-event output as ONE struct column (Schemas.domainEvent
+    * shape), so N rules can be evaluated in a single projection over a
+    * single scan (see `Rules.applyAll`).
+    */
+  def outputStruct: Column = struct(
+    // Deterministic id = idempotency key (docs/system-design.md:367):
+    // stable across replays, which makes the at-least-once sink
+    // effectively exactly-once after dedup.
+    md5(concat_ws("|", lit(eventType), aggregateId, col("ts_ms"))).as("eventId"),
+    lit(eventType).as("eventType"),
+    lit(eventCategory).as("eventCategory"),
+    timestamp_millis(col("ts_ms")).as("timestamp"),
+    aggregateId.cast("string").as("aggregateId"),
+    lit(aggregateType).as("aggregateType"),
+    lit("1.0").as("version"),
+    to_json(payload).as("payload"),
+    struct(
+      lit("hr-event-publisher").as("source"),
+      concat_ws("|", col("source.table"), col("op"), col("ts_ms")).as("causationId"),
+      lit(null).cast("string").as("correlationId"),
+      lit(null).cast("string").as("userId")).as("metadata"),
+    lit(subject).as("subject"))
+
   /** Apply to one table's envelope DataFrame → domain events (0..n rows). */
   def apply(envelopes: DataFrame): DataFrame =
-    envelopes
-      .filter(col("source.table") === table && col("op") === op && predicate)
-      .select(
-        // Deterministic id = idempotency key (docs/system-design.md:367):
-        // stable across replays, which makes the at-least-once sink
-        // effectively exactly-once after dedup.
-        md5(concat_ws("|", lit(eventType), aggregateId, col("ts_ms"))).as("eventId"),
-        lit(eventType).as("eventType"),
-        lit(eventCategory).as("eventCategory"),
-        timestamp_millis(col("ts_ms")).as("timestamp"),
-        aggregateId.cast("string").as("aggregateId"),
-        lit(aggregateType).as("aggregateType"),
-        lit("1.0").as("version"),
-        to_json(payload).as("payload"),
-        struct(
-          lit("hr-event-publisher").as("source"),
-          concat_ws("|", col("source.table"), col("op"), col("ts_ms")).as("causationId"),
-          lit(null).cast("string").as("correlationId"),
-          lit(null).cast("string").as("userId")).as("metadata"),
-        lit(subject).as("subject"))
+    envelopes.filter(fires)
+      .select(outputStruct.as("_e"))
+      .select(col("_e.*"))
 }
 
 object Rules {
@@ -210,9 +220,14 @@ object Rules {
 
   def byEventType(t: String): TransformerRule = all.find(_.eventType == t).get
 
-  /** Run every enabled rule whose table matches this envelope stream and
-    * union the domain events. All branches share one scan (same parent
-    * DataFrame) — Catalyst reuses the exchange/scan across branches.
+  /** Run every enabled rule whose table matches this envelope stream, in a
+    * SINGLE pass: one projection evaluates every rule's guarded output
+    * struct, `array_compact` drops the non-firing branches, and `explode`
+    * flattens the 0..n fired events per input row (flatMap semantics,
+    * docs/design.md:628-650). Exactly ONE scan of the envelope source
+    * regardless of rule count — a per-rule union would re-read the source
+    * once per rule (N× read amplification at 100 TB, since Spark does not
+    * dedupe scans across batch union branches).
     */
   def applyAll(envelopes: DataFrame, table: String,
                rules: Seq[TransformerRule] = all): DataFrame = {
@@ -221,7 +236,13 @@ object Rules {
       envelopes.sparkSession.createDataFrame(
         envelopes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.domainEvent)
-    else relevant.map(_.apply(envelopes)).reduceLeft(_.unionByName(_))
+    else
+      envelopes
+        .select(array_compact(array(
+          relevant.map(r => when(r.fires, r.outputStruct)): _*)).as("_events"))
+        .filter(size(col("_events")) > 0)
+        .select(explode(col("_events")).as("_e"))
+        .select(col("_e.*"))
   }
 
   /** Multi-table entry: map of table -> envelope DataFrame (each with that

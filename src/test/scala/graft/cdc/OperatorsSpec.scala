@@ -102,6 +102,22 @@ class RuleDispatchSpec extends AnyFunSuite {
     assert(out.schema == Schemas.domainEvent)
   }
 
+  test("rule engine reads the source exactly once for all rules") {
+    val out = java.nio.file.Files.createTempDirectory("envstore").toString
+    Fixtures.crudScenario(spark)("employees").write.mode("overwrite").parquet(out)
+    val envs = spark.read.parquet(out)
+    val events = Rules.applyAll(envs, "employees")
+    val scans = events.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1,
+      s"expected 1 scan for ${Rules.all.count(_.table == "employees")} rules, got ${scans.length}")
+    // c fires EmployeeHired, u (salary-only change) falls through to
+    // EmployeeDataUpdated, d fires nothing
+    assert(events.select("eventType").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("EmployeeDataUpdated", "EmployeeHired"))
+  }
+
   test("NULL salary update falls through to EmployeeDataUpdated, not dropped") {
     // position changed + salary NULL: the promotion predicate is NULL, and
     // without coalesce its negation would be NULL too — the event would fire
