@@ -100,6 +100,19 @@ object CdcAnalog {
         .orderBy($"user_id", $"event_type")
     }),
 
+    // TeamCompositionChanged analog (O-25): tumbling-window burst detection —
+    // aggregates with >= 3 events inside one 1-hour window. Exercises the
+    // real window() operator (same code path as the streaming stateful agg).
+    "cdc_team_burst" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(window($"ts", "1 hour").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 3)
+        .select(unix_seconds($"w.start").as("window_start"), $"user_id", $"n")
+        .orderBy($"window_start", $"user_id")
+    }),
+
     // JSON path extraction over the props payload (§2.6; docs/cdc-guide.md:95-97).
     "cdc_json_extract" -> ((s, dir) => {
       import s.implicits._
@@ -157,5 +170,11 @@ object CdcAnalog {
     "cdc_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "cdc_team_burst" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  user_id, count(*) AS n
+        |FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY window_start, user_id""".stripMargin,
   )
 }

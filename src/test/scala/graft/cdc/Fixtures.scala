@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Fixtures {
 
-  val T0 = 1718000000000L // 2024-06-10T05:33:20Z, scenario base time
+  val T0 = 1718000000000L // 2024-06-10T06:13:20Z, scenario base time
 
   /** Envelope JSON for one change event. */
   def env(table: String, op: String, before: String, after: String,
