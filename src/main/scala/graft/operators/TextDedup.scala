@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based near-duplicate detection for document corpora — the
+  * training-data-pipeline operators (builder brief): word-shingling,
+  * MinHash signatures, banded LSH candidate generation, exact n-gram
+  * Jaccard verification, and SimHash.
+  *
+  * Scale design: candidate pairs are generated ONLY inside LSH buckets
+  * (band-hash equality joins) — never an all-pairs product. Every stage is
+  * native Catalyst expressions (no UDFs), so the whole sketch computation
+  * stays inside whole-stage codegen; the only shuffles are the bucket join
+  * keys, which are uniform hashes (no planned skew). Oversized buckets
+  * (degenerate content, e.g. the empty shingle set) are capped by
+  * `maxBucketSize` so one pathological key cannot produce a quadratic
+  * task at 100 TB.
+  */
+object TextDedup {
+
+  /** Word n-gram shingles of a text column, de-duplicated (set semantics). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    // guard: sequence(0, k) with k<0 would generate a DESCENDING range
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 64-bit hashes of the shingle set (cheap to re-hash per MinHash fn). */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => xxhash64(s))
+
+  /** MinHash signature: element i = min over shingles of an independent
+    * hash function, realized as xxhash64(shingleHash, i) — no coefficient
+    * tables, fully codegen'd.
+    */
+  def minhashSignature(hashes: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hashes, h => xxhash64(h, i))))
+
+  /** Banded LSH keys: `bands` hashes, each over `rows` consecutive
+    * signature entries. Two docs sharing any band key are candidates.
+    */
+  def bandKeys(signature: Column, bands: Int = 16, rows: Int = 4): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(
+        j.as("band"),
+        xxhash64(slice(signature, j * rows + 1, lit(rows)), j).as("bucket")))
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** docs(idCol, textCol) → candidate pairs (id_a < id_b) from banded
+    * MinHash-LSH, with the exact shingle-Jaccard attached. One shuffle on
+    * the band keys; buckets larger than `maxBucketSize` are dropped (they
+    * indicate degenerate content, and any true near-dup inside them is
+    * still found via its other, less-degenerate bands).
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 64,
+                     bands: Int = 16, rows: Int = 4,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    require(bands * rows <= numHashes, "bands*rows must fit the signature")
+    val sketch = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(shingleHashes(col("sh")), numHashes))
+      .select(col("doc_id"), col("sh"),
+        explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val bucketSizes = sketch.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBucketSize && col("_bsz") > 1)
+    val inBuckets = sketch.join(bucketSizes, Seq("band", "bucket"))
+    val a = inBuckets.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = inBuckets.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .groupBy("id_a", "id_b") // same pair may collide in several bands
+      .agg(first(col("jaccard")).as("jaccard"))
+  }
+
+  /** Verified near-duplicate pairs: candidates whose exact shingle Jaccard
+    * meets `threshold`.
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, n: Int = 3): DataFrame =
+    candidatePairs(docs, idCol, textCol, n)
+      .filter(col("jaccard") >= threshold)
+}
+
+/** 64-bit SimHash over the shingle hash set, with banded near-dup search:
+  * split the fingerprint into `pieces` segments — any pair at Hamming
+  * distance ≤ pieces-1 shares at least one exact segment (pigeonhole), so
+  * the candidate join is again equality-bucketed, never all-pairs.
+  */
+object SimHash {
+
+  /** SimHash fingerprint of an array<long> of shingle hashes: sign of the
+    * per-bit vote sum. Pure native expressions: a 64-element vote vector
+    * aggregated with zip_with, folded back to one BIGINT.
+    */
+  def simhash64(hashes: Column): Column = {
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(63L)),
+        (a, bit) => a + when(
+          call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0L), lit(63L)),
+        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** docs(idCol, textCol) → pairs with Hamming(simhash) ≤ maxDistance.
+    * `pieces` must be > maxDistance for pigeonhole completeness.
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     maxDistance: Int = 3, pieces: Int = 4,
+                     shingleN: Int = 3): DataFrame = {
+    require(pieces > maxDistance, "need pieces > maxDistance for full recall")
+    val bits = 64 / pieces
+    val fp = docs
+      .select(col(idCol).as("doc_id"),
+        TextDedup.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("fp", simhash64(TextDedup.shingleHashes(col("sh"))))
+      .select(col("doc_id"), col("fp"),
+        explode(transform(sequence(lit(0), lit(pieces - 1)),
+          p => struct(p.as("piece"),
+            call_function("shiftright", col("fp"), p * bits)
+              .bitwiseAND(lit((1L << bits) - 1)).as("seg")))).as("pk"))
+      .select(col("doc_id"), col("fp"),
+        col("pk.piece").as("piece"), col("pk.seg").as("seg"))
+    val a = fp.select(col("piece"), col("seg"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = fp.select(col("piece"), col("seg"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("piece", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("distance"))
+      .filter(col("distance") <= maxDistance)
+      .distinct()
+  }
+}

@@ -49,6 +49,33 @@ object Corpus {
         .orderBy($"lang")
     }),
 
+    // Near-duplicate pairs via banded MinHash-LSH with exact shingle-Jaccard
+    // verification (graft.operators.TextDedup). Candidates come only from
+    // LSH buckets — never an all-pairs product; at J>=0.9 the 16x4 banding
+    // has ~1-4e-8 recall, so the output equals the brute-force oracle.
+    "doc_dedup_near" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextDedup
+        .nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Exact top-10 most-similar embedding pairs (all-pairs similarity
+    // surface). Brute force at oracle scale; the banded-LSH candidate
+    // variant (AnnIndex) is the 100 TB path, verified by recall tests.
+    "emb_top_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+      a.join(b, $"id_a" < $"id_b")
+        .select($"id_a", $"id_b", round(cosine($"va", $"vb"), 6).as("sim"))
+        .orderBy($"sim".desc, $"id_a", $"id_b")
+        .limit(10)
+    }),
+
     // Brute-force cosine top-k: the ANN correctness baseline. Query vector =
     // vec_id 0; at scale this is one broadcast vector against a scan.
     "knn_cosine_topk" -> ((s, dir) => {
@@ -75,6 +102,27 @@ object Corpus {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "doc_dedup_near" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "emb_top_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin,
 
     "knn_cosine_topk" ->
       """WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0)

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    Seq(
+      (1L, base),
+      (2L, base),                                         // exact dup
+      (3L, base.replace("lazy", "sleepy")),               // near dup (1 word)
+      (4L, "completely different text about spark catalyst optimizer rules and physical plans for big data"),
+      (5L, "tiny"))                                       // < 3 words: no shingles
+      .toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct word trigrams; short texts yield empty set") {
+    import spark.implicits._
+    val sh = docs.select($"doc_id", TextDedup.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).size == 16) // 18 words -> 16 trigrams, all distinct
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(5L).isEmpty)
+  }
+
+  test("minhash-LSH finds exact and near dups, not unrelated docs") {
+    val pairs = TextDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact dup must be found: $pairs")
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)),
+      s"near dup must be found: $pairs")
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc is not a dup")
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
+  test("no cartesian product in the LSH plan") {
+    val plan = TextDedup.nearDuplicates(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  test("LSH recall is exact against brute force on the sf0.001 corpus") {
+    import spark.implicits._
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val lsh = TextDedup.nearDuplicates(d, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: exact shingle Jaccard over all pairs
+    val sh = d.select($"doc_id", TextDedup.shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        TextDedup.jaccard($"a.sh", $"b.sh").as("j"))
+      .filter($"j" >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"missed=${brute -- lsh} spurious=${lsh -- brute}")
+  }
+
+  test("simhash: identical docs collide, near dups within small hamming distance") {
+    import spark.implicits._
+    val fps = docs.filter($"doc_id" =!= 5)
+      .select($"doc_id",
+        SimHash.simhash64(TextDedup.shingleHashes(TextDedup.shingles($"text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) <= 16)
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(4L)) > 16)
+  }
+
+  test("simhash near-dup pairs via pigeonhole banding") {
+    val pairs = SimHash.nearDuplicates(docs, "doc_id", "text",
+      maxDistance = 16, pieces = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}
