@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an embedding column
+  * (`array<float>`) — the 100 TB similarity-search path (builder brief).
+  *
+  * Two bucketed strategies, both of which turn the O(n) full scan (or the
+  * O(n²) all-pairs product) into equality-bucketed candidate joins followed
+  * by exact cosine rerank:
+  *
+  *  - `lshTopK`: L independent random-hyperplane sign-hash tables of K bits
+  *    each; a vector lands in L buckets, candidates = vectors sharing ANY
+  *    bucket with the query. Hyperplanes are Rademacher (±1) matrices
+  *    derived deterministically from a literal seed, embedded as array
+  *    literals — the whole signature is native `zip_with`/`aggregate`
+  *    expressions inside codegen, no UDFs.
+  *  - `ivfTopK`: inverted-file search over a coarse quantizer. Centroids
+  *    come from a label/cluster column (or any precomputed assignment);
+  *    the query probes the `nprobe` nearest centroids and searches only
+  *    those partitions. At scale the centroid table is tiny (broadcast)
+  *    and each probe is a partition-pruned scan.
+  *
+  * Exact brute-force top-k (`knn_cosine_topk` in graft.queries.Corpus)
+  * remains the correctness baseline: Spark's TakeOrderedAndProject already
+  * makes it a distributed partial-top-k, so approximate variants must beat
+  * it on candidate volume (asserted in tests), not just wall-clock.
+  */
+object AnnIndex {
+
+  /** Deterministic Rademacher hyperplane matrix: tables × bits × dim of ±1,
+    * from splitmix64 on a literal seed — reproducible across sessions.
+    */
+  private def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    var x = seed
+    def next(): Long = { // splitmix64
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(tables, bits, dim)(if ((next() & 1L) == 0L) -1.0 else 1.0)
+  }
+
+  private def dotWithSigns(v: Column, signs: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(signs.map(lit).toIndexedSeq: _*),
+        (x, s) => x.cast("double") * s),
+      lit(0.0), (acc, y) => acc + y)
+
+  /** Bucket id per table: K sign bits packed into one INT. */
+  def bucketCols(v: Column, tables: Int = 16, bits: Int = 8, dim: Int = 64,
+                 seed: Long = 42L): Seq[Column] = {
+    val planes = hyperplanes(tables, bits, dim, seed)
+    (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        when(dotWithSigns(v, planes(t)(b)) > 0, 1 << b).otherwise(0)
+      }.reduce(_ + _).as(s"bucket_$t")
+    }
+  }
+
+  /** All (table, bucket) keys as one explodable array. */
+  def bucketKeys(v: Column, tables: Int = 16, bits: Int = 8, dim: Int = 64,
+                 seed: Long = 42L): Column =
+    array(bucketCols(v, tables, bits, dim, seed).zipWithIndex.map {
+      case (c, t) => struct(lit(t).as("t"), c.as("bucket"))
+    }: _*)
+
+  /** Top-k nearest to `queryId`'s vector by cosine, searching only LSH
+    * bucket collisions. Returns (vec_id, sim).
+    */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int = 10,
+              tables: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val keyed = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        explode(bucketKeys(col(vecCol), tables, bits, dim)).as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.t").as("t"), col("bk.bucket").as("bucket"))
+    val queryBuckets = keyed.filter(col("vec_id") === queryId)
+      .select(col("t"), col("bucket"), col("v").as("qv"))
+    keyed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(queryBuckets), Seq("t", "bucket"))
+      .groupBy("vec_id") // a candidate may collide in several tables
+      .agg(first(col("v")).as("v"), first(col("qv")).as("qv"))
+      .select(col("vec_id"),
+        round(graft.queries.Corpus.cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Candidate count for a query under the LSH index (reduction metric). */
+  def lshCandidateCount(embeddings: DataFrame, idCol: String, vecCol: String,
+                        queryId: Long, tables: Int = 16, bits: Int = 8,
+                        dim: Int = 64): Long = {
+    val keyed = embeddings
+      .select(col(idCol).as("vec_id"),
+        explode(bucketKeys(col(vecCol), tables, bits, dim)).as("bk"))
+      .select(col("vec_id"), col("bk.t").as("t"), col("bk.bucket").as("bucket"))
+    val queryBuckets = keyed.filter(col("vec_id") === queryId).drop("vec_id")
+    keyed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(queryBuckets), Seq("t", "bucket"))
+      .select("vec_id").distinct().count()
+  }
+
+  /** IVF centroids from a cluster/label column: one mean vector per label.
+    * Scale path: posexplode + per-(label, dim) partial-aggregated mean —
+    * never collects a label's vectors into one task.
+    */
+  def centroids(embeddings: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    embeddings
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+
+  /** Top-k by cosine probing only the `nprobe` nearest centroids' labels. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              labelCol: String, queryId: Long, k: Int = 10,
+              nprobe: Int = 3): DataFrame = {
+    val cents = centroids(embeddings, labelCol, vecCol)
+    val qv = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"))
+    val probed = cents.join(broadcast(qv))
+      .select(col("label"),
+        graft.queries.Corpus.cosine(col("centroid"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc)
+      .limit(nprobe)
+      .select("label")
+    embeddings.filter(col(idCol) =!= queryId)
+      .join(broadcast(probed), embeddings(labelCol) === probed("label"))
+      .join(broadcast(qv))
+      .select(col(idCol).as("vec_id"),
+        round(graft.queries.Corpus.cosine(col(vecCol), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

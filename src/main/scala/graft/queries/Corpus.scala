@@ -76,6 +76,16 @@ object Corpus {
         .limit(10)
     }),
 
+    // Bucketed approximate top-k (random-hyperplane LSH, 32 tables x 6
+    // bits): the scale path that searches only bucket collisions. No SQL
+    // oracle — approximate by construction; correctness is the deterministic
+    // recall floor + candidate-reduction assertions in AnnIndexSpec.
+    "knn_lsh_topk" -> ((s, dir) => {
+      graft.operators.AnnIndex.lshTopK(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L,
+        k = 10, tables = 32, bits = 6)
+    }),
+
     // Brute-force cosine top-k: the ANN correctness baseline. Query vector =
     // vec_id 0; at scale this is one broadcast vector against a scan.
     "knn_cosine_topk" -> ((s, dir) => {

@@ -31,7 +31,10 @@ class QueriesSpec extends AnyFunSuite {
   test("every query has an oracle or is explicitly exempt") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Keep this list tiny and intentional: only genuinely non-SQL operators.
-    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+    // knn_lsh_topk is approximate by construction (driver records a
+    // rows-only check); its correctness gate is AnnIndexSpec's deterministic
+    // recall + exactness-at-full-probe assertions.
+    assert(noOracle == Set("knn_lsh_topk"), s"queries missing oracle SQL: $noOracle")
   }
 
   test("cdc_ledger ops partition the stream") {

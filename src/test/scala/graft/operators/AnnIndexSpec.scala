@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Recall assertions are deterministic: hyperplanes derive from a literal
+  * seed and the corpus is fixed, so these are exact regression tests, not
+  * flaky statistical ones. The sf0.01 embeddings are near-random (top-10
+  * cosine ≈ 0.5, barely above the noise floor) — the WORST case for ANN —
+  * so the measured floors here are conservative; clustered real-world
+  * embeddings bucket far better.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private lazy val emb = graft.Tables(spark, sf, "embeddings")
+  private lazy val brute =
+    graft.queries.Corpus.queries("knn_cosine_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+
+  test("LSH top-k: recall floor with large candidate reduction") {
+    val lsh = AnnIndex.lshTopK(emb, "vec_id", "embedding", 0L, 10,
+      tables = 32, bits = 6).collect().map(_.getLong(0)).toSet
+    assert((brute & lsh).size >= 6, s"recall too low: ${(brute & lsh).size}/10")
+    val cand = AnnIndex.lshCandidateCount(emb, "vec_id", "embedding", 0L,
+      tables = 32, bits = 6)
+    assert(cand < 250, s"candidate set too large: $cand of 499")
+  }
+
+  test("no cartesian product in the LSH plan") {
+    val plan = AnnIndex.lshTopK(emb, "vec_id", "embedding", 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  test("IVF: partial probe has recall; full probe equals brute force exactly") {
+    val partial = AnnIndex.ivfTopK(emb, "vec_id", "embedding", "label", 0L,
+      10, nprobe = 4).collect().map(_.getLong(0)).toSet
+    assert((brute & partial).size >= 6, s"recall too low: ${(brute & partial).size}/10")
+    // probing every centroid degenerates to exact search — results must
+    // match the brute-force baseline including order
+    val full = AnnIndex.ivfTopK(emb, "vec_id", "embedding", "label", 0L,
+      10, nprobe = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bruteOrdered = graft.queries.Corpus.queries("knn_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == bruteOrdered)
+  }
+
+  test("centroids: per-label element-wise mean, order-stable") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(10.0f, 20.0f)))
+      .toDF("label", "embedding")
+    val c = AnnIndex.centroids(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c(0) == Seq(2.0, 4.0))
+    assert(c(1) == Seq(10.0, 20.0))
+  }
+}
