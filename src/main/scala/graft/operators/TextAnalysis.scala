@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder brief):
+  * language identification, quality scoring, BPE-ish token counting, and
+  * winnowing document fingerprints. All native Catalyst expressions —
+  * column-in/column-out, codegen-friendly, no UDFs — so they run at scan
+  * speed over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles (the classic cheap n-gram/stopword
+    * language-ID heuristic). Deliberately small: the operator's job is the
+    * Spark-side shape (profile scoring entirely inside codegen); swapping in
+    * bigger profiles is data, not code.
+    */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "dans", "une", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "ein", "nicht", "auf"))
+
+  private def words(text: Column): Column =
+    split(lower(text), "\\s+")
+
+  private def stopwordHits(text: Column, stops: Seq[String]): Column =
+    size(filter(words(text),
+      w => array_contains(array(stops.map(lit): _*), w)))
+
+  /** Ratio of CJK characters — scripts identify zh/ja directly. */
+  def cjkRatio(text: Column): Column =
+    (length(regexp_replace(text, "[^\\u4e00-\\u9fff\\u3040-\\u30ff]", ""))
+      .cast("double") / greatest(length(text), lit(1)).cast("double"))
+
+  /** Cheap language ID: argmax of per-language stopword density, with a CJK
+    * script override. Returns a language code or "und" when nothing scores.
+    */
+  def langId(text: Column): Column = {
+    val n = greatest(size(words(text)), lit(1)).cast("double")
+    val scored = array(stopwordProfiles.toSeq.sortBy(_._1).map {
+      case (lang, stops) =>
+        struct((stopwordHits(text, stops).cast("double") / n).as("score"),
+          lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored) // struct compare: score first, lang tiebreak
+    when(cjkRatio(text) > 0.3, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Punctuation density over all characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Alphabetic density (a-z after lowering) — gibberish/noise detector. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** English-stopword density — a fluency proxy for quality filters. */
+  def stopRatio(text: Column): Column =
+    stopwordHits(text, stopwordProfiles("en")).cast("double") /
+      greatest(size(words(text)), lit(1)).cast("double")
+
+  def meanWordLen(text: Column): Column =
+    (length(text) - size(words(text)) + 1).cast("double") /
+      greatest(size(words(text)), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1] (Gopher/C4-style heuristics folded to
+    * one number): long-enough docs with natural word lengths, some
+    * punctuation and mostly alphabetic text score high.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(words(text)).cast("double")
+    val lenOk = least(nTok / 50.0, lit(1.0)) // ramps to 1 at 50 tokens
+    val wordLenOk = when(meanWordLen(text).between(3.0, 10.0), 1.0).otherwise(0.3)
+    val alphaOk = least(alphaRatio(text) / 0.6, lit(1.0))
+    round((lenOk * 0.3 + wordLenOk * 0.3 + alphaOk * 0.4), 6)
+  }
+
+  /** BPE-ish subword count: alternating letter runs, digit runs and single
+    * non-alnum marks (an ASCII-safe approximation of GPT-2 pre-tokenization;
+    * identical regex semantics in Spark and DuckDB for oracle parity).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every k-char
+    * gram (md5, lexicographic compare), take the minimum of each sliding
+    * window of `w` gram hashes, de-duplicate. Guarantees any shared
+    * substring of length ≥ k+w-1 yields a shared fingerprint — the standard
+    * plagiarism/near-copy detector, here as one native expression.
+    */
+  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val nGrams = length(text) - (k - 1)
+    val grams = transform(sequence(lit(1), nGrams),
+      i => md5(substr(text, i, lit(k))))
+    val minima = transform(sequence(lit(1), nGrams - (w - 1)),
+      j => array_min(slice(grams, j, lit(w))))
+    when(nGrams >= w, array_distinct(minima))
+      .otherwise(array().cast("array<string>"))
+  }
+}

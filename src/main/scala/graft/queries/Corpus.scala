@@ -49,6 +49,46 @@ object Corpus {
         .orderBy($"lang")
     }),
 
+    // Quality scoring (length/word-length/alpha-density heuristics folded
+    // to one score) — the C4/Gopher-style quality-filter surface.
+    "doc_quality" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.TextAnalysis._
+      Tables(s, dir, "documents")
+        .select(
+          $"doc_id",
+          round(punctRatio($"text"), 6).as("punct_ratio"),
+          round(alphaRatio($"text"), 6).as("alpha_ratio"),
+          round(stopRatio($"text"), 6).as("stop_ratio"),
+          qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // BPE-ish subword counting per language (regex pre-tokenization).
+    "doc_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"lang",
+          graft.operators.TextAnalysis.bpeTokenCount($"text").as("n"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n").cast("bigint").as("total_subwords"))
+        .orderBy($"lang")
+    }),
+
+    // Winnowing fingerprints (k=8 char grams, window 4): shared substrings
+    // of length >= 11 guarantee a shared fingerprint.
+    "doc_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          graft.operators.TextAnalysis.winnowingFingerprint($"text").as("fp"))
+        .filter(size($"fp") > 0)
+        .select($"doc_id", size($"fp").cast("bigint").as("n_fp"),
+          array_min($"fp").as("min_fp"))
+        .orderBy($"doc_id")
+    }),
+
     // Near-duplicate pairs via banded MinHash-LSH with exact shingle-Jaccard
     // verification (graft.operators.TextDedup). Candidates come only from
     // LSH buckets — never an all-pairs product; at J>=0.9 the 16x4 banding
@@ -112,6 +152,48 @@ object Corpus {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "doc_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lower(text) lt,
+        |    string_split_regex(lower(text), '\s+') w,
+        |    greatest(length(text), 1)::DOUBLE n_chars
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / n_chars AS punct_ratio,
+        |    length(regexp_replace(lt, '[^a-z]', '', 'g'))::DOUBLE / n_chars AS alpha_ratio,
+        |    len(list_filter(w, x -> list_contains(['the','and','of','to','is','in','that','it','was','with'], x)))::DOUBLE
+        |      / greatest(len(w), 1) AS stop_ratio,
+        |    len(w)::DOUBLE AS n_tok,
+        |    (length(text) - len(w) + 1)::DOUBLE / greatest(len(w), 1) AS mwl
+        |  FROM t
+        |)
+        |SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
+        |  round(alpha_ratio, 6) AS alpha_ratio, round(stop_ratio, 6) AS stop_ratio,
+        |  round(least(n_tok / 50.0, 1.0) * 0.3
+        |    + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |    + least(alpha_ratio / 0.6, 1.0) * 0.4, 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "doc_bpe_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_subwords
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 8 + 2), i -> md5(text[i:i+7])) grams
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(grams) - 4 + 2),
+        |      j -> list_min(grams[j:j+3]))) fp
+        |  FROM g WHERE len(grams) >= 4
+        |)
+        |SELECT doc_id, len(fp)::BIGINT AS n_fp, list_min(fp) AS min_fp
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "doc_dedup_near" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

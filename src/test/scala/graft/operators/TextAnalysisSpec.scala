@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("langId identifies stopword-profiled languages and CJK script") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy that the sun was out"),
+      ("es", "el perro corre por la calle y los gatos duermen en una casa con el sol"),
+      ("fr", "le chat dort dans la maison et les oiseaux chantent pour une belle matinee"),
+      ("de", "der hund lauft durch die stadt und das wetter ist schon mit ein wenig wind"),
+      ("zh", "今天天气很好我们一起去公园散步然后吃午饭"),
+      ("und", "xqz blorp fnord zzyzx"))
+      .toDF("expected", "text")
+    val got = samples
+      .select($"expected", TextAnalysis.langId($"text").as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (exp, act) => assert(act == exp, s"expected $exp got $act") }
+  }
+
+  test("quality score rewards fluent text over noise") {
+    import spark.implicits._
+    val df = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog " * 6),
+      ("noise", "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))"))
+      .toDF("kind", "text")
+    val q = df.select($"kind", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q("good") > 0.8)
+    assert(q("noise") < 0.5)
+    assert(q("good") > q("noise"))
+  }
+
+  test("bpe token count splits letter runs, digits and marks") {
+    import spark.implicits._
+    val n = Seq("Hello, world! v2.0")
+      .toDF("text")
+      .select(TextAnalysis.bpeTokenCount($"text").as("n"))
+      .collect().head.getInt(0)
+    // hello , world ! v 2 . 0  => 8
+    assert(n == 8)
+  }
+
+  test("winnowing: shared long substring implies shared fingerprint; short text empty") {
+    import spark.implicits._
+    val common = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val df = Seq(
+      (1, s"PREFIX $common SUFFIX-ONE"),
+      (2, s"completely-other-start $common another-tail"),
+      (3, "nothing in common with the others at all, different content"),
+      (4, "tiny"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.winnowingFingerprint($"text").as("fp"))
+    val fp = df.collect().map(r => r.getInt(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fp(1) & fp(2)).nonEmpty, "shared 36-char substring must share a fingerprint")
+    assert((fp(1) & fp(3)).isEmpty)
+    assert(fp(4).isEmpty)
+  }
+}
