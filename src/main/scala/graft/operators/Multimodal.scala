@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines
+  * (builder brief): media travels as opaque `binary` columns next to typed
+  * metadata; per-item decode/feature work runs as imperative per-partition
+  * logic over the binary payloads — the Scala analog of `mapInPandas`
+  * batches. The Spark-side plumbing (schema, partitioning, batch shape) is
+  * real and tested; ONLY the actual media codec is stubbed (see
+  * `decodeStub`) because no image/audio library ships in this environment.
+  */
+object Multimodal {
+
+  /** One media asset: payload + typed sidecar metadata. At 100 TB the
+    * payloads dominate — keep them in their own column so column pruning
+    * lets metadata-only queries never touch the bytes.
+    */
+  final case class Asset(
+      asset_id: Long,
+      kind: String, // image | audio | video
+      content: Array[Byte],
+      width: Int, height: Int, channels: Int,
+      sample_rate: Int, duration_ms: Int)
+
+  final case class Features(
+      asset_id: Long,
+      kind: String,
+      format: String,
+      n_bytes: Long,
+      histogram: Array[Double]) // normalized 16-bucket byte histogram
+
+  final case class Frame(
+      asset_id: Long,
+      frame_idx: Int,
+      offset: Long,
+      frame_bytes: Array[Byte])
+
+  final case class AssetWithFormat(
+      asset_id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int, channels: Int,
+      sample_rate: Int, duration_ms: Int, format: String)
+
+  /** Magic-byte container sniffing — NATIVE expressions over the binary
+    * column (hex of the leading bytes), so it runs inside codegen and
+    * column pruning reads only the parquet pages it needs.
+    */
+  def sniffFormat(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val head = hex(substring(content, 1, 8))
+    when(head.startsWith("FFD8FF"), "jpeg")
+      .when(head.startsWith("89504E47"), "png")
+      .when(head.startsWith("52494646"), "wav") // RIFF
+      .when(substring(head, 9, 8) === "66747970", "mp4") // ....ftyp
+      .otherwise("unknown")
+  }
+
+  /** Deterministic synthetic assets for tests/benchmarks: payload bytes from
+    * splitmix64 on the asset id, prefixed with a real container magic so
+    * sniffing has something to find.
+    */
+  def syntheticAssets(spark: SparkSession, n: Int, bytesPerAsset: Int = 4096): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val magic: Array[Byte] = kind match {
+        case "image" => Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+        case "audio" => "RIFF".getBytes("US-ASCII")
+        case _       => Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes("US-ASCII")
+      }
+      var x = id * 0x9e3779b97f4a7c15L + 0x243f6a8885a308d3L
+      val body = Array.fill(bytesPerAsset - magic.length) {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        (z >>> 56).toByte
+      }
+      Asset(id, kind, magic ++ body,
+        width = 64, height = 64, channels = 3,
+        sample_rate = 16000, duration_ms = 2000)
+    }
+  }
+
+  /** STUB — stands in for a real image/audio decoder (libjpeg etc. are not
+    * available here). Deterministic: "pixels" are a splitmix of the
+    * content hash. The signature and batch shape are what a real decoder
+    * plugs into; swap the body, keep the plumbing.
+    */
+  def decodeStub(content: Array[Byte]): Array[Byte] = {
+    var x = java.util.Arrays.hashCode(content).toLong
+    Array.fill(16) {
+      x += 0x9e3779b97f4a7c15L
+      (x >>> 48).toByte
+    }
+  }
+
+  /** Per-partition feature extraction over the binary payloads, processing
+    * rows in bounded batches (the mapInPandas batch shape): REAL byte
+    * histogram + native format sniff carried through. One pass, O(batch)
+    * memory, no driver involvement.
+    */
+  def extractFeatures(assets: Dataset[Asset], batchSize: Int = 64): Dataset[Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .withColumn("format", sniffFormat(col("content")))
+      .as[AssetWithFormat]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { a =>
+            val hist = new Array[Double](16)
+            var i = 0
+            while (i < a.content.length) {
+              hist((a.content(i) & 0xFF) >>> 4) += 1.0
+              i += 1
+            }
+            val n = math.max(a.content.length, 1).toDouble
+            Features(a.asset_id, a.kind, a.format, a.content.length.toLong,
+              hist.map(_ / n))
+          }
+        }
+      }
+  }
+
+  /** Frame sampling for video payloads: `nFrames` evenly-spaced byte slices
+    * (a real demuxer would seek keyframes; offsets/batching are the real
+    * plumbing, the slicing stands in for the codec).
+    */
+  def sampleFrames(assets: Dataset[Asset], nFrames: Int = 4,
+                   frameBytes: Int = 256): Dataset[Frame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("kind") === "video").flatMap { a =>
+      val stride = math.max((a.content.length - frameBytes) / math.max(nFrames - 1, 1), 1)
+      (0 until nFrames).iterator.map { f =>
+        val off = math.min(f.toLong * stride, math.max(a.content.length - frameBytes, 0).toLong)
+        Frame(a.asset_id, f, off,
+          a.content.slice(off.toInt, math.min(off.toInt + frameBytes, a.content.length)))
+      }
+    }
+  }
+
+  /** Metadata-only projection — must prune the payload column entirely
+    * (asserted in the spec): the 100 TB "list my corpus" query reads
+    * kilobytes, not the blobs.
+    */
+  def catalog(assets: Dataset[Asset]): DataFrame =
+    assets.select(col("asset_id"), col("kind"), col("width"), col("height"),
+      col("sample_rate"), col("duration_ms"))
+}
