@@ -1,0 +1,89 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingest/merge semantics the source database provides in DDL and the
+  * engine must re-express (SURVEY §2.6, §7.4; `sql/init-db.sql:96-113`):
+  * `INSERT IGNORE` (insert-if-absent on a unique key), AUTO_INCREMENT
+  * surrogate keys, and `DEFAULT CURRENT_TIMESTAMP` /
+  * `ON UPDATE CURRENT_TIMESTAMP` column defaults.
+  *
+  * All operators take explicit `nowMs` — never wall-clock inside the plan —
+  * so replays are deterministic (the same idempotency discipline as the
+  * streaming sinks).
+  */
+object Ingest {
+
+  /** INSERT IGNORE: rows whose unique key already exists are dropped, as
+    * are duplicate keys WITHIN the incoming batch (first by `orderCol`
+    * wins, matching row-order semantics of the SQL script). One left-anti
+    * broadcast/shuffle join on the key — no full-table rewrite.
+    */
+  def insertIgnore(existing: DataFrame, incoming: DataFrame,
+                   keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val firstPerKey = incoming
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    firstPerKey.join(existing.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+  }
+
+  /** AUTO_INCREMENT: assign ids continuing from the existing maximum.
+    * Exact MySQL-style dense assignment needs a global order — fine for
+    * dimension-table ingest; for 100 TB fact loads use the non-contiguous
+    * variant below, which needs no global sort.
+    */
+  def autoIncrement(df: DataFrame, idCol: String, startFrom: Long,
+                    orderCol: String): DataFrame =
+    df.withColumn(idCol,
+      (row_number().over(Window.orderBy(col(orderCol))) + startFrom).cast("int"))
+
+  /** Scalable surrogate keys: unique and increasing but non-contiguous
+    * (partition-offset + local index), no global sort, no shuffle.
+    */
+  def autoIncrementSparse(df: DataFrame, idCol: String, startFrom: Long): DataFrame =
+    df.withColumn(idCol, (monotonically_increasing_id() + startFrom + 1).cast("bigint"))
+
+  /** DEFAULT CURRENT_TIMESTAMP on insert: fill null audit columns. */
+  def applyInsertDefaults(df: DataFrame, nowMs: Long,
+                          cols: Seq[String] = Seq("created_at", "updated_at")): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), timestamp_millis(lit(nowMs))))
+    }
+
+  /** Upsert with MySQL timestamp semantics (`ON UPDATE CURRENT_TIMESTAMP`):
+    *  - new keys are inserted with created_at = updated_at = now,
+    *  - existing keys whose compared columns changed take the incoming
+    *    values, keep created_at, and get updated_at = now,
+    *  - unchanged rows pass through untouched.
+    * One full-outer join on the key; at scale this is the standard
+    * copy-on-write merge (pair with partition pruning on the key range).
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             compareCols: Seq[String], nowMs: Long): DataFrame = {
+    val now = timestamp_millis(lit(nowMs))
+    val e = existing.withColumn("_in_e", lit(true)).alias("e")
+    val i = incoming.withColumn("_in_i", lit(true)).alias("i")
+    val joined = e.join(i, keys.toSeq, "full_outer")
+    val isInsert = col("e._in_e").isNull
+    val changed = coalesce(
+      compareCols.map(c => !(col(s"e.$c") <=> col(s"i.$c"))).reduceLeft(_ || _),
+      lit(false))
+    val dataCols = existing.columns.filterNot(keys.contains)
+    val picked = keys.map(col) ++ dataCols.map {
+      case c if !incoming.columns.contains(c) && c != "created_at" && c != "updated_at" =>
+        col(s"e.$c").as(c) // engine-managed column (e.g. surrogate id)
+      case "created_at" =>
+        when(isInsert, now).otherwise(col("e.created_at")).as("created_at")
+      case "updated_at" =>
+        when(isInsert || changed, now).otherwise(col("e.updated_at")).as("updated_at")
+      case c =>
+        when(isInsert || changed, coalesce(col(s"i.$c"), col(s"e.$c")))
+          .otherwise(col(s"e.$c")).as(c)
+    }
+    joined.select(picked: _*)
+  }
+}
