@@ -98,9 +98,16 @@ object TextAnalysis {
     val nGrams = length(text) - (k - 1)
     val grams = transform(sequence(lit(1), nGrams),
       i => md5(substr(text, i, lit(k))))
-    val minima = transform(sequence(lit(1), nGrams - (w - 1)),
-      j => array_min(slice(grams, j, lit(w))))
-    when(nGrams >= w, array_distinct(minima))
+    // Bind the gram array ONCE via a 1-element-array lambda: a transform
+    // lambda body re-evaluates free sub-expressions per element, so
+    // referencing `grams` directly inside the window loop would recompute
+    // every md5 for every window — O(n²) per document.
+    val minima = element_at(
+      transform(array(grams), g =>
+        array_distinct(transform(sequence(lit(1), size(g) - (w - 1)),
+          j => array_min(slice(g, j, lit(w)))))),
+      1)
+    when(nGrams >= w, minima)
       .otherwise(array().cast("array<string>"))
   }
 }

@@ -36,11 +36,17 @@ object TextDedup {
 
   /** MinHash signature: element i = min over shingles of an independent
     * hash function, realized as xxhash64(shingleHash, i) — no coefficient
-    * tables, fully codegen'd.
+    * tables, fully codegen'd. The hash array is bound once via a
+    * 1-element-array lambda: transform lambda bodies re-evaluate free
+    * sub-expressions per element, which would otherwise recompute the
+    * shingle hashes for each of the `numHashes` signature slots.
     */
   def minhashSignature(hashes: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(hashes, h => xxhash64(h, i))))
+    element_at(
+      transform(array(hashes), hs =>
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(hs, h => xxhash64(h, i))))),
+      1)
 
   /** Banded LSH keys: `bands` hashes, each over `rows` consecutive
     * signature entries. Two docs sharing any band key are candidates.
@@ -76,10 +82,13 @@ object TextDedup {
         explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val bucketSizes = sketch.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_bsz"))
+    // bucket-size cap via a window count — one pass over the sketch, no
+    // extra join recomputing the signatures
+    val inBuckets = sketch
+      .withColumn("_bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("_bsz") <= maxBucketSize && col("_bsz") > 1)
-    val inBuckets = sketch.join(bucketSizes, Seq("band", "bucket"))
+      .drop("_bsz")
     val a = inBuckets.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = inBuckets.select(col("band"), col("bucket"),

@@ -100,6 +100,50 @@ object CdcAnalog {
         .orderBy($"user_id", $"event_type")
     }),
 
+    // The FULL pipeline as one benchmarked query (BASELINE.md's
+    // source→unwrap→rules→enrich→validate→dedup→sink chain): envelope
+    // construction, 120s duplicate suppression, op-dispatched event
+    // classification with deterministic eventIds, broadcast dimension
+    // enrichment (subject-category routing), structural validation, and
+    // the month-partitioned event-store aggregation shape.
+    "cdc_full_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val env = EventsAsChangeLog.envelopes(Tables(s, dir, "events"))
+      val img = coalesce($"after", $"before")
+      // dedup: 120s gap window per (user, type) — the JetStream window
+      val w = Window.partitionBy(img.getField("user_id"), img.getField("event_type"))
+        .orderBy($"ts", img.getField("event_id"))
+      val deduped = env
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .filter($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 120000000L)
+      // unwrap + rule dispatch by op
+      val events = deduped.select(
+        when($"op" === "c", "EntityCreated")
+          .when($"op" === "d", "EntityDeleted")
+          .otherwise("EntityUpdated").as("evt_type"),
+        img.getField("user_id").as("aggregateId"),
+        img.getField("event_type").as("kind"),
+        img.getField("value").cast("decimal(18,2)").as("value"),
+        $"ts", $"ts_ms")
+        .withColumn("eventId",
+          md5(concat_ws("|", $"evt_type", $"aggregateId", $"ts_ms")))
+      // enrichment: broadcast category dimension (subject router dim)
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("signup", "lifecycle"), ("error", "ops"))
+        .toDF("kind", "category")
+      val enriched = events.join(broadcast(dim), Seq("kind"), "left")
+      // validation + event-store aggregation shape (month partitions)
+      enriched
+        .filter($"eventId".isNotNull && $"aggregateId".isNotNull)
+        .groupBy(date_format($"ts", "yyyyMM").as("event_month"),
+          $"evt_type".as("event_type"), $"category")
+        .agg(count(lit(1)).as("n"),
+          count_distinct($"aggregateId").as("n_aggregates"),
+          sum($"value").cast("double").as("total_value"))
+        .orderBy($"event_month", $"event_type", $"category")
+    }),
+
     // TeamCompositionChanged analog (O-25): tumbling-window burst detection —
     // aggregates with >= 3 events inside one 1-hour window. Exercises the
     // real window() operator (same code path as the streaming stateful agg).
@@ -170,6 +214,38 @@ object CdcAnalog {
     "cdc_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "cdc_full_pipeline" ->
+      """WITH deduped AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_type, value, ts,
+        |      CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |      epoch_us(ts) AS us,
+        |      lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS prev_us
+        |    FROM events) t
+        |  WHERE prev_us IS NULL OR us - prev_us > 120000000
+        |), ev AS (
+        |  SELECT
+        |    CASE event_type WHEN 'signup' THEN 'EntityCreated'
+        |      WHEN 'error' THEN 'EntityDeleted' ELSE 'EntityUpdated' END AS event_type,
+        |    user_id AS aggregateId, event_type AS kind,
+        |    CAST(value AS DECIMAL(18,2)) AS value, ts, ts_ms
+        |  FROM deduped
+        |), dim(kind, category) AS (
+        |  VALUES ('click','engagement'), ('view','engagement'),
+        |    ('purchase','revenue'), ('signup','lifecycle'), ('error','ops')
+        |), enriched AS (
+        |  SELECT ev.*, dim.category,
+        |    md5(event_type || '|' || aggregateId || '|' || ts_ms) AS eventId
+        |  FROM ev LEFT JOIN dim ON ev.kind = dim.kind
+        |)
+        |SELECT strftime(ts, '%Y%m') AS event_month, event_type, category,
+        |  count(*) AS n, count(DISTINCT aggregateId) AS n_aggregates,
+        |  CAST(sum(value) AS DOUBLE) AS total_value
+        |FROM enriched
+        |WHERE eventId IS NOT NULL AND aggregateId IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "cdc_team_burst" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

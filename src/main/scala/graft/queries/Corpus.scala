@@ -107,11 +107,21 @@ object Corpus {
     // variant (AnnIndex) is the 100 TB path, verified by recall tests.
     "emb_top_pairs" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
-      val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"))
-      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+      // Norms are precomputed per SIDE (n of them), not per pair (n²/2 of
+      // them): the per-pair work drops from three 64-dim folds to one.
+      // sqrt(dot(v,v)) is the same expression either way, so the doubles —
+      // and the round-6 oracle hash — are bit-identical.
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          sqrt(dot($"embedding", $"embedding")).as("norm"))
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"), $"norm".as("na"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"), $"norm".as("nb"))
       a.join(b, $"id_a" < $"id_b")
-        .select($"id_a", $"id_b", round(cosine($"va", $"vb"), 6).as("sim"))
+        .select($"id_a", $"id_b",
+          round(dot($"va", $"vb") / ($"na" * $"nb"), 6).as("sim"))
         .orderBy($"sim".desc, $"id_a", $"id_b")
         .limit(10)
     }),
