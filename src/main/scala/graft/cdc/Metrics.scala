@@ -20,7 +20,9 @@ object Metrics {
     events.observe(
       name,
       count(lit(1)).as("events_published_total"),
-      count_distinct(col("eventType")).as("event_types_seen"),
+      // DISTINCT aggregates are not allowed in observed metrics; HLL is
+      // exact at event-type cardinality anyway
+      approx_count_distinct(col("eventType")).as("event_types_seen"),
       max(col("timestamp")).as("max_event_time"))
 
   /** events.published.total by event type. */
