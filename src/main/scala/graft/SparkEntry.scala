@@ -11,17 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship: the CDC pipeline core on sf0.001 — events adapted to Debezium
-    * envelopes, routed by subject, with per-subject/op delivery counts
-    * (the automated form of the reference's test-cdc.sh event ledger).
+  /** Flagship: the FULL CDC pipeline on sf0.001 — envelope construction,
+    * duplicate suppression, rule dispatch, broadcast enrichment, validation
+    * and the event-store aggregation shape, as one chained query.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val events = Tables(spark, "/root/testdata/sf0.001", "events")
-    graft.cdc.EventsAsChangeLog.envelopes(events)
-      .groupBy(col("subject"), col("op"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("subject"), col("op"))
-  }
+  def entry(spark: SparkSession): DataFrame =
+    graft.queries.CdcAnalog.queries("cdc_full_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

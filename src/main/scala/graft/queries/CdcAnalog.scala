@@ -157,6 +157,26 @@ object CdcAnalog {
         .orderBy($"window_start", $"user_id")
     }),
 
+    // Latency percentile surface (O-23): inter-event gap per user as the
+    // lag proxy, exact interpolated percentiles per event type. Spark's
+    // percentile() and DuckDB's quantile_cont share the same definition,
+    // so this one is oracle-exact (unlike percentile_approx).
+    "cdc_latency_pcts" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .withColumn("gap_ms",
+          ((unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)) / 1000.0))
+        .filter($"gap_ms".isNotNull)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(percentile($"gap_ms", lit(0.5)), 3).as("p50_ms"),
+          round(percentile($"gap_ms", lit(0.95)), 3).as("p95_ms"),
+          round(max($"gap_ms"), 3).as("max_ms"))
+        .orderBy($"event_type")
+    }),
+
     // JSON path extraction over the props payload (§2.6; docs/cdc-guide.md:95-97).
     "cdc_json_extract" -> ((s, dir) => {
       import s.implicits._
@@ -214,6 +234,19 @@ object CdcAnalog {
     "cdc_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "cdc_latency_pcts" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) / 1000.0 AS gap_ms
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(gap_ms, 0.5), 3) AS p50_ms,
+        |  round(quantile_cont(gap_ms, 0.95), 3) AS p95_ms,
+        |  round(max(gap_ms), 3) AS max_ms
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "cdc_full_pipeline" ->
       """WITH deduped AS (
