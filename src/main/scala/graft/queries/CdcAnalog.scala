@@ -177,6 +177,18 @@ object CdcAnalog {
         .orderBy($"event_type")
     }),
 
+    // PII masking surface (O-17 analog): stable pseudonymization via
+    // sha-256 of the subject identifier + digit redaction of the payload.
+    "cdc_mask" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select(
+          $"event_id",
+          sha2($"user_id".cast("string"), 256).as("user_hash"),
+          regexp_replace($"props", "[0-9]", "*").as("props_masked"))
+        .orderBy($"event_id")
+    }),
+
     // JSON path extraction over the props payload (§2.6; docs/cdc-guide.md:95-97).
     "cdc_json_extract" -> ((s, dir) => {
       import s.implicits._
@@ -234,6 +246,11 @@ object CdcAnalog {
     "cdc_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "cdc_mask" ->
+      """SELECT event_id, sha256(CAST(user_id AS VARCHAR)) AS user_hash,
+        |  regexp_replace(props, '[0-9]', '*', 'g') AS props_masked
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "cdc_latency_pcts" ->
       """WITH g AS (

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("two-phase salted aggregation equals direct groupBy exactly") {
+    import spark.implicits._
+    // hot key: 10k rows on "hot", a handful elsewhere
+    val df = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+      Seq(("a", 1L), ("a", 2L), ("b", 7L))).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count($"v").as("n"), sum($"v").as("total"),
+        min($"v").as("lo"), max($"v").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val salted = Skew.twoPhaseAgg(df, Seq("k"), Map(
+      "n" -> ($"v", "count"), "total" -> ($"v", "sum"),
+      "lo" -> ($"v", "min"), "hi" -> ($"v", "max")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(salted == direct)
+  }
+}
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("subject_matches is callable from SQL when extensions are installed") {
+    val base = TestSpark.spark // ensures the shared SparkContext exists
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // (.config("spark.sql.extensions", ...) is a STATIC conf read from the
+    // SparkContext at first-session creation; with the shared test context
+    // already running, install programmatically instead)
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq("HCM.CDC.HR.hrdb.employees", "OTHER.CDC", "HCM.x")
+        .toDF("s").createOrReplaceTempView("subs")
+      val got = s2.sql(
+        "SELECT s FROM subs WHERE subject_matches(s, 'HCM.>') ORDER BY s")
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("HCM.CDC.HR.hrdb.employees", "HCM.x"))
+      // dynamic pattern column through SQL too
+      val dyn = s2.sql(
+        "SELECT s FROM subs WHERE subject_matches(s, concat('HCM', '.>')) ORDER BY s")
+        .collect().map(_.getString(0)).toSeq
+      assert(dyn == got)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+}
