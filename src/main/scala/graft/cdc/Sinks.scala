@@ -22,7 +22,10 @@ object Sinks {
                       mode: SaveMode = SaveMode.Append): Unit =
     events
       .withColumn("event_month", date_format(col("timestamp"), "yyyyMM"))
-      .repartition(col("event_month"))
+      // range partitioning keeps write parallelism when one month is hot
+      // (repartition(month) would funnel the live month through one task)
+      .repartitionByRange(col("event_month"), col("eventType"),
+        col("timestamp"), col("aggregateId"))
       .sortWithinPartitions(col("eventType"), col("timestamp"), col("aggregateId"))
       .write.mode(mode)
       .partitionBy("event_month")
@@ -32,7 +35,8 @@ object Sinks {
                  mode: SaveMode = SaveMode.Append): Unit =
     audit
       .withColumn("changed_month", date_format(col("changed_at"), "yyyyMM"))
-      .repartition(col("changed_month"))
+      .repartitionByRange(col("changed_month"), col("entity_type"),
+        col("changed_at"), col("entity_id"))
       .sortWithinPartitions(col("entity_type"), col("changed_at"), col("entity_id"))
       .write.mode(mode)
       .partitionBy("changed_month")
@@ -44,7 +48,7 @@ object Sinks {
   def writeSubjects(wire: DataFrame, path: String,
                     mode: SaveMode = SaveMode.Append): Unit =
     wire
-      .repartition(col("subject"))
+      .repartitionByRange(col("subject"), col("ts_ms"))
       .write.mode(mode)
       .partitionBy("subject")
       .parquet(path)

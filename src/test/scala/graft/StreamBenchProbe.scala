@@ -1,0 +1,57 @@
+package graft
+import java.nio.file.Files
+import graft.cdc.Fixtures
+import graft.sources.Ledger
+object StreamBenchProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ledger = Files.createTempDirectory("ledger").toString
+    val nSegs = 20; val perSeg = 5000
+    var id = 0
+    for (seg <- 1 to nSegs) {
+      val lines = (1 to perSeg).map { _ =>
+        id += 1
+        val op = id % 10 match {
+          case 0 => "d"; case 1 | 2 => "u"; case _ => "c"
+        }
+        val ts = Fixtures.T0 + id * 100L
+        op match {
+          case "c" => Fixtures.env("employees", "c", "null", Fixtures.emp(id = id, num = s"EMP$id"), ts)
+          case "u" => Fixtures.env("employees", "u", Fixtures.emp(id = id, num = s"EMP$id"),
+            Fixtures.emp(id = id, num = s"EMP$id", salary = "95000.00"), ts)
+          case "d" => Fixtures.env("employees", "d", Fixtures.emp(id = id, num = s"EMP$id"), "null", ts)
+        }
+      }
+      Ledger.writeSegment(ledger, "hrdb", "employees", f"$seg%06d.jsonl", lines)
+    }
+    val (store, publish, ckpt) = (Files.createTempDirectory("store").toString,
+      Files.createTempDirectory("pub").toString, Files.createTempDirectory("ckpt").toString)
+    // cold run: first 20 segments (JVM + codegen warmup included)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.Pipeline.run(spark, ledger, store, publish, ckpt,
+      maxFilesPerTrigger = sys.env.get("MFT").map(_.toInt))
+    q.awaitTermination(600000)
+    val coldSec = (System.nanoTime() - t0) / 1e9
+    // steady state: 20 MORE segments through the same checkpoint, warm JVM
+    for (seg <- nSegs + 1 to 2 * nSegs) {
+      val lines = (1 to perSeg).map { _ =>
+        id += 1
+        Fixtures.env("employees", "c", "null", Fixtures.emp(id = id, num = s"EMP$id"), Fixtures.T0 + id * 100L)
+      }
+      Ledger.writeSegment(ledger, "hrdb", "employees", f"$seg%06d.jsonl", lines)
+    }
+    val t1 = System.nanoTime()
+    val q2 = graft.streaming.Pipeline.run(spark, ledger, store, publish, ckpt,
+      maxFilesPerTrigger = sys.env.get("MFT").map(_.toInt))
+    q2.awaitTermination(600000)
+    val warmSec = (System.nanoTime() - t1) / 1e9
+    val events = nSegs * perSeg
+    val stored = spark.read.parquet(store).count()
+    println(f"STREAMBENCH cold=$coldSec%.1fs (${events / coldSec}%.0f ev/s) warm=$warmSec%.1fs (${events / warmSec}%.0f ev/s) stored=$stored")
+    spark.stop()
+  }
+}
