@@ -124,6 +124,28 @@ object Multimodal {
       }
   }
 
+  /** Resize images: the metadata transform (target dimensions, channel
+    * preservation, byte-budget math) is real; the pixel resampling itself is
+    * the stubbed codec step (`decodeStub`-derived, deterministic), since no
+    * image library ships here. A real implementation swaps ONLY the
+    * `resampled` computation.
+    */
+  def resize(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[Asset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.map { a =>
+      if (a.kind != "image") a
+      else {
+        // STUB resample: deterministic bytes sized to the target pixel
+        // budget (w*h*channels), derived from the source content hash
+        val budget = targetW * targetH * a.channels
+        val seedBytes = decodeStub(a.content)
+        val resampled = Array.tabulate(budget)(i => seedBytes(i % seedBytes.length))
+        a.copy(content = resampled, width = targetW, height = targetH)
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: `nFrames` evenly-spaced byte slices
     * (a real demuxer would seek keyframes; offsets/batching are the real
     * plumbing, the slicing stands in for the codec).

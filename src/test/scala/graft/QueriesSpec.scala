@@ -37,6 +37,14 @@ class QueriesSpec extends AnyFunSuite {
     assert(noOracle == Set("knn_lsh_topk"), s"queries missing oracle SQL: $noOracle")
   }
 
+  test("full-pipeline plan: dimension join broadcasts, no cartesian product") {
+    val plan = graft.queries.CdcAnalog.queries("cdc_full_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("Cartesian"), plan.take(2000))
+    assert(!plan.contains("UDF"), plan.take(2000))
+  }
+
   test("cdc_ledger ops partition the stream") {
     import spark.implicits._
     val ledger = graft.queries.CdcAnalog.queries("cdc_ledger")(spark, sf)

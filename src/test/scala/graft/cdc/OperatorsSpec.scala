@@ -72,6 +72,35 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactFirst(df, Seq("eventId")).count() == 1000)
   }
 
+  test("anchored semantics match a sequential reference on 20 random key streams") {
+    import spark.implicits._
+    // seeded pseudo-random event streams; reference = per-key sequential
+    // scan with an explicit anchor — the definition of the semantics
+    def refAnchored(times: Seq[Long], windowUs: Long): Seq[Long] = {
+      var anchor = Long.MinValue
+      times.sorted.filter { t =>
+        if (anchor == Long.MinValue || t - anchor > windowUs) { anchor = t; true }
+        else false
+      }
+    }
+    val rnd = new scala.util.Random(1234L)
+    val data = (1 to 20).flatMap { k =>
+      var t = 0L
+      (1 to 50).map { _ =>
+        t += rnd.nextInt(90000) // gaps 0..90s, window 120s -> rich chaining
+        (s"key$k", t * 1000L)   // micros
+      }
+    }
+    val df = data.toDF("eventId", "us")
+      .withColumn("timestamp", timestamp_micros(col("us")))
+    val got = Dedup.batchWindowed(df, Seq("eventId"))
+      .select("eventId", "us").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = data.groupBy(_._1).view
+      .mapValues(v => refAnchored(v.map(_._2), 120000000L)).toMap
+    assert(got == want)
+  }
+
   test("chained duplicates anchor on the KEPT event, not the previous row") {
     import spark.implicits._
     // t=0s,100s,200s,230s: anchored semantics keeps 0s (anchor), drops 100s

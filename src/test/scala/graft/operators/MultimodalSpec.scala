@@ -61,6 +61,22 @@ class MultimodalSpec extends AnyFunSuite {
       s"payload must be pruned from the scan, read: $readCols")
   }
 
+  test("resize: images get target dims and pixel budget, other kinds untouched") {
+    import spark.implicits._
+    val resized = Multimodal.resize(Multimodal.syntheticAssets(spark, 9), 8, 8)
+    val byKind = resized.collect().groupBy(_.kind)
+    byKind("image").foreach { a =>
+      assert(a.width == 8 && a.height == 8)
+      assert(a.content.length == 8 * 8 * a.channels)
+    }
+    byKind("audio").foreach(a => assert(a.content.length == 4096))
+    // deterministic
+    val again = Multimodal.resize(Multimodal.syntheticAssets(spark, 9), 8, 8)
+      .collect().sortBy(_.asset_id)
+    assert(resized.collect().sortBy(_.asset_id).map(_.content.toSeq).toSeq
+      == again.map(_.content.toSeq).toSeq)
+  }
+
   test("decode stub is deterministic and clearly a stand-in") {
     val a = Multimodal.decodeStub(Array[Byte](1, 2, 3))
     val b = Multimodal.decodeStub(Array[Byte](1, 2, 3))
