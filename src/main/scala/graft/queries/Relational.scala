@@ -77,6 +77,22 @@ object Relational {
         .orderBy($"n_name")
     }),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, nation broadcast.
+    "q10_returned_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      val n = Tables(s, dir, "nation")
+      c.join(o, $"c_custkey" === $"o_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(28,6)")), 2).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
     "q6_window_topn" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -162,6 +178,17 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(round(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
 
     "q6_window_topn" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
