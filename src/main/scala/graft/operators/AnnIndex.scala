@@ -45,10 +45,10 @@ object AnnIndex {
   }
 
   private def dotWithSigns(v: Column, signs: Array[Double]): Column =
-    aggregate(
-      zip_with(v, array(signs.map(lit).toIndexedSeq: _*),
-        (x, s) => x.cast("double") * s),
-      lit(0.0), (acc, y) => acc + y)
+    // codegen VecDot against the literal hyperplane row — the HOF
+    // (aggregate/zip_with) equivalent runs interpreted and boxes every
+    // element, dominating signature cost
+    graft.functions.VecDot.vec_dot(v, typedLit(signs.toSeq))
 
   /** Bucket id per table: K sign bits packed into one INT. */
   def bucketCols(v: Column, tables: Int = 16, bits: Int = 8, dim: Int = 64,

@@ -11,15 +11,15 @@ object Corpus {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Cosine similarity between two array<float> columns, computed in double
-    * with a sequential fold (deterministic order ⇒ reproducible bit pattern).
+  /** Cosine similarity between two array<float|double> columns, computed in
+    * double with sequential accumulation (deterministic order ⇒ reproducible
+    * bit pattern). Uses the codegen VecDot expression — the equivalent
+    * aggregate(zip_with(...)) runs interpreted (HOFs don't codegen) and is
+    * ~5× slower on all-pairs workloads.
     */
   def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import graft.functions.VecDot.vec_dot
+    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
   }
 
   val queries: Map[String, Q] = Map(
@@ -111,9 +111,9 @@ object Corpus {
       // them): the per-pair work drops from three 64-dim folds to one.
       // sqrt(dot(v,v)) is the same expression either way, so the doubles —
       // and the round-6 oracle hash — are bit-identical.
+      import graft.functions.VecDot.vec_dot
       def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
+        vec_dot(x, y)
       val e = Tables(s, dir, "embeddings")
         .select($"vec_id", $"embedding",
           sqrt(dot($"embedding", $"embedding")).as("norm"))
