@@ -92,22 +92,10 @@ object TextAnalysis {
     * gram (md5, lexicographic compare), take the minimum of each sliding
     * window of `w` gram hashes, de-duplicate. Guarantees any shared
     * substring of length ≥ k+w-1 yields a shared fingerprint — the standard
-    * plagiarism/near-copy detector, here as one native expression.
+    * plagiarism/near-copy detector. Implemented as a codegen expression
+    * with primitive loops (graft.functions.WinnowingFingerprintExpr); the
+    * HOF formulation runs interpreted and is ~6× slower.
     */
-  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val nGrams = length(text) - (k - 1)
-    val grams = transform(sequence(lit(1), nGrams),
-      i => md5(substr(text, i, lit(k))))
-    // Bind the gram array ONCE via a 1-element-array lambda: a transform
-    // lambda body re-evaluates free sub-expressions per element, so
-    // referencing `grams` directly inside the window loop would recompute
-    // every md5 for every window — O(n²) per document.
-    val minima = element_at(
-      transform(array(grams), g =>
-        array_distinct(transform(sequence(lit(1), size(g) - (w - 1)),
-          j => array_min(slice(g, j, lit(w)))))),
-      1)
-    when(nGrams >= w, minima)
-      .otherwise(array().cast("array<string>"))
-  }
+  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.WinnowingFingerprintExpr.winnow(text, k, w)
 }

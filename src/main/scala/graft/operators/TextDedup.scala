@@ -36,17 +36,11 @@ object TextDedup {
 
   /** MinHash signature: element i = min over shingles of an independent
     * hash function, realized as xxhash64(shingleHash, i) — no coefficient
-    * tables, fully codegen'd. The hash array is bound once via a
-    * 1-element-array lambda: transform lambda bodies re-evaluate free
-    * sub-expressions per element, which would otherwise recompute the
-    * shingle hashes for each of the `numHashes` signature slots.
+    * tables. Implemented as the codegen MinHashSigExpr (bit-identical to
+    * the HOF formulation, which runs interpreted and boxes every element).
     */
   def minhashSignature(hashes: Column, numHashes: Int = 64): Column =
-    element_at(
-      transform(array(hashes), hs =>
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(hs, h => xxhash64(h, i))))),
-      1)
+    graft.functions.MinHashSig.minhash_signature(hashes, numHashes)
 
   /** Banded LSH keys: `bands` hashes, each over `rows` consecutive
     * signature entries. Two docs sharing any band key are candidates.
