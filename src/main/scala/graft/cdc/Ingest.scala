@@ -69,7 +69,11 @@ object Ingest {
     val i = incoming.withColumn("_in_i", lit(true)).alias("i")
     val joined = e.join(i, keys.toSeq, "full_outer")
     val isInsert = col("e._in_e").isNull
-    val changed = coalesce(
+    // `changed` must require presence on the incoming side: an existing row
+    // absent from the batch has all-NULL incoming columns, and an unguarded
+    // `!(e.c <=> i.c)` would fire on every such row, rewriting updated_at
+    // across the whole table on every incremental merge.
+    val changed = col("i._in_i").isNotNull && coalesce(
       compareCols.map(c => !(col(s"e.$c") <=> col(s"i.$c"))).reduceLeft(_ || _),
       lit(false))
     val dataCols = existing.columns.filterNot(keys.contains)
@@ -81,8 +85,10 @@ object Ingest {
       case "updated_at" =>
         when(isInsert || changed, now).otherwise(col("e.updated_at")).as("updated_at")
       case c =>
-        when(isInsert || changed, coalesce(col(s"i.$c"), col(s"e.$c")))
-          .otherwise(col(s"e.$c")).as(c)
+        // Incoming values win outright for inserted/changed rows — including
+        // explicit NULLs, matching ON DUPLICATE KEY UPDATE (a coalesce here
+        // would silently refuse non-null -> NULL transitions).
+        when(isInsert || changed, col(s"i.$c")).otherwise(col(s"e.$c")).as(c)
     }
     joined.select(picked: _*)
   }

@@ -32,11 +32,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Subject {
 
-  /** Pure-Scala matcher, usable from driver code and generated code. */
+  /** Pure-Scala matcher, usable from driver code and generated code.
+    * Tokenization keeps empty tokens (`split(_, -1)`) so `"A."` is the
+    * two-token list `["A",""]`, never silently collapsed to `["A"]` — this
+    * makes token-joined forms round-trip exactly, which is what keeps the
+    * compiled-predicate path (string equality / startsWith / rlike) in
+    * lock-step with this matcher on degenerate trailing-dot inputs.
+    */
   def matches(subject: String, pattern: String): Boolean = {
     if (subject == null || pattern == null) return false
-    val s = subject.split('.')
-    val p = pattern.split('.')
+    val s = subject.split("\\.", -1)
+    val p = pattern.split("\\.", -1)
     var i = 0
     while (i < p.length) {
       p(i) match {
@@ -62,7 +68,7 @@ object Subject {
     * returns false — identical under filter semantics.
     */
   def compilePattern(subject: Column, pattern: String): Column = {
-    val toks = pattern.split('.')
+    val toks = pattern.split("\\.", -1) // keep empty tokens — must mirror `matches`
     val gtIdx = toks.indexOf(">")
     if (gtIdx >= 0 && gtIdx != toks.length - 1) lit(false) // '>' mid-pattern never matches
     else if (!toks.exists(t => t == "*" || t == ">")) subject === lit(pattern)
@@ -70,13 +76,15 @@ object Subject {
     else if (toks.last == ">" && !toks.init.contains("*"))
       subject.startsWith(toks.init.mkString("", ".", "."))
     else {
+      // `[^.]*`, not `[^.]+`: with split(_, -1) tokenization an empty token
+      // is a token, and `*` consumes it — same for the `>` tail below.
       val body = toks.map {
-        case "*" => "[^.]+"
+        case "*" => "[^.]*"
         case ">" => ">" // placeholder; handled below (always last here)
         case t   => java.util.regex.Pattern.quote(t)
       }
       val re =
-        if (toks.last == ">") body.init.mkString("\\.") + "\\..+"
+        if (toks.last == ">") body.init.mkString("\\.") + "\\..*"
         else body.mkString("\\.")
       subject.rlike("^" + re + "$")
     }

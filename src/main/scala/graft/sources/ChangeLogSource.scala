@@ -200,8 +200,13 @@ class ChangeLogScan(options: CaseInsensitiveStringMap,
   * Monotonic because segments are immutable and append-only.
   */
 case class ChangeLogOffset(fileCounts: TreeMap[String, Int]) extends Offset {
-  override def json(): String =
-    fileCounts.map { case (k, v) => s"\"${k}\":$v" }.mkString("{", ",", "}")
+  // Jackson-serialized (symmetric with parse): directory names containing
+  // quotes/backslashes must round-trip through the streaming checkpoint.
+  override def json(): String = {
+    val node = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+    fileCounts.foreach { case (k, v) => node.put(k, v) }
+    node.toString
+  }
 }
 
 object ChangeLogOffset {

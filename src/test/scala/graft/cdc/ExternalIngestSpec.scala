@@ -118,4 +118,44 @@ class IngestSpec extends AnyFunSuite {
     assert(merged("EMP004").getAs[java.sql.Timestamp]("created_at").getTime == t1)
     assert(merged("EMP004").getAs[java.sql.Timestamp]("updated_at").getTime == t1)
   }
+
+  test("upsert: existing rows absent from the batch are untouched (incremental merge)") {
+    import spark.implicits._
+    val t0 = Fixtures.T0
+    val t1 = Fixtures.T0 + 3600000L
+    val existing = Seq(
+      (1, "EMP001", "120000.00", t0),
+      (2, "EMP002", "95000.00", t0))
+      .toDF("id", "employee_number", "salary", "ms")
+      .select($"id", $"employee_number", $"salary".cast("decimal(12,2)").as("salary"),
+        timestamp_millis($"ms").as("created_at"), timestamp_millis($"ms").as("updated_at"))
+    // Incremental batch touches only EMP002; EMP001 must survive bit-for-bit.
+    val incoming = Seq(("EMP002", "99000.00"))
+      .toDF("employee_number", "salary")
+      .select($"employee_number", $"salary".cast("decimal(12,2)").as("salary"))
+    val merged = Ingest.upsert(existing, incoming, Seq("employee_number"),
+      compareCols = Seq("salary"), nowMs = t1)
+      .collect().map(r => r.getAs[String]("employee_number") -> r).toMap
+    assert(merged.size == 2)
+    assert(merged("EMP001").getAs[java.sql.Timestamp]("updated_at").getTime == t0)
+    assert(merged("EMP001").getAs[java.math.BigDecimal]("salary").toPlainString == "120000.00")
+    assert(merged("EMP002").getAs[java.sql.Timestamp]("updated_at").getTime == t1)
+  }
+
+  test("upsert: incoming NULL overwrites (ON DUPLICATE KEY UPDATE semantics)") {
+    import spark.implicits._
+    val t0 = Fixtures.T0
+    val t1 = Fixtures.T0 + 3600000L
+    val existing = Seq((1, "EMP001", "120000.00", t0))
+      .toDF("id", "employee_number", "salary", "ms")
+      .select($"id", $"employee_number", $"salary".cast("decimal(12,2)").as("salary"),
+        timestamp_millis($"ms").as("created_at"), timestamp_millis($"ms").as("updated_at"))
+    val incoming = Seq("EMP001").toDF("employee_number")
+      .select($"employee_number", lit(null).cast("decimal(12,2)").as("salary"))
+    val merged = Ingest.upsert(existing, incoming, Seq("employee_number"),
+      compareCols = Seq("salary"), nowMs = t1).collect()
+    assert(merged.length == 1)
+    assert(merged.head.getAs[java.math.BigDecimal]("salary") == null)
+    assert(merged.head.getAs[java.sql.Timestamp]("updated_at").getTime == t1)
+  }
 }

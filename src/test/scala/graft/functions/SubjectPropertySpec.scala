@@ -15,8 +15,12 @@ import graft.functions.Subject.{matches, subject_matches}
 class SubjectPropertySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val token: Gen[String] =
-    Gen.oneOf("HCM", "CDC", "HR", "hrdb", "employees", "events", "a", "b", "x1", "y22")
+  // Includes the empty token so trailing/leading/double dots are generated —
+  // degenerate per NATS, but the compiled predicates must still agree with
+  // the scalar matcher on them (ADVICE round 2).
+  private val token: Gen[String] = Gen.frequency(
+    (10, Gen.oneOf("HCM", "CDC", "HR", "hrdb", "employees", "events", "a", "b", "x1", "y22")),
+    (1, Gen.const("")))
   private val subjectGen: Gen[String] =
     Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, token)).map(_.mkString("."))
   private val patternTok: Gen[String] = Gen.frequency(
@@ -39,6 +43,19 @@ class SubjectPropertySpec extends AnyFunSuite {
         val want = subjects.filter(matches(_, p)).sorted
         assert(got == want, s"round=$round pattern=$p subjects=$subjects")
       }
+    }
+  }
+
+  test("compiled predicate == scalar matcher on trailing-dot edge cases") {
+    import spark.implicits._
+    val subjects = Seq("A", "A.", "A..", ".A", "HCM", "HCM.", "HCM.x", "HCM..", "", ".")
+    val patterns = Seq("A", "A.", "HCM.>", "HCM.*", ">", "*", ".>", "A..", "*.")
+    val df = subjects.toDF("subject")
+    patterns.foreach { p =>
+      val got = df.filter(subject_matches($"subject", lit(p)))
+        .as[String].collect().sorted.toSeq
+      val want = subjects.filter(matches(_, p)).sorted
+      assert(got == want, s"pattern=$p got=$got want=$want")
     }
   }
 }

@@ -132,6 +132,16 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     assert(seen.last._2.contains("EMP1000"))
   }
 
+  test("offset JSON round-trips hostile directory names (quotes, backslashes)") {
+    val tm = scala.collection.immutable.TreeMap(
+      """hrdb/emp"loyees""" -> 3,
+      """hr\db/t1""" -> 1,
+      "hrdb/employees" -> 7)
+    val off = ChangeLogOffset(tm)
+    assert(ChangeLogOffset.parse(off.json()) == off,
+      s"offset must survive checkpoint serialization: ${off.json()}")
+  }
+
   test("wire rows deserialize to typed envelopes downstream") {
     val root = tmp("ledger")
     Ledger.writeCrudScenario(root)
