@@ -129,7 +129,7 @@ object AnnIndex {
     val probed = cents.join(broadcast(qv))
       .select(col("label"),
         graft.queries.Corpus.cosine(col("centroid"), col("qv")).as("csim"))
-      .orderBy(col("csim").desc)
+      .orderBy(col("csim").desc, col("label")) // label tiebreak: deterministic probes
       .limit(nprobe)
       .select("label")
     embeddings.filter(col(idCol) =!= queryId)

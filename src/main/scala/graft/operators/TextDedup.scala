@@ -102,6 +102,61 @@ object TextDedup {
                      threshold: Double = 0.8, n: Int = 3): DataFrame =
     candidatePairs(docs, idCol, textCol, n)
       .filter(col("jaccard") >= threshold)
+
+  /** Exact n-gram-Jaccard near-dup via an inverted shingle index (the
+    * sketch-free third strategy): candidates = distinct pairs sharing at
+    * least one shingle, generated by a shingle-equality join that shuffles
+    * only (doc_id, shingle) — never the shingle arrays — then verified with
+    * the exact set Jaccard.
+    *
+    * Scale: per-shingle fan-out is quadratic in document frequency, so
+    * shingles with df > `maxDF` are dropped from the index (a pair ALL of
+    * whose shared shingles are that common is boilerplate, not a near-dup;
+    * with threshold ≥ 0.5 any true pair shares many shingles, and rare ones
+    * survive the cap). Verification recomputes Jaccard from the full sets,
+    * so the cap affects only candidate recall, never precision.
+    */
+  def jaccardNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.8, n: Int = 3,
+                            maxDF: Int = 1000): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("_df") <= maxDF)
+      .drop("_df")
+    val cand = inv.select(col("shingle"), col("doc_id").as("id_a"))
+      .join(inv.select(col("shingle"), col("doc_id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash-bucketed near-dup with exact Jaccard verification: candidates
+    * from the pigeonhole segment join (Hamming ≤ `maxDistance`), output
+    * filtered on the exact shingle Jaccard — so the result is identical to
+    * the brute-force J ≥ threshold answer whenever every true pair sits
+    * within `maxDistance` (observed ≤ 10 at J ≥ 0.9 on 64-bit fingerprints;
+    * the default 12 adds margin).
+    */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.8, maxDistance: Int = 12,
+                            pieces: Int = 13, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    SimHash.nearDuplicates(docs, idCol, textCol, maxDistance, pieces, n)
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }
 
 /** 64-bit SimHash over the shingle hash set, with banded near-dup search:

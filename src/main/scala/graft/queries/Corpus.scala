@@ -102,6 +102,49 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Same near-dup semantics via SimHash pigeonhole banding + exact
+    // verification — the second sketch family. Identical oracle as
+    // doc_dedup_near: three algorithms, one answer.
+    "doc_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextDedup
+        .simhashNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Sketch-free exact n-gram Jaccard via the inverted shingle index
+    // (df-capped candidate join + exact verification).
+    "doc_dedup_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextDedup
+        .jaccardNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Language identification (stopword-profile argmax + CJK script
+    // override) — per-doc prediction next to the ground-truth label.
+    "doc_langid" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          graft.operators.TextAnalysis.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    }),
+
+    // IVF top-k: probe the 3 nearest coarse centroids (label partitions)
+    // and rerank exactly — the partition-pruned ANN path. The oracle
+    // replicates centroids + probe selection in SQL, so this checks the
+    // whole index structure, not just the rerank.
+    "knn_ivf_topk" -> ((s, dir) => {
+      graft.operators.AnnIndex.ivfTopK(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        queryId = 0L, k = 10, nprobe = 3)
+    }),
+
     // Exact top-10 most-similar embedding pairs (all-pairs similarity
     // surface). Brute force at oracle scale; the banded-LSH candidate
     // variant (AnnIndex) is the 100 TB path, verified by recall tests.
@@ -218,6 +261,77 @@ object Corpus {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
         |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text, string_split_regex(lower(text), '\s+') w
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, lang,
+        |    greatest(len(w), 1)::DOUBLE AS n,
+        |    len(list_filter(w, x -> list_contains(['der','die','und','das','ist','von','mit','ein','nicht','auf'], x)))::DOUBLE AS h_de,
+        |    len(list_filter(w, x -> list_contains(['the','and','of','to','is','in','that','it','was','with'], x)))::DOUBLE AS h_en,
+        |    len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','los','una','por','con'], x)))::DOUBLE AS h_es,
+        |    len(list_filter(w, x -> list_contains(['le','la','de','et','les','des','est','dans','une','pour'], x)))::DOUBLE AS h_fr,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]', '', 'g'))::DOUBLE
+        |      / greatest(length(text), 1)::DOUBLE AS cjk
+        |  FROM t
+        |), best AS (
+        |  SELECT doc_id, lang, cjk,
+        |    list_max([{'score': h_de / n, 'lang': 'de'}, {'score': h_en / n, 'lang': 'en'},
+        |              {'score': h_es / n, 'lang': 'es'}, {'score': h_fr / n, 'lang': 'fr'}]) AS b
+        |  FROM sc
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cjk > 0.3 THEN 'zh'
+        |       WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+        |FROM best ORDER BY doc_id""".stripMargin,
+
+    "knn_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c AS (
+        |  SELECT label, list(m ORDER BY i) AS centroid
+        |  FROM (SELECT label, i, avg(v[i]) AS m
+        |        FROM e, range(1, 65) t(i) GROUP BY label, i)
+        |  GROUP BY label
+        |),
+        |probes AS (
+        |  SELECT c.label FROM c CROSS JOIN q
+        |  ORDER BY list_cosine_similarity(c.centroid, q.qv) DESC, c.label LIMIT 3
+        |)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |FROM e JOIN probes USING (label) CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
 
     "emb_top_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

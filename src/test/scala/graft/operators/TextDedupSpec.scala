@@ -80,4 +80,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("all three near-dup strategies agree on the sf0.001 corpus") {
+    import spark.implicits._
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = pairSet(TextDedup.nearDuplicates(d, "doc_id", "text", threshold = 0.8))
+    val inv = pairSet(TextDedup.jaccardNearDuplicates(d, "doc_id", "text", threshold = 0.8))
+    val sim = pairSet(TextDedup.simhashNearDuplicates(d, "doc_id", "text", threshold = 0.8))
+    assert(inv == lsh, s"inverted-index vs LSH: missed=${lsh -- inv} spurious=${inv -- lsh}")
+    assert(sim == lsh, s"simhash vs LSH: missed=${lsh -- sim} spurious=${sim -- lsh}")
+  }
+
+  test("inverted-index dedup df-cap drops boilerplate shingles but keeps true pairs") {
+    // A shingle shared by every doc would fan out quadratically; with the
+    // cap at 3 the common prefix is excluded from the index, yet the true
+    // near-dup pair still surfaces through its rare shingles, and the
+    // reported jaccard is still computed on the FULL sets (verification is
+    // cap-independent).
+    import spark.implicits._
+    val boiler = "standard header text here"
+    val many = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, s"$boiler alpha beta gamma delta epsilon eta"),
+      (3L, s"$boiler totally other words appear now one"),
+      (4L, s"$boiler more unrelated phrasing lives here two"),
+      (5L, s"$boiler nothing shared beyond the header three"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.jaccardNearDuplicates(many, "doc_id", "text",
+      threshold = 0.5, maxDF = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got $pairs")
+    // full-set jaccard of docs 1/2: 8 shingles each, 7 shared (incl. the 2
+    // capped boilerplate ones) => 7/9 — proves verification ignores the cap
+    assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-9, s"got ${pairs((1L, 2L))}")
+  }
 }
