@@ -34,6 +34,15 @@ object TextDedup {
   def shingleHashes(shinglesCol: Column): Column =
     transform(shinglesCol, s => xxhash64(s))
 
+  /** Distinct shingle hashes straight from the text — the codegen fast path
+    * (graft.functions.ShingleHashExpr), bit-identical to
+    * `shingleHashes(shingles(text, n))`. All candidate generation and
+    * hash-set Jaccard verification below run on this: set operations on
+    * longs, with the shingle strings never materialized.
+    */
+  def shingleHashSet(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleHash.shingle_hashes(text, n)
+
   /** MinHash signature: element i = min over shingles of an independent
     * hash function, realized as xxhash64(shingleHash, i) — no coefficient
     * tables. Implemented as the codegen MinHashSigExpr (bit-identical to
@@ -69,9 +78,9 @@ object TextDedup {
                      maxBucketSize: Int = 1000): DataFrame = {
     require(bands * rows <= numHashes, "bands*rows must fit the signature")
     val sketch = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(shingleHashes(col("sh")), numHashes))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("doc_id"), col("sh"),
         explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("sh"),
@@ -103,33 +112,44 @@ object TextDedup {
     candidatePairs(docs, idCol, textCol, n)
       .filter(col("jaccard") >= threshold)
 
-  /** Exact n-gram-Jaccard near-dup via an inverted shingle index (the
-    * sketch-free third strategy): candidates = distinct pairs sharing at
-    * least one shingle, generated by a shingle-equality join that shuffles
-    * only (doc_id, shingle) — never the shingle arrays — then verified with
-    * the exact set Jaccard.
+  /** Exact n-gram-Jaccard near-dup via a PREFIX-FILTERED inverted index
+    * (AllPairs/PPJoin family, Bayardo et al. WWW'07) — the sketch-free
+    * third strategy. Complete, not approximate:
     *
-    * Scale: per-shingle fan-out is quadratic in document frequency, so
-    * shingles with df > `maxDF` are dropped from the index (a pair ALL of
-    * whose shared shingles are that common is boilerplate, not a near-dup;
-    * with threshold ≥ 0.5 any true pair shares many shingles, and rare ones
-    * survive the cap). Verification recomputes Jaccard from the full sets,
-    * so the cap affects only candidate recall, never precision.
+    * Order each doc's shingle hashes ascending (any global total order
+    * works) and index only the first `|A| - ceil(t*|A|) + 1` of them. If
+    * J(A,B) >= t then |A∩B| >= t*max(|A|,|B|), so the smallest shared
+    * hash w has rank <= |A| - |A∩B| + 1 <= prefixLen in BOTH docs — the
+    * equality join on w finds every qualifying pair. At t=0.8 the index
+    * holds ~20% of the shingles and candidate fan-out drops ~25x vs a full
+    * inverted index; the join shuffles only (hash, id, size), never arrays.
+    *
+    * A length filter (min size >= ceil(t * max size)) prunes candidates
+    * before dedup, and shingles with df > `maxDF` within the prefix index
+    * are dropped (boilerplate guard — affects only candidate recall on
+    * degenerate corpora, never precision). Verification recomputes the
+    * exact Jaccard from the full sets.
     */
   def jaccardNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8, n: Int = 3,
                             maxDF: Int = 1000): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("sz", size(col("sh")))
+    val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val inv = sh
+      .select(col("doc_id"), col("sz"),
+        explode(slice(sort_array(col("sh")), lit(1), prefLen)).as("h"))
       .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("_df") <= maxDF)
       .drop("_df")
-    val cand = inv.select(col("shingle"), col("doc_id").as("id_a"))
-      .join(inv.select(col("shingle"), col("doc_id").as("id_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = inv.select(col("h"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .join(inv.select(col("h"), col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          ceil(greatest(col("sz_a"), col("sz_b")) * threshold))
       .select("id_a", "id_b").distinct()
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -149,7 +169,7 @@ object TextDedup {
                             threshold: Double = 0.8, maxDistance: Int = 12,
                             pieces: Int = 13, n: Int = 3): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     SimHash.nearDuplicates(docs, idCol, textCol, maxDistance, pieces, n)
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -167,10 +187,17 @@ object TextDedup {
 object SimHash {
 
   /** SimHash fingerprint of an array<long> of shingle hashes: sign of the
-    * per-bit vote sum. Pure native expressions: a 64-element vote vector
-    * aggregated with zip_with, folded back to one BIGINT.
+    * per-bit vote sum. Codegen expression (graft.functions.SimHash64Expr);
+    * `simhash64Reference` below keeps the HOF formulation as the equality
+    * oracle for it.
     */
-  def simhash64(hashes: Column): Column = {
+  def simhash64(hashes: Column): Column =
+    graft.functions.SimHash64.simhash64(hashes)
+
+  /** Reference HOF formulation (interpreted, |hashes|×64 boxed lambda calls
+    * per row — kept only to pin the codegen expression's semantics in tests).
+    */
+  def simhash64Reference(hashes: Column): Column = {
     val votes = aggregate(
       hashes,
       array_repeat(lit(0L), 64),
@@ -189,22 +216,33 @@ object SimHash {
 
   /** docs(idCol, textCol) → pairs with Hamming(simhash) ≤ maxDistance.
     * `pieces` must be > maxDistance for pigeonhole completeness.
+    *
+    * Segments cover ALL 64 bits with near-equal widths (⌈64/pieces⌉ then
+    * ⌊64/pieces⌋): wider segments mean exponentially more buckets per
+    * piece, which is what bounds candidate fan-out — at 13 pieces this is
+    * 12 five-bit + 1 four-bit segments (32-value buckets) instead of
+    * uniform four-bit ones, halving bucket collisions.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      maxDistance: Int = 3, pieces: Int = 4,
                      shingleN: Int = 3): DataFrame = {
     require(pieces > maxDistance, "need pieces > maxDistance for full recall")
-    val bits = 64 / pieces
+    require(pieces <= 64, "at most one segment per bit")
+    val wide = 64 % pieces       // this many segments get an extra bit
+    val base = 64 / pieces
+    val widths = Seq.tabulate(pieces)(p => if (p < wide) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val fp = docs
       .select(col(idCol).as("doc_id"),
-        TextDedup.shingles(col(textCol), shingleN).as("sh"))
+        TextDedup.shingleHashSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("fp", simhash64(TextDedup.shingleHashes(col("sh"))))
+      .withColumn("fp", simhash64(col("sh")))
       .select(col("doc_id"), col("fp"),
-        explode(transform(sequence(lit(0), lit(pieces - 1)),
-          p => struct(p.as("piece"),
-            call_function("shiftright", col("fp"), p * bits)
-              .bitwiseAND(lit((1L << bits) - 1)).as("seg")))).as("pk"))
+        explode(array(Seq.tabulate(pieces) { p =>
+          struct(lit(p).as("piece"),
+            call_function("shiftright", col("fp"), lit(offsets(p)))
+              .bitwiseAND(lit((1L << widths(p)) - 1)).as("seg"))
+        }: _*)).as("pk"))
       .select(col("doc_id"), col("fp"),
         col("pk.piece").as("piece"), col("pk.seg").as("seg"))
     val a = fp.select(col("piece"), col("seg"), col("doc_id").as("id_a"), col("fp").as("fp_a"))

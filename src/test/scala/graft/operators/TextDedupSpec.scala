@@ -81,6 +81,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("codegen ShingleHash expression matches the string-shingle HOF chain") {
+    import spark.implicits._
+    // real corpus plus adversarial whitespace (empty tokens, multi-space runs)
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text")
+      .union(Seq("a  b c d", " leading space", "trailing space ", "a b", "",
+        "x  y  z  w", "one two three four five").toDF("text"))
+    val mismatches = d
+      .select(
+        TextDedup.shingleHashSet($"text", 3).as("fast"),
+        TextDedup.shingleHashes(TextDedup.shingles($"text", 3)).as("ref"))
+      .filter(!($"fast" <=> $"ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("codegen SimHash64 expression is bit-identical to the HOF reference") {
+    import spark.implicits._
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val hashes = TextDedup.shingleHashes(TextDedup.shingles($"text"))
+    val mismatches = d
+      .filter(size(TextDedup.shingles($"text")) > 0)
+      .select(SimHash.simhash64(hashes).as("fast"),
+        SimHash.simhash64Reference(hashes).as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("all three near-dup strategies agree on the sf0.001 corpus") {
     import spark.implicits._
     val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
