@@ -50,7 +50,14 @@ object AnnIndex {
     // element, dominating signature cost
     graft.functions.VecDot.vec_dot(v, typedLit(signs.toSeq))
 
-  /** Bucket id per table: K sign bits packed into one INT. */
+  /** Bucket id per table: K sign bits packed into one INT.
+    *
+    * REFERENCE formulation (tables × bits separate VecDot expressions):
+    * correct, but the generated projection blows past codegen method-size
+    * limits at 16×8 and the stage falls back to interpreted eval. Query
+    * paths use the fused `LshBucketsExpr` (bit-identical — asserted in
+    * AnnIndexSpec); this stays as its equality oracle.
+    */
   def bucketCols(v: Column, tables: Int = 16, bits: Int = 8, dim: Int = 64,
                  seed: Long = 42L): Seq[Column] = {
     val planes = hyperplanes(tables, bits, dim, seed)
@@ -61,12 +68,10 @@ object AnnIndex {
     }
   }
 
-  /** All (table, bucket) keys as one explodable array. */
-  def bucketKeys(v: Column, tables: Int = 16, bits: Int = 8, dim: Int = 64,
-                 seed: Long = 42L): Column =
-    array(bucketCols(v, tables, bits, dim, seed).zipWithIndex.map {
-      case (c, t) => struct(lit(t).as("t"), c.as("bucket"))
-    }: _*)
+  /** All bucket ids as one array<int> (fused codegen path). */
+  def bucketArray(v: Column, tables: Int = 16, bits: Int = 8, dim: Int = 64,
+                  seed: Long = 42L): Column =
+    graft.functions.LshBuckets.lsh_buckets(v, tables, bits, dim, seed)
 
   /** Top-k nearest to `queryId`'s vector by cosine, searching only LSH
     * bucket collisions. Returns (vec_id, sim).
@@ -76,8 +81,7 @@ object AnnIndex {
               tables: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
     val keyed = embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-        explode(bucketKeys(col(vecCol), tables, bits, dim)).as("bk"))
-      .select(col("vec_id"), col("v"), col("bk.t").as("t"), col("bk.bucket").as("bucket"))
+        posexplode(bucketArray(col(vecCol), tables, bits, dim)).as(Seq("t", "bucket")))
     val queryBuckets = keyed.filter(col("vec_id") === queryId)
       .select(col("t"), col("bucket"), col("v").as("qv"))
     keyed.filter(col("vec_id") =!= queryId)
@@ -96,8 +100,7 @@ object AnnIndex {
                         dim: Int = 64): Long = {
     val keyed = embeddings
       .select(col(idCol).as("vec_id"),
-        explode(bucketKeys(col(vecCol), tables, bits, dim)).as("bk"))
-      .select(col("vec_id"), col("bk.t").as("t"), col("bk.bucket").as("bucket"))
+        posexplode(bucketArray(col(vecCol), tables, bits, dim)).as(Seq("t", "bucket")))
     val queryBuckets = keyed.filter(col("vec_id") === queryId).drop("vec_id")
     keyed.filter(col("vec_id") =!= queryId)
       .join(broadcast(queryBuckets), Seq("t", "bucket"))

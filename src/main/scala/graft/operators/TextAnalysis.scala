@@ -36,8 +36,16 @@ object TextAnalysis {
 
   /** Cheap language ID: argmax of per-language stopword density, with a CJK
     * script override. Returns a language code or "und" when nothing scores.
+    * Codegen expression (graft.functions.LangIdExpr) — the Column
+    * formulation below re-splits the text per language and runs four
+    * interpreted filter() HOFs per row; `langIdReference` keeps it as the
+    * equality oracle.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.LangId.lang_id(text)
+
+  /** Reference HOF formulation of langId (interpreted; tests only). */
+  def langIdReference(text: Column): Column = {
     val n = greatest(size(words(text)), lit(1)).cast("double")
     val scored = array(stopwordProfiles.toSeq.sortBy(_._1).map {
       case (lang, stops) =>

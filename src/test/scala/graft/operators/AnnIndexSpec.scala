@@ -20,6 +20,15 @@ class AnnIndexSpec extends AnyFunSuite {
     graft.queries.Corpus.queries("knn_cosine_topk")(spark, sf)
       .collect().map(_.getLong(0)).toSet
 
+  test("fused LshBucketsExpr is bit-identical to the per-bit VecDot reference") {
+    import spark.implicits._
+    val fused = emb.select($"vec_id",
+      AnnIndex.bucketArray($"embedding", tables = 16, bits = 8).as("b"))
+    val ref = emb.select($"vec_id",
+      array(AnnIndex.bucketCols($"embedding", tables = 16, bits = 8): _*).as("b"))
+    assert(fused.exceptAll(ref).isEmpty && ref.exceptAll(fused).isEmpty)
+  }
+
   test("LSH top-k: recall floor with large candidate reduction") {
     val lsh = AnnIndex.lshTopK(emb, "vec_id", "embedding", 0L, 10,
       tables = 32, bits = 6).collect().map(_.getLong(0)).toSet

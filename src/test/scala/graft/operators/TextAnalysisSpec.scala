@@ -23,6 +23,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     got.foreach { case (exp, act) => assert(act == exp, s"expected $exp got $act") }
   }
 
+  test("codegen LangIdExpr matches the HOF reference on the corpus") {
+    import spark.implicits._
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text")
+      .union(Seq("", " ", "la de", "der die the and", "中文中文 short").toDF("text"))
+    val mismatches = d
+      .select(TextAnalysis.langId($"text").as("fast"),
+        TextAnalysis.langIdReference($"text").as("ref"))
+      .filter(!($"fast" <=> $"ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("quality score rewards fluent text over noise") {
     import spark.implicits._
     val df = Seq(
