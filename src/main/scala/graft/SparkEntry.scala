@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.CdcAnalog.queries ++
-      graft.queries.Corpus.queries
+      graft.queries.Corpus.queries ++
+      graft.queries.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.CdcAnalog.oracleSql ++
-      graft.queries.Corpus.oracleSql
+      graft.queries.Corpus.oracleSql ++
+      graft.queries.Events.oracleSql
 }

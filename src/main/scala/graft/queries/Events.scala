@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Temporal
+
+/** Temporal analytics over the `events` stream table: as-of join,
+  * sessionization, and windowed range counts — the event-time operator
+  * surface (graft.operators.Temporal).
+  */
+object Events {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val GAP_30M_US = 1800000000L
+  private val WIN_10M_US = 600000000L
+
+  val queries: Map[String, Q] = Map(
+    // Backward as-of join: each purchase matched to the user's latest click
+    // at or before it (kdb-style). One shuffle on user_id.
+    "evt_asof_click" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      val p = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val c = e.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      Temporal.asofJoinBackward(p, c, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightTie = "event_id")
+        .select($"event_id",
+          $"asof.event_id".as("click_id"),
+          round((unix_micros($"ts") - unix_micros($"asof.ts")) / 1000000.0, 6)
+            .as("gap_s"))
+        .orderBy($"event_id")
+    }),
+
+    // 30-minute-gap sessionization per user: session identified by its
+    // first event_id; money-style DECIMAL sum for oracle-stable totals.
+    "evt_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      Temporal.sessionIndex(e, key = "user_id", tsCol = "ts",
+        tieCol = "event_id", gapMicros = GAP_30M_US)
+        .groupBy($"user_id", $"_session")
+        .agg(
+          min($"event_id").as("session_id"),
+          count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select($"user_id", $"session_id", $"n_events", $"total_value")
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // Range join: clicks of the same user within the 10 minutes before
+    // each purchase. Key equality keeps it a hash join; the range is a
+    // post-join predicate.
+    "evt_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      val p = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts")
+      Temporal.rangeCount(p, c, key = "user_id", leftTs = "ts",
+        rightTs = "ts", windowMicros = WIN_10M_US, asCol = "n_clicks")
+        .select($"event_id", $"n_clicks")
+        .orderBy($"event_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "evt_asof_click" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, c.event_id AS click_id,
+        |  round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "evt_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, value,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM d
+        |)
+        |SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "evt_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, count(c.ts) AS n_clicks
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+        |  AND epoch_us(c.ts) < epoch_us(p.ts)
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(us: Long) = timestamp_micros(lit(us))
+
+  test("asof backward: latest right at-or-before, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, 1000L), // matches right id=11 (ts 1000, inclusive)
+      (101L, 1L, 1500L), // matches right id=11 (still latest <= 1500)
+      (102L, 1L, 500L),  // no right row at or before -> null
+      (103L, 2L, 9999L)) // key with no right rows -> null
+      .toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val right = Seq(
+      (10L, 1L, 800L),
+      (11L, 1L, 1000L), // equal-ts tie with id=12? no: larger id below
+      (12L, 1L, 1000L)) // same ts as 11 -> larger event_id must win
+      .toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val got = Temporal.asofJoinBackward(left, right, "user_id", "ts", "ts", "event_id")
+      .select($"event_id", $"asof.event_id".as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(100L) == Some(12L)) // inclusive + tie -> largest event_id
+    assert(got(101L) == Some(12L))
+    assert(got(102L) == None)
+    assert(got(103L) == None)
+  }
+
+  test("sessionIndex: gap strictly greater than threshold starts a session") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 7L, 0L),           // session 1
+      (2L, 7L, 1000L),        // +1000us gap <= 1000 -> same session
+      (3L, 7L, 2001L),        // +1001 > 1000 -> session 2
+      (4L, 8L, 5L))           // other key -> its own session 1
+      .toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val got = Temporal.sessionIndex(e, "user_id", "ts", "event_id", gapMicros = 1000L)
+      .select($"event_id", $"_session")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("rangeCount: half-open window [t-w, t), zero-preserving left join") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, 1000L), (2L, 7L, 5000L), (3L, 9L, 100L))
+      .toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val right = Seq(
+      (7L, 900L),   // in [0,1000) for left 1; in [4000,5000)? no
+      (7L, 1000L),  // equal to left-1 ts -> EXCLUDED (half-open)
+      (7L, 4500L),  // in window of left 2
+      (8L, 950L))   // other key
+      .toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val got = Temporal.rangeCount(left, right, "user_id", "ts", "ts",
+      windowMicros = 1000L, asCol = "n")
+      .select($"event_id", $"n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("asof join plan has no nested-loop or cartesian product") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val plan = Temporal.asofJoinBackward(left, left, "user_id", "ts", "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan)
+  }
+}
