@@ -94,6 +94,28 @@ object ChangeLog {
   }
 
   def dirKey(db: String, table: String): String = s"$db/$table"
+
+  /** Split one segment into byte-range partitions so a FAT segment does not
+    * serialize its whole parse into one task — the same line-boundary
+    * convention as Hadoop's LineRecordReader: a split owns every line whose
+    * first byte is at `start <= pos <= start+length` exclusive of the first
+    * (possibly partial) line when `start > 0`, which the previous split
+    * reads by running one line past its end.
+    */
+  def splitFile(db: String, table: String, f: FileStatus,
+                maxBytes: Long): Seq[ChangeLogPartition] = {
+    val len = f.getLen
+    val path = f.getPath.toString
+    if (len <= maxBytes) Seq(ChangeLogPartition(db, table, path, 0L, len))
+    else {
+      val nSplits = ((len + maxBytes - 1) / maxBytes).toInt
+      val per = (len + nSplits - 1) / nSplits // even sizes, not one runt split
+      (0 until nSplits).map { i =>
+        val start = i * per
+        ChangeLogPartition(db, table, path, start, math.min(per, len - start))
+      }
+    }
+  }
 }
 
 class ChangeLogTable(options: CaseInsensitiveStringMap)
@@ -183,10 +205,14 @@ class ChangeLogScan(options: CaseInsensitiveStringMap,
     s"graft-changelog $root $db $tb"
   }
 
+  private[sources] def maxPartitionBytes: Long =
+    Option(options.get("maxPartitionBytes")).map(_.toLong)
+      .getOrElse(32L * 1024 * 1024)
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      currentDirs.flatMap(d => d.files.map(f =>
-        ChangeLogPartition(d.db, d.table, f.getPath.toString))).toArray
+      currentDirs.flatMap(d => d.files.flatMap(f =>
+        ChangeLog.splitFile(d.db, d.table, f, maxPartitionBytes))).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new ChangeLogReaderFactory(requiredSchema,
         new org.apache.spark.util.SerializableConfiguration(hadoopConf))
@@ -278,8 +304,8 @@ class ChangeLogMicroBatchStream(scan: ChangeLogScan,
     to.fileCounts.iterator.flatMap { case (key, endCount) =>
       val startCount = from.fileCounts.getOrElse(key, 0)
       dirs.get(key).toSeq.flatMap { d =>
-        d.files.slice(startCount, endCount).map(f =>
-          ChangeLogPartition(d.db, d.table, f.getPath.toString))
+        d.files.slice(startCount, endCount).flatMap(f =>
+          ChangeLog.splitFile(d.db, d.table, f, scan.maxPartitionBytes))
       }
     }.toArray
   }
@@ -292,10 +318,13 @@ class ChangeLogMicroBatchStream(scan: ChangeLogScan,
   override def stop(): Unit = ()
 }
 
-/** One segment file = one partition: segment sizes bound task size, and a
-  * table's segments spread across executors.
+/** One byte range of one segment = one partition (`[start, start+length)`
+  * with LineRecordReader boundary semantics): small segments stay one task,
+  * fat segments fan out across executors instead of serializing their
+  * whole parse into one core.
   */
-case class ChangeLogPartition(db: String, table: String, file: String)
+case class ChangeLogPartition(db: String, table: String, file: String,
+                              start: Long, length: Long)
     extends InputPartition
 
 class ChangeLogReaderFactory(
@@ -320,8 +349,19 @@ class ChangeLogReader(partition: ChangeLogPartition,
 
   private val path = new Path(partition.file)
   private val in = path.getFileSystem(conf).open(path)
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  private val end = partition.start + partition.length
+  // LineRecordReader convention: a non-first split discards its first
+  // (possibly partial) line — the previous split read it by running one
+  // line past its end — and every split keeps reading while the line
+  // STARTS at pos <= end.
+  private var pos: Long = {
+    if (partition.start > 0) in.seek(partition.start)
+    partition.start
+  }
+  private val lineReader = new org.apache.hadoop.util.LineReader(in)
+  private val text = new org.apache.hadoop.io.Text()
+  if (partition.start > 0) pos += lineReader.readLine(text)
+
   private val jsonFactory = new JsonFactory()
 
   private val subject = UTF8String.fromString(
@@ -334,8 +374,14 @@ class ChangeLogReader(partition: ChangeLogPartition,
   private var line: String = _
 
   override def next(): Boolean = {
-    line = reader.readLine()
-    while (line != null && line.trim.isEmpty) line = reader.readLine()
+    line = null
+    while (line == null && pos <= end) {
+      val n = lineReader.readLine(text)
+      if (n == 0) return false // EOF
+      pos += n
+      val s = text.toString
+      if (!s.trim.isEmpty) line = s
+    }
     line != null
   }
 
@@ -370,5 +416,5 @@ class ChangeLogReader(partition: ChangeLogPartition,
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = lineReader.close()
 }

@@ -132,6 +132,24 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     assert(seen.last._2.contains("EMP1000"))
   }
 
+  test("fat segments split into byte-range partitions with no loss or duplication") {
+    val root = tmp("ledger")
+    val lines = (1 to 5000).map(i =>
+      Fixtures.env("employees", "c", "null", Fixtures.emp(id = i, num = s"EMP$i"),
+        Fixtures.T0 + i))
+    Ledger.writeSegment(root, "hrdb", "employees", "000001.jsonl", lines)
+    val whole = spark.read.format("graft-changelog").option("path", root).load()
+    val split = spark.read.format("graft-changelog").option("path", root)
+      .option("maxPartitionBytes", "10000") // ~400-byte lines -> many splits
+      .load()
+    assert(split.rdd.getNumPartitions > 10,
+      s"expected many splits, got ${split.rdd.getNumPartitions}")
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(split.count() == 5000)
+    // exact multiset equality of the wire rows
+    assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
+  }
+
   test("offset JSON round-trips hostile directory names (quotes, backslashes)") {
     val tm = scala.collection.immutable.TreeMap(
       """hrdb/emp"loyees""" -> 3,
