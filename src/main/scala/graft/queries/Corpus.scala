@@ -145,6 +145,27 @@ object Corpus {
         queryId = 0L, k = 10, nprobe = 3)
     }),
 
+    // Multimodal binary plumbing over a REAL binary column (documents
+    // encoded to bytes, a third of them wrapped in genuine JPEG/RIFF
+    // container magic): native magic-byte sniffing + byte length + content
+    // digest, all codegen column expressions — the catalog/sniff stage a
+    // 100 TB asset pipeline runs before any decoder (operators.Multimodal).
+    "mm_doc_binary" -> ((s, dir) => {
+      import s.implicits._
+      val jpeg = lit(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte))
+      val riff = lit("RIFF".getBytes("US-ASCII"))
+      val bin = when($"doc_id" % 3 === 0, concat(jpeg, encode($"text", "UTF-8")))
+        .when($"doc_id" % 3 === 1, concat(riff, encode($"text", "UTF-8")))
+        .otherwise(encode($"text", "UTF-8"))
+      Tables(s, dir, "documents")
+        .select($"doc_id", bin.as("bin"), md5($"text").as("digest"))
+        .select($"doc_id",
+          graft.operators.Multimodal.sniffFormat($"bin").as("format"),
+          length($"bin").cast("bigint").as("n_bytes"),
+          $"digest")
+        .orderBy($"doc_id")
+    }),
+
     // Exact top-10 most-similar embedding pairs (all-pairs similarity
     // surface). Brute force at oracle scale; the banded-LSH candidate
     // variant (AnnIndex) is the 100 TB path, verified by recall tests.
@@ -332,6 +353,23 @@ object Corpus {
         |FROM e JOIN probes USING (label) CROSS JOIN q
         |WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "mm_doc_binary" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(text) AS digest,
+        |    CASE WHEN doc_id % 3 = 0 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+        |         WHEN doc_id % 3 = 1 THEN 'RIFF'::BLOB || encode(text)
+        |         ELSE encode(text) END AS bin
+        |  FROM documents
+        |), h AS (SELECT doc_id, digest, bin, left(hex(bin), 16) AS hd FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN starts_with(hd, 'FFD8FF') THEN 'jpeg'
+        |       WHEN starts_with(hd, '89504E47') THEN 'png'
+        |       WHEN starts_with(hd, '52494646') THEN 'wav'
+        |       WHEN substring(hd, 9, 8) = '66747970' THEN 'mp4'
+        |       ELSE 'unknown' END AS format,
+        |  octet_length(bin) AS n_bytes, digest
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "emb_top_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

@@ -51,6 +51,24 @@ object Events {
         .orderBy($"user_id", $"session_id")
     }),
 
+    // Hot-key aggregation through the two-phase salted form (operators.Skew):
+    // only 5 distinct event_type keys, so a plain groupBy would funnel each
+    // key's whole volume through one reducer at scale. Exactly equal to the
+    // direct aggregation — the oracle is the plain GROUP BY.
+    "evt_skew_agg" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      graft.operators.Skew.twoPhaseAgg(e,
+        keys = Seq("event_type"),
+        aggs = scala.collection.immutable.ListMap(
+          "n_events" -> (col("event_id"), "count"),
+          "total_value" -> (col("value").cast("decimal(18,2)"), "sum"),
+          "max_value" -> (col("value"), "max")))
+        .select($"event_type", $"n_events",
+          $"total_value".cast("double").as("total_value"), $"max_value")
+        .orderBy($"event_type")
+    }),
+
     // Range join: clicks of the same user within the 10 minutes before
     // each purchase. Key equality keeps it a hash join; the range is a
     // post-join predicate.
@@ -94,6 +112,12 @@ object Events {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "evt_skew_agg" ->
+      """SELECT event_type, count(event_id) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "evt_range_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
