@@ -83,4 +83,71 @@ object Sinks {
     dropped.foreach(d => fs.delete(d.getPath, true))
     dropped.map(_.getPath.getName).toSeq
   }
+
+  /** Small-file compaction for a micro-batch sink (layout
+    * `<partitionCol>=V/_batch_id=N/part-*.parquet`, as written by
+    * `streaming.Pipeline.writeBatchIdempotent`): every streaming trigger
+    * lands its own `_batch_id` partition, so a long-lived pipeline
+    * accumulates thousands of small files per month — the classic
+    * MergeTree-merge / table-format OPTIMIZE job, re-expressed.
+    *
+    * Merges all batches `0 <= id <= upToBatchId` into one consolidated
+    * batch partition `_batch_id = -(upToBatchId+1)` (negative = compacted
+    * marker; keeps the partition column numeric and the horizon readable),
+    * re-sorted by `sortCols` for MergeTree-style physical order.
+    *
+    * Crash-safe without a transaction log, the same
+    * at-least-once-then-idempotent discipline as the pipeline itself:
+    *  1. write the consolidated partition (a dynamic-overwrite job — commits
+    *     atomically at job end, so its existence implies completeness);
+    *  2. only then delete the source batch directories.
+    * A crash between 1 and 2 leaves duplicates visible; RE-RUNNING the same
+    * compaction detects the committed marker, skips the rewrite, and
+    * finishes the deletes — converging to the exact pre-compaction rows.
+    * Only compact batches strictly below the streaming checkpoint's
+    * committed horizon: a batch the running query may still replay must
+    * keep its own partition.
+    *
+    * Returns (filesBefore, filesAfter) under the affected batch dirs.
+    */
+  def compactBatches(spark: org.apache.spark.sql.SparkSession, path: String,
+                     partitionCol: String, sortCols: Seq[String],
+                     upToBatchId: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return (0, 0)
+    val compactedId = -(upToBatchId + 1)
+
+    def batchDirs(pred: Long => Boolean): Seq[Path] =
+      fs.listStatus(root).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partitionCol="))
+        .flatMap(d => fs.listStatus(d.getPath).toSeq)
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("_batch_id=") &&
+            scala.util.Try(p.getName.stripPrefix("_batch_id=").toLong)
+              .toOption.exists(pred)
+        }
+
+    def countFiles(dirs: Seq[Path]): Int =
+      dirs.map(d => fs.listStatus(d).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_"))).sum
+
+    val sources = batchDirs(id => id >= 0 && id <= upToBatchId)
+    if (sources.isEmpty) return (0, 0)
+    val filesBefore = countFiles(sources)
+
+    val alreadyCompacted = batchDirs(_ == compactedId).nonEmpty
+    if (!alreadyCompacted) {
+      val data = spark.read.parquet(path)
+        .filter(col("_batch_id").between(0, upToBatchId)) // partition-pruned
+        .drop("_batch_id")
+      graft.streaming.Pipeline.writeBatchIdempotent(
+        data, path, compactedId, Seq(partitionCol), sortCols)
+    }
+    sources.foreach(p => fs.delete(p, true))
+    (filesBefore, countFiles(batchDirs(_ == compactedId)))
+  }
 }

@@ -238,4 +238,44 @@ class SinksSpec extends AnyFunSuite {
     assert(dropped == Seq("event_month=202406"))
     assert(!new java.io.File(out, "event_month=202406").exists())
   }
+
+  test("compaction merges batch partitions exactly; rerun is a no-op; crash converges") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    val events = Rules.applyAll(Fixtures.crudScenario(spark))
+      .withColumn("event_month", date_format(col("timestamp"), "yyyyMM"))
+    // three micro-batches land three _batch_id partitions
+    (0L to 2L).foreach { b =>
+      graft.streaming.Pipeline.writeBatchIdempotent(events, out, b,
+        Seq("event_month"), Seq("eventType", "timestamp", "aggregateId"))
+    }
+    val before = graft.streaming.Pipeline.readEventStore(spark, out)
+    val beforeRows = before.count()
+    assert(beforeRows == events.count() * 3)
+
+    // compact batches 0..1, leave batch 2 (still inside the replay horizon)
+    val (nBefore, nAfter) = Sinks.compactBatches(spark, out, "event_month",
+      Seq("eventType", "timestamp", "aggregateId"), upToBatchId = 1L)
+    assert(nBefore > nAfter && nAfter > 0, s"files $nBefore -> $nAfter")
+    val after = graft.streaming.Pipeline.readEventStore(spark, out)
+    assert(after.count() == beforeRows, "compaction must not change row count")
+    assert(new java.io.File(out, "event_month=202406/_batch_id=-2").exists())
+    assert(!new java.io.File(out, "event_month=202406/_batch_id=0").exists())
+    assert(new java.io.File(out, "event_month=202406/_batch_id=2").exists())
+
+    // rerun: nothing left to compact
+    assert(Sinks.compactBatches(spark, out, "event_month",
+      Seq("eventType", "timestamp", "aggregateId"), 1L) == (0, 0))
+
+    // crash simulation: compacted marker committed but a source dir
+    // survived (crash between write and delete) -> rerun deletes it WITHOUT
+    // rewriting, converging to exact rows
+    graft.streaming.Pipeline.writeBatchIdempotent(events, out, 0L,
+      Seq("event_month"), Seq("eventType", "timestamp", "aggregateId"))
+    assert(graft.streaming.Pipeline.readEventStore(spark, out).count() > beforeRows)
+    Sinks.compactBatches(spark, out, "event_month",
+      Seq("eventType", "timestamp", "aggregateId"), 1L)
+    assert(!new java.io.File(out, "event_month=202406/_batch_id=0").exists())
+    assert(graft.streaming.Pipeline.readEventStore(spark, out).count() == beforeRows)
+  }
 }
