@@ -66,6 +66,22 @@ object TextDedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Keep only index rows in buckets with 2..cap occupants: singletons can
+    * never form a pair (pruning them shrinks the self-join input to just
+    * the colliding keys), and over-cap buckets are degenerate boilerplate
+    * whose quadratic fan-out would dominate a 100 TB run. Implemented as a
+    * partial-aggregated count + key join — NOT a window over the full
+    * index, which would shuffle every row just to count its bucket.
+    */
+  private[operators] def keepPairableBuckets(df: DataFrame, keys: Seq[String],
+                                             cap: Int): DataFrame = {
+    val pairable = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > 1 && col("_bsz") <= cap)
+      .select(keys.map(col): _*)
+    df.join(pairable, keys.toSeq)
+  }
+
   /** docs(idCol, textCol) → candidate pairs (id_a < id_b) from banded
     * MinHash-LSH, with the exact shingle-Jaccard attached. One shuffle on
     * the band keys; buckets larger than `maxBucketSize` are dropped (they
@@ -85,21 +101,16 @@ object TextDedup {
         explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // bucket-size cap via a window count — one pass over the sketch, no
-    // extra join recomputing the signatures
-    val inBuckets = sketch
-      .withColumn("_bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("_bsz") <= maxBucketSize && col("_bsz") > 1)
-      .drop("_bsz")
-    val a = inBuckets.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = inBuckets.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val inBuckets = keepPairableBuckets(sketch, Seq("band", "bucket"), maxBucketSize)
+    // alias self-join (NOT renamed projections on each side): both sides
+    // are the identical subplan, so ReuseExchange computes the sketch and
+    // its shuffle ONCE instead of twice
+    inBuckets.alias("a")
+      .join(inBuckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
       .groupBy("id_a", "id_b") // same pair may collide in several bands
       .agg(first(col("jaccard")).as("jaccard"))
   }
@@ -138,25 +149,34 @@ object TextDedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
     val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
-    val inv = sh
-      .select(col("doc_id"), col("sz"),
-        explode(slice(sort_array(col("sh")), lit(1), prefLen)).as("h"))
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("_df") <= maxDF)
-      .drop("_df")
-    val cand = inv.select(col("h"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
-      .join(inv.select(col("h"), col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
-      .filter(col("id_a") < col("id_b") &&
-        least(col("sz_a"), col("sz_b")) >=
-          ceil(greatest(col("sz_a"), col("sz_b")) * threshold))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val inv = keepPairableBuckets(
+      sh.select(col("doc_id"), col("sz"),
+        explode(slice(sort_array(col("sh")), lit(1), prefLen)).as("h")),
+      Seq("h"), maxDF)
+    // alias self-join: identical subplans on both sides → ReuseExchange
+    // computes the prefix index and its shuffle once
+    val cand = inv.alias("ia")
+      .join(inv.alias("ib"), col("ia.h") === col("ib.h"))
+      .filter(col("ia.doc_id") < col("ib.doc_id") &&
+        least(col("ia.sz"), col("ib.sz")) >=
+          ceil(greatest(col("ia.sz"), col("ib.sz")) * threshold))
+      .select(col("ia.doc_id").as("id_a"), col("ib.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
   }
+
+  /** Attach the exact hash-set Jaccard to candidate (id_a, id_b) pairs and
+    * filter on `threshold`. The two lookups join the SAME `sh` plan keyed
+    * by doc_id, so the exchange (or broadcast) is built once and reused.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(sh.alias("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.alias("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /** SimHash-bucketed near-dup with exact Jaccard verification: candidates
     * from the pigeonhole segment join (Hamming ≤ `maxDistance`), output
@@ -171,11 +191,10 @@ object TextDedup {
     val sh = docs
       .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    SimHash.nearDuplicates(docs, idCol, textCol, maxDistance, pieces, n)
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(
+      SimHash.nearDuplicates(docs, idCol, textCol, maxDistance, pieces, n)
+        .select("id_a", "id_b"),
+      sh, threshold)
   }
 }
 
@@ -245,11 +264,17 @@ object SimHash {
         }: _*)).as("pk"))
       .select(col("doc_id"), col("fp"),
         col("pk.piece").as("piece"), col("pk.seg").as("seg"))
-    val a = fp.select(col("piece"), col("seg"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
-    val b = fp.select(col("piece"), col("seg"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("piece", "seg"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("distance"))
+    // singleton segments can never collide — prune them before the
+    // self-join (lossless: Int.MaxValue cap = no bucket dropped)
+    val pairable = TextDedup.keepPairableBuckets(fp, Seq("piece", "seg"), Int.MaxValue)
+    // alias self-join keeps both sides the identical subplan → the segment
+    // sketch and its shuffle are computed once (ReuseExchange)
+    pairable.alias("a")
+      .join(pairable.alias("b"),
+        col("a.piece") === col("b.piece") && col("a.seg") === col("b.seg"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming(col("a.fp"), col("b.fp")).as("distance"))
       .filter(col("distance") <= maxDistance)
       .distinct()
   }
