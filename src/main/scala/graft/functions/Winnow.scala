@@ -31,10 +31,35 @@ object Winnow {
     val nGrams = s.length - (k - 1)
     if (nGrams < w) return new GenericArrayData(Array.empty[Any])
     val md = MessageDigest.getInstance("MD5")
+    // Encode the whole string ONCE and digest each gram as a byte range —
+    // the per-gram substring+getBytes pair allocates two objects and runs
+    // the encoder ~|text| times per row. Byte offsets per UTF-16 index are
+    // exact for surrogate-free text (each BMP char encodes independently);
+    // any surrogate falls back to the per-gram path, whose lone-surrogate
+    // replacement behavior byte slicing can't reproduce.
+    val all = s.getBytes(StandardCharsets.UTF_8)
+    val offs = new Array[Int](s.length + 1)
+    var hasSurrogate = false
+    var ci = 0
+    var bo = 0
+    while (ci < s.length) {
+      offs(ci) = bo
+      val c = s.charAt(ci)
+      if (Character.isSurrogate(c)) hasSurrogate = true
+      bo += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+      ci += 1
+    }
+    offs(s.length) = all.length
     val grams = new Array[String](nGrams)
     var i = 0
     while (i < nGrams) {
-      val d = md.digest(s.substring(i, i + k).getBytes(StandardCharsets.UTF_8))
+      val d =
+        if (hasSurrogate)
+          md.digest(s.substring(i, i + k).getBytes(StandardCharsets.UTF_8))
+        else {
+          md.update(all, offs(i), offs(i + k) - offs(i))
+          md.digest()
+        }
       val hex = new Array[Char](32)
       var b = 0
       while (b < 16) {
