@@ -63,6 +63,28 @@ object Temporal {
       .drop("_new")
   }
 
+  /** Session aggregation on Spark's native `session_window` — the
+    * streaming-capable sibling of `sessionIndex`, with the SAME boundary
+    * rule: touching windows merge, so an event at exactly `last + gap`
+    * stays in the session and only a strictly larger gap starts a new one
+    * (asserted in TemporalSpec against both forms).
+    *
+    * Batch: one hash aggregate. Streaming: apply `withWatermark(tsCol, d)`
+    * upstream; merged sessions emit in append mode once the watermark
+    * passes their end, and per-key state is bounded by the session extent
+    * plus the watermark delay.
+    */
+  def sessionAggregate(df: DataFrame, key: String, tsCol: String,
+                       gap: String): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap).as("session"), col(key))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+      .select(col(key),
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("n_events"), col("first_ts"), col("last_ts"))
+
   /** Range-count: for each left row, how many right rows share the key with
     * `rightTs` in `[leftTs - windowMicros, leftTs)`. The key equality keeps
     * this a hash/sort-merge join (the range is a post-join filter), never a

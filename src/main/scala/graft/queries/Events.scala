@@ -51,6 +51,18 @@ object Events {
         .orderBy($"user_id", $"session_id")
     }),
 
+    // Same sessionization through Spark's NATIVE session_window (the
+    // streaming-capable stateful form) — merge semantics proven identical
+    // to the lag/cumsum form by sharing its oracle.
+    "evt_sessions_native" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      e.groupBy(session_window($"ts", "30 minutes").as("session"), $"user_id")
+        .agg(min($"event_id").as("session_id"), count(lit(1)).as("n_events"))
+        .select($"user_id", $"session_id", $"n_events")
+        .orderBy($"user_id", $"session_id")
+    }),
+
     // Hot-key aggregation through the two-phase salted form (operators.Skew):
     // only 5 distinct event_type keys, so a plain groupBy would funnel each
     // key's whole volume through one reducer at scale. Exactly equal to the
@@ -110,6 +122,23 @@ object Events {
         |)
         |SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "evt_sessions_native" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM d
+        |)
+        |SELECT user_id, min(event_id) AS session_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_id""".stripMargin,
 

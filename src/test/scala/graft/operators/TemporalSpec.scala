@@ -67,6 +67,55 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("sessionAggregate: strict-gap merge semantics, per-key sessions") {
+    import spark.implicits._
+    val sec = 1000000L
+    val e = Seq(
+      (7L, 0L), (7L, 5 * sec), (7L, 9 * sec), // one session (gaps < 10s)
+      (7L, 19 * sec),  // exactly 10s after 9s: touching windows MERGE
+      (7L, 30 * sec),  // 11s after 19s -> new session
+      (8L, 0L))        // other key
+      .toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val got = Temporal.sessionAggregate(e, "user_id", "ts", "10 seconds")
+      .select($"user_id", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((7L, 1L), (7L, 4L), (8L, 1L)))
+  }
+
+  test("sessionAggregate streaming: closed sessions emit in append mode") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val ledger = Files.createTempDirectory("ledger").toString
+    val sec = 1000L // wire ts_ms is millis
+    graft.sources.Ledger.writeSegment(ledger, "hrdb", "employees", "000001.jsonl", Seq(
+      graft.cdc.Fixtures.env("employees", "c", "null", graft.cdc.Fixtures.emp(id = 1), graft.cdc.Fixtures.T0),
+      graft.cdc.Fixtures.env("employees", "c", "null", graft.cdc.Fixtures.emp(id = 2), graft.cdc.Fixtures.T0 + 5 * sec),
+      graft.cdc.Fixtures.env("employees", "c", "null", graft.cdc.Fixtures.emp(id = 3), graft.cdc.Fixtures.T0 + 8 * sec),
+      // far-future lone event advances the watermark past the first session
+      graft.cdc.Fixtures.env("employees", "c", "null", graft.cdc.Fixtures.emp(id = 9), graft.cdc.Fixtures.T0 + 3600 * sec)))
+    val wire = spark.readStream.format("graft-changelog").option("path", ledger).load()
+      .select($"table", timestamp_millis($"ts_ms").as("ts"))
+      .withWatermark("ts", "1 minute")
+    val sessions = Temporal.sessionAggregate(wire, "table", "ts", "30 seconds")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = sessions.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= df.select("table", "n_events").collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    // only the CLOSED first session (3 events within 30s gaps) is emitted;
+    // the far-future event's session is still open at end of input
+    assert(out.toSeq == Seq(("employees", 3L)))
+  }
+
   test("asof join plan has no nested-loop or cartesian product") {
     import spark.implicits._
     val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "us")
