@@ -18,6 +18,20 @@ object CdcAnalog {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Snapshot bootstrap (O-2): full current state emitted as op='r'
+    // envelopes with intact after-images — the Debezium initial-snapshot
+    // semantics, checked per row against the source table.
+    "cdc_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      graft.cdc.ChangeStream
+        .snapshot(Tables(s, dir, "customer"), "hrdb", "customer",
+          snapshotTsMs = 1718000000000L)
+        .select($"after.c_custkey".as("c_custkey"), $"op",
+          $"after.c_name".as("c_name"), $"source.table".as("src_table"),
+          $"ts_ms")
+        .orderBy($"c_custkey")
+    }),
+
     // Event ledger: per-op counts over the change stream (test-cdc.sh:148-151
     // upgraded to an automated assertion shape).
     "cdc_ledger" -> ((s, dir) => {
@@ -201,6 +215,11 @@ object CdcAnalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_snapshot" ->
+      """SELECT c_custkey, 'r' AS op, c_name, 'customer' AS src_table,
+        |  CAST(1718000000000 AS BIGINT) AS ts_ms
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "cdc_ledger" ->
       """SELECT CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
         |  count(*) AS n
