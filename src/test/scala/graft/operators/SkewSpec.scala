@@ -53,6 +53,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT s FROM subs WHERE subject_matches(s, concat('HCM', '.>')) ORDER BY s")
         .collect().map(_.getString(0)).toSeq
       assert(dyn == got)
+      // the whole codegen-expression suite is SQL-reachable
+      val row = s2.sql(
+        """SELECT
+          |  lang_id('the cat and the dog it was here with us') AS lang,
+          |  simhash64(shingle_hashes('one two three four five', 3)) AS fp,
+          |  size(minhash_signature(shingle_hashes('one two three four five', 3), 16)) AS sig_n,
+          |  size(winnow_fingerprint('abcdefghijklmnopqrstuvwxyz', 8, 4)) AS n_fp,
+          |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+          |  size(lsh_buckets(array(cast(1.0 as float), cast(-1.0 as float)), 4, 3, 2)) AS n_buckets
+          |""".stripMargin).collect().head
+      assert(row.getAs[String]("lang") == "en")
+      assert(row.getAs[Int]("sig_n") == 16)
+      assert(row.getAs[Int]("n_fp") > 0)
+      assert(row.getAs[Double]("dot") == 11.0)
+      assert(row.getAs[Int]("n_buckets") == 4)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
