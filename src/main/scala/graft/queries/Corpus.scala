@@ -190,6 +190,26 @@ object Corpus {
         .limit(10)
     }),
 
+    // Embedding-cosine near-duplicate pairs (threshold form of the
+    // similarity surface): every pair at sim >= 0.45. Exact at oracle
+    // scale; at 100 TB the LSH/IVF buckets above generate the candidates
+    // and this exact cosine runs only as the verify step.
+    "emb_dedup_cos" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.VecDot.vec_dot
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          sqrt(vec_dot($"embedding", $"embedding")).as("norm"))
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"), $"norm".as("na"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"), $"norm".as("nb"))
+      a.join(b, $"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          (vec_dot($"va", $"vb") / ($"na" * $"nb")).as("sim_raw"))
+        .filter($"sim_raw" >= 0.45)
+        .select($"id_a", $"id_b", round($"sim_raw", 6).as("sim"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Bucketed approximate top-k (random-hyperplane LSH, 32 tables x 6
     // bits): the scale path that searches only bucket collisions. No SQL
     // oracle — approximate by construction; correctness is the deterministic
@@ -377,6 +397,14 @@ object Corpus {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin,
+
+    "emb_dedup_cos" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "knn_cosine_topk" ->
       """WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0)
