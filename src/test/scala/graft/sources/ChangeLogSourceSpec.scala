@@ -150,6 +150,26 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
   }
 
+  test("split boundary exactly at a line start: no loss, no duplication") {
+    // 10 lines of exactly 100 bytes (99 json chars + newline); 1000-byte
+    // file with maxPartitionBytes=200 -> 5 splits whose starts (0, 200,
+    // 400, ...) all land EXACTLY on line starts — the case where the
+    // previous split must read one line past its end and the next split
+    // must discard exactly that line.
+    val root = tmp("ledger")
+    val lines = (0 until 10).map { i =>
+      val pad = "x" * (99 - s"""{"id":$i,"p":""}""".length)
+      s"""{"id":$i,"p":"$pad"}"""
+    }
+    lines.foreach(l => assert(l.getBytes("UTF-8").length == 99))
+    Ledger.writeSegment(root, "hrdb", "employees", "000001.jsonl", lines)
+    val split = spark.read.format("graft-changelog").option("path", root)
+      .option("maxPartitionBytes", "200").load()
+    assert(split.rdd.getNumPartitions == 5)
+    val vals = split.select("value").collect().map(_.getString(0)).sorted.toSeq
+    assert(vals == lines.sorted, s"got ${vals.size} rows")
+  }
+
   test("offset JSON round-trips hostile directory names (quotes, backslashes)") {
     val tm = scala.collection.immutable.TreeMap(
       """hrdb/emp"loyees""" -> 3,
