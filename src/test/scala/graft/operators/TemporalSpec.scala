@@ -116,6 +116,40 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("employees", 3L)))
   }
 
+  test("asof backward == brute-force model on random data (5 seeds)") {
+    import spark.implicits._
+    val rng0 = 987654321L
+    (1 to 5).foreach { round =>
+      // deterministic pseudo-random rows: (id, key, ts) with ts collisions
+      // made likely (small ts range) to stress the tie rule
+      def rows(n: Int, salt: Long): Seq[(Long, Long, Long)] =
+        (1 to n).map { i =>
+          var x = rng0 + round * 1013904223L + salt * 69069L + i * 2654435761L
+          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+          val key = math.floorMod(x, 4).toLong
+          val ts = math.floorMod(x >>> 8, 30).toLong * 1000L
+          (i.toLong + salt, key, ts)
+        }
+      val lRows = rows(40, 0)
+      val rRows = rows(50, 1000)
+      val left = lRows.toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+      val right = rRows.toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+      val got = Temporal.asofJoinBackward(left, right, "user_id", "ts", "ts", "event_id")
+        .select($"event_id", $"asof.event_id".as("m"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      // model: latest right with same key, ts <= left ts; ties -> max event_id
+      val want = lRows.map { case (lid, lk, lts) =>
+        val cands = rRows.filter { case (_, rk, rts) => rk == lk && rts <= lts }
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(c => (c._3, c._1))._1))
+      }.toMap
+      assert(got == want, s"round=$round diff=${
+        want.keySet.filter(k => got.get(k) != want.get(k)).take(5)}")
+    }
+  }
+
   test("asof join plan has no nested-loop or cartesian product") {
     import spark.implicits._
     val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "us")
