@@ -221,13 +221,20 @@ object Rules {
   def byEventType(t: String): TransformerRule = all.find(_.eventType == t).get
 
   /** Run every enabled rule whose table matches this envelope stream, in a
-    * SINGLE pass: one projection evaluates every rule's guarded output
-    * struct, `array_compact` drops the non-firing branches, and `explode`
-    * flattens the 0..n fired events per input row (flatMap semantics,
-    * docs/design.md:628-650). Exactly ONE scan of the envelope source
-    * regardless of rule count — a per-rule union would re-read the source
-    * once per rule (N× read amplification at 100 TB, since Spark does not
-    * dedupe scans across batch union branches).
+    * SINGLE pass: one generator evaluates every rule's guarded output
+    * struct, `explode` flattens them, and a null filter drops the
+    * non-firing branches (flatMap semantics, docs/design.md:628-650).
+    * Exactly ONE scan of the envelope source regardless of rule count — a
+    * per-rule union would re-read the source once per rule (N× read
+    * amplification at 100 TB, since Spark does not dedupe scans across
+    * batch union branches).
+    *
+    * Deliberately `explode` + `isNotNull`, NOT `array_compact`:
+    * `array_compact` is a higher-order function (`ArrayFilter`), a
+    * `CodegenFallback` — wrapping the rule array in it forces the whole
+    * subtree (md5 event ids, to_json payloads, every `when` guard) into
+    * interpreted evaluation, measured at ~0.7 ms/row vs ~0.1 ms/row for
+    * the codegen'd Generate + Filter form (`graft.StageBisectProbe`).
     */
   def applyAll(envelopes: DataFrame, table: String,
                rules: Seq[TransformerRule] = all): DataFrame = {
@@ -238,10 +245,9 @@ object Rules {
         Schemas.domainEvent)
     else
       envelopes
-        .select(array_compact(array(
-          relevant.map(r => when(r.fires, r.outputStruct)): _*)).as("_events"))
-        .filter(size(col("_events")) > 0)
-        .select(explode(col("_events")).as("_e"))
+        .select(explode(array(
+          relevant.map(r => when(r.fires, r.outputStruct)): _*)).as("_e"))
+        .filter(col("_e").isNotNull)
         .select(col("_e.*"))
   }
 

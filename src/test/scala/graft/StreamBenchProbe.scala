@@ -29,11 +29,11 @@ object StreamBenchProbe {
       }
       Ledger.writeSegment(ledger, "hrdb", "employees", f"$seg%06d.jsonl", lines)
     }
-    val (store, publish, ckpt) = (Files.createTempDirectory("store").toString,
-      Files.createTempDirectory("pub").toString, Files.createTempDirectory("ckpt").toString)
+    val (root, ckpt) = (Files.createTempDirectory("sink").toString,
+      Files.createTempDirectory("ckpt").toString)
     // cold run: first 20 segments (JVM + codegen warmup included)
     val t0 = System.nanoTime()
-    val q = graft.streaming.Pipeline.run(spark, ledger, store, publish, ckpt,
+    val q = graft.streaming.Pipeline.run(spark, ledger, root, ckpt,
       maxFilesPerTrigger = sys.env.get("MFT").map(_.toInt))
     q.awaitTermination(600000)
     val coldSec = (System.nanoTime() - t0) / 1e9
@@ -46,21 +46,14 @@ object StreamBenchProbe {
       Ledger.writeSegment(ledger, "hrdb", "employees", f"$seg%06d.jsonl", lines)
     }
     val t1 = System.nanoTime()
-    val q2 = graft.streaming.Pipeline.run(spark, ledger, store, publish, ckpt,
+    val q2 = graft.streaming.Pipeline.run(spark, ledger, root, ckpt,
       maxFilesPerTrigger = sys.env.get("MFT").map(_.toInt))
     q2.awaitTermination(600000)
     val warmSec = (System.nanoTime() - t1) / 1e9
-    // third pass: fully steady state (JIT + codegen + query machinery warm)
-    for (seg <- 2 * nSegs + 1 to 3 * nSegs) {
-      val lines = (1 to perSeg).map { _ =>
-        id += 1
-        Fixtures.env("employees", "c", "null", Fixtures.emp(id = id, num = s"EMP$id"), Fixtures.T0 + id * 100L)
-      }
-      Ledger.writeSegment(ledger, "hrdb", "employees", f"$seg%06d.jsonl", lines)
-    }
-    // third pass: ONE long-lived query drains 20 segments in admission-
-    // controlled batches; per-batch progress gives the sustained rate a
-    // production query sees (no per-query startup in the denominator).
+    // third pass: ONE long-lived query drains 20 MORE segments in admission-
+    // controlled batches; per-batch progress gives the sustained rate AND the
+    // batch-latency distribution a production query sees (no per-query
+    // startup in the denominator).
     val progress = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -69,7 +62,9 @@ object StreamBenchProbe {
       override def onQueryProgress(e: QueryProgressEvent): Unit =
         if (e.progress.numInputRows > 0)
           progress += ((e.progress.numInputRows,
-            e.progress.durationMs.values().asScala.map(_.toLong).sum))
+            Option(e.progress.durationMs.get("triggerExecution"))
+              .map(_.toLong)
+              .getOrElse(e.progress.durationMs.values().asScala.map(_.toLong).sum)))
     }
     spark.streams.addListener(listener)
     for (seg <- 2 * nSegs + 1 to 3 * nSegs) {
@@ -80,17 +75,21 @@ object StreamBenchProbe {
       Ledger.writeSegment(ledger, "hrdb", "employees", f"$seg%06d.jsonl", lines)
     }
     val t2 = System.nanoTime()
-    val q3 = graft.streaming.Pipeline.run(spark, ledger, store, publish, ckpt,
+    val q3 = graft.streaming.Pipeline.run(spark, ledger, root, ckpt,
       maxFilesPerTrigger = Some(sys.env.get("MFT").map(_.toInt).getOrElse(4)))
     q3.awaitTermination(600000)
     val steadySec = (System.nanoTime() - t2) / 1e9
     spark.streams.removeListener(listener)
     val events = nSegs * perSeg
-    val stored = spark.read.parquet(store).count()
-    val perBatch = progress.toSeq.drop(1) // first batch pays residual warmup
-      .map { case (rows, ms) => rows.toDouble / (ms / 1000.0) }
+    val stored = spark.read.parquet(
+      graft.streaming.Pipeline.storeDir(root)).count()
+    val measured = progress.toSeq.drop(1) // first batch pays residual warmup
+    val perBatch = measured.map { case (rows, ms) => rows.toDouble / (ms / 1000.0) }
     val sustained = if (perBatch.nonEmpty) perBatch.sorted.apply(perBatch.size / 2) else 0.0
-    println(f"STREAMBENCH cold=$coldSec%.1fs (${events / coldSec}%.0f ev/s) warm=$warmSec%.1fs (${events / warmSec}%.0f ev/s) steady=$steadySec%.1fs (${events / steadySec}%.0f ev/s) sustainedPerBatch=$sustained%.0f ev/s batches=${progress.size} stored=$stored")
+    val lat = measured.map(_._2).sorted
+    val p95 = if (lat.nonEmpty) lat(math.min(lat.size - 1, (lat.size * 95) / 100)) else 0L
+    val batchRows = if (measured.nonEmpty) measured.map(_._1).sum / measured.size else 0L
+    println(f"STREAMBENCH cold=$coldSec%.1fs (${events / coldSec}%.0f ev/s) warm=$warmSec%.1fs (${events / warmSec}%.0f ev/s) steady=$steadySec%.1fs (${events / steadySec}%.0f ev/s) sustainedPerBatch=$sustained%.0f ev/s p95BatchMs=$p95 avgBatchRows=$batchRows batches=${progress.size} stored=$stored")
     spark.stop()
   }
 }

@@ -16,46 +16,47 @@ class PipelineSpec extends AnyFunSuite {
   private def tmp(p: String): String = Files.createTempDirectory(p).toString
 
   test("full pipeline: ledger -> rules -> store-then-publish, batch-idempotent") {
-    val (ledger, store, publish, ckpt) =
-      (tmp("ledger"), tmp("store"), tmp("publish"), tmp("ckpt"))
+    val (ledger, root, ckpt) = (tmp("sink"), tmp("store"), tmp("ckpt"))
     Ledger.writeCrudScenario(ledger)
-    val q = Pipeline.run(spark, ledger, store, publish, ckpt)
+    val q = Pipeline.run(spark, ledger, root, ckpt)
     q.awaitTermination(120000)
-    val stored = Pipeline.readEventStore(spark, store)
+    val stored = Pipeline.readEventStore(spark, Pipeline.storeDir(root))
     // crud scenario fires: EmployeeHired, EmployeeDataUpdated (salary-only
     // update), SalaryAdjusted, LeaveRequested = 4 domain events
     assert(stored.count() == 4)
     assert(stored.select("eventType").distinct().count() == 4)
-    val published = spark.read.parquet(publish)
+    val published = Pipeline.readPublished(spark, root)
     assert(published.select("eventId").distinct().count() == 4)
     // store is month-partitioned under the hood
-    assert(new java.io.File(store, "event_month=202406").exists())
+    assert(new java.io.File(root, "_sink=store/_pkey=202406").exists())
+    // publish fans out per subject
+    assert(Option(new java.io.File(root, "_sink=publish").listFiles())
+      .getOrElse(Array.empty).exists(_.getName.startsWith("_pkey=")))
   }
 
   test("crash between store and publish: restart yields no loss and no dups") {
-    val (ledger, store, publish, ckpt) =
-      (tmp("ledger"), tmp("store"), tmp("publish"), tmp("ckpt"))
+    val (ledger, root, ckpt) = (tmp("ledger"), tmp("sink"), tmp("ckpt"))
     Ledger.writeCrudScenario(ledger)
     val boom = new AtomicInteger(0)
-    // first attempt at any batch: store committed, then crash before publish
-    val q1 = Pipeline.run(spark, ledger, store, publish, ckpt,
+    // first attempt at any batch: data committed, then crash before the
+    // publish marker
+    val q1 = Pipeline.run(spark, ledger, root, ckpt,
       failpoint = _ => if (boom.getAndIncrement() == 0)
-        throw new RuntimeException("simulated crash between store and publish"))
+        throw new RuntimeException("simulated crash between commit and marker"))
     intercept[Exception] { q1.awaitTermination(120000) }
-    // store has the batch, publish does not — the ordering invariant
-    assert(spark.read.parquet(store).count() > 0)
-    val publishFiles = Option(new java.io.File(publish).listFiles()).getOrElse(Array.empty)
-    assert(publishFiles.forall(!_.getName.startsWith("subject=")),
-      "nothing may be published before the crash point")
+    // store has the batch; nothing is publish-VISIBLE — the ordering invariant
+    assert(spark.read.parquet(Pipeline.storeDir(root)).count() > 0)
+    assert(Pipeline.readPublished(spark, root).count() == 0,
+      "nothing may be publish-visible before the marker commits")
 
     // restart on the same checkpoint: the batch replays, overwrites its own
-    // store partitions (no dup) and publishes
-    val q2 = Pipeline.run(spark, ledger, store, publish, ckpt)
+    // _batch_id partitions (no dup) and arms the marker
+    val q2 = Pipeline.run(spark, ledger, root, ckpt)
     q2.awaitTermination(120000)
-    val stored = Pipeline.readEventStore(spark, store)
+    val stored = Pipeline.readEventStore(spark, Pipeline.storeDir(root))
     assert(stored.count() == 4, "replay must not duplicate store rows")
     assert(stored.select("eventId").distinct().count() == 4)
-    val published = spark.read.parquet(publish)
+    val published = Pipeline.readPublished(spark, root)
     assert(published.count() == 4, "publish completes on replay")
     assert(published.select("eventId").distinct().count() == 4)
   }
