@@ -167,53 +167,41 @@ object Corpus {
     }),
 
     // Exact top-10 most-similar embedding pairs (all-pairs similarity
-    // surface). Brute force at oracle scale; the banded-LSH candidate
-    // variant (AnnIndex) is the 100 TB path, verified by recall tests.
+    // surface), via the block-tiled equality self-join: even shuffle
+    // distribution, no BroadcastNestedLoopJoin, bit-identical doubles to
+    // the brute-force form (see operators.SimilarityJoin for why LSH
+    // candidates are NOT sound at these similarity levels).
     "emb_top_pairs" -> ((s, dir) => {
       import s.implicits._
-      // Norms are precomputed per SIDE (n of them), not per pair (n²/2 of
-      // them): the per-pair work drops from three 64-dim folds to one.
-      // sqrt(dot(v,v)) is the same expression either way, so the doubles —
-      // and the round-6 oracle hash — are bit-identical.
-      import graft.functions.VecDot.vec_dot
-      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-        vec_dot(x, y)
-      val e = Tables(s, dir, "embeddings")
-        .select($"vec_id", $"embedding",
-          sqrt(dot($"embedding", $"embedding")).as("norm"))
-      val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"), $"norm".as("na"))
-      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"), $"norm".as("nb"))
-      a.join(b, $"id_a" < $"id_b")
-        .select($"id_a", $"id_b",
-          round(dot($"va", $"vb") / ($"na" * $"nb"), 6).as("sim"))
+      graft.operators.SimilarityJoin
+        .allPairsCosine(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
         .orderBy($"sim".desc, $"id_a", $"id_b")
         .limit(10)
     }),
 
     // Embedding-cosine near-duplicate pairs (threshold form of the
-    // similarity surface): every pair at sim >= 0.45. Exact at oracle
-    // scale; at 100 TB the LSH/IVF buckets above generate the candidates
-    // and this exact cosine runs only as the verify step.
+    // similarity surface): every pair at sim >= 0.45, exact, same tiled
+    // plan. At near-duplicate thresholds (sim >= 0.8) the LSH/IVF buckets
+    // (AnnIndex) generate candidates instead and the exact cosine runs
+    // only as the verify step — at 0.45 that candidate set would be ~all
+    // pairs (SimilarityJoin scaladoc has the math).
     "emb_dedup_cos" -> ((s, dir) => {
       import s.implicits._
-      import graft.functions.VecDot.vec_dot
-      val e = Tables(s, dir, "embeddings")
-        .select($"vec_id", $"embedding",
-          sqrt(vec_dot($"embedding", $"embedding")).as("norm"))
-      val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"), $"norm".as("na"))
-      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"), $"norm".as("nb"))
-      a.join(b, $"id_a" < $"id_b")
-        .select($"id_a", $"id_b",
-          (vec_dot($"va", $"vb") / ($"na" * $"nb")).as("sim_raw"))
-        .filter($"sim_raw" >= 0.45)
-        .select($"id_a", $"id_b", round($"sim_raw", 6).as("sim"))
+      graft.operators.SimilarityJoin
+        .allPairsCosine(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .filter($"sim" >= 0.45)
+        .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
         .orderBy($"id_a", $"id_b")
     }),
 
     // Bucketed approximate top-k (random-hyperplane LSH, 32 tables x 6
-    // bits): the scale path that searches only bucket collisions. No SQL
-    // oracle — approximate by construction; correctness is the deterministic
-    // recall floor + candidate-reduction assertions in AnnIndexSpec.
+    // bits): the scale path that searches only bucket collisions.
+    // Approximate by construction but fully DETERMINISTIC (splitmix64
+    // hyperplanes from a literal seed), so the oracle replicates the whole
+    // index — hyperplane generation, bucket ids, candidate set, rerank —
+    // in SQL; AnnIndexSpec adds the recall floor + candidate-reduction
+    // assertions.
     "knn_lsh_topk" -> ((s, dir) => {
       graft.operators.AnnIndex.lshTopK(
         Tables(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L,
@@ -412,6 +400,49 @@ object Corpus {
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])), 6) AS sim
         |FROM embeddings e CROSS JOIN q
         |WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // Full replication of the LSH index in SQL: the splitmix64 stream is a
+    // PURE function of the call index (x_m = seed + m*GAMMA mod 2^64), so
+    // the 32×6×64 Rademacher hyperplanes generate from `range()` with no
+    // recursion. 64-bit wrapping multiplies are built from 32-bit halves
+    // (HUGEINT is INT128 — a full 64×64 product overflows it):
+    // a*b ≡ (a_lo*b_lo + ((a_lo*b_hi + a_hi*b_lo) mod 2^32) << 32) mod 2^64.
+    // Constant halves: 0xbf58476d1ce4e5b9 = (3210233709, 484763065),
+    // 0x94d049bb133111eb = (2496678331, 321982955),
+    // GAMMA 0x9e3779b97f4a7c15 = (2654435769, 2135587861). Bucket ids,
+    // candidate generation (any shared (table, bucket) with the query) and
+    // the exact cosine rerank then mirror AnnIndex.lshTopK exactly.
+    "knn_lsh_topk" ->
+      """WITH m AS (
+        |  SELECT ((i-1) // 384)::INT AS t, (((i-1) // 64) % 6)::INT AS b, ((i-1) % 64)::INT AS d,
+        |    ((42::HUGEINT + (i::HUGEINT * 2135587861 +
+        |      (((i::HUGEINT * 2654435769) % 4294967296) << 32))) % 18446744073709551616)::UBIGINT AS x
+        |  FROM range(1, 12289) r(i)
+        |), z1 AS (
+        |  SELECT t, b, d, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM m
+        |), z2 AS (
+        |  SELECT t, b, d, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1
+        |), sgn AS (
+        |  SELECT t, b, d, CASE WHEN xor(z, z >> 31) % 2 = 0 THEN -1.0 ELSE 1.0 END AS s FROM z2
+        |), planes AS (
+        |  SELECT t, b, list(s ORDER BY d) AS signs FROM sgn GROUP BY t, b
+        |), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |buck AS (
+        |  SELECT e.vec_id, p.t,
+        |    sum(CASE WHEN list_dot_product(p.signs, e.v) > 0 THEN (1 << p.b) ELSE 0 END)::INT AS bucket
+        |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.t
+        |), qb AS (SELECT t, bucket FROM buck WHERE vec_id = 0),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT b2.vec_id FROM buck b2 JOIN qb USING (t, bucket) WHERE b2.vec_id <> 0)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |FROM e JOIN cand USING (vec_id) CROSS JOIN q
         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
   )
 }
