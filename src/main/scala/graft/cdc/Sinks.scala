@@ -101,9 +101,15 @@ object Sinks {
     *  1. write the consolidated partition (a dynamic-overwrite job — commits
     *     atomically at job end, so its existence implies completeness);
     *  2. only then delete the source batch directories.
-    * A crash between 1 and 2 leaves duplicates visible; RE-RUNNING the same
-    * compaction detects the committed marker, skips the rewrite, and
-    * finishes the deletes — converging to the exact pre-compaction rows.
+    * A crash between 1 and 2 leaves duplicates visible; RE-RUNNING
+    * compaction — with the SAME `upToBatchId` or any later one — converges:
+    * the committed horizon is re-derived from the existing negative
+    * partitions (`max(-id - 1)`), batches at or below it are EXCLUDED from
+    * the consolidation read (their rows are already committed in an earlier
+    * negative partition) while their leftover source dirs still get
+    * deleted. Without that exclusion, an advancing-horizon re-run after a
+    * crash would re-read leftovers into the new consolidated partition and
+    * duplicate rows permanently.
     * Only compact batches strictly below the streaming checkpoint's
     * committed horizon: a batch the running query may still replay must
     * keep its own partition.
@@ -139,10 +145,17 @@ object Sinks {
     if (sources.isEmpty) return (0, 0)
     val filesBefore = countFiles(sources)
 
+    // committed compaction horizon: every batch <= horizon already lives in
+    // some negative partition, whatever upToBatchId that run used
+    val committedHorizon = batchDirs(_ < 0)
+      .flatMap(p => scala.util.Try(
+        -p.getName.stripPrefix("_batch_id=").toLong - 1).toOption)
+      .foldLeft(-1L)(math.max)
     val alreadyCompacted = batchDirs(_ == compactedId).nonEmpty
-    if (!alreadyCompacted) {
+    if (!alreadyCompacted && committedHorizon < upToBatchId) {
       val data = spark.read.parquet(path)
-        .filter(col("_batch_id").between(0, upToBatchId)) // partition-pruned
+        .filter(col("_batch_id")
+          .between(committedHorizon + 1, upToBatchId)) // partition-pruned
         .drop("_batch_id")
       graft.streaming.Pipeline.writeBatchIdempotent(
         data, path, compactedId, Seq(partitionCol), sortCols)

@@ -84,6 +84,11 @@ object LshBuckets {
 case class LshBucketsExpr(child: Expression, tables: Int, bits: Int, dim: Int,
                           seed: Long) extends UnaryExpression {
 
+  require(tables >= 1, s"lsh_buckets: tables must be >= 1, got $tables")
+  require(bits >= 1 && bits <= 31, // bucket ids pack the bits into one INT
+    s"lsh_buckets: bits must be in [1, 31], got $bits")
+  require(dim >= 1, s"lsh_buckets: dim must be >= 1, got $dim")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   private def isFloat: Boolean =

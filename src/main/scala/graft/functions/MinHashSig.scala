@@ -48,6 +48,9 @@ object MinHashSig {
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
+  require(numHashes >= 1,
+    s"minhash_signature: numHashes must be >= 1, got $numHashes")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =

@@ -60,6 +60,10 @@ object ShingleHash {
 
 case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
 
+  // construction-time = analysis-time for SQL callers: shingle_hashes(t, 0)
+  // must fail the query, not throw ArrayIndexOutOfBounds per row at runtime
+  require(n >= 1, s"shingle_hashes: n must be >= 1, got $n")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =

@@ -94,6 +94,9 @@ object Winnow {
 case class WinnowingFingerprintExpr(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
+  require(k >= 1, s"winnow_fingerprint: k must be >= 1, got $k")
+  require(w >= 1, s"winnow_fingerprint: w must be >= 1, got $w")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =

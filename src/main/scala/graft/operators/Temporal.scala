@@ -6,9 +6,17 @@ import org.apache.spark.sql.functions._
 
 /** Temporal join/window operators Spark lacks as built-ins (builder brief:
   * as-of join, range join, sessionization) — all formulated as ONE shuffle
-  * on the key column, never a per-key collect or an unbounded range rescan,
-  * so they hold at 100 TB with the key as the (salted if skewed) partition
-  * axis.
+  * on the key column, never a per-key collect or an unbounded range rescan.
+  *
+  * Skew: the plain forms partition by key, so one viral key funnels
+  * through one window task. The `*Salted` variants below split every key
+  * into fixed time buckets — (key, bucket) is the partition unit — run the
+  * sequential pass locally per bucket, and stitch bucket boundaries with a
+  * per-(key, bucket) anchor carried over a per-key window whose row count
+  * is the BUCKET count, not the event count. Results are exactly equal to
+  * the plain forms (asserted row-for-row in TemporalSpec, including a
+  * 90%-hot-key corpus); the hot key's work spreads across
+  * events/bucketMicros tasks.
   */
 object Temporal {
 
@@ -47,6 +55,56 @@ object Temporal {
       .select(col("_l.*") +: Seq(col("_asof").as(asCol)): _*)
   }
 
+  /** Skew-resistant backward as-of join: identical semantics (and output)
+    * to `asofJoinBackward`, but partitioned by (key, time bucket) so a hot
+    * key spreads across tasks. Phase 1 runs the running-last window within
+    * each bucket; phase 2 computes each bucket's LAST right row (the
+    * anchor, `max_by` over (ts, tie) — the same winner the running window
+    * would pick) and carries the latest preceding anchor across buckets
+    * with a window over BUCKET rows (events/bucketMicros rows per key);
+    * left rows with no in-bucket match coalesce to the carry-in. The
+    * carry join hits the (key, bucket) partitioning the phase-1 window
+    * already established, so the big side does not re-shuffle.
+    *
+    * `bucketMicros` trades balance against overhead: each hot key fans out
+    * over its time-span/bucketMicros tasks; keys quiet within a bucket pay
+    * one extra small shuffle of per-bucket anchors.
+    */
+  def asofJoinBackwardSalted(left: DataFrame, right: DataFrame, key: String,
+                             leftTs: String, rightTs: String, rightTie: String,
+                             bucketMicros: Long,
+                             asCol: String = "asof"): DataFrame = {
+    require(bucketMicros >= 1, s"bucketMicros must be >= 1, got $bucketMicros")
+    val l = left.select(col(key).as("_k"), col(leftTs).as("_ts"),
+      struct(left.columns.map(col): _*).as("_l"))
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", lit(null).cast(right.schema(rightTie).dataType))
+    val r = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
+      col(rightTie).as("_tie"),
+      struct(right.columns.map(col): _*).as("_r"))
+      .withColumn("_side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_b", floor(unix_micros(col("_ts")) / bucketMicros))
+    val wLocal = Window.partitionBy("_k", "_b")
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("_local", last(col("_r"), ignoreNulls = true).over(wLocal))
+    // per-(key, bucket) anchor = the bucket's last right row; carried
+    // forward over the (tiny) per-key bucket sequence. Buckets with no
+    // right row still need a carry, so anchors attach to ALL buckets seen.
+    val anchors = u.groupBy(col("_k"), col("_b"))
+      .agg(max_by(col("_r"), when(col("_side") === 0,
+        struct(col("_ts"), col("_tie")))).as("_anchor"))
+    val wPrev = Window.partitionBy("_k").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = anchors
+      .withColumn("_carry", last(col("_anchor"), ignoreNulls = true).over(wPrev))
+      .select(col("_k"), col("_b"), col("_carry"))
+    local.filter(col("_side") === 1)
+      .join(carries, Seq("_k", "_b"))
+      .select(col("_l.*") +: Seq(coalesce(col("_local"), col("_carry")).as(asCol)): _*)
+  }
+
   /** Per-key sessionization: adds `_session` (1-based running session index
     * within the key) — a new session starts when the gap to the previous
     * event exceeds `gapMicros`. Order within a key is (ts, tie), so ties
@@ -61,6 +119,45 @@ object Temporal {
     df.withColumn("_new", when(prev.isNull || us - prev > gapMicros, 1).otherwise(0))
       .withColumn("_session", sum(col("_new")).over(run))
       .drop("_new")
+  }
+
+  /** Skew-resistant sessionization: identical output to `sessionIndex`,
+    * partitioned by (key, time bucket). Session-start flags are local
+    * except each bucket's FIRST row, whose gap tests against the previous
+    * nonempty bucket's max ts (carried per key over bucket rows); the
+    * 1-based session index is the local running flag sum plus the per-key
+    * running total of earlier buckets' flags — both windows over bucket
+    * counts, never event counts, except the in-bucket pass.
+    */
+  def sessionIndexSalted(df: DataFrame, key: String, tsCol: String,
+                         tieCol: String, gapMicros: Long,
+                         bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1, s"bucketMicros must be >= 1, got $bucketMicros")
+    val us = unix_micros(col(tsCol))
+    val d = df.withColumn("_b", floor(us / bucketMicros))
+    val wLoc = Window.partitionBy(col(key), col("_b")).orderBy(col(tsCol), col(tieCol))
+    val wLocRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // previous nonempty bucket's max ts == max ts over ALL earlier buckets
+    // (buckets are time-ordered)
+    val carry = d.groupBy(col(key), col("_b")).agg(max(us).as("_maxTs"))
+      .withColumn("_prevTs", max(col("_maxTs")).over(wPrev))
+      .select(col(key), col("_b"), col("_prevTs"))
+    val prevLoc = lag(us, 1).over(wLoc)
+    val flagged = d.join(carry, Seq(key, "_b"))
+      .withColumn("_new",
+        when(prevLoc.isNotNull, when(us - prevLoc > gapMicros, 1).otherwise(0))
+          .otherwise(when(col("_prevTs").isNull || us - col("_prevTs") > gapMicros, 1)
+            .otherwise(0)))
+    // per-bucket flag totals, running-summed over earlier buckets = offset
+    val offsets = flagged.groupBy(col(key), col("_b"))
+      .agg(sum(col("_new")).as("_bTotal"))
+      .withColumn("_off", coalesce(sum(col("_bTotal")).over(wPrev), lit(0L)))
+      .select(col(key), col("_b"), col("_off"))
+    flagged.join(offsets, Seq(key, "_b"))
+      .withColumn("_session", col("_off") + sum(col("_new")).over(wLocRun))
+      .select(df.columns.map(col) :+ col("_session"): _*)
   }
 
   /** Session aggregation on Spark's native `session_window` — the
@@ -96,12 +193,20 @@ object Temporal {
                  asCol: String = "n_in_range"): DataFrame = {
     val lts = unix_micros(col(s"l.$leftTs"))
     val rts = unix_micros(col(s"r.$rightTs"))
-    left.alias("l")
+    // group on a synthetic unique row id, not the left columns: two left
+    // rows equal on every column must each keep their own count ("for each
+    // left row"), not collapse into one summed row. The id is evaluated
+    // before the join, so each left row's fan-out regroups to exactly
+    // that row.
+    left.withColumn("_rid", monotonically_increasing_id()).alias("l")
       .join(right.alias("r"),
         col(s"l.$key") === col(s"r.$key") &&
           rts >= lts - windowMicros && rts < lts,
         "left")
-      .groupBy(left.columns.map(c => col(s"l.$c")): _*)
-      .agg(count(col(s"r.$rightTs")).as(asCol))
+      .groupBy(col("l._rid"))
+      .agg(first(col(s"l.${left.columns.head}")).as(left.columns.head),
+        left.columns.tail.map(c => first(col(s"l.$c")).as(c)) :+
+          count(col(s"r.$rightTs")).as(asCol): _*)
+      .drop("_rid")
   }
 }

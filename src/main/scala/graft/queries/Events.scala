@@ -18,13 +18,18 @@ object Events {
 
   val queries: Map[String, Q] = Map(
     // Backward as-of join: each purchase matched to the user's latest click
-    // at or before it (kdb-style). One shuffle on user_id.
+    // at or before it (kdb-style). One shuffle on user_id. Clicks are
+    // pre-deduped to max(event_id) per (user_id, ts) — DuckDB's ASOF JOIN
+    // leaves equal-ts ties unspecified, so the tie-break is made explicit
+    // on BOTH sides (it picks the same winner asofJoinBackward's rightTie
+    // would) to keep the comparison stable on any fixture data.
     "evt_asof_click" -> ((s, dir) => {
       import s.implicits._
       val e = Tables(s, dir, "events")
       val p = e.filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts")
       val c = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"event_id").as("event_id"))
         .select($"event_id", $"user_id", $"ts")
       Temporal.asofJoinBackward(p, c, key = "user_id",
         leftTs = "ts", rightTs = "ts", rightTie = "event_id")
@@ -101,7 +106,8 @@ object Events {
   val oracleSql: Map[String, String] = Map(
     "evt_asof_click" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id, c.event_id AS click_id,
         |  round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS gap_s
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts

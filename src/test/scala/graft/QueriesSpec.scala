@@ -28,13 +28,14 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has an oracle or is explicitly exempt") {
+  test("every query has an oracle") {
+    // Full coverage since round 4: even knn_lsh_topk (approximate by
+    // construction but deterministic) replicates its splitmix64 hyperplanes
+    // and bucket assignment in SQL.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Keep this list tiny and intentional: only genuinely non-SQL operators.
-    // knn_lsh_topk is approximate by construction (driver records a
-    // rows-only check); its correctness gate is AnnIndexSpec's deterministic
-    // recall + exactness-at-full-probe assertions.
-    assert(noOracle == Set("knn_lsh_topk"), s"queries missing oracle SQL: $noOracle")
+    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
   test("full-pipeline plan: dimension join broadcasts, no cartesian product") {

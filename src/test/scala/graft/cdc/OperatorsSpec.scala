@@ -277,5 +277,18 @@ class SinksSpec extends AnyFunSuite {
       Seq("eventType", "timestamp", "aggregateId"), 1L)
     assert(!new java.io.File(out, "event_month=202406/_batch_id=0").exists())
     assert(graft.streaming.Pipeline.readEventStore(spark, out).count() == beforeRows)
+
+    // ADVANCING-HORIZON crash: a leftover source batch whose rows are
+    // already committed in an earlier negative partition must NOT be
+    // re-read when the next compaction runs with a HIGHER upToBatchId
+    graft.streaming.Pipeline.writeBatchIdempotent(events, out, 1L,
+      Seq("event_month"), Seq("eventType", "timestamp", "aggregateId"))
+    Sinks.compactBatches(spark, out, "event_month",
+      Seq("eventType", "timestamp", "aggregateId"), upToBatchId = 2L)
+    assert(!new java.io.File(out, "event_month=202406/_batch_id=1").exists())
+    assert(!new java.io.File(out, "event_month=202406/_batch_id=2").exists())
+    assert(new java.io.File(out, "event_month=202406/_batch_id=-3").exists())
+    assert(graft.streaming.Pipeline.readEventStore(spark, out).count() == beforeRows,
+      "advancing-horizon rerun must not duplicate already-compacted rows")
   }
 }

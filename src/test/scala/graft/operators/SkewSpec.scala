@@ -73,4 +73,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
     }
   }
+
+  test("degenerate sketch parameters fail at construction, not per-row") {
+    import graft.functions._
+    intercept[IllegalArgumentException] {
+      ShingleHash.shingle_hashes(org.apache.spark.sql.functions.lit("a b c"), 0)
+    }
+    intercept[IllegalArgumentException] { WinnowingFingerprintExpr(null, 0, 4) }
+    intercept[IllegalArgumentException] { WinnowingFingerprintExpr(null, 8, 0) }
+    intercept[IllegalArgumentException] { MinHashSigExpr(null, 0) }
+    intercept[IllegalArgumentException] { LshBucketsExpr(null, 0, 3, 2, 42L) }
+    intercept[IllegalArgumentException] { LshBucketsExpr(null, 4, 32, 2, 42L) }
+    intercept[IllegalArgumentException] { LshBucketsExpr(null, 4, 3, 0, 42L) }
+  }
 }

@@ -158,4 +158,80 @@ class TemporalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan)
   }
+
+  test("salted asof join == plain asof join, including a 90%-hot-key corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // one viral key (0) holds ~90% of rows; 5 quiet keys share the rest
+    def rows(n: Int, base: Long) = (0 until n).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 0L else 1L + rnd.nextInt(5)
+      (base + i, k, rnd.nextInt(100000).toLong)
+    }
+    val left = rows(400, 0).toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val right = rows(300, 10000).toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"asof.event_id".as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val plain = key(Temporal.asofJoinBackward(left, right, "user_id", "ts", "ts", "event_id"))
+    // bucketMicros chosen so the hot key spans many buckets
+    val salted = key(Temporal.asofJoinBackwardSalted(left, right, "user_id",
+      "ts", "ts", "event_id", bucketMicros = 10000L))
+    assert(salted == plain)
+    // balance: the partition unit is (key, bucket) - the hot key must split
+    // across many units, each far below its total row count
+    val units = left.unionByName(right)
+      .filter($"user_id" === 0L)
+      .groupBy((unix_micros($"ts") / 10000L).cast("long")).count()
+      .collect().map(_.getLong(1))
+    assert(units.length >= 8, s"hot key landed in only ${units.length} buckets")
+    assert(units.max < units.sum / 2,
+      s"one bucket still holds most of the hot key: ${units.max} of ${units.sum}")
+  }
+
+  test("salted sessionIndex == plain sessionIndex on skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 600).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 0L else 1L + rnd.nextInt(5)
+      (i.toLong, k, rnd.nextInt(200000).toLong)
+    }
+    val e = rows.toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"_session")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = m(Temporal.sessionIndex(e, "user_id", "ts", "event_id", gapMicros = 500L))
+    val salted = m(Temporal.sessionIndexSalted(e, "user_id", "ts", "event_id",
+      gapMicros = 500L, bucketMicros = 20000L))
+    assert(salted == plain)
+    // boundary case: gap exactly at a bucket edge, gap == threshold (same
+    // session) and threshold+1 (new session) across the boundary
+    val edge = Seq((1L, 5L, 19500L), (2L, 5L, 20500L), (3L, 5L, 21501L))
+      .toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val p2 = m(Temporal.sessionIndex(edge, "user_id", "ts", "event_id", gapMicros = 1000L))
+    val s2 = m(Temporal.sessionIndexSalted(edge, "user_id", "ts", "event_id",
+      gapMicros = 1000L, bucketMicros = 20000L))
+    assert(p2 == s2 && p2 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("rangeCount keeps duplicate left rows distinct (per-row contract)") {
+    import spark.implicits._
+    // two left rows identical on EVERY column must each emit their own count
+    val left = Seq((7L, 1000L), (7L, 1000L), (7L, 5000L))
+      .toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val right = Seq((7L, 900L), (7L, 950L))
+      .toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val got = Temporal.rangeCount(left, right, "user_id", "ts", "ts",
+      windowMicros = 600L)
+      .select($"user_id", unix_micros($"ts").as("us"), $"n_in_range")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sorted
+    assert(got == Seq((7L, 1000L, 2L), (7L, 1000L, 2L), (7L, 5000L, 0L)),
+      s"got $got")
+  }
 }
