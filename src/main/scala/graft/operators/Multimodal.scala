@@ -7,11 +7,20 @@ import org.apache.spark.sql.functions._
   * (builder brief): media travels as opaque `binary` columns next to typed
   * metadata; per-item decode/feature work runs as imperative per-partition
   * logic over the binary payloads — the Scala analog of `mapInPandas`
-  * batches. The Spark-side plumbing (schema, partitioning, batch shape) is
-  * real and tested; ONLY the actual media codec is stubbed (see
-  * `decodeStub`) because no image/audio library ships in this environment.
+  * batches.
+  *
+  * Decode support: IMAGE formats with a JDK reader (PNG, JPEG, GIF, BMP)
+  * decode for REAL via `javax.imageio` (`decodeImage`) — actual pixels,
+  * actual dimensions, actual bilinear resampling in `resize`. Only
+  * payloads no JVM decoder exists for (wav/mp4/unknown) fall back to the
+  * clearly-marked `decodeStub`, keeping every pipeline shape exercisable.
   */
 object Multimodal {
+
+  // ImageIO defaults to a temp-FILE cache per decode and may probe a
+  // display; executors want neither
+  System.setProperty("java.awt.headless", "true")
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** One media asset: payload + typed sidecar metadata. At 100 TB the
     * payloads dominate — keep them in their own column so column pruning
@@ -83,10 +92,49 @@ object Multimodal {
     }
   }
 
-  /** STUB — stands in for a real image/audio decoder (libjpeg etc. are not
-    * available here). Deterministic: "pixels" are a splitmix of the
-    * content hash. The signature and batch shape are what a real decoder
-    * plugs into; swap the body, keep the plumbing.
+  /** A decoded raster: interleaved row-major RGB (channels=3) or RGBA
+    * (channels=4) bytes.
+    */
+  final case class DecodedImage(width: Int, height: Int, channels: Int,
+                                pixels: Array[Byte])
+
+  /** REAL image decode through `javax.imageio` — PNG, JPEG, GIF and BMP
+    * readers ship in the JDK. Returns None when no reader claims the
+    * payload (audio/video containers, truncated bytes), in which case
+    * callers keep the stub path.
+    */
+  def decodeImage(content: Array[Byte]): Option[DecodedImage] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val channels = if (img.getColorModel.hasAlpha) 4 else 3
+      val out = new Array[Byte](w * h * channels)
+      var y = 0
+      var o = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          out(o) = ((argb >> 16) & 0xFF).toByte
+          out(o + 1) = ((argb >> 8) & 0xFF).toByte
+          out(o + 2) = (argb & 0xFF).toByte
+          if (channels == 4) out(o + 3) = ((argb >>> 24) & 0xFF).toByte
+          o += channels
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(w, h, channels, out))
+    }
+  }
+
+  /** STUB — stands in ONLY for payloads `decodeImage` cannot handle (no
+    * wav/mp4 decoder ships in the JVM). Deterministic: "pixels" are a
+    * splitmix of the content hash. The signature and batch shape are what
+    * a real decoder plugs into; swap the body, keep the plumbing.
     */
   def decodeStub(content: Array[Byte]): Array[Byte] = {
     var x = java.util.Arrays.hashCode(content).toLong
@@ -124,11 +172,10 @@ object Multimodal {
       }
   }
 
-  /** Resize images: the metadata transform (target dimensions, channel
-    * preservation, byte-budget math) is real; the pixel resampling itself is
-    * the stubbed codec step (`decodeStub`-derived, deterministic), since no
-    * image library ships here. A real implementation swaps ONLY the
-    * `resampled` computation.
+  /** Resize images. Decodable payloads (PNG/JPEG/GIF/BMP) get a REAL
+    * bilinear resample through java.awt + re-encode to PNG; payloads with
+    * no JVM decoder keep the deterministic stub resample sized to the
+    * target pixel budget, so the pipeline shape is identical either way.
     */
   def resize(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[Asset] = {
     val spark = assets.sparkSession
@@ -136,12 +183,32 @@ object Multimodal {
     assets.map { a =>
       if (a.kind != "image") a
       else {
-        // STUB resample: deterministic bytes sized to the target pixel
-        // budget (w*h*channels), derived from the source content hash
-        val budget = targetW * targetH * a.channels
-        val seedBytes = decodeStub(a.content)
-        val resampled = Array.tabulate(budget)(i => seedBytes(i % seedBytes.length))
-        a.copy(content = resampled, width = targetW, height = targetH)
+        val real =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.content)))
+          catch { case _: Exception => None }
+        real match {
+          case Some(src) =>
+            val dst = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = dst.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            a.copy(content = bos.toByteArray, width = targetW, height = targetH,
+              channels = 3)
+          case None =>
+            // STUB resample: deterministic bytes sized to the target pixel
+            // budget (w*h*channels), derived from the source content hash
+            val budget = targetW * targetH * a.channels
+            val seedBytes = decodeStub(a.content)
+            val resampled = Array.tabulate(budget)(i => seedBytes(i % seedBytes.length))
+            a.copy(content = resampled, width = targetW, height = targetH)
+        }
       }
     }
   }

@@ -89,9 +89,11 @@ object TextAnalysis {
     round((lenOk * 0.3 + wordLenOk * 0.3 + alphaOk * 0.4), 6)
   }
 
-  /** BPE-ish subword count: alternating letter runs, digit runs and single
+  /** PRE-token count: alternating letter runs, digit runs and single
     * non-alnum marks (an ASCII-safe approximation of GPT-2 pre-tokenization;
     * identical regex semantics in Spark and DuckDB for oracle parity).
+    * The real learned-merge tokenizer built on this boundary rule is
+    * `operators.Bpe` — the `doc_bpe_tokens` query uses that.
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))

@@ -64,12 +64,17 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
-    // BPE-ish subword counting per language (regex pre-tokenization).
+    // REAL learned-merge BPE (operators.Bpe): regex pre-tokens -> chars ->
+    // 60 trained merges applied in rank order, codegen expression with a
+    // per-thread word cache. The oracle replays the identical merges via a
+    // recursive CTE over word TYPES (see Bpe scaladoc for the separator
+    // trick that makes string replace == greedy BPE application).
     "doc_bpe_tokens" -> ((s, dir) => {
       import s.implicits._
       Tables(s, dir, "documents")
         .select($"lang",
-          graft.operators.TextAnalysis.bpeTokenCount($"text").as("n"))
+          graft.operators.Bpe.bpe_token_count($"text",
+            graft.operators.Bpe.Merges60).as("n"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n").cast("bigint").as("total_subwords"))
@@ -259,9 +264,47 @@ object Corpus {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "doc_bpe_tokens" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_subwords
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      """WITH RECURSIVE mraw(rank, a, b) AS (VALUES
+        |    (1,'e','r'),(2,'i','n'),(3,'o','w'),(4,'o','r'),(5,'s','t'),
+        |    (6,'m','er'),(7,'a','t'),(8,'l','u'),(9,'a','r'),(10,'p','ar'),
+        |    (11,'j','o'),(12,'jo','in'),(13,'a','s'),(14,'as','h'),
+        |    (15,'h','ash'),(16,'r','ow'),(17,'at','c'),(18,'atc','h'),
+        |    (19,'b','atch'),(20,'a','n'),(21,'c','an'),(22,'s','can'),
+        |    (23,'c','o'),(24,'c','u'),(25,'co','lu'),(26,'colu','m'),
+        |    (27,'colum','n'),(28,'cu','st'),(29,'cust','o'),
+        |    (30,'custo','mer'),(31,'f','i'),(32,'fi','l'),(33,'fil','t'),
+        |    (34,'filt','er'),(35,'a','l'),(36,'al','l'),(37,'m','all'),
+        |    (38,'s','mall'),(39,'g','e'),(40,'l','ow'),(41,'mer','ge'),
+        |    (42,'s','low'),(43,'c','t'),(44,'ct','or'),(45,'d','er'),
+        |    (46,'e','ctor'),(47,'or','der'),(48,'v','ector'),(49,'in','e'),
+        |    (50,'l','ine'),(51,'a','b'),(52,'ab','l'),(53,'abl','e'),
+        |    (54,'at','a'),(55,'d','ata'),(56,'t','able'),(57,'u','p'),
+        |    (58,'a','g'),(59,'ag','g'),(60,'a','lu')),
+        |m AS (SELECT rank, chr(1)||a||chr(1)||chr(1)||b||chr(1) AS pat,
+        |             chr(1)||a||b||chr(1) AS rep FROM mraw),
+        |w AS (SELECT lang, unnest(regexp_extract_all(lower(text),
+        |        '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS word FROM documents),
+        |types AS (SELECT DISTINCT word FROM w),
+        |r AS (
+        |  SELECT word,
+        |    list_aggregate(list_transform(regexp_extract_all(word, '.'),
+        |      c -> chr(1)||c||chr(1)), 'string_agg', '') AS s,
+        |    0 AS rank
+        |  FROM types
+        |  UNION ALL
+        |  SELECT r.word, replace(r.s, m.pat, m.rep), r.rank + 1
+        |  FROM r JOIN m ON m.rank = r.rank + 1
+        |),
+        |counts AS (
+        |  SELECT word,
+        |    1 + (length(s) - length(replace(s, chr(1)||chr(1), ''))) // 2 AS n_tok
+        |  FROM r WHERE rank = 60
+        |),
+        |tok AS (SELECT w.lang, sum(c.n_tok) AS t
+        |        FROM w JOIN counts c USING (word) GROUP BY w.lang),
+        |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        |SELECT d.lang, d.n_docs, CAST(coalesce(tok.t, 0) AS BIGINT) AS total_subwords
+        |FROM d LEFT JOIN tok USING (lang) ORDER BY d.lang""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH g AS (

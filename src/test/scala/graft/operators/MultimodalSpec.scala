@@ -83,4 +83,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.length == 16)
   }
+
+  private def plantedPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 8) << 16) | ((y * 8) << 8) | ((x + y) & 0xFF))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage: a planted PNG decodes to real dimensions and pixels") {
+    val png = plantedPng(32, 16)
+    assert(Multimodal.sniffFormat(org.apache.spark.sql.functions.lit(png)) != null)
+    val dec = Multimodal.decodeImage(png).get
+    assert(dec.width == 32 && dec.height == 16 && dec.channels == 3)
+    assert(dec.pixels.length == 32 * 16 * 3)
+    // pixel (4, 2) = rgb(32, 16, 6) per the planted gradient
+    val off = (2 * 32 + 4) * 3
+    assert((dec.pixels(off) & 0xFF) == 32)
+    assert((dec.pixels(off + 1) & 0xFF) == 16)
+    assert((dec.pixels(off + 2) & 0xFF) == 6)
+    // payloads with no JVM decoder refuse instead of guessing
+    assert(Multimodal.decodeImage("RIFF1234".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("resize really resamples decodable images and re-encodes to PNG") {
+    import spark.implicits._
+    val png = plantedPng(32, 32)
+    val asset = Multimodal.Asset(99L, "image", png, 32, 32, 3, 0, 0)
+    val out = Multimodal.resize(Seq(asset).toDS(), 8, 8).collect().head
+    assert(out.width == 8 && out.height == 8)
+    // the resized payload is itself a real PNG with the target raster
+    val dec = Multimodal.decodeImage(out.content).get
+    assert(dec.width == 8 && dec.height == 8)
+    // bilinear mean of a gradient stays a gradient: corner pixel must match
+    // the source region's tones, not stub noise - red channel grows with x
+    def red(d: Multimodal.DecodedImage, x: Int, y: Int) =
+      d.pixels((y * d.width + x) * 3) & 0xFF
+    assert(red(dec, 7, 0) > red(dec, 0, 0))
+  }
 }
