@@ -2,24 +2,47 @@ package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Schema-history tracking (O-5): the analog of Debezium's schema-history
   * topic (`application.properties:15-16`) — decode change events captured at
   * any ledger position with the schema that was active at that time.
   *
   * Model: per-table ordered versions, each effective from an event
-  * timestamp, with ADDITIVE evolution enforced at registration (a later
-  * version must contain every earlier field with the same type — the only
-  * evolution JSON + parquet can replay safely without a rewrite). Decoding
-  * parses once with the latest (superset) schema — earlier-version rows
-  * yield nulls for later columns — and tags each row with the version
-  * active at its event time, so consumers can tell "null because absent in
-  * v1" from "null value in v3".
+  * timestamp. Evolution v2 (round 4) supports, per adjacent version pair:
+  *  - ADDITIVE columns (new fields decode as null for older rows),
+  *  - RENAME (declared as `renames: old -> new`; older rows' values surface
+  *    under the canonical latest name),
+  *  - TYPE WIDENING along the numeric lattice (byte < short < int < long,
+  *    float < double, int < double — the casts JSON replay can always
+  *    perform losslessly). Narrowing, drops, or unrelated type changes
+  *    still fail registration: they cannot be replayed without a rewrite.
+  *
+  * Decoding (`deserializeEvolved`) stays ONE parse per row at any version
+  * count: the version branch is selected by event time (a cheap `ts_ms`
+  * probe of the raw JSON), and only the selected branch's `from_json` —
+  * with that version's schema — evaluates (codegen CASE short-circuits).
+  * Each branch then canonicalizes to the LATEST view: renamed fields are
+  * read under their version-local name, widened fields cast up, absent
+  * fields null. Consumers always see one schema plus a `schema_version`
+  * tag telling "null because absent in v1" from "null value in v3".
   */
 object SchemaHistory {
 
-  final case class Version(version: Int, fromTsMs: Long, schema: StructType)
+  final case class Version(version: Int, fromTsMs: Long, schema: StructType,
+                           renames: Map[String, String] = Map.empty)
+
+  /** May a replayed value of `from` surface as `to` without loss? */
+  private[cdc] def widenable(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (LongType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
 
   final case class History(table: String, versions: Seq[Version]) {
     require(versions.nonEmpty, s"$table: empty schema history")
@@ -27,13 +50,22 @@ object SchemaHistory {
       s"$table: versions must be ordered by fromTsMs")
     versions.sliding(2).foreach {
       case Seq(a, b) =>
-        val earlier = a.schema.fields.map(f => f.name -> f.dataType).toMap
-        b.schema.fields.foreach { f =>
-          earlier.get(f.name).foreach(t => require(t == f.dataType,
-            s"$table v${b.version}: field ${f.name} changed type $t -> ${f.dataType}"))
+        b.renames.foreach { case (from, to) =>
+          require(a.schema.fieldNames.contains(from),
+            s"$table v${b.version}: renames unknown field $from")
+          require(b.schema.fieldNames.contains(to),
+            s"$table v${b.version}: rename target $to missing from schema")
         }
-        require(a.schema.fieldNames.toSet.subsetOf(b.schema.fieldNames.toSet),
-          s"$table v${b.version}: drops fields of v${a.version} (evolution must be additive)")
+        a.schema.fields.foreach { f =>
+          val newName = b.renames.getOrElse(f.name, f.name)
+          val kept = b.schema.fields.find(_.name == newName)
+          require(kept.isDefined,
+            s"$table v${b.version}: drops field ${f.name} of v${a.version} " +
+              "(evolution must be additive/rename/widen)")
+          require(widenable(f.dataType, kept.get.dataType),
+            s"$table v${b.version}: field ${f.name} -> $newName changes type " +
+              s"${f.dataType} -> ${kept.get.dataType} (not a widening)")
+        }
       case _ =>
     }
 
@@ -44,12 +76,64 @@ object SchemaHistory {
       versions.tail.foldLeft(lit(versions.head.version)) { (acc, v) =>
         when(tsMs >= v.fromTsMs, v.version).otherwise(acc)
       }
+
+    /** For version index i: canonical (latest) field name -> the name it
+      * carried in that version, absent if the field did not exist yet.
+      * Walks the rename chains backward from the latest version.
+      */
+    private[cdc] def nameIn(i: Int): Map[String, Option[String]] =
+      latest.fieldNames.toSeq.map { canon =>
+        var name = canon
+        var k = versions.length - 1
+        while (k > i) { // versions(k).renames maps name-in-(k-1) -> name-in-k
+          name = versions(k).renames.collectFirst {
+            case (from, to) if to == name => from
+          }.getOrElse(name)
+          k -= 1
+        }
+        canon -> Some(name).filter(versions(i).schema.fieldNames.contains)
+      }.toMap
   }
 
-  /** Decode wire rows with the version-correct schema view: typed envelope
-    * via the latest superset schema + `schema_version` tag per row.
+  /** Decode wire rows whose history is additive-only (v1 path, kept): one
+    * parse with the latest superset schema + `schema_version` tag.
     */
   def deserialize(wire: DataFrame, history: History): DataFrame =
     ChangeStream.deserialize(wire, history.latest)
       .withColumn("schema_version", history.versionAt(col("ts_ms")))
+
+  /** Decode wire rows across renames and widenings: each row parses ONCE
+    * with its own version's schema (branch chosen by event time), then maps
+    * to the canonical latest view.
+    */
+  def deserializeEvolved(wire: DataFrame, history: History): DataFrame = {
+    val tsProbe = get_json_object(col("value"), "$.ts_ms").cast("long")
+    val branches = history.versions.zipWithIndex.map { case (v, i) =>
+      val parsed = from_json(col("value"), Schemas.envelope(v.schema))
+      val names = history.nameIn(i)
+      def canon(side: String): Column = {
+        val fields = history.latest.fields.map { f =>
+          names(f.name) match {
+            case Some(local) =>
+              parsed.getField(side).getField(local).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }
+        when(parsed.getField(side).isNotNull, struct(fields.toIndexedSeq: _*))
+          .as(side)
+      }
+      v -> struct(canon("before"), canon("after"),
+        parsed.getField("source").as("source"),
+        parsed.getField("op").as("op"),
+        parsed.getField("ts_ms").as("ts_ms"))
+    }
+    // ascending fold, each later version wrapping the accumulated chain:
+    // the final expression checks the NEWEST version's fromTsMs first
+    val chosen = branches.tail.foldLeft(branches.head._2) {
+      case (acc, (v, b)) => when(tsProbe >= v.fromTsMs, b).otherwise(acc)
+    }
+    wire.select(chosen.as("e"))
+      .select(col("e.*"))
+      .withColumn("schema_version", history.versionAt(col("ts_ms")))
+  }
 }

@@ -212,9 +212,55 @@ object CdcAnalog {
         .agg(count(lit(1)).as("n"))
         .orderBy($"k")
     }),
+
+    // Schema evolution v2 (O-5): a ledger that changes schema MID-STREAM —
+    // even event_ids written under v1 {id int, val int}, odd ones under
+    // v2 {id long, amount long, note string} (val RENAMED to amount and
+    // WIDENED int->long). SchemaHistory.deserializeEvolved decodes every
+    // row with its version's schema (one parse per row, branch by event
+    // time) and surfaces the canonical latest view; the oracle recomputes
+    // that view straight from the source table.
+    "cdc_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val base = 1718000000000L
+      val cutover = base + 1000000000L
+      val isV2 = $"event_id" % 2 === 1
+      val tsMs = when(isV2, lit(cutover) + $"event_id")
+        .otherwise(lit(base) + $"event_id")
+      val cents = floor($"value" * 100).cast("int")
+      val srcTail = lit(""","source":{"version":"1.0","connector":"graft","name":"HCM.CDC.HR","ts_ms":""")
+      val wire = Tables(s, dir, "events").select(concat(
+        lit("""{"before":null,"after":{"id":"""), $"event_id",
+        when(isV2,
+          concat(lit(""","amount":"""), cents,
+            lit(""","note":""""), $"event_type", lit("\"")))
+          .otherwise(concat(lit(""","val":"""), cents)),
+        lit("}"), srcTail, tsMs,
+        lit(""","db":"hrdb","table":"metrics"},"op":"c","ts_ms":"""),
+        tsMs, lit("}")).as("value"))
+      val history = graft.cdc.SchemaHistory.History("metrics", Seq(
+        graft.cdc.SchemaHistory.Version(1, 0L, StructType(Seq(
+          StructField("id", IntegerType), StructField("val", IntegerType)))),
+        graft.cdc.SchemaHistory.Version(2, cutover, StructType(Seq(
+          StructField("id", LongType), StructField("amount", LongType),
+          StructField("note", StringType))),
+          renames = Map("val" -> "amount"))))
+      graft.cdc.SchemaHistory.deserializeEvolved(wire, history)
+        .select($"after.id".as("id"), $"after.amount".as("amount"),
+          $"after.note".as("note"), $"schema_version")
+        .orderBy($"id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_schema_evolution" ->
+      """SELECT event_id AS id,
+        |  CAST(floor(value * 100) AS BIGINT) AS amount,
+        |  CASE WHEN event_id % 2 = 1 THEN event_type END AS note,
+        |  CAST(CASE WHEN event_id % 2 = 1 THEN 2 ELSE 1 END AS INT) AS schema_version
+        |FROM events ORDER BY id""".stripMargin,
+
     "cdc_snapshot" ->
       """SELECT c_custkey, 'r' AS op, c_name, 'customer' AS src_table,
         |  CAST(1718000000000 AS BIGINT) AS ts_ms

@@ -47,4 +47,102 @@ class SchemaHistorySpec extends AnyFunSuite {
         SchemaHistory.Version(2, cutover, changesType)))
     }
   }
+
+  test("evolved decode: rename + widening under the canonical latest view") {
+    import spark.implicits._
+    val mv1 = StructType(Seq(
+      StructField("id", IntegerType), StructField("val", IntegerType)))
+    val mv2 = StructType(Seq(
+      StructField("id", LongType), StructField("amount", LongType),
+      StructField("note", StringType)))
+    val cut = 1000000L
+    val h = SchemaHistory.History("metrics", Seq(
+      SchemaHistory.Version(1, 0L, mv1),
+      SchemaHistory.Version(2, cut, mv2, renames = Map("val" -> "amount"))))
+    val wire = Seq(
+      Fixtures.env("metrics", "c", "null", """{"id":1,"val":250}""", 10L),
+      Fixtures.env("metrics", "u",
+        """{"id":2,"val":7}""", """{"id":2,"val":8}""", cut - 1),
+      // v2 row: id beyond Int range, amount beyond Int range, note present
+      Fixtures.env("metrics", "c", "null",
+        """{"id":2147483650,"amount":9000000001,"note":"big"}""", cut + 5))
+      .toDF("value")
+    val got = SchemaHistory.deserializeEvolved(wire, h)
+      .select($"schema_version", $"after.id".as("id"),
+        $"after.amount".as("amount"), $"after.note".as("note"),
+        $"before.amount".as("b_amount"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSeq.sortBy(_._2)
+    assert(got == Seq(
+      (1, 1L, 250L, None, None),          // v1: val surfaces as amount (long)
+      (1, 2L, 8L, None, Some(7L)),        // v1 before-image renamed too
+      (2, 2147483650L, 9000000001L, Some("big"), None)))
+  }
+
+  test("evolved decode: rename chain across three versions resolves transitively") {
+    import spark.implicits._
+    val s1 = StructType(Seq(StructField("a", IntegerType)))
+    val s2 = StructType(Seq(StructField("b", IntegerType)))
+    val s3 = StructType(Seq(StructField("c", LongType)))
+    val h = SchemaHistory.History("t", Seq(
+      SchemaHistory.Version(1, 0L, s1),
+      SchemaHistory.Version(2, 100L, s2, renames = Map("a" -> "b")),
+      SchemaHistory.Version(3, 200L, s3, renames = Map("b" -> "c"))))
+    val wire = Seq(
+      Fixtures.env("t", "c", "null", """{"a":1}""", 50L),
+      Fixtures.env("t", "c", "null", """{"b":2}""", 150L),
+      Fixtures.env("t", "c", "null", """{"c":3}""", 250L)).toDF("value")
+    val got = SchemaHistory.deserializeEvolved(wire, h)
+      .select($"schema_version", $"after.c".as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sorted
+    assert(got == Seq(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
+
+  test("narrowing and unrelated type changes still rejected") {
+    val s1 = StructType(Seq(StructField("x", LongType)))
+    val s2 = StructType(Seq(StructField("x", IntegerType)))
+    intercept[IllegalArgumentException] {
+      SchemaHistory.History("t", Seq(
+        SchemaHistory.Version(1, 0L, s1), SchemaHistory.Version(2, 1L, s2)))
+    }
+    // rename to a target absent from the new schema
+    intercept[IllegalArgumentException] {
+      SchemaHistory.History("t", Seq(
+        SchemaHistory.Version(1, 0L, s1),
+        SchemaHistory.Version(2, 1L, StructType(Seq(StructField("y", LongType))),
+          renames = Map("x" -> "z"))))
+    }
+  }
+
+  test("mid-stream schema change replays through the real ledger source") {
+    import spark.implicits._
+    val mv1 = StructType(Seq(
+      StructField("id", IntegerType), StructField("val", IntegerType)))
+    val mv2 = StructType(Seq(
+      StructField("id", LongType), StructField("amount", LongType),
+      StructField("note", StringType)))
+    val cut = 5000L
+    val h = SchemaHistory.History("metrics", Seq(
+      SchemaHistory.Version(1, 0L, mv1),
+      SchemaHistory.Version(2, cut, mv2, renames = Map("val" -> "amount"))))
+    val ledger = java.nio.file.Files.createTempDirectory("ledger").toString
+    graft.sources.Ledger.writeSegment(ledger, "hrdb", "metrics", "000001.jsonl",
+      (1 to 50).map(i => Fixtures.env("metrics", "c", "null",
+        s"""{"id":$i,"val":${i * 10}}""", i.toLong)))
+    graft.sources.Ledger.writeSegment(ledger, "hrdb", "metrics", "000002.jsonl",
+      (51 to 100).map(i => Fixtures.env("metrics", "c", "null",
+        s"""{"id":$i,"amount":${i * 10},"note":"n$i"}""", cut + i)))
+    val wire = spark.read.format("graft-changelog").option("path", ledger).load()
+    val got = SchemaHistory.deserializeEvolved(wire, h)
+      .select($"after.id".as("id"), $"after.amount".as("amount"),
+        $"after.note".as("note"), $"schema_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        r.getInt(3))).sortBy(_._1)
+    assert(got.length == 100)
+    assert(got.take(50).forall { case (id, amt, note, v) =>
+      amt == id * 10 && note.isEmpty && v == 1 })
+    assert(got.drop(50).forall { case (id, amt, note, v) =>
+      amt == id * 10 && note == Some(s"n$id") && v == 2 })
+  }
 }
