@@ -130,6 +130,21 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Duplicate CLUSTERS: connected components over the near-dup pairs
+    // (operators.Components, iterative min-label propagation) — the
+    // keep-one-per-group step after pair detection. cluster_id = min
+    // doc_id of the cluster; oracle = recursive-CTE transitive closure
+    // over the same pair set.
+    "doc_dup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.TextDedup
+        .nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+      graft.operators.Components.connectedComponents(pairs)
+        .select($"component".as("cluster_id"), $"id".as("doc_id"))
+        .orderBy($"cluster_id", $"doc_id")
+    }),
+
     // Language identification (stopword-profile argmax + CJK script
     // override) — per-doc prediction next to the ground-truth label.
     "doc_langid" -> ((s, dir) => {
@@ -361,6 +376,26 @@ object Corpus {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
         |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT u AS id, v AS reach FROM e
+        |  UNION
+        |  SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u
+        |)
+        |SELECT least(id, min(reach)) AS cluster_id, id AS doc_id
+        |FROM r GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
 
     "doc_langid" ->
       """WITH t AS (

@@ -232,6 +232,14 @@ object Pipeline {
           maxFilesPerTrigger: Option[Int] = None,
           trigger: Trigger = Trigger.AvailableNow(),
           failpoint: Long => Unit = _ => ()): StreamingQuery = {
+    // Latency tuning for the micro-batch session: with the defaults, AQE
+    // coalesces the dedup exchange of a small batch to ONE partition and
+    // the whole dedup+explode+sort+write tail serializes into one task
+    // (measured +400 ms per 20k-event batch, graft.BatchCostProbe).
+    // parallelismFirst + a small floor keeps ~10 tasks on that stage while
+    // still bounding files/dir (compaction absorbs the rest).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
     val reader = spark.readStream.format("graft-changelog")
       .option("path", ledgerRoot)
       // small admitted batches still parse on every core
