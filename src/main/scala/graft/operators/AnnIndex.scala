@@ -94,6 +94,39 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** BATCHED LSH top-k: one pass answers every query in `queries` (any
+    * subset of the corpus by id, or an external vector set with the same
+    * schema) — the realistic serving shape: queries and corpus bucket ONCE
+    * each, candidates come from one equality join on (table, bucket), and
+    * per-query top-k is a partial-aggregating window, never a per-query
+    * scan. Returns (query_id, vec_id, sim, rank) with rank 1..k.
+    *
+    * Scale: corpus side shuffles once on the bucket key; the query side is
+    * usually small (broadcast). A query never matches itself.
+    */
+  def lshTopKBatch(embeddings: DataFrame, idCol: String, vecCol: String,
+                   queryIds: Seq[Long], k: Int = 10,
+                   tables: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        posexplode(bucketArray(col(vecCol), tables, bits, dim)).as(Seq("t", "bucket")))
+    val queryBuckets = keyed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"),
+        col("v").as("qv"))
+    val scored = keyed
+      .join(broadcast(queryBuckets), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id") // a candidate may collide in several tables
+      .agg(first(col("v")).as("v"), first(col("qv")).as("qv"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.queries.Corpus.cosine(col("v"), col("qv")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Candidate count for a query under the LSH index (reduction metric). */
   def lshCandidateCount(embeddings: DataFrame, idCol: String, vecCol: String,
                         queryId: Long, tables: Int = 16, bits: Int = 8,

@@ -67,4 +67,23 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(c(0) == Seq(2.0, 4.0))
     assert(c(1) == Seq(10.0, 20.0))
   }
+
+  test("batched LSH top-k: each query matches its single-query result") {
+    val qids = Seq(0L, 7L, 42L)
+    val batch = AnnIndex.lshTopKBatch(emb, "vec_id", "embedding", qids,
+      k = 10, tables = 32, bits = 6)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+    assert(batch.keySet == qids.toSet)
+    for (q <- qids) {
+      val single = AnnIndex.lshTopK(emb, "vec_id", "embedding", q, 10,
+        tables = 32, bits = 6)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == single, s"query $q diverges from single-query path")
+    }
+    // ranks are dense 1..k
+    assert(batch.values.forall(_.size == 10))
+  }
 }
