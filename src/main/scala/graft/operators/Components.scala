@@ -28,10 +28,13 @@ object Components {
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 20): DataFrame = {
-    // undirected: propagate along both orientations
+    // undirected: propagate along both orientations. Materialized ONCE —
+    // the loop touches the edge list 2×/iteration, and `edges` is usually
+    // an expensive plan (the whole near-dup candidate pipeline)
     val e = edges.select(col(idA).as("u"), col(idB).as("v"))
       .union(edges.select(col(idB).as("u"), col(idA).as("v")))
       .distinct()
+      .localCheckpoint(true)
     var labels = e.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id"))
     var iter = 0
