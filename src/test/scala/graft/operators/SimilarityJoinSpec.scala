@@ -51,6 +51,19 @@ class SimilarityJoinSpec extends AnyFunSuite {
       .filter($"id_a" >= $"id_b").isEmpty)
   }
 
+  test("degenerate block counts still cover every pair exactly once") {
+    import spark.implicits._
+    val n = emb.count()
+    for (blocks <- Seq(1, 3, 97)) { // single tile; tiny; blocks >> sqrt(n)
+      val pairs = SimilarityJoin.allPairsCosine(emb, "vec_id", "embedding", blocks)
+      assert(pairs.count() == n * (n - 1) / 2, s"blocks=$blocks")
+      assert(pairs.filter($"id_a" >= $"id_b").isEmpty, s"blocks=$blocks ordering")
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityJoin.allPairsCosine(emb, "vec_id", "embedding", 0)
+    }
+  }
+
   test("plan is an equality join: no BroadcastNestedLoopJoin, no CartesianProduct") {
     for (q <- Seq("emb_top_pairs", "emb_dedup_cos")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf)
