@@ -57,18 +57,34 @@ object Pipeline {
     * single-pass rule engine, unioned. For multi-table batches call on a
     * MATERIALIZED (persisted) batch: the per-table branches then read from
     * memory, not N× from disk.
+    *
+    * `histories`: tables with a registered schema history decode through
+    * `SchemaHistory.deserializeEvolved` — rows written under ANY past
+    * envelope version (additive / renamed / widened fields) surface in the
+    * canonical latest view before the rules run, the Debezium
+    * schema-history semantics (decode at any binlog position). Tables
+    * without a history use the static schema as before.
     */
   def transform(wire: DataFrame,
-                presentTables: Option[Seq[String]] = None): DataFrame = {
-    val tables = Rules.all.map(_.table).distinct.filter(Schemas.tables.contains)
+                presentTables: Option[Seq[String]] = None,
+                histories: Map[String, graft.cdc.SchemaHistory.History] =
+                  Map.empty): DataFrame = {
+    val tables = Rules.all.map(_.table).distinct
+      .filter(t => Schemas.tables.contains(t) || histories.contains(t))
     val active = presentTables.fold(tables)(p => tables.filter(p.contains))
     if (active.isEmpty)
       wire.sparkSession.createDataFrame(
         wire.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.domainEvent)
     else active.map { t =>
-      Rules.applyAll(
-        ChangeStream.deserialize(wire.filter(col("table") === t), Schemas.tables(t)), t)
+      val byTable = wire.filter(col("table") === t)
+      val envelopes = histories.get(t) match {
+        case Some(h) =>
+          graft.cdc.SchemaHistory.deserializeEvolved(byTable, h)
+            .drop("schema_version")
+        case None => ChangeStream.deserialize(byTable, Schemas.tables(t))
+      }
+      Rules.applyAll(envelopes, t)
     }.reduce(_.unionByName(_))
   }
 
@@ -231,6 +247,7 @@ object Pipeline {
           checkpoint: String,
           maxFilesPerTrigger: Option[Int] = None,
           trigger: Trigger = Trigger.AvailableNow(),
+          histories: Map[String, graft.cdc.SchemaHistory.History] = Map.empty,
           failpoint: Long => Unit = _ => ()): StreamingQuery = {
     // Latency tuning for the micro-batch session: with the defaults, AQE
     // coalesces the dedup exchange of a small batch to ONE partition and
@@ -270,7 +287,7 @@ object Pipeline {
         val multi = present.size > 1
         if (multi) wire.persist()
         try {
-          val events = transform(wire, Some(present))
+          val events = transform(wire, Some(present), histories)
           val valid = Validate.split(events).valid
           // within-batch dedup on the deterministic eventId: same id ⇒
           // identical row (rules are pure), so hash-based dropDuplicates

@@ -89,4 +89,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.size == 2, s"duplicate must be suppressed, got ${rows.size} events")
     assert(rows.distinct.size == 2)
   }
+
+  test("schema-history-aware pipeline decodes a mid-stream rename") {
+    import org.apache.spark.sql.types.StructType
+    import graft.cdc.SchemaHistory
+    val (root, ckpt) = (tmp("sink"), tmp("ckpt"))
+    val cut = Fixtures.T0 + 50000L
+    // v1 envelopes carry the salary under its old name "sal"
+    val v1emp = Fixtures.emp(id = 1, num = "EMP1")
+      .replace("\"salary\":", "\"sal\":")
+    val v2emp = Fixtures.emp(id = 2, num = "EMP2")
+    val led2 = tmp("ledger")
+    Ledger.writeSegment(led2, "hrdb", "employees", "000001.jsonl",
+      Seq(Fixtures.env("employees", "c", "null", v1emp, Fixtures.T0)))
+    Ledger.writeSegment(led2, "hrdb", "employees", "000002.jsonl",
+      Seq(Fixtures.env("employees", "c", "null", v2emp, cut + 1000)))
+    val v1Schema = StructType(Schemas.employees.fields.map(f =>
+      if (f.name == "salary") f.copy(name = "sal") else f))
+    val history = SchemaHistory.History("employees", Seq(
+      SchemaHistory.Version(1, 0L, v1Schema),
+      SchemaHistory.Version(2, cut, Schemas.employees,
+        renames = Map("sal" -> "salary"))))
+    val q = Pipeline.run(spark, led2, root, ckpt,
+      histories = Map("employees" -> history))
+    q.awaitTermination(120000)
+    val stored = Pipeline.readEventStore(spark, Pipeline.storeDir(root))
+    assert(stored.count() == 2, "one EmployeeHired per version era")
+    // the v1 row's "sal" surfaces under the canonical name in the payload
+    val salaries = stored
+      .select(get_json_object(col("payload"), "$.employee.salary").as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(salaries.length == 2 && salaries.forall(_ == "90000.0"),
+      salaries.toString)
+  }
 }
