@@ -84,12 +84,16 @@ object StreamBenchProbe {
     val stored = spark.read.parquet(
       graft.streaming.Pipeline.storeDir(root)).count()
     val measured = progress.toSeq.drop(1) // first batch pays residual warmup
-    val perBatch = measured.map { case (rows, ms) => rows.toDouble / (ms / 1000.0) }
+    // ground-truth events per batch = pass-3 event count / batch count:
+    // the DSv2 progress's numInputRows over-reports (observed 2x vs the
+    // rows actually stored), so rates are computed from stored rows
+    val realBatchRows =
+      if (progress.nonEmpty) events.toDouble / progress.size else 0.0
+    val perBatch = measured.map { case (_, ms) => realBatchRows / (ms / 1000.0) }
     val sustained = if (perBatch.nonEmpty) perBatch.sorted.apply(perBatch.size / 2) else 0.0
     val lat = measured.map(_._2).sorted
     val p95 = if (lat.nonEmpty) lat(math.min(lat.size - 1, (lat.size * 95) / 100)) else 0L
-    val batchRows = if (measured.nonEmpty) measured.map(_._1).sum / measured.size else 0L
-    println(f"STREAMBENCH cold=$coldSec%.1fs (${events / coldSec}%.0f ev/s) warm=$warmSec%.1fs (${events / warmSec}%.0f ev/s) steady=$steadySec%.1fs (${events / steadySec}%.0f ev/s) sustainedPerBatch=$sustained%.0f ev/s p95BatchMs=$p95 avgBatchRows=$batchRows batches=${progress.size} stored=$stored")
+    println(f"STREAMBENCH cold=$coldSec%.1fs (${events / coldSec}%.0f ev/s) warm=$warmSec%.1fs (${events / warmSec}%.0f ev/s) steady=$steadySec%.1fs (${events / steadySec}%.0f ev/s) sustainedPerBatch=$sustained%.0f ev/s p95BatchMs=$p95 realBatchRows=$realBatchRows%.0f batches=${progress.size} stored=$stored")
     spark.stop()
   }
 }
