@@ -40,9 +40,14 @@ import graft.cdc.{ChangeStream, Rules, Schemas, Validate}
   * batches hash-partition on (sink, dir, salt(eventId)) so a hot
   * month/subject fans out `WriteSpread` ways and files/dir stays bounded.
   * Measured via `graft.BatchCostProbe` / `graft.StreamBenchProbe`
-  * (local[32], warm): fused 20k-event batch ~1.4 s end-to-end, streaming
-  * P95 batch latency ~1.7 s at 20k-event admission (KPI met), sustained
-  * ~13k events/s on small batches, 100k-event batch ~4.4 s (~23k ev/s).
+  * (local[32], warm): fused 20k-event batch ~1.0 s end-to-end, streaming
+  * P95 batch latency ~1.3 s at 20k-event admission (KPI <2 s met with
+  * margin), sustained ~19k events/s on small batches, 100k-event batch
+  * ~3.2 s (~32k ev/s). The last round-4 fix: foreachBatch hands the
+  * function an `RDDScanExec` wrapper, so `batchInfo` must read planned
+  * partitions off the underlying DataSourceRDD — before that, every
+  * production batch silently paid a second full source scan in the
+  * presentTables fallback.
   */
 object Pipeline {
 
@@ -220,21 +225,43 @@ object Pipeline {
     */
   val DirectWriteMaxBytes: Long = 32L * 1024 * 1024
 
+  /** ChangeLogPartitions reachable through an RDD's narrow lineage: in
+    * foreachBatch, Spark hands the function a DataFrame over the batch's
+    * ALREADY-PLANNED RDD (an `RDDScanExec`, not the original scan node),
+    * so the planned input partitions must be read off the underlying
+    * `DataSourceRDD`'s partitions instead of the plan tree.
+    */
+  private def partitionsFromRdd(rdd: org.apache.spark.rdd.RDD[_])
+      : Seq[graft.sources.ChangeLogPartition] = rdd match {
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceRDD =>
+      d.partitions.toSeq.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions.collect { case cp: graft.sources.ChangeLogPartition => cp }
+        case _ => Nil
+      }
+    case other => other.dependencies.flatMap(dep => partitionsFromRdd(dep.rdd))
+  }
+
   /** Tables present in a micro-batch plus its admitted byte total, read
     * from the batch's planned input partitions (one per ledger segment byte
-    * range) — no Spark job. Returns None when the plan does not expose
-    * ChangeLogPartitions (e.g. a test feeding a different source), in which
-    * case the caller falls back to scanning (and the conservative
-    * exchange-based write path).
+    * range) — no Spark job. Handles BOTH plan shapes: a direct
+    * `MicroBatchScanExec` (batch-mode reads, tests) and the `RDDScanExec`
+    * wrapper foreachBatch actually receives (production streaming — round
+    * 4 found the streaming path silently hit the fallback scan every
+    * batch, doubling source reads). Returns None only when neither shape
+    * exposes ChangeLogPartitions, in which case the caller falls back to
+    * scanning (and the conservative exchange-based write path).
     */
-  private[streaming] def batchInfo(wire: DataFrame): Option[(Seq[String], Long)] =
-    wire.queryExecution.executedPlan.collectFirst {
+  private[streaming] def batchInfo(wire: DataFrame): Option[(Seq[String], Long)] = {
+    val parts = wire.queryExecution.executedPlan.collect {
       case m: org.apache.spark.sql.execution.datasources.v2.MicroBatchScanExec =>
-        val parts = m.inputPartitions.collect {
-          case p: graft.sources.ChangeLogPartition => p
-        }
-        (parts.map(_.table).distinct, parts.map(_.length).sum)
-    }.filter(_._1.nonEmpty)
+        m.inputPartitions.collect { case p: graft.sources.ChangeLogPartition => p }
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        partitionsFromRdd(r.rdd)
+    }.flatten
+    Some((parts.map(_.table).distinct, parts.map(_.length).sum))
+      .filter(_._1.nonEmpty)
+  }
 
   private[streaming] def presentTables(wire: DataFrame): Option[Seq[String]] =
     batchInfo(wire).map(_._1)

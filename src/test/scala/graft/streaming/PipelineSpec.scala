@@ -122,4 +122,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(salaries.length == 2 && salaries.forall(_ == "90000.0"),
       salaries.toString)
   }
+
+  test("batchInfo resolves planned partitions inside REAL streaming foreachBatch") {
+    // regression (round 4): foreachBatch wraps the batch in an RDDScanExec,
+    // and plan-tree introspection alone returned None - so production
+    // streaming silently fell back to a full per-batch rescan and never
+    // took the direct-write path
+    val (ledger, ckpt) = (tmp("ledger"), tmp("ckpt"))
+    Ledger.writeSegment(ledger, "hrdb", "employees", "000001.jsonl",
+      (1 to 50).map(i => Fixtures.env("employees", "c", "null",
+        Fixtures.emp(id = i, num = s"EMP$i"), Fixtures.T0 + i)))
+    @volatile var seen: Option[(Seq[String], Long)] = None
+    val q = spark.readStream.format("graft-changelog").option("path", ledger)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (wire: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen = Pipeline.batchInfo(wire)
+        ()
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(seen.isDefined, "planned partitions must be visible in foreachBatch")
+    assert(seen.get._1 == Seq("employees"))
+    val bytes = new java.io.File(s"$ledger/hrdb/employees/000001.jsonl").length
+    assert(seen.get._2 == bytes, s"admitted bytes ${seen.get._2} != file $bytes")
+  }
 }
