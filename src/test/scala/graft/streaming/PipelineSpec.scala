@@ -147,4 +147,20 @@ class PipelineSpec extends AnyFunSuite {
     val bytes = new java.io.File(s"$ledger/hrdb/employees/000001.jsonl").length
     assert(seen.get._2 == bytes, s"admitted bytes ${seen.get._2} != file $bytes")
   }
+
+  test("exchange-based write path (large batches) lands the same trees") {
+    // tiny data through the directWrite=false branch: hash exchange on
+    // (sink, pkey, salt), pinned partition count, same layout + visibility
+    val root = tmp("sink")
+    val events = Rules.applyAll(graft.cdc.Fixtures.crudScenario(spark))
+    Pipeline.storeThenPublish(events, batchId = 7L, root, directWrite = false)
+    val stored = Pipeline.readEventStore(spark, Pipeline.storeDir(root))
+    assert(stored.count() == events.count())
+    assert(Pipeline.readPublished(spark, root).count() == events.count())
+    assert(new java.io.File(root, "_sink=store/_pkey=202406/_batch_id=7").exists())
+    // replay overwrites, does not append
+    Pipeline.storeThenPublish(events, batchId = 7L, root, directWrite = false)
+    assert(Pipeline.readEventStore(spark, Pipeline.storeDir(root)).count()
+      == events.count())
+  }
 }
