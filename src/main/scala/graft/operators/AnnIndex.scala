@@ -140,6 +140,63 @@ object AnnIndex {
       .select("vec_id").distinct().count()
   }
 
+  /** True IVF coarse quantizer without a label crutch: deterministic
+    * Lloyd's k-means over the embedding column. Init = the vectors at k
+    * evenly-strided ids (data-independent and replayable); each iteration
+    * assigns every vector to its nearest centroid (broadcast k×dim
+    * centroid table, codegen VecDot distances) and recomputes means via
+    * posexplode + per-(cluster, dim) partial aggregation — no cluster's
+    * vectors ever collect into one task, so the build scales exactly like
+    * `centroids`. Returns (label, centroid) rows compatible with
+    * `ivfTopK`'s quantizer input.
+    */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1")
+    val pts = embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val n = pts.count()
+    require(n >= k, s"k=$k exceeds corpus size $n")
+    val stride = math.max(n / k, 1)
+    var cents = pts
+      .filter(pmod(col("_id"), lit(stride)) === 0 && col("_id") < stride * k)
+      .select((col("_id") / stride).cast("int").as("label"),
+        col("_v").cast("array<double>").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // nearest centroid by cosine; label tiebreak keeps it deterministic
+      val assigned = kmeansAssign(pts, "_id", "_v", cents)
+      cents = assigned
+        .select(col("label"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (id, vec, label) rows ready for
+    * `ivfTopK`'s label-partitioned search. Broadcast centroids, one pass.
+    */
+  def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                   cents: DataFrame): DataFrame = {
+    // internal names: the corpus may carry its own `label` column
+    val c = cents.select(col("label").as("_km_label"),
+      col("centroid").as("_km_centroid"))
+    embeddings.select(col(idCol), col(vecCol))
+      .join(broadcast(c))
+      .withColumn("_d",
+        graft.queries.Corpus.cosine(col(vecCol), col("_km_centroid")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("_km_label"), struct(col("_d"), -col("_km_label")))
+        .as("label"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col("label"))
+  }
+
   /** IVF centroids from a cluster/label column: one mean vector per label.
     * Scale path: posexplode + per-(label, dim) partial-aggregated mean —
     * never collects a label's vectors into one task.

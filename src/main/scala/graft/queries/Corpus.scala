@@ -165,6 +165,22 @@ object Corpus {
         queryId = 0L, k = 10, nprobe = 3)
     }),
 
+    // IVF with a TRUE k-means coarse quantizer (no label crutch): 3
+    // deterministic Lloyd iterations from strided init, nearest-centroid
+    // assignment, nprobe=3 probed search + exact rerank. The oracle
+    // replays the full training loop — init, three assignment+mean
+    // rounds, probe selection — in SQL, so the entire index BUILD is
+    // correctness-gated, not just the search.
+    "knn_kmeans_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = graft.operators.AnnIndex.kmeansCentroids(
+        emb, "vec_id", "embedding", k = 8, iters = 3)
+      val labeled = graft.operators.AnnIndex.kmeansAssign(
+        emb, "vec_id", "embedding", cents)
+      graft.operators.AnnIndex.ivfTopK(labeled, "vec_id", "embedding",
+        "label", queryId = 0L, k = 10, nprobe = 3)
+    }),
+
     // Multimodal binary plumbing over a REAL binary column (documents
     // encoded to bytes, a third of them wrapped in genuine JPEG/RIFF
     // container magic): native magic-byte sniffing + byte length + content
@@ -439,6 +455,48 @@ object Corpus {
         |FROM e JOIN probes USING (label) CROSS JOIN q
         |WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "knn_kmeans_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |p AS (SELECT greatest((SELECT count(*) FROM e) // 8, 1) AS stride),
+        |c0 AS (SELECT (vec_id // p.stride)::INT AS label, v AS centroid
+        |       FROM e, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 8),
+        |a1 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |c1 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a1, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a2 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |c2 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a2, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a3 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |c3 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a3, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a4 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (SELECT c.label FROM c3 c CROSS JOIN q
+        |  ORDER BY list_cosine_similarity(c.centroid, q.qv) DESC, c.label LIMIT 3)
+        |SELECT a4.vec_id, round(list_cosine_similarity(a4.v, q.qv), 6) AS sim
+        |FROM a4 JOIN probes USING (label) CROSS JOIN q
+        |WHERE a4.vec_id <> 0
+        |ORDER BY sim DESC, a4.vec_id LIMIT 10""".stripMargin,
 
     "mm_doc_binary" ->
       """WITH b AS (

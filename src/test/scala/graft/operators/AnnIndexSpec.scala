@@ -86,4 +86,24 @@ class AnnIndexSpec extends AnyFunSuite {
     // ranks are dense 1..k
     assert(batch.values.forall(_.size == 10))
   }
+
+  test("kmeans IVF: full-probe search equals brute force; centroids are stable") {
+    val cents = AnnIndex.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(cents.count() == 8)
+    // deterministic: same build twice -> identical centroids
+    val again = AnnIndex.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(cents.exceptAll(again).isEmpty && again.exceptAll(cents).isEmpty)
+    val labeled = AnnIndex.kmeansAssign(emb, "vec_id", "embedding", cents)
+    assert(labeled.count() == emb.count())
+    // probing EVERY kmeans partition must reproduce exact brute-force top-k
+    val full = AnnIndex.ivfTopK(labeled, "vec_id", "embedding", "label",
+      queryId = 0L, k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == brute, s"full-probe kmeans IVF diverged: $full vs $brute")
+    // nprobe=2 keeps a recall floor while scanning a fraction of the corpus
+    val probed = AnnIndex.ivfTopK(labeled, "vec_id", "embedding", "label",
+      queryId = 0L, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert((probed & brute).size >= 4, s"recall too low: ${(probed & brute).size}/10")
+  }
 }
