@@ -181,6 +181,25 @@ object Corpus {
         "label", queryId = 0L, k = 10, nprobe = 3)
     }),
 
+    // Scalar int8 quantization (operators.Quantize): per-dim affine codec
+    // over the corpus, then top-k cosine in the DEQUANTIZED space vs the
+    // dequantized query — measures the codec end-to-end (stats pass,
+    // codes, reconstruction, search). Oracle replays stats + codec in SQL.
+    "emb_quantize_int8" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val (lo, hi) = graft.operators.Quantize.dimStats(e, "embedding")
+      val dq = graft.operators.Quantize.dequantize(
+        graft.operators.Quantize.codes($"embedding", lo, hi), lo, hi)
+      val base = e.select($"vec_id", dq.as("dv"))
+      val q = base.filter($"vec_id" === 0).select($"dv".as("qv"))
+      base.filter($"vec_id" =!= 0)
+        .join(broadcast(q))
+        .select($"vec_id", round(cosine($"dv", $"qv"), 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+        .limit(10)
+    }),
+
     // Multimodal binary plumbing over a REAL binary column (documents
     // encoded to bytes, a third of them wrapped in genuine JPEG/RIFF
     // container magic): native magic-byte sniffing + byte length + content
@@ -497,6 +516,24 @@ object Corpus {
         |FROM a4 JOIN probes USING (label) CROSS JOIN q
         |WHERE a4.vec_id <> 0
         |ORDER BY sim DESC, a4.vec_id LIMIT 10""".stripMargin,
+
+    "emb_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |stats AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+        |          FROM e, range(1, 65) t(i) GROUP BY i),
+        |dq AS (
+        |  SELECT e.vec_id,
+        |    list(CASE WHEN s.hi = s.lo THEN s.lo
+        |              ELSE s.lo + least(greatest(floor((e.v[s.i] - s.lo) /
+        |                     ((s.hi - s.lo) / 255.0) + 0.5), 0), 255)
+        |                   * ((s.hi - s.lo) / 255.0) END ORDER BY s.i) AS dv
+        |  FROM e, stats s GROUP BY e.vec_id
+        |),
+        |q AS (SELECT dv AS qv FROM dq WHERE vec_id = 0)
+        |SELECT dq.vec_id, round(list_cosine_similarity(dq.dv, q.qv), 6) AS sim
+        |FROM dq CROSS JOIN q
+        |WHERE dq.vec_id <> 0
+        |ORDER BY sim DESC, dq.vec_id LIMIT 10""".stripMargin,
 
     "mm_doc_binary" ->
       """WITH b AS (
