@@ -84,14 +84,25 @@ object SchemaHistory {
     private[cdc] def nameIn(i: Int): Map[String, Option[String]] =
       latest.fieldNames.toSeq.map { canon =>
         var name = canon
+        var alive = true
         var k = versions.length - 1
-        while (k > i) { // versions(k).renames maps name-in-(k-1) -> name-in-k
-          name = versions(k).renames.collectFirst {
-            case (from, to) if to == name => from
-          }.getOrElse(name)
+        while (k > i && alive) { // versions(k).renames: name-in-(k-1) -> name-in-k
+          val r = versions(k).renames
+          r.collectFirst { case (from, to) if to == name => from } match {
+            case Some(from) => name = from
+            case None =>
+              // no rename produced `name` at version k. If version k ALSO
+              // consumed `name` via a rename (name -> other), then the
+              // pre-k field called `name` is a DIFFERENT field — ours was
+              // born at k (re-added under a recycled name) and must decode
+              // as null below it, not steal the old field's values.
+              if (r.contains(name)) alive = false
+          }
           k -= 1
         }
-        canon -> Some(name).filter(versions(i).schema.fieldNames.contains)
+        canon -> Some(name)
+          .filter(_ => alive)
+          .filter(versions(i).schema.fieldNames.contains)
       }.toMap
   }
 

@@ -94,10 +94,11 @@ object AnnIndex {
       .limit(k)
   }
 
-  /** BATCHED LSH top-k: one pass answers every query in `queries` (any
-    * subset of the corpus by id, or an external vector set with the same
-    * schema) — the realistic serving shape: queries and corpus bucket ONCE
-    * each, candidates come from one equality join on (table, bucket), and
+  /** BATCHED LSH top-k: one pass answers every query in `queryIds` (ids of
+    * CORPUS members — an external vector set would bucket through the same
+    * `bucketArray` and join identically, but is not parameterized here) —
+    * the realistic serving shape: queries and corpus bucket ONCE each,
+    * candidates come from one equality join on (table, bucket), and
     * per-query top-k is a partial-aggregating window, never a per-query
     * scan. Returns (query_id, vec_id, sim, rank) with rank 1..k.
     *
@@ -107,6 +108,7 @@ object AnnIndex {
   def lshTopKBatch(embeddings: DataFrame, idCol: String, vecCol: String,
                    queryIds: Seq[Long], k: Int = 10,
                    tables: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
+    require(queryIds.nonEmpty, "lshTopKBatch needs at least one query id")
     import org.apache.spark.sql.expressions.Window
     val keyed = embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
@@ -162,6 +164,13 @@ object AnnIndex {
       .select((col("_id") / stride).cast("int").as("label"),
         col("_v").cast("array<double>").as("centroid"))
       .localCheckpoint(true)
+    // the strided init assumes DENSE 0-based ids (the corpus convention);
+    // fail loudly on sparse/offset id spaces instead of silently building
+    // an index with fewer clusters than asked for
+    val seeded = cents.count()
+    require(seeded == k,
+      s"strided init found $seeded of $k seed ids — kmeansCentroids needs " +
+        s"dense 0-based ids in $idCol (ids 0, $stride, ..., ${stride * (k - 1)})")
     for (_ <- 1 to iters) {
       // nearest centroid by cosine; label tiebreak keeps it deterministic
       val assigned = kmeansAssign(pts, "_id", "_v", cents)

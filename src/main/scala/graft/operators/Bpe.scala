@@ -101,20 +101,21 @@ object Bpe {
     if (s.isEmpty) 0 else n
   }
 
-  // words repeat heavily: one decode per distinct word per thread. The
-  // cache is safe across merge tables because lookups key on table identity.
+  // words repeat heavily: one decode per distinct word per thread. Keys
+  // hold the merge-table ARRAY itself: tuple equality compares arrays by
+  // reference, so two distinct tables can never cross-contaminate even if
+  // their identity hash codes collide (hash collisions only share buckets).
   private val localCache = ThreadLocal.withInitial(() =>
-    new java.util.HashMap[(Int, String), Integer]())
+    new java.util.HashMap[(Array[String], String), Integer]())
 
   /** Static entry point shared by interpreted eval and generated code. */
   def countTokens(text: UTF8String, flat: Array[String]): Long = {
     val cache = localCache.get()
-    val tableId = System.identityHashCode(flat)
     var total = 0L
     val it = preTokens(text.toString)
     while (it.hasNext) {
       val w = it.next()
-      val key = (tableId, w)
+      val key = (flat, w)
       var c = cache.get(key)
       if (c == null) {
         c = tokenCount(w, flat)

@@ -57,6 +57,11 @@ object Components {
       converged = changed == 0
       iter += 1
     }
+    // silent non-convergence would split true clusters and let duplicates
+    // through the keep-one-per-group step — refuse instead
+    require(converged,
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(graph diameter exceeds maxIter) — raise maxIter")
     labels.select(col("id"), col("lbl").as("component"))
   }
 }

@@ -169,8 +169,9 @@ object Corpus {
     // deterministic Lloyd iterations from strided init, nearest-centroid
     // assignment, nprobe=3 probed search + exact rerank. The oracle
     // replays the full training loop — init, three assignment+mean
-    // rounds, probe selection — in SQL, so the entire index BUILD is
-    // correctness-gated, not just the search.
+    // rounds, the FINAL assignment's means (ivfTopK recomputes its probe
+    // centroids from the labels it is given), probe selection — in SQL,
+    // so the entire index BUILD is correctness-gated, not just the search.
     "knn_kmeans_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val cents = graft.operators.AnnIndex.kmeansCentroids(
@@ -509,8 +510,11 @@ object Corpus {
         |    row_number() OVER (PARTITION BY e.vec_id
         |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
         |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+        |c4 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a4, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |probes AS (SELECT c.label FROM c3 c CROSS JOIN q
+        |probes AS (SELECT c.label FROM c4 c CROSS JOIN q
         |  ORDER BY list_cosine_similarity(c.centroid, q.qv) DESC, c.label LIMIT 3)
         |SELECT a4.vec_id, round(list_cosine_similarity(a4.v, q.qv), 6) AS sim
         |FROM a4 JOIN probes USING (label) CROSS JOIN q

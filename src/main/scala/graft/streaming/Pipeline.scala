@@ -174,12 +174,21 @@ object Pipeline {
       .parquet(sinkRoot)
     failpoint(batchId)
     // marker strictly AFTER the data commit: an atomic create of an empty
-    // file — milliseconds, vs the second full write commit it replaces
+    // file — milliseconds, vs the second full write commit it replaces.
+    // Micro-batches commit strictly in order, so the marker set is a
+    // WATERMARK (visibility = id <= max marker) and older marker files can
+    // be garbage-collected — the metadata stays O(1) on a stream that runs
+    // for months, instead of one file per batch forever. The previous
+    // marker is kept so a crash mid-GC never leaves the dir empty.
     val dir = markerDir(sinkRoot)
     val fs = dir.getFileSystem(
       events.sparkSession.sessionState.newHadoopConf())
     fs.mkdirs(dir)
     fs.create(new Path(dir, batchId.toString), true).close()
+    fs.listStatus(dir).toSeq
+      .flatMap(f => scala.util.Try(f.getPath.getName.toLong).toOption)
+      .filter(_ < batchId - 1)
+      .foreach(old => fs.delete(new Path(dir, old.toString), false))
   }
 
   /** Read a store tree back without the physical bookkeeping columns.
@@ -200,10 +209,13 @@ object Pipeline {
       .flatMap(f => scala.util.Try(f.getPath.getName.toLong).toOption)
   }
 
-  /** The consumer-facing publish read: only marker-committed batches are
-    * visible, so a crash between data commit and marker never exposes a
-    * published event missing from the store. The `_batch_id` filter prunes
-    * at the partition level.
+  /** The consumer-facing publish read: only batches at or below the marker
+    * WATERMARK are visible, so a crash between data commit and marker never
+    * exposes a published event missing from the store (batches commit
+    * strictly in order, so max(marker) bounds everything committed).
+    * Compacted partitions (negative ids, consolidating batches
+    * 0..(-id-1)) are visible when their whole source range is. The
+    * `_batch_id` predicate prunes at the partition level.
     */
   def readPublished(spark: SparkSession, sinkRoot: String): DataFrame = {
     val ids = publishedBatchIds(spark, sinkRoot)
@@ -213,8 +225,10 @@ object Pipeline {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.domainEvent)
+    val w = ids.max
     spark.read.parquet(dir.toString)
-      .where(col("_batch_id").isin(ids: _*))
+      .where((col("_batch_id") >= 0 && col("_batch_id") <= w) ||
+        (col("_batch_id") < 0 && -col("_batch_id") - 1 <= w))
       .drop("_batch_id", "_pkey", "event_month")
   }
 
@@ -276,19 +290,22 @@ object Pipeline {
           trigger: Trigger = Trigger.AvailableNow(),
           histories: Map[String, graft.cdc.SchemaHistory.History] = Map.empty,
           failpoint: Long => Unit = _ => ()): StreamingQuery = {
-    // Latency tuning for the micro-batch session: with the defaults, AQE
+    // Latency tuning for the micro-batch work: with the defaults, AQE
     // coalesces the dedup exchange of a small batch to ONE partition and
     // the whole dedup+explode+sort+write tail serializes into one task
     // (measured +400 ms per 20k-event batch, graft.BatchCostProbe).
     // parallelismFirst + a small floor keeps ~10 tasks on that stage while
-    // still bounding files/dir (compaction absorbs the rest).
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
-    val reader = spark.readStream.format("graft-changelog")
+    // still bounding files/dir (compaction absorbs the rest). The confs
+    // apply to a CLONED session so the caller's session keeps its own
+    // planning behavior — the pipeline never mutates shared state.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+    session.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
+    val reader = session.readStream.format("graft-changelog")
       .option("path", ledgerRoot)
       // small admitted batches still parse on every core
       .option("minBatchPartitions",
-        spark.sparkContext.defaultParallelism.toString)
+        session.sparkContext.defaultParallelism.toString)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     reader.load()
       .writeStream

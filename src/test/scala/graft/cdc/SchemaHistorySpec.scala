@@ -145,4 +145,27 @@ class SchemaHistorySpec extends AnyFunSuite {
     assert(got.drop(50).forall { case (id, amt, note, v) =>
       amt == id * 10 && note == Some(s"n$id") && v == 2 })
   }
+
+  test("a name recycled after a rename does not steal the old field's values") {
+    import spark.implicits._
+    // v1 {a}, v2 renames a->b, v3 ADDS a new unrelated field also called "a"
+    val s1 = StructType(Seq(StructField("a", IntegerType)))
+    val s2 = StructType(Seq(StructField("b", IntegerType)))
+    val s3 = StructType(Seq(StructField("b", IntegerType), StructField("a", IntegerType)))
+    val h = SchemaHistory.History("t", Seq(
+      SchemaHistory.Version(1, 0L, s1),
+      SchemaHistory.Version(2, 100L, s2, renames = Map("a" -> "b")),
+      SchemaHistory.Version(3, 200L, s3)))
+    val wire = Seq(
+      Fixtures.env("t", "c", "null", """{"a":7}""", 50L),
+      Fixtures.env("t", "c", "null", """{"b":8,"a":9}""", 250L)).toDF("value")
+    val got = SchemaHistory.deserializeEvolved(wire, h)
+      .select($"schema_version", $"after.b".as("b"), $"after.a".as("a"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq.sortBy(_._1)
+    // v1's 7 surfaces ONLY under b (its rename chain); the recycled "a"
+    // must be null for v1 rows — it was born in v3
+    assert(got == Seq((1, Some(7), None), (3, Some(8), Some(9))), got.toString)
+  }
 }

@@ -163,4 +163,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.readEventStore(spark, Pipeline.storeDir(root)).count()
       == events.count())
   }
+
+  test("publish markers stay bounded: watermark semantics + GC of old markers") {
+    val (ledger, root, ckpt) = (tmp("ledger"), tmp("sink"), tmp("ckpt"))
+    for (seg <- 1 to 4)
+      Ledger.writeSegment(ledger, "hrdb", "employees", f"$seg%06d.jsonl",
+        Seq(Fixtures.env("employees", "c", "null",
+          Fixtures.emp(id = seg, num = s"EMP$seg"), Fixtures.T0 + seg * 1000L)))
+    val q = Pipeline.run(spark, ledger, root, ckpt, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    // 4 batches ran, but at most the last two marker files survive
+    val markers = Option(new java.io.File(root, "_published").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // drop Hadoop .crc sidecars
+    assert(markers.length <= 2 && markers.contains("3"), markers.mkString(","))
+    // and every batch's events are still publish-visible via the watermark
+    assert(Pipeline.readPublished(spark, root).count() == 4)
+  }
 }
