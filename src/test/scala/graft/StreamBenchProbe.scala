@@ -53,20 +53,9 @@ object StreamBenchProbe {
     // third pass: ONE long-lived query drains 20 MORE segments in admission-
     // controlled batches; per-batch progress gives the sustained rate AND the
     // batch-latency distribution a production query sees (no per-query
-    // startup in the denominator).
-    val progress = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (e.progress.numInputRows > 0)
-          progress += ((e.progress.numInputRows,
-            Option(e.progress.durationMs.get("triggerExecution"))
-              .map(_.toLong)
-              .getOrElse(e.progress.durationMs.values().asScala.map(_.toLong).sum)))
-    }
-    spark.streams.addListener(listener)
+    // startup in the denominator). Read from the query's recentProgress —
+    // Pipeline.run executes on a cloned session, so a listener on the
+    // caller's StreamingQueryManager would never fire.
     for (seg <- 2 * nSegs + 1 to 3 * nSegs) {
       val lines = (1 to perSeg).map { _ =>
         id += 1
@@ -79,7 +68,11 @@ object StreamBenchProbe {
       maxFilesPerTrigger = Some(sys.env.get("MFT").map(_.toInt).getOrElse(4)))
     q3.awaitTermination(600000)
     val steadySec = (System.nanoTime() - t2) / 1e9
-    spark.streams.removeListener(listener)
+    val progress = q3.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => (p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong)
+          .getOrElse(p.durationMs.values().asScala.map(_.toLong).sum)))
     val events = nSegs * perSeg
     val stored = spark.read.parquet(
       graft.streaming.Pipeline.storeDir(root)).count()
