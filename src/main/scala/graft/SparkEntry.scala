@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.CdcAnalog.queries ++
       graft.queries.Corpus.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.CdcAnalog.oracleSql ++
       graft.queries.Corpus.oracleSql ++
+      graft.queries.Curation.oracleSql ++
       graft.queries.Events.oracleSql
 }

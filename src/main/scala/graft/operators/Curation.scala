@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines (builder brief):
+  * repetition statistics (the Gopher/MassiveText repetition filters),
+  * deterministic stratified sampling, and benchmark decontamination.
+  *
+  * All three are declarative DataFrame plans — explode + hash-partitioned
+  * aggregation, no UDFs, no driver loops — so they scale with the corpus:
+  * the shuffle keys are (doc_id, gram) or (gram), both high-cardinality and
+  * uniform, and every join is either equality-keyed or broadcast.
+  */
+object Curation {
+
+  /** Whitespace words, trailing-empty preserving (split limit -1 keeps the
+    * compiled path identical to scalar semantics on degenerate inputs).
+    */
+  private def words(text: Column): Column = split(text, " ", -1)
+
+  /** Word n-grams as space-joined strings via zipped slices — no `sequence`
+    * (whose descending-range edge case bites on short docs) and no explode
+    * until the caller asks. Empty array when the doc has fewer than n words.
+    */
+  def wordGrams(w: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val len = greatest(size(w) - (n - 1), lit(0))
+    (1 to n).map(i => slice(w, lit(i), len))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+  }
+
+  /** Per-document repetition statistics (Gopher-family quality filters):
+    *
+    *  - `top2_frac` / `top3_frac`: fraction of the document's characters
+    *    covered by its single most frequent word 2-gram / 3-gram
+    *    (occurrences × gram length / doc length) — boilerplate and SEO spam
+    *    score high.
+    *  - `dup5_frac`: fraction of word 5-gram OCCURRENCES whose gram appears
+    *    more than once in the document — templated/looping text scores high.
+    *
+    * Ties on the top gram break by gram string ascending, so the output is
+    * deterministic. Scale shape: three explode → groupBy(doc_id, gram)
+    * branches; the shuffle key is (doc_id, gram) which is uniform by
+    * construction (no hot keys — every doc contributes its own groups).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      words(col(textCol)).as("w"),
+      greatest(length(col(textCol)), lit(1)).cast("double").as("n_chars"))
+
+    def topGramFrac(n: Int, outCol: String): DataFrame = {
+      val counts = base
+        .select(col("doc_id"), col("n_chars"), explode(wordGrams(col("w"), n)).as("gram"))
+        .groupBy(col("doc_id"), col("n_chars"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+      val rn = row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram").asc))
+      counts.withColumn("rn", rn).filter(col("rn") === 1)
+        .select(col("doc_id"),
+          round(col("cnt") * length(col("gram")).cast("double") / col("n_chars"), 6)
+            .as(outCol))
+    }
+
+    val dup5 = base
+      .select(col("doc_id"), explode(wordGrams(col("w"), 5)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("double") /
+          sum(col("cnt")).cast("double"), 6).as("dup5_frac"))
+
+    base.select(col("doc_id"))
+      .join(topGramFrac(2, "top2_frac"), Seq("doc_id"), "left")
+      .join(topGramFrac(3, "top3_frac"), Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+  }
+
+  /** Deterministic stratified sampling: a row survives iff the first two hex
+    * digits of md5(stratum ":" id) fall below the stratum's threshold —
+    * reproducible across engines and runs, no RNG state, granularity 1/256.
+    * At 100 TB this is a pure scan-side filter (pushed into the file scan's
+    * residual), no shuffle at all.
+    *
+    * `rates` maps stratum value → sampling rate in [0,1]; strata not listed
+    * use `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    def thresholdHex(rate: Double): String = {
+      require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+      f"${math.round(rate * 256).toInt}%02x"
+    }
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdHex(defaultRate))) { case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(thresholdHex(rate))).otherwise(acc)
+      }
+    val prefix = substring(
+      md5(concat(col(stratumCol), lit(":"), col(idCol).cast("string"))), 1, 2)
+    df.filter(prefix < threshold)
+  }
+
+  /** Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): report
+    * every (train doc, benchmark doc) pair sharing at least `minShared`
+    * distinct word n-grams. The benchmark side is small by construction
+    * (eval sets), so its distinct grams broadcast; the train side explodes
+    * its grams once and the match is one equality join on the gram string —
+    * never a document×document product.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8, minShared: Long = 1L): DataFrame = {
+    def grams(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+          explode(array_distinct(wordGrams(words(col(textCol)), n))).as("gram"))
+    grams(train, "train_id")
+      .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation queries over the `documents` table (builder brief):
+  * repetition filters, deterministic sampling, token-budget packing and
+  * benchmark decontamination — the stages between raw crawl and training
+  * batches that the dedup/quality operators in `Corpus` don't cover.
+  */
+object Curation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Gopher/MassiveText repetition filters: top n-gram character coverage
+    // + duplicate 5-gram occurrence fraction, per document.
+    "doc_repetition" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Curation
+        .repetitionStats(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic hash-based stratified sampling: downsample the dominant
+    // language (en at 25%) against a 50% default — the corpus-rebalancing
+    // step, reproducible bit-for-bit across engines and runs.
+    "doc_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Curation
+        .stratifiedSample(Tables(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 0.25), defaultRate = 0.5)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    // Token-budget sequence packing via the DISTRIBUTED prefix sum
+    // (operators.Pack): bin = floor(running token offset / 1000). The
+    // oracle states the same semantics as one global window — the Spark
+    // plan must never contain that single-task stage (asserted in
+    // PackSpec), only per-bucket windows plus a bucket-count-sized prefix.
+    "doc_pack" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("bigint").as("n_tok"))
+      graft.operators.Pack
+        .packBins(docs, "doc_id", "n_tok", budget = 1000L, bucketSpan = 64L)
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"bin")
+    }),
+
+    // Benchmark decontamination: every (train, benchmark) pair sharing a
+    // distinct word 8-gram (benchmark set = doc_id % 50 == 0 — stands in
+    // for the eval suites a real pipeline scrubs against). Broadcast bench
+    // grams, one equality join — never a doc×doc product.
+    "doc_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Curation
+        .decontaminate(
+          train = docs.filter($"doc_id" % 50 =!= 0),
+          bench = docs.filter($"doc_id" % 50 === 0),
+          idCol = "doc_id", textCol = "text", n = 8, minShared = 1L)
+        .select($"train_id", $"bench_id", $"n_shared")
+        .orderBy($"train_id", $"bench_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w,
+        |            greatest(length(text), 1)::DOUBLE n_chars FROM documents),
+        |g2 AS (SELECT doc_id, n_chars, unnest(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1])) AS gram FROM t),
+        |c2 AS (SELECT doc_id, n_chars, gram, count(*) cnt FROM g2 GROUP BY ALL),
+        |t2 AS (SELECT doc_id, round(cnt * length(gram) / n_chars, 6) AS top2_frac,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) rn
+        |       FROM c2),
+        |g3 AS (SELECT doc_id, n_chars, unnest(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM t),
+        |c3 AS (SELECT doc_id, n_chars, gram, count(*) cnt FROM g3 GROUP BY ALL),
+        |t3 AS (SELECT doc_id, round(cnt * length(gram) / n_chars, 6) AS top3_frac,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) rn
+        |       FROM c3),
+        |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+        |       FROM t),
+        |c5 AS (SELECT doc_id, gram, count(*) cnt FROM g5 GROUP BY ALL),
+        |d5 AS (SELECT doc_id,
+        |        round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6) AS dup5_frac
+        |       FROM c5 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(t2.top2_frac, 0.0) AS top2_frac,
+        |  coalesce(t3.top3_frac, 0.0) AS top3_frac,
+        |  coalesce(d5.dup5_frac, 0.0) AS dup5_frac
+        |FROM t
+        |LEFT JOIN (SELECT doc_id, top2_frac FROM t2 WHERE rn = 1) t2 USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, top3_frac FROM t3 WHERE rn = 1) t3 USING (doc_id)
+        |LEFT JOIN d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(lang || ':' || doc_id::VARCHAR), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
+        |  FROM t)
+        |SELECT (cum_before // 1000)::BIGINT AS bin, count(*) AS n_docs,
+        |  sum(n_tok)::BIGINT AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "doc_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 6),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) s
+        |      FROM t WHERE len(w) >= 8),
+        |e AS (SELECT doc_id, unnest(s) AS gram FROM g)
+        |SELECT a.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+        |FROM e a JOIN e b USING (gram)
+        |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |GROUP BY 1, 2
+        |ORDER BY train_id, bench_id""".stripMargin,
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("wordGrams yields space-joined n-grams, empty below n words") {
+    import spark.implicits._
+    val got = Seq("a b c d", "a b", "a", "").toDF("t")
+      .select(Curation.wordGrams(split($"t", " ", -1), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("a b c", "b c d"),
+      Nil,
+      Nil,
+      Nil))
+  }
+
+  test("repetitionStats matches hand-computed fractions") {
+    import spark.implicits._
+    // doc 1: "x y x y x y" (n_chars=11) — 2-grams: "x y"×3, "y x"×2 →
+    //   top2 = 3·3/11; 3-grams: "x y x"×2 = "y x y"×2, tie → "x y x" →
+    //   top3 = 2·5/11; 5-grams both unique → dup5 = 0
+    // doc 2: "a a a a a a" (n_chars=11) — "a a"×5 → top2 = 5·3/11;
+    //   "a a a"×4 → top3 = 4·5/11; the one 5-gram "a a a a a" ×2 → dup5 = 1
+    // doc 3: "q w" (n_chars=3) — top2 = 1·3/3 = 1; no 3-/5-grams → zeros
+    val df = Seq(
+      (1L, "x y x y x y"),
+      (2L, "a a a a a a"),
+      (3L, "q w")).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(0) == ((1L, r6(9.0 / 11), r6(10.0 / 11), 0.0)))
+    assert(got(1) == ((2L, r6(15.0 / 11), r6(20.0 / 11), 1.0)))
+    assert(got(2) == ((3L, 1.0, 0.0, 0.0)))
+  }
+
+  test("repetitionStats breaks top-gram ties by gram ascending") {
+    import spark.implicits._
+    // "b a b a" 2-grams: "b a"×2, "a b"×1 → top = "b a".
+    // "c d c d e c d" would tie... craft an exact tie: "a b c a b c" has
+    // "a b"×2, "b c"×2, "c a"×1 → tie between "a b" and "b c" → "a b" wins
+    val df = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(df, "doc_id", "text").collect()(0)
+    // top2_frac = 2 * len("a b")=3 / 11
+    assert(got.getDouble(1) == math.rint(6.0 / 11 * 1e6) / 1e6)
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    import spark.implicits._
+    val df = spark.range(10000)
+      .select($"id".as("doc_id"),
+        when($"id" % 2 === 0, "en").otherwise("de").as("lang"))
+    val rates = Map("en" -> 0.25)
+    val s1 = Curation.stratifiedSample(df, "doc_id", "lang", rates, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Curation.stratifiedSample(df, "doc_id", "lang", rates, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2, "same input must sample identically")
+    val byLang = Curation.stratifiedSample(df, "doc_id", "lang", rates, 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5000 per stratum; thresholds are exact on the first hex byte, so the
+    // expectation is rate ± binomial noise (~3σ ≈ 2%)
+    assert(math.abs(byLang("en") / 5000.0 - 0.25) < 0.03, s"en rate ${byLang("en")}")
+    assert(math.abs(byLang("de") / 5000.0 - 0.50) < 0.03, s"de rate ${byLang("de")}")
+    // membership is exactly the md5-prefix rule (cross-check a few rows)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keep(lang: String, id: Long, thr: String): Boolean = {
+      val h = md.digest(s"$lang:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.substring(0, 2) < thr
+    }
+    val sampled = s1.toSet
+    (0L until 100L).foreach { id =>
+      val lang = if (id % 2 == 0) "en" else "de"
+      val thr = if (lang == "en") "40" else "80"
+      assert(sampled.contains(id) == keep(lang, id, thr), s"id=$id")
+    }
+  }
+
+  test("decontaminate finds exactly the planted overlaps") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ") // 10 words
+    val docs = Seq(
+      (0L, s"$shared unique0 filler a b c"), // bench (id % 50 == 0)
+      (1L, s"prefix1 $shared suffix1"), // train, shares 8-grams with 0
+      (2L, "totally different words here nothing shared at all longer than eight"),
+      (50L, "another bench doc with its own content words one two three"),
+      (51L, s"also $shared trailing")) // train, shares with 0 only
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val train = docs.filter($"doc_id" % 50 =!= 0)
+    val got = Curation.decontaminate(train, bench, "doc_id", "text", n = 8)
+      .orderBy("train_id", "bench_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // "tok1..tok10" contains 3 distinct word-8-grams (positions 1..3), all
+    // shared between docs 0, 1 and 51; no other pair overlaps
+    assert(got == List((1L, 0L, 3L), (51L, 0L, 3L)))
+  }
+}
