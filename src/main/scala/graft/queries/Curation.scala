@@ -67,6 +67,18 @@ object Curation {
         .select($"train_id", $"bench_id", $"n_shared")
         .orderBy($"train_id", $"bench_id")
     }),
+
+    // Product quantization + asymmetric distance computation
+    // (operators.Pq): 4 subspaces × 8 centroids trained with one
+    // deterministic Lloyd refinement, every vector encoded to 4 codes,
+    // query answered from an m×k dot-product LUT. The oracle replays the
+    // ENTIRE pipeline — strided init, assignment, means, encode, LUT,
+    // score — in SQL, so the codebook build is gated, not just the search.
+    "knn_pq_adc" -> ((s, dir) => {
+      graft.operators.Pq.adcTopK(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 10, m = 4, kCent = 8,
+        iters = 1, dim = 64)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -131,5 +143,43 @@ object Curation {
         |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
         |GROUP BY 1, 2
         |ORDER BY train_id, bench_id""".stripMargin,
+
+    // PQ replay: subvectors from list slices, strided init (c0), one Lloyd
+    // refinement (a1 assignment + c1 means), encode vs c1, ADC LUT + fixed
+    // per-subspace sums. Squared L2 is written a − 2b + c over dot products
+    // in BOTH engines so assignment argmins agree bit-for-bit (same trick
+    // the knn_lsh_topk oracle proved for sign decisions).
+    "knn_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |sub AS (SELECT vec_id, m, v[16*m+1 : 16*m+16] AS sv FROM e, range(0, 4) t(m)),
+        |p AS (SELECT greatest((SELECT count(*) FROM e) // 8, 1) AS stride),
+        |c0 AS (SELECT m, (vec_id // p.stride)::INT AS label, sv AS centroid
+        |       FROM sub, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 8),
+        |a1 AS (SELECT vec_id, m, sv, label FROM (
+        |  SELECT s.vec_id, s.m, s.sv, c.label,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.m
+        |      ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.centroid)
+        |               + list_dot_product(c.centroid, c.centroid) ASC, c.label ASC) rn
+        |  FROM sub s JOIN c0 c ON s.m = c.m) WHERE rn = 1),
+        |c1 AS (SELECT m, label, list(mu ORDER BY i) AS centroid FROM (
+        |  SELECT m, label, i, avg(sv[i]) AS mu FROM a1, range(1, 17) t(i)
+        |  GROUP BY m, label, i) GROUP BY m, label),
+        |codes AS (SELECT vec_id, m, label AS code FROM (
+        |  SELECT s.vec_id, s.m, c.label,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.m
+        |      ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.centroid)
+        |               + list_dot_product(c.centroid, c.centroid) ASC, c.label ASC) rn
+        |  FROM sub s JOIN c1 c ON s.m = c.m WHERE s.vec_id <> 0) WHERE rn = 1),
+        |q AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
+        |lut AS (SELECT c.m, c.label AS code, list_dot_product(q.qsv, c.centroid) AS score
+        |        FROM c1 c JOIN q ON q.m = c.m),
+        |adc AS (SELECT codes.vec_id,
+        |    sum(CASE WHEN codes.m = 0 THEN lut.score END) AS s0,
+        |    sum(CASE WHEN codes.m = 1 THEN lut.score END) AS s1,
+        |    sum(CASE WHEN codes.m = 2 THEN lut.score END) AS s2,
+        |    sum(CASE WHEN codes.m = 3 THEN lut.score END) AS s3
+        |  FROM codes JOIN lut USING (m, code) GROUP BY codes.vec_id)
+        |SELECT vec_id, round(s0 + s1 + s2 + s3, 6) AS adc
+        |FROM adc ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin,
   )
 }
