@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Decode support: IMAGE formats with a JDK reader (PNG, JPEG, GIF, BMP)
   * decode for REAL via `javax.imageio` (`decodeImage`) — actual pixels,
-  * actual dimensions, actual bilinear resampling in `resize`. Only
-  * payloads no JVM decoder exists for (wav/mp4/unknown) fall back to the
-  * clearly-marked `decodeStub`, keeping every pipeline shape exercisable.
+  * actual dimensions, actual bilinear resampling in `resize`. WAV audio
+  * decodes for REAL via `javax.sound.sampled` (`decodeAudio` → PCM, RMS/
+  * peak features). MP4 containers get REAL byte-level box parsing
+  * (`parseMp4` → brand, timescale, duration, track count). Only mp4 frame
+  * pixels and unknown formats fall back to the clearly-marked
+  * `decodeStub`, keeping every pipeline shape exercisable.
   */
 object Multimodal {
 
@@ -64,31 +67,113 @@ object Multimodal {
       .otherwise("unknown")
   }
 
-  /** Deterministic synthetic assets for tests/benchmarks: payload bytes from
-    * splitmix64 on the asset id, prefixed with a real container magic so
-    * sniffing has something to find.
+  /** A REAL RIFF/WAVE payload: canonical 44-byte PCM header + 16-bit LE
+    * mono samples of a deterministic sine keyed by `seed`. Decodable by
+    * any WAV reader, including `decodeAudio` below.
+    */
+  def encodeWavPcm16(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    val freq = 220.0 + (seed % 7) * 110.0
+    var i = 0
+    while (i < nSamples) {
+      val s = math.sin(2.0 * math.Pi * freq * i / sampleRate) * 0.5
+      out.putShort((s * Short.MaxValue).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** A REAL (minimal) ISO-BMFF/MP4 container: `ftyp` + `moov` holding a
+    * version-0 `mvhd` (timescale + duration) and `nTracks` empty `trak`
+    * boxes, padded to `totalBytes` with a `free` box of deterministic
+    * splitmix bytes. Parses with `parseMp4` or any box walker.
+    */
+  def encodeMinimalMp4(durationMs: Long, nTracks: Int, totalBytes: Int,
+                       seed: Long): Array[Byte] = {
+    val mvhdLen = 8 + 100
+    val moovLen = 8 + mvhdLen + 8 * nTracks
+    val ftypLen = 24
+    val freeLen = totalBytes - ftypLen - moovLen
+    require(freeLen >= 8, s"totalBytes=$totalBytes too small for the boxes")
+    val out = java.nio.ByteBuffer.allocate(totalBytes) // big-endian (BMFF)
+    out.putInt(ftypLen).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      .put("isom".getBytes("US-ASCII")).put("mp42".getBytes("US-ASCII"))
+    out.putInt(moovLen).put("moov".getBytes("US-ASCII"))
+    out.putInt(mvhdLen).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation/modification time
+      .putInt(1000) // timescale: ms
+      .putInt(durationMs.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
+      .putLong(0) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(out.putInt) // identity matrix
+    (1 to 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(nTracks + 1) // next_track_ID
+    (1 to nTracks).foreach { _ =>
+      out.putInt(8).put("trak".getBytes("US-ASCII"))
+    }
+    out.putInt(freeLen).put("free".getBytes("US-ASCII"))
+    var x = seed * 0x9e3779b97f4a7c15L + 0x243f6a8885a308d3L
+    (1 to freeLen - 8).foreach { _ =>
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      out.put((z >>> 56).toByte)
+    }
+    out.array()
+  }
+
+  /** Deterministic synthetic assets for tests/benchmarks. Audio and video
+    * payloads are REAL containers (decodable WAV PCM; walkable MP4 boxes);
+    * image payloads carry a JPEG magic over splitmix bytes — an
+    * UNDECODABLE body, kept deliberately so the stub fallback path stays
+    * exercised next to the real-decode paths (planted PNGs in the specs
+    * cover real image decode).
     */
   def syntheticAssets(spark: SparkSession, n: Int, bytesPerAsset: Int = 4096): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
-      val kind = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      (id % 3) match {
+        case 0 =>
+          val magic = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+          var x = id * 0x9e3779b97f4a7c15L + 0x243f6a8885a308d3L
+          val body = Array.fill(bytesPerAsset - magic.length) {
+            x += 0x9e3779b97f4a7c15L
+            var z = x
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            (z >>> 56).toByte
+          }
+          Asset(id, "image", magic ++ body,
+            width = 64, height = 64, channels = 3,
+            sample_rate = 0, duration_ms = 0)
+        case 1 =>
+          val sampleRate = 16000
+          val nSamples = (bytesPerAsset - 44) / 2
+          Asset(id, "audio", encodeWavPcm16(nSamples, sampleRate, id),
+            width = 0, height = 0, channels = 1,
+            sample_rate = sampleRate,
+            duration_ms = (nSamples * 1000L / sampleRate).toInt)
+        case _ =>
+          Asset(id, "video",
+            encodeMinimalMp4(durationMs = 2000L, nTracks = 1,
+              totalBytes = bytesPerAsset, seed = id),
+            width = 64, height = 64, channels = 3,
+            sample_rate = 0, duration_ms = 2000)
       }
-      val magic: Array[Byte] = kind match {
-        case "image" => Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
-        case "audio" => "RIFF".getBytes("US-ASCII")
-        case _       => Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes("US-ASCII")
-      }
-      var x = id * 0x9e3779b97f4a7c15L + 0x243f6a8885a308d3L
-      val body = Array.fill(bytesPerAsset - magic.length) {
-        x += 0x9e3779b97f4a7c15L
-        var z = x
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        (z >>> 56).toByte
-      }
-      Asset(id, kind, magic ++ body,
-        width = 64, height = 64, channels = 3,
-        sample_rate = 16000, duration_ms = 2000)
     }
   }
 
@@ -131,10 +216,138 @@ object Multimodal {
     }
   }
 
-  /** STUB — stands in ONLY for payloads `decodeImage` cannot handle (no
-    * wav/mp4 decoder ships in the JVM). Deterministic: "pixels" are a
+  /** A decoded audio clip: PCM bytes + the format sidecar. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+                                bitsPerSample: Int, nFrames: Long,
+                                pcm: Array[Byte])
+
+  /** REAL audio decode through `javax.sound.sampled` — the WAV/AIFF/AU
+    * readers ship in the JDK. Returns None when no reader claims the
+    * payload (mp4, truncated bytes), in which case callers keep the stub
+    * path.
+    */
+  def decodeAudio(content: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val f = ais.getFormat
+      val pcm = ais.readAllBytes()
+      ais.close()
+      Some(DecodedAudio(f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, ais.getFrameLength, pcm))
+    } catch { case _: Exception => None }
+
+  final case class AudioFeatures(
+      asset_id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+      rms: Double, peak: Double)
+
+  /** Per-partition REAL audio feature extraction: decode WAV PCM, compute
+    * RMS level and absolute peak over normalized 16-bit samples. Assets
+    * whose payloads no JVM reader claims are skipped (a real pipeline
+    * routes them to a dead-letter table).
+    */
+  def audioFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("kind") === "audio").flatMap { a =>
+      decodeAudio(a.content).collect {
+        case d if d.bitsPerSample == 16 =>
+          val n = d.pcm.length / 2
+          var i = 0
+          var sum2 = 0.0
+          var peak = 0.0
+          while (i < n) {
+            val s = (((d.pcm(2 * i + 1) << 8) | (d.pcm(2 * i) & 0xFF)).toShort
+              / 32768.0)
+            sum2 += s * s
+            val a0 = math.abs(s)
+            if (a0 > peak) peak = a0
+            i += 1
+          }
+          AudioFeatures(a.asset_id, d.sampleRate, d.channels,
+            n.toLong / math.max(d.channels, 1),
+            math.sqrt(sum2 / math.max(n, 1)), peak)
+      }
+    }
+  }
+
+  /** Container metadata from an ISO-BMFF/MP4 payload. */
+  final case class Mp4Meta(major_brand: String, timescale: Long,
+                           duration_ms: Long, n_tracks: Int)
+
+  /** REAL MP4 container parsing — a pure byte-level ISO-BMFF box walk
+    * (`ftyp` brand; `moov`→`mvhd` timescale/duration, v0 and v1; `trak`
+    * count). No codec involved: this is the demux-metadata stage a real
+    * pipeline runs before deciding what to decode. Returns None when the
+    * payload isn't a well-formed box sequence with a `moov`/`mvhd`.
+    */
+  def parseMp4(content: Array[Byte]): Option[Mp4Meta] =
+    try {
+      val buf = java.nio.ByteBuffer.wrap(content) // BMFF is big-endian
+      def u32(at: Int): Long = buf.getInt(at) & 0xFFFFFFFFL
+      def fourcc(at: Int): String =
+        new String(content, at, 4, "US-ASCII")
+      var off = 0
+      var brand: Option[String] = None
+      var meta: Option[(Long, Long)] = None // (timescale, duration ticks)
+      var tracks = 0
+      var sawMoov = false
+      while (off + 8 <= content.length) {
+        val size = u32(off)
+        val typ = fourcc(off + 4)
+        if (size < 8 || off + size > content.length)
+          return None // size==1 (64-bit largesize) unsupported; malformed otherwise
+        typ match {
+          case "ftyp" if size >= 16 => brand = Some(fourcc(off + 8))
+          case "moov" =>
+            sawMoov = true
+            var c = off + 8
+            val end = off + size.toInt
+            while (c + 8 <= end) {
+              val csize = u32(c)
+              if (csize < 8 || c + csize > end) return None
+              fourcc(c + 4) match {
+                case "mvhd" =>
+                  val version = content(c + 8) & 0xFF
+                  meta = Some(
+                    if (version == 1) (u32(c + 28), buf.getLong(c + 32))
+                    else (u32(c + 20), u32(c + 24)))
+                case "trak" => tracks += 1
+                case _ => ()
+              }
+              c += csize.toInt
+            }
+          case _ => ()
+        }
+        off += size.toInt
+      }
+      if (!sawMoov) None
+      else meta.map { case (ts, dur) =>
+        Mp4Meta(brand.getOrElse("????"), ts,
+          if (ts == 0) 0L else dur * 1000L / ts, tracks)
+      }
+    } catch { case _: Exception => None }
+
+  final case class VideoMeta(asset_id: Long, major_brand: String,
+                             timescale: Long, duration_ms: Long, n_tracks: Int)
+
+  /** Per-partition MP4 metadata extraction over video payloads. */
+  def videoMeta(assets: Dataset[Asset]): Dataset[VideoMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("kind") === "video").flatMap { a =>
+      parseMp4(a.content).map(m =>
+        VideoMeta(a.asset_id, m.major_brand, m.timescale, m.duration_ms,
+          m.n_tracks))
+    }
+  }
+
+  /** STUB — stands in ONLY for payloads with no JVM decoder left: mp4
+    * FRAME PIXELS (the container metadata is genuinely parsed by
+    * `parseMp4`; images decode via `decodeImage`, WAV audio via
+    * `decodeAudio`) and unknown formats. Deterministic: "pixels" are a
     * splitmix of the content hash. The signature and batch shape are what
-    * a real decoder plugs into; swap the body, keep the plumbing.
+    * a real codec plugs into; swap the body, keep the plumbing.
     */
   def decodeStub(content: Array[Byte]): Array[Byte] = {
     var x = java.util.Arrays.hashCode(content).toLong

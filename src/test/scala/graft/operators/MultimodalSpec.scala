@@ -110,6 +110,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("decodeAudio: synthetic WAV decodes to real PCM with real format") {
+    val wav = Multimodal.encodeWavPcm16(nSamples = 2026, sampleRate = 16000,
+      seed = 1L)
+    assert(wav.length == 4096)
+    val dec = Multimodal.decodeAudio(wav).get
+    assert(dec.sampleRate == 16000 && dec.channels == 1
+      && dec.bitsPerSample == 16)
+    assert(dec.nFrames == 2026)
+    assert(dec.pcm.length == 2026 * 2)
+    // the payload really is the sine we wrote: sample 0 is silence, the
+    // quarter-period sample of a 330 Hz tone (seed 1) is near half scale
+    val s0 = ((dec.pcm(1) << 8) | (dec.pcm(0) & 0xFF)).toShort
+    assert(s0 == 0)
+    // non-audio payloads refuse instead of guessing
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeAudio(
+      Multimodal.encodeMinimalMp4(2000L, 1, 4096, 0L)).isEmpty)
+  }
+
+  test("audioFeatures: real RMS and peak of the planted sine") {
+    val feats = Multimodal.audioFeatures(
+      Multimodal.syntheticAssets(spark, 30)).collect()
+    assert(feats.length == 10) // 30 assets, 1/3 audio
+    feats.foreach { f =>
+      assert(f.sample_rate == 16000 && f.channels == 1)
+      assert(f.n_samples == 2026)
+      // a 0.5-amplitude sine has RMS ~ 0.5/sqrt(2) ≈ 0.3536 and peak ≤ 0.5
+      assert(math.abs(f.rms - 0.3536) < 0.01, s"rms ${f.rms}")
+      assert(f.peak > 0.45 && f.peak <= 0.51, s"peak ${f.peak}")
+    }
+  }
+
+  test("parseMp4: real box walk recovers brand, duration and track count") {
+    val mp4 = Multimodal.encodeMinimalMp4(durationMs = 2000L, nTracks = 1,
+      totalBytes = 4096, seed = 3L)
+    assert(mp4.length == 4096)
+    val meta = Multimodal.parseMp4(mp4).get
+    assert(meta.major_brand == "isom")
+    assert(meta.timescale == 1000L && meta.duration_ms == 2000L)
+    assert(meta.n_tracks == 1)
+    // garbage and truncation refuse instead of guessing
+    assert(Multimodal.parseMp4(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseMp4(mp4.take(100)).isEmpty)
+    assert(Multimodal.parseMp4(
+      Multimodal.encodeWavPcm16(100, 16000, 0L)).isEmpty)
+  }
+
+  test("videoMeta: every synthetic video parses to the planted metadata") {
+    val metas = Multimodal.videoMeta(
+      Multimodal.syntheticAssets(spark, 30)).collect()
+    assert(metas.length == 10)
+    metas.foreach { m =>
+      assert(m.major_brand == "isom" && m.duration_ms == 2000L
+        && m.n_tracks == 1)
+    }
+  }
+
   test("resize really resamples decodable images and re-encodes to PNG") {
     import spark.implicits._
     val png = plantedPng(32, 32)
