@@ -108,6 +108,18 @@ object Curation {
     df.filter(prefix < threshold)
   }
 
+  /** Ordered regex redaction (PII scrubbing surface): apply each
+    * (pattern → replacement) rule in sequence. Patterns should stick to
+    * the regex subset Java and RE2 share (character classes, +, *, ?) so
+    * the behavior is portable; plain scan-side projection, codegen'd.
+    */
+  def scrubPii(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (t, (pat, rep)) => regexp_replace(t, pat, rep) }
+
+  /** Number of non-overlapping matches of `pattern` in `text`. */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("bigint")
+
   /** Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): report
     * every (train doc, benchmark doc) pair sharing at least `minShared`
     * distinct word n-grams. The benchmark side is small by construction

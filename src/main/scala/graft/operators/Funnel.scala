@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: for a step sequence
+  * (e.g. signup → view → click → purchase), a user completes step i+1 at
+  * the FIRST event of that type strictly after their step-i completion
+  * time — the standard product-analytics funnel semantics.
+  *
+  * Scale shape: one `groupBy(user)` aggregation per step plus one
+  * equality join per transition, all keyed on the user column (uniform,
+  * no hot keys beyond real user skew); the event scan is filtered to one
+  * event type per stage, so predicate pushdown keeps each stage's input
+  * small. No windows, no per-user sorting, no collect.
+  */
+object Funnel {
+
+  /** Per-user first-completion timestamps: (user, t1 .. tk), where t(i)
+    * is null if the user never reached step i. Left-joined chain, so every
+    * user who completed step 1 appears.
+    */
+  def stepTimes(events: DataFrame, userCol: String, typeCol: String,
+                tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
+      val prevT = s"t${i + 1}"
+      val nextT = s"t${i + 2}"
+      val stage = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol))
+        .join(acc.select(col(userCol), col(prevT)), Seq(userCol))
+        .filter(col(tsCol) > col(prevT))
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as(nextT))
+      acc = acc.join(stage, Seq(userCol), "left")
+    }
+    acc
+  }
+
+  /** The funnel report: (step, step_name, n_users) with steps 1-indexed
+    * in sequence order. n_users is monotonically non-increasing by
+    * construction.
+    */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String]): DataFrame = {
+    val times = stepTimes(events, userCol, typeCol, tsCol, steps)
+    val stepHits = array(steps.zipWithIndex.map { case (name, i) =>
+      struct(lit(i + 1).as("step"), lit(name).as("step_name"),
+        col(s"t${i + 1}").isNotNull.as("hit"))
+    }: _*)
+    times.select(explode(stepHits).as("s"))
+      .groupBy(col("s.step").as("step"), col("s.step_name").as("step_name"))
+      .agg(sum(when(col("s.hit"), 1L).otherwise(0L)).as("n_users"))
+      .orderBy(col("step"))
+  }
+}

@@ -68,6 +68,28 @@ object Curation {
         .orderBy($"train_id", $"bench_id")
     }),
 
+    // PII detection + redaction surface: deterministic synthetic PII
+    // (email + phone derived from doc_id) appended to each document, then
+    // counted and scrubbed with portable regexes — digest of the scrubbed
+    // text gates the exact replacement behavior across engines.
+    "doc_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Curation.{countMatches, scrubPii}
+      val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val phone = "\\+1-555-[0-9]+"
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com or call +1-555-"), $"doc_id".cast("string"))
+            .as("txt"))
+        .select($"doc_id",
+          countMatches($"txt", email).as("n_emails"),
+          countMatches($"txt", phone).as("n_phones"),
+          md5(scrubPii($"txt",
+            Seq(email -> "[EMAIL]", phone -> "[PHONE]"))).as("digest"))
+        .orderBy($"doc_id")
+    }),
+
     // Product quantization + asymmetric distance computation
     // (operators.Pq): 4 subspaces × 8 centroids trained with one
     // deterministic Lloyd refinement, every vector encoded to 4 codes,
@@ -143,6 +165,19 @@ object Curation {
         |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
         |GROUP BY 1, 2
         |ORDER BY train_id, bench_id""".stripMargin,
+
+    "doc_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id::VARCHAR ||
+        |  '@example.com or call +1-555-' || doc_id::VARCHAR AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(txt, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(txt, '\+1-555-[0-9]+'))::BIGINT AS n_phones,
+        |  md5(regexp_replace(regexp_replace(txt,
+        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
+        |    '\+1-555-[0-9]+', '[PHONE]', 'g')) AS digest
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // PQ replay: subvectors from list slices, strided init (c0), one Lloyd
     // refinement (a1 assignment + c1 means), encode vs c1, ADC LUT + fixed

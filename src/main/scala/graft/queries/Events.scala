@@ -101,6 +101,15 @@ object Events {
         .select($"event_id", $"n_clicks")
         .orderBy($"event_id")
     }),
+
+    // Ordered funnel (operators.Funnel): signup → view → click → purchase,
+    // each step completed by the FIRST event of its type strictly after
+    // the previous step's completion. Per-step distinct-user counts.
+    "evt_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.funnelCounts(Tables(s, dir, "events"),
+        userCol = "user_id", typeCol = "event_type", tsCol = "ts",
+        steps = Seq("signup", "view", "click", "purchase"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -163,5 +172,20 @@ object Events {
         |  AND epoch_us(c.ts) < epoch_us(p.ts)
         |GROUP BY p.event_id
         |ORDER BY p.event_id""".stripMargin,
+
+    "evt_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) us FROM events),
+        |s1 AS (SELECT user_id, min(us) t FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) t FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND us > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) t FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND us > s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(us) t FROM e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > s3.t GROUP BY 1)
+        |SELECT 1 AS step, 'signup' AS step_name, count(*)::BIGINT AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*)::BIGINT FROM s2
+        |UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*)::BIGINT FROM s4
+        |ORDER BY step""".stripMargin,
   )
 }
