@@ -41,9 +41,13 @@ object Curation {
     *    more than once in the document — templated/looping text scores high.
     *
     * Ties on the top gram break by gram string ascending, so the output is
-    * deterministic. Scale shape: three explode → groupBy(doc_id, gram)
-    * branches; the shuffle key is (doc_id, gram) which is uniform by
-    * construction (no hot keys — every doc contributes its own groups).
+    * deterministic. Scale shape: ONE wide scan — the three gram sizes
+    * explode together, tagged by n, into a single (doc_id, n, gram) count
+    * shuffle (uniform key: every doc contributes its own groups), then one
+    * window over (doc_id, n) and per-doc conditional aggregation. The only
+    * other scan is the doc_id-pruned base list for the zero rows. (The
+    * naive formulation — one explode branch per gram size — reads the full
+    * text column three times; at 100 TB that is 3× scan IO.)
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(
@@ -51,32 +55,38 @@ object Curation {
       words(col(textCol)).as("w"),
       greatest(length(col(textCol)), lit(1)).cast("double").as("n_chars"))
 
-    def topGramFrac(n: Int, outCol: String): DataFrame = {
-      val counts = base
-        .select(col("doc_id"), col("n_chars"), explode(wordGrams(col("w"), n)).as("gram"))
-        .groupBy(col("doc_id"), col("n_chars"), col("gram"))
-        .agg(count(lit(1)).as("cnt"))
-      val rn = row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram").asc))
-      counts.withColumn("rn", rn).filter(col("rn") === 1)
-        .select(col("doc_id"),
-          round(col("cnt") * length(col("gram")).cast("double") / col("n_chars"), 6)
-            .as(outCol))
-    }
+    def tagged(n: Int): Column =
+      transform(wordGrams(col("w"), n),
+        g => struct(lit(n).as("n"), g.as("gram")))
 
-    val dup5 = base
-      .select(col("doc_id"), explode(wordGrams(col("w"), 5)).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
+    val counts = base
+      .select(col("doc_id"), col("n_chars"),
+        explode(concat(tagged(2), tagged(3), tagged(5))).as("g"))
+      .select(col("doc_id"), col("n_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
+
+    // one window + one per-doc aggregate over the SAME counts subtree —
+    // splitting top-gram and dup5 into separate branches would duplicate
+    // the scan+explode (Catalyst pushes the n-filters below the aggregate,
+    // defeating exchange reuse; measured: 3 wide scans instead of 1)
+    val rn = row_number().over(
+      Window.partitionBy("doc_id", "n").orderBy(col("cnt").desc, col("gram").asc))
+    val frac = round(
+      col("cnt") * length(col("gram")).cast("double") / col("n_chars"), 6)
+    val stats = counts.withColumn("rn", rn)
       .groupBy(col("doc_id"))
-      .agg(round(
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("double") /
-          sum(col("cnt")).cast("double"), 6).as("dup5_frac"))
+      .agg(
+        max(when(col("n") === 2 && col("rn") === 1, frac)).as("top2_frac"),
+        max(when(col("n") === 3 && col("rn") === 1, frac)).as("top3_frac"),
+        round(
+          sum(when(col("n") === 5 && col("cnt") > 1, col("cnt"))).cast("double") /
+            sum(when(col("n") === 5, col("cnt"))).cast("double"), 6)
+          .as("dup5_frac"))
 
     base.select(col("doc_id"))
-      .join(topGramFrac(2, "top2_frac"), Seq("doc_id"), "left")
-      .join(topGramFrac(3, "top3_frac"), Seq("doc_id"), "left")
-      .join(dup5, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
         coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),

@@ -28,13 +28,20 @@ object Pack {
   /** Running token count BEFORE each row (exclusive prefix sum) in `idCol`
     * order, plus the bin index at `budget` tokens per bin. Output columns:
     * idCol, tokCol, `cum_before`, `bin`.
+    *
+    * `materialize` (default true) checkpoints the narrow (id, tokens,
+    * bucket) projection so the source is scanned ONCE — both the bucket-sum
+    * pass and the final pass would otherwise each re-read (and re-compute
+    * token counts over) the full input. ~24 bytes/row of executor storage
+    * buys the second 100 TB scan; pass false to trade back.
     */
   def packBins(df: DataFrame, idCol: String, tokCol: String, budget: Long,
-               bucketSpan: Long = 1024L): DataFrame = {
+               bucketSpan: Long = 1024L, materialize: Boolean = true): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(bucketSpan >= 1, s"bucketSpan must be >= 1, got $bucketSpan")
-    val rows = df.select(col(idCol), col(tokCol).cast("bigint").as(tokCol))
+    val projected = df.select(col(idCol), col(tokCol).cast("bigint").as(tokCol))
       .withColumn("_bucket", floor(col(idCol) / bucketSpan))
+    val rows = if (materialize) projected.localCheckpoint(true) else projected
 
     // phase 1: per-bucket sums (parallel); phase 2: exclusive prefix over
     // the bucket sums — one row per bucket, so the unpartitioned window is
