@@ -19,17 +19,27 @@ object Funnel {
   /** Per-user first-completion timestamps: (user, t1 .. tk), where t(i)
     * is null if the user never reached step i. Left-joined chain, so every
     * user who completed step 1 appears.
+    *
+    * `materialize` (default true) checkpoints the narrow
+    * (user, type, ts) projection filtered to the funnel's step types, so
+    * the k chained stages share ONE source scan instead of re-reading the
+    * event table once per stage.
     */
   def stepTimes(events: DataFrame, userCol: String, typeCol: String,
-                tsCol: String, steps: Seq[String]): DataFrame = {
+                tsCol: String, steps: Seq[String],
+                materialize: Boolean = true): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
-    var acc = events.filter(col(typeCol) === steps.head)
+    val projected = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(typeCol), col(tsCol))
+    val narrow = if (materialize) projected.localCheckpoint(true) else projected
+    var acc = narrow.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("t1"))
     steps.tail.zipWithIndex.foreach { case (step, i) =>
       val prevT = s"t${i + 1}"
       val nextT = s"t${i + 2}"
-      val stage = events.filter(col(typeCol) === step)
+      val stage = narrow.filter(col(typeCol) === step)
         .select(col(userCol), col(tsCol))
         .join(acc.select(col(userCol), col(prevT)), Seq(userCol))
         .filter(col(tsCol) > col(prevT))
