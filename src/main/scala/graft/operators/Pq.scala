@@ -95,26 +95,17 @@ object Pq {
         first(col("sv")).as("sv"))
   }
 
-  /** ADC top-k for an in-corpus query vector: train, encode everything but
-    * the query, score via the query's m×k dot-product LUT, keep the top k
-    * by (score desc, vec_id). Returns (vec_id, adc).
+  /** Score encoded vectors against the query's m×k dot-product LUT and
+    * keep the top k by (score desc, vec_id). One sum per subspace, then a
+    * FIXED-ORDER add — a plain sum() over the m scores would accumulate in
+    * partial-aggregation order and wobble in the last ulp across runs.
     */
-  def adcTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
-              k: Int = 10, m: Int = 4, kCent: Int = 8, iters: Int = 1,
-              dim: Int = 64): DataFrame = {
+  private def adcRank(codes: DataFrame, books: DataFrame, qsub: DataFrame,
+                      m: Int, k: Int): DataFrame = {
     import graft.functions.VecDot.vec_dot
-    val sub = subvectors(emb, idCol, vecCol, m, dim)
-    val books = trainCodebooks(sub, kCent, iters)
-    val codes = encode(sub.filter(col("vec_id") =!= queryId), books)
-      .select(col("vec_id"), col("m"), col("code"))
-    val qsub = sub.filter(col("vec_id") === queryId)
-      .select(col("m"), col("sv").as("qsv"))
     val lut = books.join(broadcast(qsub), Seq("m"))
       .select(col("m"), col("label").as("code"),
         vec_dot(col("qsv"), col("centroid")).as("score"))
-    // one sum per subspace, then a FIXED-ORDER add — a plain sum() over the
-    // m scores would accumulate in partial-aggregation order and wobble in
-    // the last ulp across runs
     val perSub = (0 until m).map(i =>
       sum(when(col("m") === i, col("score"))).as(s"_s$i"))
     codes.join(broadcast(lut), Seq("m", "code"))
@@ -124,5 +115,58 @@ object Pq {
         round((0 until m).map(i => col(s"_s$i")).reduce(_ + _), 6).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** ADC top-k for an in-corpus query vector: train, encode everything but
+    * the query, score via the query's m×k dot-product LUT, keep the top k
+    * by (score desc, vec_id). Returns (vec_id, adc).
+    */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int = 10, m: Int = 4, kCent: Int = 8, iters: Int = 1,
+              dim: Int = 64): DataFrame = {
+    val sub = subvectors(emb, idCol, vecCol, m, dim)
+    val books = trainCodebooks(sub, kCent, iters)
+    val codes = encode(sub.filter(col("vec_id") =!= queryId), books)
+      .select(col("vec_id"), col("m"), col("code"))
+    val qsub = sub.filter(col("vec_id") === queryId)
+      .select(col("m"), col("sv").as("qsv"))
+    adcRank(codes, books, qsub, m, k)
+  }
+
+  /** IVF-PQ: coarse inverted-file pruning (probe the `nprobe` label
+    * partitions nearest the query by centroid cosine, exactly as
+    * `AnnIndex.ivfTopK`) + PQ/ADC scoring INSIDE the probed partitions —
+    * the FAISS IVFADC search shape. Candidate volume drops by
+    * nprobe/nlabels before any scoring happens, and scoring touches codes
+    * only, never float vectors.
+    *
+    * Non-residual variant: codes quantize raw vectors, not coarse
+    * residuals (residual encoding refines accuracy but needs per-probe
+    * LUTs; this keeps one global LUT per query — a documented tradeoff,
+    * not an omission).
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                labelCol: String, queryId: Long, k: Int = 10,
+                nprobe: Int = 3, m: Int = 4, kCent: Int = 8, iters: Int = 1,
+                dim: Int = 64): DataFrame = {
+    val cents = AnnIndex.centroids(emb, labelCol, vecCol)
+    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    val probed = cents.join(broadcast(qv))
+      .select(col("label"),
+        graft.queries.Corpus.cosine(col("centroid"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("label")) // label tiebreak: deterministic
+      .limit(nprobe)
+      .select("label")
+    val sub = subvectors(emb, idCol, vecCol, m, dim)
+    val books = trainCodebooks(sub, kCent, iters) // global codebooks, full corpus
+    val probedIds = emb
+      .join(broadcast(probed), emb(labelCol) === probed("label"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("vec_id"))
+    val codes = encode(sub.join(probedIds, Seq("vec_id")), books)
+      .select(col("vec_id"), col("m"), col("code"))
+    val qsub = sub.filter(col("vec_id") === queryId)
+      .select(col("m"), col("sv").as("qsv"))
+    adcRank(codes, books, qsub, m, k)
   }
 }

@@ -196,6 +196,35 @@ object TextDedup {
         .select("id_a", "id_b"),
       sh, threshold)
   }
+
+  /** Shared-SUBSTRING overlap detection — the substring-granular dedup
+    * family (the phenomenon Lee et al.'s "Deduplicating Training Data
+    * Makes Language Models Better" dedups at; their suffix-array exact
+    * scan is replaced here by winnowing fingerprints, which guarantee a
+    * shared fingerprint for any shared substring of length ≥ k+w−1 chars,
+    * Schleimer et al. SIGMOD'03).
+    *
+    * A pair is reported with the count of RARE fingerprints it shares:
+    * fingerprints occurring in more than `dfCap` documents are dropped
+    * first (corpus boilerplate — their buckets fan out quadratically and
+    * identify nothing), then one equality self-join on the fingerprint
+    * feeds a (id_a, id_b) count aggregate, thresholded at `minShared`.
+    * Same candidate discipline as every other dedup here: equality
+    * buckets only, never an all-pairs product.
+    */
+  def substringOverlap(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4, dfCap: Int = 4,
+                       minShared: Long = 5L): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.winnowingFingerprint(col(textCol), k, w)).as("f"))
+    val rare = keepPairableBuckets(fp, Seq("f"), dfCap)
+    rare.alias("fa")
+      .join(rare.alias("fb"), col("fa.f") === col("fb.f"))
+      .filter(col("fa.doc_id") < col("fb.doc_id"))
+      .groupBy(col("fa.doc_id").as("id_a"), col("fb.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }
 
 /** 64-bit SimHash over the shingle hash set, with banded near-dup search:

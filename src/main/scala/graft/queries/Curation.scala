@@ -90,6 +90,28 @@ object Curation {
         .orderBy($"doc_id")
     }),
 
+    // Substring-granular overlap detection: pairs sharing >= 5 RARE
+    // winnowing fingerprints (df <= 4) — shared verbatim runs of >= 11
+    // chars surface here even when whole-doc Jaccard stays low
+    // (operators.TextDedup.substringOverlap).
+    "doc_substring_overlap" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextDedup
+        .substringOverlap(Tables(s, dir, "documents"), "doc_id", "text")
+        .select($"id_a", $"id_b", $"n_shared")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // IVF-PQ (operators.Pq.ivfPqTopK): coarse label-partition probing +
+    // ADC scoring inside the probed partitions — the FAISS IVFADC search
+    // shape. Oracle replays coarse centroids, probe selection, PQ
+    // training, probe-restricted encode and the LUT scoring in SQL.
+    "knn_ivfpq_topk" -> ((s, dir) => {
+      graft.operators.Pq.ivfPqTopK(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", queryId = 0L, k = 10, nprobe = 3,
+        m = 4, kCent = 8, iters = 1, dim = 64)
+    }),
+
     // Product quantization + asymmetric distance computation
     // (operators.Pq): 4 subspaces × 8 centroids trained with one
     // deterministic Lloyd refinement, every vector encoded to 4 codes,
@@ -165,6 +187,72 @@ object Curation {
         |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
         |GROUP BY 1, 2
         |ORDER BY train_id, bench_id""".stripMargin,
+
+    // Winnowing replication is shared verbatim with the doc_fingerprint
+    // oracle; the df cap keeps only fingerprints in 2..4 docs (df=1 can
+    // never pair, so <= 4 is equivalent and simpler).
+    "doc_substring_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 8 + 2), i -> md5(text[i:i+7])) grams
+        |  FROM documents
+        |), fpt AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(grams) - 4 + 2),
+        |      j -> list_min(grams[j:j+3]))) fp
+        |  FROM g WHERE len(grams) >= 4
+        |), e AS (SELECT doc_id, unnest(fp) AS f FROM fpt),
+        |df AS (SELECT f FROM e GROUP BY f HAVING count(*) <= 4),
+        |er AS (SELECT e.doc_id, e.f FROM e JOIN df USING (f))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM er a JOIN er b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // IVF-PQ replay: coarse label centroids + probe selection (as the
+    // knn_ivf_topk oracle), then the PQ pipeline (as knn_pq_adc) with the
+    // encode step restricted to vectors in probed partitions.
+    "knn_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |cc AS (SELECT label, list(mm ORDER BY i) AS centroid
+        |  FROM (SELECT label, i, avg(v[i]) AS mm FROM e, range(1, 65) t(i)
+        |        GROUP BY label, i) GROUP BY label),
+        |q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (SELECT cc.label FROM cc CROSS JOIN q0
+        |  ORDER BY list_cosine_similarity(cc.centroid, q0.qv) DESC, cc.label LIMIT 3),
+        |sub AS (SELECT vec_id, m, v[16*m+1 : 16*m+16] AS sv FROM e, range(0, 4) t(m)),
+        |p AS (SELECT greatest((SELECT count(*) FROM e) // 8, 1) AS stride),
+        |c0 AS (SELECT m, (vec_id // p.stride)::INT AS label, sv AS centroid
+        |       FROM sub, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 8),
+        |a1 AS (SELECT vec_id, m, sv, label FROM (
+        |  SELECT s.vec_id, s.m, s.sv, c.label,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.m
+        |      ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.centroid)
+        |               + list_dot_product(c.centroid, c.centroid) ASC, c.label ASC) rn
+        |  FROM sub s JOIN c0 c ON s.m = c.m) WHERE rn = 1),
+        |c1 AS (SELECT m, label, list(mu ORDER BY i) AS centroid FROM (
+        |  SELECT m, label, i, avg(sv[i]) AS mu FROM a1, range(1, 17) t(i)
+        |  GROUP BY m, label, i) GROUP BY m, label),
+        |codes AS (SELECT vec_id, m, label AS code FROM (
+        |  SELECT s.vec_id, s.m, c.label,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.m
+        |      ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.centroid)
+        |               + list_dot_product(c.centroid, c.centroid) ASC, c.label ASC) rn
+        |  FROM sub s JOIN c1 c ON s.m = c.m
+        |  JOIN e ON e.vec_id = s.vec_id
+        |  JOIN probes ON e.label = probes.label
+        |  WHERE s.vec_id <> 0) WHERE rn = 1),
+        |q AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
+        |lut AS (SELECT c.m, c.label AS code, list_dot_product(q.qsv, c.centroid) AS score
+        |        FROM c1 c JOIN q ON q.m = c.m),
+        |adc AS (SELECT codes.vec_id,
+        |    sum(CASE WHEN codes.m = 0 THEN lut.score END) AS s0,
+        |    sum(CASE WHEN codes.m = 1 THEN lut.score END) AS s1,
+        |    sum(CASE WHEN codes.m = 2 THEN lut.score END) AS s2,
+        |    sum(CASE WHEN codes.m = 3 THEN lut.score END) AS s3
+        |  FROM codes JOIN lut USING (m, code) GROUP BY codes.vec_id)
+        |SELECT vec_id, round(s0 + s1 + s2 + s3, 6) AS adc
+        |FROM adc ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin,
 
     "doc_pii_scrub" ->
       """WITH t AS (SELECT doc_id,

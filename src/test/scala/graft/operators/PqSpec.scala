@@ -109,6 +109,30 @@ class PqSpec extends AnyFunSuite {
       s"ADC top-50 candidate recall $recall/10 below floor; got=$got exact=$exact")
   }
 
+  test("IVF-PQ with every partition probed equals plain ADC exactly") {
+    import spark.implicits._
+    val emb = corpus(96)
+      .withColumn("label", (col("vec_id") % 4).cast("int"))
+    val full = Pq.ivfPqTopK(emb, "vec_id", "embedding", "label",
+      queryId = 0L, k = 10, nprobe = 4, m = 4, kCent = 4, iters = 1, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adc = Pq.adcTopK(emb.drop("label"), "vec_id", "embedding",
+      queryId = 0L, k = 10, m = 4, kCent = 4, iters = 1, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == adc)
+  }
+
+  test("IVF-PQ results come only from probed partitions") {
+    import spark.implicits._
+    val emb = corpus(96)
+      .withColumn("label", (col("vec_id") % 4).cast("int"))
+    val got = Pq.ivfPqTopK(emb, "vec_id", "embedding", "label",
+      queryId = 0L, k = 50, nprobe = 1, m = 4, kCent = 4, iters = 1, dim = dim)
+    val labels = got.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(labels.size == 1, s"nprobe=1 must search one partition, got $labels")
+  }
+
   test("codebook training is deterministic across runs") {
     val emb = corpus(64)
     def fingerprint(): Seq[(Int, Int, Seq[Double])] = {

@@ -145,4 +145,31 @@ class TextDedupSpec extends AnyFunSuite {
     // capped boilerplate ones) => 7/9 — proves verification ignores the cap
     assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-9, s"got ${pairs((1L, 2L))}")
   }
+
+  test("substringOverlap reports pairs sharing a long verbatim run only") {
+    import spark.implicits._
+    val run = "zqxv jklm wpfh rgty bnds ocau" // 29 chars, rare tokens
+    val docs = Seq(
+      (1L, s"first document carries the run $run inside it"),
+      (2L, s"second one too: $run plus unrelated trailing words"),
+      (3L, "third shares nothing with the others at all"),
+      (4L, "fourth is equally unrelated to everything here"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.substringOverlap(docs, "doc_id", "text",
+      k = 8, w = 4, dfCap = 4, minShared = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
+  test("substringOverlap df-cap kills corpus-wide boilerplate buckets") {
+    import spark.implicits._
+    // the shared run appears in EVERY doc → its fingerprints have df=6 >
+    // cap=4 → no pair is reported despite the verbatim overlap
+    val run = "zqxv jklm wpfh rgty bnds ocau"
+    val docs = (1L to 6L).map(i => (i, s"doc number $i carries $run text"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.substringOverlap(docs, "doc_id", "text",
+      k = 8, w = 4, dfCap = 4, minShared = 1L).count()
+    assert(got == 0)
+  }
 }
