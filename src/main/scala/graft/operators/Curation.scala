@@ -107,7 +107,11 @@ object Curation {
                        defaultRate: Double): DataFrame = {
     def thresholdHex(rate: Double): String = {
       require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
-      f"${math.round(rate * 256).toInt}%02x"
+      val t = math.round(rate * 256).toInt
+      // t=256 would print "100", which a 2-hex-digit prefix only compares
+      // below when it starts with '0' — rate 1.0 must keep EVERY row, so
+      // use a sentinel above any hex digit pair
+      if (t >= 256) "zz" else f"$t%02x"
     }
     val threshold = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(thresholdHex(defaultRate))) { case (acc, (stratum, rate)) =>

@@ -27,7 +27,9 @@ object Pack {
 
   /** Running token count BEFORE each row (exclusive prefix sum) in `idCol`
     * order, plus the bin index at `budget` tokens per bin. Output columns:
-    * idCol, tokCol, `cum_before`, `bin`.
+    * idCol, tokCol, `cum_before`, `bin`. Ids must be unique — duplicate
+    * ids make the within-bucket ordering (and thus the prefix sum)
+    * nondeterministic.
     *
     * `materialize` (default true) checkpoints the narrow (id, tokens,
     * bucket) projection so the source is scanned ONCE — both the bucket-sum

@@ -84,6 +84,16 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample boundary rates: 1.0 keeps all, 0.0 keeps none") {
+    import spark.implicits._
+    val df = spark.range(500)
+      .select($"id".as("doc_id"), lit("en").as("lang"))
+    assert(Curation.stratifiedSample(df, "doc_id", "lang",
+      Map.empty, defaultRate = 1.0).count() == 500)
+    assert(Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.0), defaultRate = 1.0).count() == 0)
+  }
+
   test("decontaminate finds exactly the planted overlaps") {
     import spark.implicits._
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ") // 10 words
