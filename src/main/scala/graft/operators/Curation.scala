@@ -138,14 +138,21 @@ object Curation {
     * every (train doc, benchmark doc) pair sharing at least `minShared`
     * distinct word n-grams. The benchmark side is small by construction
     * (eval sets), so its distinct grams broadcast; the train side explodes
-    * its grams once and the match is one equality join on the gram string —
-    * never a document×document product.
+    * its grams once and the match is one equality join — never a
+    * document×document product.
+    *
+    * Grams travel as 64-bit SHINGLE HASHES (codegen `ShingleHashExpr`,
+    * straight from the UTF-8 bytes), not strings: the gram value never
+    * reaches the output, so hashing saves both the interpreted
+    * string-building HOFs and ~6× of shuffle bytes at n=8. (A 64-bit
+    * collision would need ~billions of distinct grams per doc pair to
+    * matter; the DuckDB oracle joins raw strings and would flag one.)
     */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 8, minShared: Long = 1L): DataFrame = {
     def grams(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId),
-          explode(array_distinct(wordGrams(words(col(textCol)), n))).as("gram"))
+          explode(TextDedup.shingleHashSet(col(textCol), n)).as("gram"))
     grams(train, "train_id")
       .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
       .groupBy(col("train_id"), col("bench_id"))
