@@ -211,10 +211,17 @@ object TextDedup {
     * feeds a (id_a, id_b) count aggregate, thresholded at `minShared`.
     * Same candidate discipline as every other dedup here: equality
     * buckets only, never an all-pairs product.
+    *
+    * Size `dfCap` to the expected DUPLICATE-CLUSTER size, not the corpus:
+    * a verbatim run shared by a cluster of c docs puts its fingerprints at
+    * df ≈ c, so dfCap < c silently drops the very pairs the operator
+    * exists to find (measured: cap 4 found 21 pairs at 500 docs and ZERO
+    * at 5000, where planted clusters exceed 4 members), while boilerplate
+    * df grows with the corpus and stays safely above any sane cap.
     */
   def substringOverlap(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int = 8, w: Int = 4, dfCap: Int = 4,
-                       minShared: Long = 5L): DataFrame = {
+                       k: Int = 8, w: Int = 4, dfCap: Int = 16,
+                       minShared: Long = 10L): DataFrame = {
     val fp = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.winnowingFingerprint(col(textCol), k, w)).as("f"))
     val rare = keepPairableBuckets(fp, Seq("f"), dfCap)

@@ -90,9 +90,10 @@ object Curation {
         .orderBy($"doc_id")
     }),
 
-    // Substring-granular overlap detection: pairs sharing >= 5 RARE
-    // winnowing fingerprints (df <= 4) — shared verbatim runs of >= 11
-    // chars surface here even when whole-doc Jaccard stays low
+    // Substring-granular overlap detection: pairs sharing >= 10 RARE
+    // winnowing fingerprints (df <= 16, sized to duplicate-cluster size —
+    // see the operator scaladoc) — shared verbatim runs of >= 11 chars
+    // surface here even when whole-doc Jaccard stays low
     // (operators.TextDedup.substringOverlap).
     "doc_substring_overlap" -> ((s, dir) => {
       import s.implicits._
@@ -189,8 +190,8 @@ object Curation {
         |ORDER BY train_id, bench_id""".stripMargin,
 
     // Winnowing replication is shared verbatim with the doc_fingerprint
-    // oracle; the df cap keeps only fingerprints in 2..4 docs (df=1 can
-    // never pair, so <= 4 is equivalent and simpler).
+    // oracle; the df cap keeps only fingerprints in 2..16 docs (df=1 can
+    // never pair, so <= 16 is equivalent and simpler).
     "doc_substring_overlap" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -202,11 +203,11 @@ object Curation {
         |      j -> list_min(grams[j:j+3]))) fp
         |  FROM g WHERE len(grams) >= 4
         |), e AS (SELECT doc_id, unnest(fp) AS f FROM fpt),
-        |df AS (SELECT f FROM e GROUP BY f HAVING count(*) <= 4),
+        |df AS (SELECT f FROM e GROUP BY f HAVING count(*) <= 16),
         |er AS (SELECT e.doc_id, e.f FROM e JOIN df USING (f))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM er a JOIN er b ON a.f = b.f AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |GROUP BY 1, 2 HAVING count(*) >= 10
         |ORDER BY id_a, id_b""".stripMargin,
 
     // IVF-PQ replay: coarse label centroids + probe selection (as the
