@@ -209,4 +209,31 @@ object Temporal {
           count(col(s"r.$rightTs")).as(asCol): _*)
       .drop("_rid")
   }
+
+  /** Cohort retention: users grouped by the DATE of their first event, then
+    * counted per (cohort, days-since-cohort) active day — the standard
+    * product-analytics retention matrix. Output: (cohort_date, offset_days,
+    * n_users), offset 0 = the cohort's size.
+    *
+    * Scale shape: the event stream collapses to DISTINCT (user, day) first
+    * (partial-aggregated map-side, so the shuffle carries active-days, not
+    * raw events), first-day extraction reuses that compacted set, and the
+    * user-keyed join distributes on user_id. The (cohort, offset) count is
+    * a plain count — (user, day) pairs are unique after the distinct, so
+    * no count-distinct state is needed anywhere.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val active = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"))
+      .distinct()
+      // one (user, day) compaction feeds both the first-day aggregate and
+      // the join probe side
+      .localCheckpoint(true)
+    val first = active.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_date"))
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast("bigint").as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

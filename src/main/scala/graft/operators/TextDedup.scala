@@ -88,12 +88,14 @@ object TextDedup {
     * indicate degenerate content, and any true near-dup inside them is
     * still found via its other, less-degenerate bands).
     */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 3, numHashes: Int = 64,
-                     bands: Int = 16, rows: Int = 4,
-                     maxBucketSize: Int = 1000): DataFrame = {
-    require(bands * rows <= numHashes, "bands*rows must fit the signature")
-    val sketch = docs
+  /** The banded-LSH index rows for a corpus: one (doc_id, sh, band, bucket)
+    * row per band key — the shared build for the self-join (batch dedup)
+    * and the cross-corpus join (incremental dedup).
+    */
+  private def bandedSketch(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, numHashes: Int, bands: Int,
+                           rows: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
@@ -101,6 +103,13 @@ object TextDedup {
         explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 64,
+                     bands: Int = 16, rows: Int = 4,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    require(bands * rows <= numHashes, "bands*rows must fit the signature")
+    val sketch = bandedSketch(docs, idCol, textCol, n, numHashes, bands, rows)
     val inBuckets = keepPairableBuckets(sketch, Seq("band", "bucket"), maxBucketSize)
     // alias self-join (NOT renamed projections on each side): both sides
     // are the identical subplan, so ReuseExchange computes the sketch and
@@ -122,6 +131,44 @@ object TextDedup {
                      threshold: Double = 0.8, n: Int = 3): DataFrame =
     candidatePairs(docs, idCol, textCol, n)
       .filter(col("jaccard") >= threshold)
+
+  /** INCREMENTAL near-dedup — the production delta shape: an arriving
+    * batch is checked against the existing corpus without ever re-pairing
+    * the corpus with itself. Both sides build the same banded-LSH sketch;
+    * the join is incoming-bands → existing-bands on (band, bucket), so the
+    * work is |batch| × collision-rate, not |corpus|². At 100 TB the
+    * existing sketch is the persisted dedup INDEX (write `bandedSketch`
+    * output once, bucketed by (band, bucket)); each delta batch then
+    * shuffles only itself against co-bucketed index rows. Existing-side
+    * buckets above `maxBucketSize` are dropped, same degenerate-boilerplate
+    * guard as the batch form. Output: (new_id, old_id, jaccard ≥ threshold),
+    * exact-verified. Within-batch duplicates are `nearDuplicates(incoming)`
+    * — compose both for full delta hygiene.
+    */
+  def incrementalNearDuplicates(existing: DataFrame, incoming: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double = 0.8, n: Int = 3,
+                                numHashes: Int = 64, bands: Int = 16,
+                                rows: Int = 4,
+                                maxBucketSize: Int = 1000): DataFrame = {
+    require(bands * rows <= numHashes, "bands*rows must fit the signature")
+    val idx = bandedSketch(existing, idCol, textCol, n, numHashes, bands, rows)
+    val cappedIdx = idx.join(
+      idx.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBucketSize)
+        .select(col("band"), col("bucket")),
+      Seq("band", "bucket"))
+    val delta = bandedSketch(incoming, idCol, textCol, n, numHashes, bands, rows)
+    delta.alias("nw")
+      .join(cappedIdx.alias("ex"),
+        col("nw.band") === col("ex.band") && col("nw.bucket") === col("ex.bucket"))
+      .select(col("nw.doc_id").as("new_id"), col("ex.doc_id").as("old_id"),
+        jaccard(col("nw.sh"), col("ex.sh")).as("jaccard"))
+      .groupBy(col("new_id"), col("old_id")) // multi-band collisions
+      .agg(first(col("jaccard")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   /** Exact n-gram-Jaccard near-dup via a PREFIX-FILTERED inverted index
     * (AllPairs/PPJoin family, Bayardo et al. WWW'07) — the sketch-free

@@ -107,6 +107,24 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // INCREMENTAL near-dedup (TextDedup.incrementalNearDuplicates): the
+    // 20% of docs with doc_id % 5 == 4 play the arriving delta batch,
+    // checked against the other 80% through the banded index — the
+    // production delta shape (index reuse, no corpus self-pairing; the
+    // modulo split stays meaningful at every scale factor). Oracle =
+    // exact cross-split Jaccard >= 0.8.
+    "doc_dedup_incr" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      graft.operators.TextDedup
+        .incrementalNearDuplicates(
+          existing = docs.filter($"doc_id" % 5 =!= 4),
+          incoming = docs.filter($"doc_id" % 5 === 4),
+          idCol = "doc_id", textCol = "text", threshold = 0.8)
+        .select($"new_id", $"old_id", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"new_id", $"old_id")
+    }),
+
     // Same near-dup semantics via SimHash pigeonhole banding + exact
     // verification — the second sketch family. Identical oracle as
     // doc_dedup_near: three algorithms, one answer.
@@ -251,6 +269,34 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Model-based quality scoring (operators.LangModel): per-doc
+    // cross-entropy + perplexity under an add-one corpus bigram LM — the
+    // CCNet/KenLM perplexity filter. One bigram-explode scan shared via
+    // checkpoint across the count tables and the scoring join.
+    "doc_lm_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.LangModel
+        .bigramPerplexity(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // Semantic dedup (SemDeDup, operators.SemDedup): k-means clusters the
+    // corpus, pairs are searched ONLY within clusters — n²/(2k) candidate
+    // work on a label-equality join instead of the tiled exact product.
+    // The oracle replays the deterministic k-means (strided init, one
+    // Lloyd refinement, final assignment) and the within-cluster pair
+    // scan in SQL, so the approximation itself is pinned: this query
+    // DECLARES cluster-restricted recall (8 of the 14 corpus-wide pairs
+    // at sf0.01), which is the SemDeDup contract.
+    "emb_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.SemDedup
+        .clusterPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 1, threshold = 0.45)
+        .select($"label", $"id_a", $"id_b", round($"sim", 6).as("sim"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Bucketed approximate top-k (random-hyperplane LSH, 32 tables x 6
     // bits): the scale path that searches only bucket collisions.
     // Approximate by construction but fully DETERMINISTIC (splitmix64
@@ -384,6 +430,20 @@ object Corpus {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
         |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_dedup_incr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT b.doc_id AS new_id, a.doc_id AS old_id,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY new_id, old_id""".stripMargin,
 
     "doc_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -568,6 +628,58 @@ object Corpus {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Bigram-LM replay: same count tables and add-one conditional; ln/exp
+    // are IEEE doubles in both engines and the 4-decimal rounding leaves
+    // ~1e9 ulps of margin over the order-unstable sums.
+    "doc_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1])) AS gram FROM t),
+        |dg AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1,
+        |        count(*)::DOUBLE AS m FROM g GROUP BY ALL),
+        |c2 AS (SELECT gram, sum(m) AS c2 FROM dg GROUP BY gram),
+        |c1 AS (SELECT w1, sum(m) AS c1 FROM dg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT u)::DOUBLE AS vocab
+        |      FROM (SELECT unnest(w) AS u FROM t)),
+        |s AS (SELECT dg.doc_id,
+        |        sum(dg.m * ln((c2.c2 + 1) / (c1.c1 + v.vocab))) AS logp,
+        |        sum(dg.m)::BIGINT AS n_bigrams
+        |      FROM dg JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+        |      GROUP BY dg.doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(round(-s.logp / s.n_bigrams, 4), 0.0) AS ce,
+        |  coalesce(round(exp(-s.logp / s.n_bigrams), 4), 0.0) AS ppl
+        |FROM t LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup replay: strided init (c0), one Lloyd refinement (a1 + c1),
+    // final assignment (a2) — identical recipe to the knn_kmeans_ivf
+    // oracle — then the within-cluster pair scan.
+    "emb_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |p AS (SELECT greatest((SELECT count(*) FROM e) // 8, 1) AS stride),
+        |c0 AS (SELECT (vec_id // p.stride)::INT AS label, v AS centroid
+        |       FROM e, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 8),
+        |a1 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |c1 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a1, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a2 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c1 c) WHERE rn = 1)
+        |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM a2 a JOIN a2 b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -110,6 +110,16 @@ object Events {
         userCol = "user_id", typeCol = "event_type", tsCol = "ts",
         steps = Seq("signup", "view", "click", "purchase"))
     }),
+
+    // Cohort retention matrix (operators.Temporal.cohortRetention): users
+    // grouped by first-event date, counted per days-since-cohort active
+    // day. The event stream compacts to distinct (user, day) before any
+    // user-keyed work.
+    "evt_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      Temporal.cohortRetention(Tables(s, dir, "events"), "user_id", "ts")
+        .orderBy($"cohort_date", $"offset_days")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -187,5 +197,13 @@ object Events {
         |UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM s3
         |UNION ALL SELECT 4, 'purchase', count(*)::BIGINT FROM s4
         |ORDER BY step""".stripMargin,
+
+    "evt_cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_date FROM e GROUP BY user_id)
+        |SELECT f.cohort_date, (e.d - f.cohort_date)::BIGINT AS offset_days,
+        |  count(*)::BIGINT AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

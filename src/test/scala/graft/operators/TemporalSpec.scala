@@ -234,4 +234,41 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Seq((7L, 1000L, 2L), (7L, 1000L, 2L), (7L, 5000L, 0L)),
       s"got $got")
   }
+
+  test("cohortRetention: first-day cohorts, same-day events collapse") {
+    import spark.implicits._
+    val day = 86400000000L // one day in micros
+    val ev = Seq(
+      (1L, 0L), (1L, 1000L),      // u1 day 0 twice (collapses)
+      (1L, 2 * day),              // u1 active again day 2
+      (2L, day), (2L, day + 5L),  // u2 cohort day 1
+      (2L, 2 * day))              // u2 active day 2 (offset 1)
+      .toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val got = Temporal.cohortRetention(ev, "user_id", "ts")
+      .select(date_format($"cohort_date", "yyyy-MM-dd").as("c"),
+        $"offset_days", $"n_users")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sorted
+    assert(got == Seq(
+      ("1970-01-01", 0L, 1L), ("1970-01-01", 2L, 1L),
+      ("1970-01-02", 0L, 1L), ("1970-01-02", 1L, 1L)), s"got $got")
+  }
+
+  test("cohortRetention: offset-0 bucket equals cohort size on sf0.001") {
+    import spark.implicits._
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val m = Temporal.cohortRetention(e, "user_id", "ts")
+    val cohortSizes = e.groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("cohort_date"))
+      .groupBy($"cohort_date").agg(count(lit(1)).as("n"))
+    val mism = m.filter($"offset_days" === 0)
+      .join(cohortSizes, Seq("cohort_date"))
+      .filter($"n_users" =!= $"n").count()
+    assert(mism == 0)
+    // every user appears in offset 0 exactly once
+    val total = m.filter($"offset_days" === 0)
+      .agg(sum($"n_users")).collect()(0).getLong(0)
+    assert(total == e.select($"user_id").distinct().count())
+  }
 }

@@ -146,6 +146,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-9, s"got ${pairs((1L, 2L))}")
   }
 
+  test("incremental dedup: delta batch matched against the index, not itself") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different text about spark catalyst optimizer rules and physical plans for big data"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                              // dup of existing 1
+      (11L, base.replace("lazy", "sleepy")),    // near dup of existing 1
+      (12L, "fresh unrelated content never seen before in the corpus at all today"),
+      (13L, base))                              // dup of existing 1 AND of incoming 10
+      .toDF("doc_id", "text")
+    val got = TextDedup.incrementalNearDuplicates(existing, incoming,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((10L, 1L), (11L, 1L), (13L, 1L)),
+      s"cross pairs only — (13,10) is within-batch, 12 matches nothing: $got")
+    assert(got((10L, 1L)) == 1.0 && got((13L, 1L)) == 1.0)
+    assert(got((11L, 1L)) < 1.0 && got((11L, 1L)) >= 0.5)
+  }
+
+  test("incremental dedup equals the cross-split slice of batch dedup on sf0.001") {
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    import spark.implicits._
+    val cross = TextDedup.incrementalNearDuplicates(
+        corpus.filter($"doc_id" % 5 =!= 4), corpus.filter($"doc_id" % 5 === 4),
+        "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs: Set[(Long, Long)] =
+      TextDedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = batchPairs
+      .filter { case (a, b) => (a % 5 == 4) != (b % 5 == 4) }
+      .map { case (a, b) => if (a % 5 == 4) (a, b) else (b, a) }
+    assert(cross == batch, s"cross=$cross batch=$batch")
+  }
+
   test("substringOverlap reports pairs sharing a long verbatim run only") {
     import spark.implicits._
     val run = "zqxv jklm wpfh rgty bnds ocau" // 29 chars, rare tokens
