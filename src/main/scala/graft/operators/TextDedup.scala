@@ -91,7 +91,20 @@ object TextDedup {
   /** The banded-LSH index rows for a corpus: one (doc_id, sh, band, bucket)
     * row per band key — the shared build for the self-join (batch dedup)
     * and the cross-corpus join (incremental dedup).
+    *
+    * This is the PERSISTABLE dedup index: write it once with
+    * `.bucketBy(B, "band", "bucket").sortBy("bucket").saveAsTable(...)` and
+    * every future delta batch joins it WITHOUT shuffling the corpus side —
+    * the bucketed scan already reports the join's hash partitioning, so
+    * only the (small) delta pays an exchange. At 100 TB that converts the
+    * per-batch cost from "reshuffle the corpus sketch" to "shuffle the
+    * batch"; `TextDedupSpec` asserts the exchange-free plan.
     */
+  def bandedIndex(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                  rows: Int = 4): DataFrame =
+    bandedSketch(docs, idCol, textCol, n, numHashes, bands, rows)
+
   private def bandedSketch(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, numHashes: Int, bands: Int,
                            rows: Int): DataFrame =
@@ -152,9 +165,26 @@ object TextDedup {
                                 rows: Int = 4,
                                 maxBucketSize: Int = 1000): DataFrame = {
     require(bands * rows <= numHashes, "bands*rows must fit the signature")
-    val idx = bandedSketch(existing, idCol, textCol, n, numHashes, bands, rows)
-    val cappedIdx = idx.join(
-      idx.groupBy(col("band"), col("bucket"))
+    incrementalAgainstIndex(
+      bandedSketch(existing, idCol, textCol, n, numHashes, bands, rows),
+      incoming, idCol, textCol, threshold, n, numHashes, bands, rows,
+      maxBucketSize)
+  }
+
+  /** The delta join against an ALREADY-BUILT index (`bandedIndex` output,
+    * typically read back from its bucketed table): the corpus side is
+    * consumed as-is — no sketch rebuild, and no exchange when the table is
+    * bucketed by (band, bucket).
+    */
+  def incrementalAgainstIndex(index: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.8, n: Int = 3,
+                              numHashes: Int = 64, bands: Int = 16,
+                              rows: Int = 4,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    require(bands * rows <= numHashes, "bands*rows must fit the signature")
+    val cappedIdx = index.join(
+      index.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_bsz"))
         .filter(col("_bsz") <= maxBucketSize)
         .select(col("band"), col("bucket")),

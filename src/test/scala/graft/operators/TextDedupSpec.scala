@@ -184,6 +184,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(cross == batch, s"cross=$cross batch=$batch")
   }
 
+  test("bucketed persisted index joins delta batches without a corpus-side exchange") {
+    import spark.implicits._
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val existing = corpus.filter($"doc_id" % 5 =!= 4)
+    val incoming = corpus.filter($"doc_id" % 5 === 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    spark.sql("DROP TABLE IF EXISTS graft_dedup_index")
+    try {
+      TextDedup.bandedIndex(existing, "doc_id", "text")
+        .write.option("path", tmp)
+        .bucketBy(4, "band", "bucket").sortBy("bucket")
+        .saveAsTable("graft_dedup_index")
+      val idx = spark.table("graft_dedup_index")
+      val got = TextDedup.incrementalAgainstIndex(idx, incoming, "doc_id", "text")
+      // same answer as the rebuild-everything form
+      val direct = TextDedup.incrementalNearDuplicates(existing, incoming,
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == direct)
+      // the bucketed scan reports the join partitioning: only the delta
+      // side shuffles. The rebuild form exchanges the corpus sketch too.
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning\\(band".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      val rebuilt = TextDedup.incrementalNearDuplicates(existing, incoming,
+        "doc_id", "text")
+      assert(exchanges(got) < exchanges(rebuilt),
+        s"bucketed=${exchanges(got)} rebuilt=${exchanges(rebuilt)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_dedup_index")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("substringOverlap reports pairs sharing a long verbatim run only") {
     import spark.implicits._
     val run = "zqxv jklm wpfh rgty bnds ocau" // 29 chars, rare tokens
