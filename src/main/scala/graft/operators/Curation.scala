@@ -122,6 +122,38 @@ object Curation {
     df.filter(prefix < threshold)
   }
 
+  /** Source-weighted data MIXING under a token budget: every source gets
+    * `perSourceBudget` tokens; a source over budget is deterministically
+    * downsampled to rate = budget / tokens, one under it passes whole —
+    * the corpus-rebalancing step that turns raw crawl proportions into a
+    * training mixture (cf. the domain-weight mixing in Gopher/LLaMA data
+    * recipes). Sampling reuses the md5-prefix discipline of
+    * `stratifiedSample` (granularity 1/256, reproducible across engines);
+    * the rate table is one row per source — computed in-plan and
+    * broadcast, so the whole operator is one aggregation plus a scan-side
+    * filter, no driver loop.
+    *
+    * Output: the kept rows with `_src_tokens` (source total) and
+    * `_rate_q` (the quantized keep-rate numerator, 0..256) attached.
+    */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, srcCol: String,
+                     tokCol: String, perSourceBudget: Long): DataFrame = {
+    require(perSourceBudget > 0, s"budget must be positive: $perSourceBudget")
+    val t = round(least(lit(1.0),
+      lit(perSourceBudget.toDouble) / col("_src_tokens")) * 256).cast("int")
+    val rates = docs.groupBy(col(srcCol))
+      .agg(sum(col(tokCol)).as("_src_tokens"))
+      .withColumn("_rate_q", t)
+      .withColumn("_thr",
+        when(col("_rate_q") >= 256, lit("zz"))
+          .otherwise(lpad(lower(hex(col("_rate_q"))), 2, "0")))
+    docs.join(broadcast(rates), Seq(srcCol))
+      .filter(substring(
+        md5(concat(col(srcCol), lit(":"), col(idCol).cast("string"))),
+        1, 2) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Ordered regex redaction (PII scrubbing surface): apply each
     * (pattern → replacement) rule in sequence. Patterns should stick to
     * the regex subset Java and RE2 share (character classes, +, *, ?) so

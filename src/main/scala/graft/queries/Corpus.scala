@@ -280,6 +280,33 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // The composed curation DECISION — what a real pipeline runs after all
+    // the signal operators: every document gets a keep/drop verdict with
+    // the first failing rule as the reason (Gopher/C4-style rule order:
+    // length, then repetition, then LM perplexity). Composes three
+    // already-oracle-gated operators (token count, repetitionStats,
+    // bigramPerplexity) joined on doc_id; thresholds compare the ROUNDED
+    // signals so both engines decide identically at rule boundaries.
+    "doc_filter_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select($"doc_id",
+        size(split($"text", " ", -1)).cast("bigint").as("n_tokens"))
+      val rep = graft.operators.Curation
+        .repetitionStats(docs, "doc_id", "text")
+        .select($"doc_id", $"top2_frac")
+      val ppl = graft.operators.LangModel
+        .bigramPerplexity(docs, "doc_id", "text")
+        .select($"doc_id", $"ppl")
+      base.join(rep, Seq("doc_id")).join(ppl, Seq("doc_id"))
+        .select($"doc_id", $"n_tokens",
+          when($"n_tokens" < 15, "too_short")
+            .when($"top2_frac" > 0.12, "repetitive")
+            .when($"ppl" > 31.0, "high_ppl")
+            .otherwise("keep").as("verdict"))
+        .orderBy($"doc_id")
+    }),
+
     // Semantic dedup (SemDeDup, operators.SemDedup): k-means clusters the
     // corpus, pairs are searched ONLY within clusters — n²/(2k) candidate
     // work on a label-equality join instead of the tiled exact product.
@@ -630,6 +657,43 @@ object Corpus {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Verdict replay: the top-2-gram fragment of the doc_repetition
+    // oracle + the LM fragment of the doc_lm_perplexity oracle + token
+    // count, folded through the same ordered CASE.
+    "doc_filter_pipeline" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w,
+        |            greatest(length(text), 1)::DOUBLE n_chars FROM documents),
+        |rg2 AS (SELECT doc_id, n_chars, unnest(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1])) AS gram FROM t),
+        |rc2 AS (SELECT doc_id, n_chars, gram, count(*) cnt FROM rg2 GROUP BY ALL),
+        |rt2 AS (SELECT doc_id, round(cnt * length(gram) / n_chars, 6) AS top2_frac,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) rn
+        |       FROM rc2),
+        |top2 AS (SELECT doc_id, top2_frac FROM rt2 WHERE rn = 1),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1])) AS gram FROM t),
+        |dg AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1,
+        |        count(*)::DOUBLE AS m FROM g GROUP BY ALL),
+        |c2 AS (SELECT gram, sum(m) AS c2 FROM dg GROUP BY gram),
+        |c1 AS (SELECT w1, sum(m) AS c1 FROM dg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT u)::DOUBLE AS vocab
+        |      FROM (SELECT unnest(w) AS u FROM t)),
+        |s AS (SELECT dg.doc_id,
+        |        sum(dg.m * ln((c2.c2 + 1) / (c1.c1 + v.vocab))) AS logp,
+        |        sum(dg.m)::BIGINT AS n_bigrams
+        |      FROM dg JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+        |      GROUP BY dg.doc_id),
+        |sig AS (SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+        |        coalesce(top2.top2_frac, 0.0) AS top2_frac,
+        |        coalesce(round(exp(-s.logp / s.n_bigrams), 4), 0.0) AS ppl
+        |      FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN s USING (doc_id))
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens < 15 THEN 'too_short'
+        |       WHEN top2_frac > 0.12 THEN 'repetitive'
+        |       WHEN ppl > 31.0 THEN 'high_ppl'
+        |       ELSE 'keep' END AS verdict
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     // Bigram-LM replay: same count tables and add-one conditional; ln/exp
     // are IEEE doubles in both engines and the 4-decimal rounding leaves

@@ -103,6 +103,25 @@ object Curation {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Source-weighted token-budget mixing (operators.Curation
+    // .tokenBudgetMix): each source capped at 1000 tokens via
+    // deterministic md5 downsampling — the domain-weight mixing step.
+    // Per-source totals, quantized keep rates, and kept doc/token counts.
+    "doc_mix_budget" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ", -1)).cast("bigint").as("n_tok"))
+      graft.operators.Curation
+        .tokenBudgetMix(d, "doc_id", "source", "n_tok", perSourceBudget = 1000L)
+        .groupBy($"source")
+        .agg(max($"_src_tokens").as("src_tokens"),
+          max($"_rate_q").cast("int").as("rate_q"),
+          count(lit(1)).as("n_docs_kept"),
+          sum($"n_tok").as("tokens_kept"))
+        .orderBy($"source")
+    }),
+
     // IVF-PQ (operators.Pq.ivfPqTopK): coarse label-partition probing +
     // ADC scoring inside the probed partitions — the FAISS IVFADC search
     // shape. Oracle replays coarse centroids, probe selection, PQ
@@ -209,6 +228,25 @@ object Curation {
         |FROM er a JOIN er b ON a.f = b.f AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mixing replay: same rate quantization (round half-up on positives
+    // in both engines) and md5-prefix keep rule as stratifiedSample.
+    "doc_mix_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |        len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        |tot AS (SELECT source, sum(n_tok)::BIGINT AS src_tokens FROM d GROUP BY source),
+        |q AS (SELECT source, src_tokens,
+        |        round(least(1.0, 1000.0 / src_tokens) * 256)::INT AS rate_q,
+        |        CASE WHEN round(least(1.0, 1000.0 / src_tokens) * 256) >= 256 THEN 'zz'
+        |             ELSE lpad(lower(to_hex(round(least(1.0, 1000.0 / src_tokens) * 256)::INT)), 2, '0')
+        |        END AS thr
+        |      FROM tot),
+        |k AS (SELECT d.source, d.n_tok, q.src_tokens, q.rate_q
+        |      FROM d JOIN q USING (source)
+        |      WHERE substring(md5(d.source || ':' || d.doc_id::VARCHAR), 1, 2) < q.thr)
+        |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
+        |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // IVF-PQ replay: coarse label centroids + probe selection (as the
     // knn_ivf_topk oracle), then the PQ pipeline (as knn_pq_adc) with the

@@ -113,4 +113,38 @@ class CurationSpec extends AnyFunSuite {
     // shared between docs 0, 1 and 51; no other pair overlaps
     assert(got == List((1L, 0L, 3L), (51L, 0L, 3L)))
   }
+
+  test("tokenBudgetMix: under-budget sources pass whole, over-budget downsample") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // srcA: 200 docs x 10 tokens = 2000 tokens (2x budget -> rate ~0.5)
+    // srcB: 20 docs x 10 tokens = 200 tokens (under budget -> all kept)
+    val docs = ((0 until 200).map(i => (i.toLong, "srcA", 10L)) ++
+      (0 until 20).map(i => (1000L + i, "srcB", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val kept = Curation.tokenBudgetMix(docs, "doc_id", "source", "n_tok", 1000L)
+    val bySrc = kept.groupBy($"source")
+      .agg(count(lit(1)).as("n"), max($"_rate_q").as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(bySrc("srcB") == (20L, 256), s"under-budget must keep all: $bySrc")
+    val (nA, qA) = bySrc("srcA")
+    assert(qA == 128, s"rate 0.5 quantizes to 128/256: $qA")
+    // md5 prefixes are uniform: expect ~100 of 200 kept, generous margin
+    assert(nA > 60 && nA < 140, s"srcA kept $nA of 200 at rate 0.5")
+    // deterministic: second run keeps the identical id set
+    val ids1 = kept.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.tokenBudgetMix(docs, "doc_id", "source", "n_tok", 1000L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("tokenBudgetMix rate table broadcasts; no extra shuffle on the kept side") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ", -1)).cast("bigint").as("n_tok"))
+    val plan = Curation.tokenBudgetMix(docs, "doc_id", "source", "n_tok", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
 }
