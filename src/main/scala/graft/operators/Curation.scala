@@ -122,6 +122,35 @@ object Curation {
     df.filter(prefix < threshold)
   }
 
+  /** Single-size top-gram character coverage: the fraction of a document's
+    * characters covered by its most frequent word n-gram (ties break by
+    * gram ascending), rounded to 6 — exactly the `top{n}_frac` column of
+    * `repetitionStats`, without paying for the other gram sizes. Use this
+    * when a filter chain needs ONE repetition signal; `repetitionStats`
+    * when it needs the full Gopher set (there the sizes share one scan).
+    */
+  def topGramCoverage(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      words(col(textCol)).as("w"),
+      greatest(length(col(textCol)), lit(1)).cast("double").as("n_chars"))
+    val counts = base
+      .select(col("doc_id"), col("n_chars"),
+        explode(wordGrams(col("w"), n)).as("gram"))
+      .groupBy(col("doc_id"), col("n_chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val rn = row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram").asc))
+    val top = counts.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("doc_id"),
+        round(col("cnt") * length(col("gram")).cast("double") / col("n_chars"), 6)
+          .as("top_frac"))
+    base.select(col("doc_id"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("top_frac"), lit(0.0)).as("top_frac"))
+  }
+
   /** Source-weighted data MIXING under a token budget: every source gets
     * `perSourceBudget` tokens; a source over budget is deterministically
     * downsampled to rate = budget / tokens, one under it passes whole —

@@ -124,7 +124,10 @@ object Pq {
   def adcTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
               k: Int = 10, m: Int = 4, kCent: Int = 8, iters: Int = 1,
               dim: Int = 64): DataFrame = {
-    val sub = subvectors(emb, idCol, vecCol, m, dim)
+    // one subvector materialization feeds every training round, the final
+    // encode and the query side — without it each Lloyd job re-reads and
+    // re-slices the source (iters+3 scans; measured ~2x on the bench query)
+    val sub = subvectors(emb, idCol, vecCol, m, dim).localCheckpoint(true)
     val books = trainCodebooks(sub, kCent, iters)
     val codes = encode(sub.filter(col("vec_id") =!= queryId), books)
       .select(col("vec_id"), col("m"), col("code"))
@@ -157,7 +160,7 @@ object Pq {
       .orderBy(col("csim").desc, col("label")) // label tiebreak: deterministic
       .limit(nprobe)
       .select("label")
-    val sub = subvectors(emb, idCol, vecCol, m, dim)
+    val sub = subvectors(emb, idCol, vecCol, m, dim).localCheckpoint(true)
     val books = trainCodebooks(sub, kCent, iters) // global codebooks, full corpus
     val probedIds = emb
       .join(broadcast(probed), emb(labelCol) === probed("label"))

@@ -293,8 +293,8 @@ object Corpus {
       val base = docs.select($"doc_id",
         size(split($"text", " ", -1)).cast("bigint").as("n_tokens"))
       val rep = graft.operators.Curation
-        .repetitionStats(docs, "doc_id", "text")
-        .select($"doc_id", $"top2_frac")
+        .topGramCoverage(docs, "doc_id", "text", n = 2)
+        .select($"doc_id", $"top_frac".as("top2_frac"))
       val ppl = graft.operators.LangModel
         .bigramPerplexity(docs, "doc_id", "text")
         .select($"doc_id", $"ppl")

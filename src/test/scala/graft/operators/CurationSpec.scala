@@ -114,6 +114,16 @@ class CurationSpec extends AnyFunSuite {
     assert(got == List((1L, 0L, 3L), (51L, 0L, 3L)))
   }
 
+  test("topGramCoverage(2) equals repetitionStats' top2_frac on the corpus") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val light = Curation.topGramCoverage(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = Curation.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(light == full)
+  }
+
   test("tokenBudgetMix: under-budget sources pass whole, over-budget downsample") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
