@@ -200,6 +200,48 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** STREAMING dedup gate — the `foreachBatch` body that puts the
+    * incremental join in front of a corpus as documents ARRIVE: each
+    * micro-batch is checked against the persisted index at `indexPath`,
+    * duplicate docs are rejected, and the admitted docs' sketch rows are
+    * APPENDED to the index so later batches dedup against them too.
+    * Returns the batch's duplicate pairs (new_id, old_id, jaccard) for
+    * the caller to sink; the index append happens before returning (the
+    * pair frame is checkpointed first, so the append never re-reads a
+    * half-written index).
+    *
+    * Idempotency note: replaying a batch after a crash re-appends its
+    * sketch rows; duplicate index rows only create duplicate candidate
+    * pairs, which the pair-level groupBy collapses — detection stays
+    * correct. For exactly-once index contents, write the append through a
+    * `_batch_id`-partitioned dynamic overwrite as `streaming.Pipeline`
+    * does for the event store.
+    */
+  def dedupGateBatch(batch: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, threshold: Double = 0.8, n: Int = 3,
+                     numHashes: Int = 64, bands: Int = 16, rows: Int = 4,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    val empty = bandedIndex(batch.limit(0), idCol, textCol, n, numHashes,
+      bands, rows)
+    val idx =
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+        spark.read.schema(empty.schema).parquet(indexPath)
+      else empty
+    val dups = incrementalAgainstIndex(idx, batch, idCol, textCol, threshold,
+        n, numHashes, bands, rows, maxBucketSize)
+      .localCheckpoint(true)
+    val admitted = batch.join(
+      dups.select(col("new_id")).distinct(),
+      batch(idCol) === col("new_id"), "left_anti")
+    bandedIndex(admitted, idCol, textCol, n, numHashes, bands, rows)
+      .write.mode("append").parquet(indexPath)
+    dups
+  }
+
   /** Exact n-gram-Jaccard near-dup via a PREFIX-FILTERED inverted index
     * (AllPairs/PPJoin family, Bayardo et al. WWW'07) — the sketch-free
     * third strategy. Complete, not approximate:

@@ -218,6 +218,52 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup gate: batches reject against an index that grows") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val fresh = "entirely new material discussing shuffle partitions broadcast joins and adaptive query execution plans"
+    val indexPath = Files.createTempDirectory("gate_idx").toString + "/idx"
+    val srcDir = Files.createTempDirectory("gate_src").toString
+    val ckpt = Files.createTempDirectory("gate_ckpt").toString
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
+    // seed the index with the pre-existing corpus
+    TextDedup.bandedIndex(Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(indexPath)
+
+    def runBatchFile(docs: Seq[(Long, String)]): Unit = {
+      // one new file per run + AvailableNow = exactly one micro-batch
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val q = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(srcDir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val dups = TextDedup.dedupGateBatch(df, "doc_id", "text", indexPath,
+            threshold = 0.5)
+          pairs.synchronized {
+            pairs ++= dups.collect().map(r => (r.getLong(0), r.getLong(1)))
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+
+    // batch 1: a dup of the seed (rejected) and a unique doc (admitted)
+    runBatchFile(Seq((10L, base), (11L, fresh)))
+    assert(pairs.toSet == Set((10L, 1L)), s"got $pairs")
+    // batch 2: a dup of the doc ADMITTED in batch 1 — the index grew
+    runBatchFile(Seq((20L, fresh), (21L, "one more novel document about catalyst rule ordering and exchange reuse")))
+    assert(pairs.toSet == Set((10L, 1L), (20L, 11L)), s"got $pairs")
+    // rejected docs never entered the index: only 1, 11, 21 hold rows
+    val idxIds = spark.read.parquet(indexPath)
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(1L, 11L, 21L), s"index holds $idxIds")
+  }
+
   test("substringOverlap reports pairs sharing a long verbatim run only") {
     import spark.implicits._
     val run = "zqxv jklm wpfh rgty bnds ocau" // 29 chars, rare tokens
