@@ -108,4 +108,40 @@ object TextAnalysis {
     */
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.WinnowingFingerprintExpr.winnow(text, k, w)
+
+  /** Per-document top-k TF-IDF terms — keyword extraction over the corpus:
+    * tf = in-doc occurrence count, idf = ln(N / df) with df the number of
+    * documents containing the term; rank by (tfidf desc, term asc) so ties
+    * are deterministic. Output: (doc_id, rnk, term, tfidf), rnk 1..k.
+    *
+    * Scale shape: ONE explode scan aggregates to per-(doc, term) counts
+    * (map-side partial), checkpointed so the document-frequency table and
+    * the scoring join share it; the df join is equality-keyed on the term
+    * (uniform — Zipf-hot terms are one row on the df side, AQE splits the
+    * fan-in), and the corpus size N is a broadcast one-row aggregate. The
+    * final ranking windows per doc_id, which partitions evenly.
+    */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tfc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
+    val dfc = tfc.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df")) // tfc is distinct per doc
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val score = col("tf") * log(col("n") / col("df"))
+    tfc.join(dfc, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(score.desc, col("term").asc)).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        round(score, 6).as("tfidf"))
+  }
 }

@@ -280,6 +280,16 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Keyword extraction: per-doc top-3 TF-IDF terms (TextAnalysis
+    // .tfidfTopK) — one explode scan shared via checkpoint, term-keyed df
+    // join, per-doc ranking window.
+    "doc_tfidf_top3" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalysis
+        .tfidfTopK(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy($"doc_id", $"rnk")
+    }),
+
     // The composed curation DECISION — what a real pipeline runs after all
     // the signal operators: every document gets a keep/drop verdict with
     // the first failing rule as the reason (Gopher/C4-style rule order:
@@ -657,6 +667,20 @@ object Corpus {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_tfidf_top3" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |tf AS (SELECT doc_id, unnest(w) AS term FROM t),
+        |tfc AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tf GROUP BY ALL),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM t),
+        |scored AS (SELECT tfc.doc_id, tfc.term,
+        |    round(tfc.tf * ln(n.n / df.df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tfc.doc_id
+        |      ORDER BY tfc.tf * ln(n.n / df.df) DESC, tfc.term ASC) AS rnk
+        |  FROM tfc JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rnk, term, tfidf FROM scored WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     // Verdict replay: the top-2-gram fragment of the doc_repetition
     // oracle + the LM fragment of the doc_lm_perplexity oracle + token

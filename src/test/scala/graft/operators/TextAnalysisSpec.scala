@@ -74,4 +74,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((fp(1) & fp(3)).isEmpty)
     assert(fp(4).isEmpty)
   }
+
+  test("tfidfTopK matches a hand-computed model; corpus-wide terms score 0") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy($"doc_id", $"rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val ln2 = math.round(math.log(2.0) * 1e6) / 1e6
+    // df(a)=2 of N=2 docs -> idf 0; b and c are distinctive
+    assert(got.toSeq == Seq(
+      (0L, 1L, "b", ln2), (0L, 2L, "a", 0.0),
+      (1L, 1L, "c", ln2), (1L, 2L, "a", 0.0)), got.mkString(", "))
+  }
+
+  test("tfidfTopK on the corpus: k rows per doc, terms come from the doc") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+    val perDoc = out.groupBy($"doc_id").count()
+      .filter($"count" =!= 3).count()
+    assert(perDoc == 0, "every doc has >= 3 distinct terms in this corpus")
+    val foreign = out.join(docs, Seq("doc_id"))
+      .filter(!array_contains(split($"text", " ", -1), $"term")).count()
+    assert(foreign == 0)
+  }
 }
