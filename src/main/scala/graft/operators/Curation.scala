@@ -122,6 +122,32 @@ object Curation {
     df.filter(prefix < threshold)
   }
 
+  /** Sliding-window document CHUNKING — the preprocessing step in front of
+    * any embedding or long-context pipeline: windows of `chunkChars`
+    * characters starting every `strideChars` (overlap = chunk − stride),
+    * one row per (doc, chunk) with the 1-based source offset and length.
+    * A document yields ceil(len / stride) chunks; the trailing ones run
+    * short. Pure scan-side explode + substring (codegen, no shuffle) —
+    * chunk rows inherit the scan's partitioning, so a downstream encoder
+    * (`mapInPandas` batches, `Multimodal`-style) reads them in place.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkChars: Int, strideChars: Int): DataFrame = {
+    require(chunkChars >= 1 && strideChars >= 1 && strideChars <= chunkChars,
+      s"need 1 <= stride <= chunk, got chunk=$chunkChars stride=$strideChars")
+    val len = length(col(textCol))
+    val nChunks = ceil(len.cast("double") / strideChars).cast("int")
+    val idxs = when(len > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        explode(idxs).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        (col("chunk_idx").cast("bigint") * strideChars + 1).as("off"),
+        col("_t").substr(col("chunk_idx") * strideChars + 1, lit(chunkChars))
+          .as("chunk"))
+  }
+
   /** Single-size top-gram character coverage: the fraction of a document's
     * characters covered by its most frequent word n-gram (ties break by
     * gram ascending), rounded to 6 — exactly the `top{n}_frac` column of

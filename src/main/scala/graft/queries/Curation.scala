@@ -103,6 +103,20 @@ object Curation {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Sliding-window chunking (operators.Curation.chunkDocs): 200-char
+    // windows every 120 chars — the embedding-pipeline preprocessing
+    // step; digests gate the exact chunk text.
+    "doc_chunks" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Curation
+        .chunkDocs(Tables(s, dir, "documents"), "doc_id", "text",
+          chunkChars = 200, strideChars = 120)
+        .select($"doc_id", $"chunk_idx", $"off",
+          length($"chunk").cast("bigint").as("chunk_len"),
+          md5($"chunk").as("digest"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Source-weighted token-budget mixing (operators.Curation
     // .tokenBudgetMix): each source capped at 1000 tokens via
     // deterministic md5 downsampling — the domain-weight mixing step.
@@ -228,6 +242,19 @@ object Curation {
         |FROM er a JOIN er b ON a.f = b.f AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, ceil(length(text) / 120.0)::BIGINT)) AS chunk_idx
+        |  FROM documents WHERE length(text) > 0),
+        |s AS (SELECT doc_id, chunk_idx,
+        |    substring(text, (chunk_idx * 120 + 1)::INT, 200) AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |  (chunk_idx * 120 + 1)::BIGINT AS off,
+        |  length(chunk)::BIGINT AS chunk_len, md5(chunk) AS digest
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Mixing replay: same rate quantization (round half-up on positives
     // in both engines) and md5-prefix keep rule as stratifiedSample.

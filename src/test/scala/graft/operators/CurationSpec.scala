@@ -114,6 +114,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got == List((1L, 0L, 3L), (51L, 0L, 3L)))
   }
 
+  test("chunkDocs: stride windows cover the doc, overlap is exact, empty is safe") {
+    import spark.implicits._
+    val docs = Seq((0L, "abcdefghij"), (1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val got = Curation.chunkDocs(docs, "doc_id", "text", chunkChars = 5,
+        strideChars = 3)
+      .orderBy($"doc_id", $"chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 0 (len 10): ceil(10/3)=4 chunks at offsets 1,4,7,10
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L, "abcde"), (0L, 1L, 4L, "defgh"),
+      (0L, 2L, 7L, "ghij"), (0L, 3L, 10L, "j"),
+      (1L, 0L, 1L, "abc")), got.mkString(", "))
+    // reassembly: stripping the overlap from every non-first chunk
+    // reconstructs the document exactly
+    val rebuilt = got.filter(_._1 == 0L).map { case (_, i, _, c) =>
+      if (i == 0) c else c.drop(5 - 3)
+    }.mkString
+    assert(rebuilt == "abcdefghij")
+  }
+
+  test("chunkDocs is a pure scan-side explode: no shuffle in the plan") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Curation.chunkDocs(docs, "doc_id", "text", 200, 120)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("topGramCoverage(2) equals repetitionStats' top2_frac on the corpus") {
     import spark.implicits._
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
