@@ -183,29 +183,30 @@ object Curation {
     * the corpus-rebalancing step that turns raw crawl proportions into a
     * training mixture (cf. the domain-weight mixing in Gopher/LLaMA data
     * recipes). Sampling reuses the md5-prefix discipline of
-    * `stratifiedSample` (granularity 1/256, reproducible across engines);
-    * the rate table is one row per source — computed in-plan and
-    * broadcast, so the whole operator is one aggregation plus a scan-side
-    * filter, no driver loop.
+    * `stratifiedSample` but over FOUR hex digits (granularity 1/65536,
+    * floor-clamped to 1 so a source is downsampled, never silently
+    * zeroed, even 10^4x over budget); the rate table is one row per
+    * source — computed in-plan and broadcast, so the whole operator is
+    * one aggregation plus a scan-side filter, no driver loop.
     *
     * Output: the kept rows with `_src_tokens` (source total) and
-    * `_rate_q` (the quantized keep-rate numerator, 0..256) attached.
+    * `_rate_q` (the quantized keep-rate numerator, 1..65536) attached.
     */
   def tokenBudgetMix(docs: DataFrame, idCol: String, srcCol: String,
                      tokCol: String, perSourceBudget: Long): DataFrame = {
     require(perSourceBudget > 0, s"budget must be positive: $perSourceBudget")
-    val t = round(least(lit(1.0),
-      lit(perSourceBudget.toDouble) / col("_src_tokens")) * 256).cast("int")
+    val t = greatest(lit(1), round(least(lit(1.0),
+      lit(perSourceBudget.toDouble) / col("_src_tokens")) * 65536).cast("int"))
     val rates = docs.groupBy(col(srcCol))
       .agg(sum(col(tokCol)).as("_src_tokens"))
       .withColumn("_rate_q", t)
       .withColumn("_thr",
-        when(col("_rate_q") >= 256, lit("zz"))
-          .otherwise(lpad(lower(hex(col("_rate_q"))), 2, "0")))
+        when(col("_rate_q") >= 65536, lit("zzzz"))
+          .otherwise(lpad(lower(hex(col("_rate_q"))), 4, "0")))
     docs.join(broadcast(rates), Seq(srcCol))
       .filter(substring(
         md5(concat(col(srcCol), lit(":"), col(idCol).cast("string"))),
-        1, 2) < col("_thr"))
+        1, 4) < col("_thr"))
       .drop("_thr")
   }
 

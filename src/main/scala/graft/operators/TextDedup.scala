@@ -66,28 +66,24 @@ object TextDedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Keep only index rows in buckets with 2..cap occupants: singletons can
-    * never form a pair (pruning them shrinks the self-join input to just
-    * the colliding keys), and over-cap buckets are degenerate boilerplate
+  /** Keep only index rows in buckets with minSize..cap occupants:
+    * sub-minSize buckets cannot produce a pair (minSize 2 for self-joins;
+    * 1 for cross-corpus joins, where a singleton index bucket can still
+    * meet a delta row), and over-cap buckets are degenerate boilerplate
     * whose quadratic fan-out would dominate a 100 TB run. Implemented as a
     * partial-aggregated count + key join — NOT a window over the full
     * index, which would shuffle every row just to count its bucket.
     */
   private[operators] def keepPairableBuckets(df: DataFrame, keys: Seq[String],
-                                             cap: Int): DataFrame = {
+                                             cap: Int,
+                                             minSize: Int = 2): DataFrame = {
     val pairable = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") > 1 && col("_bsz") <= cap)
+      .filter(col("_bsz") >= minSize && col("_bsz") <= cap)
       .select(keys.map(col): _*)
     df.join(pairable, keys.toSeq)
   }
 
-  /** docs(idCol, textCol) → candidate pairs (id_a < id_b) from banded
-    * MinHash-LSH, with the exact shingle-Jaccard attached. One shuffle on
-    * the band keys; buckets larger than `maxBucketSize` are dropped (they
-    * indicate degenerate content, and any true near-dup inside them is
-    * still found via its other, less-degenerate bands).
-    */
   /** The banded-LSH index rows for a corpus: one (doc_id, sh, band, bucket)
     * row per band key — the shared build for the self-join (batch dedup)
     * and the cross-corpus join (incremental dedup).
@@ -102,8 +98,10 @@ object TextDedup {
     */
   def bandedIndex(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                  rows: Int = 4): DataFrame =
+                  rows: Int = 4): DataFrame = {
+    require(bands * rows <= numHashes, "bands*rows must fit the signature")
     bandedSketch(docs, idCol, textCol, n, numHashes, bands, rows)
+  }
 
   private def bandedSketch(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, numHashes: Int, bands: Int,
@@ -117,6 +115,12 @@ object TextDedup {
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
 
+  /** docs(idCol, textCol) → candidate pairs (id_a < id_b) from banded
+    * MinHash-LSH, with the exact shingle-Jaccard attached. One shuffle on
+    * the band keys; buckets larger than `maxBucketSize` are dropped (they
+    * indicate degenerate content, and any true near-dup inside them is
+    * still found via its other, less-degenerate bands).
+    */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, numHashes: Int = 64,
                      bands: Int = 16, rows: Int = 4,
@@ -183,12 +187,8 @@ object TextDedup {
                               rows: Int = 4,
                               maxBucketSize: Int = 1000): DataFrame = {
     require(bands * rows <= numHashes, "bands*rows must fit the signature")
-    val cappedIdx = index.join(
-      index.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("_bsz"))
-        .filter(col("_bsz") <= maxBucketSize)
-        .select(col("band"), col("bucket")),
-      Seq("band", "bucket"))
+    val cappedIdx = keepPairableBuckets(index, Seq("band", "bucket"),
+      maxBucketSize, minSize = 1)
     val delta = bandedSketch(incoming, idCol, textCol, n, numHashes, bands, rows)
     delta.alias("nw")
       .join(cappedIdx.alias("ex"),
@@ -202,7 +202,8 @@ object TextDedup {
 
   /** STREAMING dedup gate — the `foreachBatch` body that puts the
     * incremental join in front of a corpus as documents ARRIVE: each
-    * micro-batch is checked against the persisted index at `indexPath`,
+    * micro-batch is checked against the persisted index at `indexPath`
+    * AND against itself (within-batch duplicates reject their higher id),
     * duplicate docs are rejected, and the admitted docs' sketch rows are
     * APPENDED to the index so later batches dedup against them too.
     * Returns the batch's duplicate pairs (new_id, old_id, jaccard) for
@@ -210,12 +211,14 @@ object TextDedup {
     * pair frame is checkpointed first, so the append never re-reads a
     * half-written index).
     *
-    * Idempotency note: replaying a batch after a crash re-appends its
-    * sketch rows; duplicate index rows only create duplicate candidate
-    * pairs, which the pair-level groupBy collapses — detection stays
-    * correct. For exactly-once index contents, write the append through a
-    * `_batch_id`-partitioned dynamic overwrite as `streaming.Pipeline`
-    * does for the event store.
+    * Crash-replay idempotency: a replayed batch meets its OWN sketch rows
+    * in the index, so identical-id matches are filtered (`new_id` ≠
+    * `old_id`) — already-admitted docs replay as admitted, not as
+    * duplicates of themselves. The re-append leaves duplicate index rows,
+    * which only create duplicate candidate pairs that the pair-level
+    * groupBy collapses. For exactly-once index CONTENTS, write the append
+    * through a `_batch_id`-partitioned dynamic overwrite as
+    * `streaming.Pipeline` does for the event store.
     */
   def dedupGateBatch(batch: DataFrame, idCol: String, textCol: String,
                      indexPath: String, threshold: Double = 0.8, n: Int = 3,
@@ -231,9 +234,15 @@ object TextDedup {
       if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
         spark.read.schema(empty.schema).parquet(indexPath)
       else empty
-    val dups = incrementalAgainstIndex(idx, batch, idCol, textCol, threshold,
+    val cross = incrementalAgainstIndex(idx, batch, idCol, textCol, threshold,
         n, numHashes, bands, rows, maxBucketSize)
-      .localCheckpoint(true)
+      .filter(col("new_id") =!= col("old_id")) // crash replay: self-matches
+    val within = candidatePairs(batch, idCol, textCol, n, numHashes, bands,
+        rows, maxBucketSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as("new_id"), col("id_a").as("old_id"),
+        col("jaccard"))
+    val dups = cross.unionByName(within).localCheckpoint(true)
     val admitted = batch.join(
       dups.select(col("new_id")).distinct(),
       batch(idCol) === col("new_id"), "left_anti")

@@ -257,20 +257,20 @@ object Curation {
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Mixing replay: same rate quantization (round half-up on positives
-    // in both engines) and md5-prefix keep rule as stratifiedSample.
+    // in both engines, floor-clamped to 1) and 4-hex md5-prefix keep rule.
     "doc_mix_budget" ->
       """WITH d AS (SELECT doc_id, source,
         |        len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
         |tot AS (SELECT source, sum(n_tok)::BIGINT AS src_tokens FROM d GROUP BY source),
         |q AS (SELECT source, src_tokens,
-        |        round(least(1.0, 1000.0 / src_tokens) * 256)::INT AS rate_q,
-        |        CASE WHEN round(least(1.0, 1000.0 / src_tokens) * 256) >= 256 THEN 'zz'
-        |             ELSE lpad(lower(to_hex(round(least(1.0, 1000.0 / src_tokens) * 256)::INT)), 2, '0')
+        |        greatest(1, round(least(1.0, 1000.0 / src_tokens) * 65536)::INT) AS rate_q,
+        |        CASE WHEN round(least(1.0, 1000.0 / src_tokens) * 65536) >= 65536 THEN 'zzzz'
+        |             ELSE lpad(lower(to_hex(greatest(1, round(least(1.0, 1000.0 / src_tokens) * 65536)::INT))), 4, '0')
         |        END AS thr
         |      FROM tot),
         |k AS (SELECT d.source, d.n_tok, q.src_tokens, q.rate_q
         |      FROM d JOIN q USING (source)
-        |      WHERE substring(md5(d.source || ':' || d.doc_id::VARCHAR), 1, 2) < q.thr)
+        |      WHERE substring(md5(d.source || ':' || d.doc_id::VARCHAR), 1, 4) < q.thr)
         |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
         |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin,

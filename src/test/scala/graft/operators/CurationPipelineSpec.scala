@@ -30,8 +30,10 @@ class CurationPipelineSpec extends AnyFunSuite {
       .select($"doc_id", $"n_tokens")
 
     // 2. near-dup removal: drop the HIGHER id of every verified pair
-    val dupIds = TextDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.8)
-      .select($"id_b".as("doc_id")).distinct()
+    // (computed once; the invariant check below reuses the collected set)
+    val pairs = TextDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dupIds = pairs.map(_._2).distinct.toSeq.toDF("doc_id")
     val surviving = kept.join(dupIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
@@ -49,8 +51,6 @@ class CurationPipelineSpec extends AnyFunSuite {
       "exactly once")
     // no near-dup pair survives
     val survivorSet = survivors.keySet
-    val pairs = TextDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.8)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(!pairs.exists(p => survivorSet(p._1) && survivorSet(p._2)))
     // bins respect the budget up to the one straddling doc the prefix-sum
     // layout allows (a doc starts in the bin its running offset falls in)

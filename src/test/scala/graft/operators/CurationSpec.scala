@@ -164,9 +164,9 @@ class CurationSpec extends AnyFunSuite {
     val bySrc = kept.groupBy($"source")
       .agg(count(lit(1)).as("n"), max($"_rate_q").as("q"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
-    assert(bySrc("srcB") == (20L, 256), s"under-budget must keep all: $bySrc")
+    assert(bySrc("srcB") == (20L, 65536), s"under-budget must keep all: $bySrc")
     val (nA, qA) = bySrc("srcA")
-    assert(qA == 128, s"rate 0.5 quantizes to 128/256: $qA")
+    assert(qA == 32768, s"rate 0.5 quantizes to 32768/65536: $qA")
     // md5 prefixes are uniform: expect ~100 of 200 kept, generous margin
     assert(nA > 60 && nA < 140, s"srcA kept $nA of 200 at rate 0.5")
     // deterministic: second run keeps the identical id set
@@ -174,6 +174,27 @@ class CurationSpec extends AnyFunSuite {
     val ids2 = Curation.tokenBudgetMix(docs, "doc_id", "source", "n_tok", 1000L)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
+  }
+
+  test("tokenBudgetMix clamps the rate floor: huge sources downsample, never zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 21 docs x 7M tokens = 1.47e8 tokens at budget 1000: the unclamped
+    // quantization rounds to 0/65536 (threshold '0000', keeps NOTHING);
+    // the floor clamp keeps rate_q = 1, i.e. md5 prefix '0000' survives
+    def prefix(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"srcZ:$id".getBytes("UTF-8"))
+      .take(2).map("%02x".format(_)).mkString
+    val lucky = (0L to 300000L).find(i => prefix(i) == "0000").get
+    val fillers = Iterator.from(1000000).map(_.toLong)
+      .filter(i => prefix(i) != "0000").take(20).toSeq
+    val docs = (fillers :+ lucky).map(i => (i, "srcZ", 7000000L))
+      .toDF("doc_id", "source", "n_tok")
+    val kept = Curation.tokenBudgetMix(docs, "doc_id", "source", "n_tok", 1000L)
+      .collect()
+    assert(kept.map(r => r.getLong(r.fieldIndex("doc_id"))).toSet == Set(lucky),
+      s"only the '0000'-prefix doc survives the floor rate")
+    assert(kept.head.getInt(kept.head.fieldIndex("_rate_q")) == 1)
   }
 
   test("tokenBudgetMix rate table broadcasts; no extra shuffle on the kept side") {

@@ -255,13 +255,24 @@ class TextDedupSpec extends AnyFunSuite {
     // batch 1: a dup of the seed (rejected) and a unique doc (admitted)
     runBatchFile(Seq((10L, base), (11L, fresh)))
     assert(pairs.toSet == Set((10L, 1L)), s"got $pairs")
-    // batch 2: a dup of the doc ADMITTED in batch 1 — the index grew
-    runBatchFile(Seq((20L, fresh), (21L, "one more novel document about catalyst rule ordering and exchange reuse")))
-    assert(pairs.toSet == Set((10L, 1L), (20L, 11L)), s"got $pairs")
+    // batch 2: a dup of the doc ADMITTED in batch 1 (the index grew), a
+    // novel doc, and a WITHIN-BATCH copy of that novel doc
+    val novel = "one more novel document about catalyst rule ordering and exchange reuse"
+    runBatchFile(Seq((20L, fresh), (21L, novel), (22L, novel)))
+    assert(pairs.toSet == Set((10L, 1L), (20L, 11L), (22L, 21L)), s"got $pairs")
     // rejected docs never entered the index: only 1, 11, 21 hold rows
     val idxIds = spark.read.parquet(indexPath)
       .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(idxIds == Set(1L, 11L, 21L), s"index holds $idxIds")
+    // crash replay: re-running the SAME batch against the index that
+    // already holds its rows must not report admitted docs as duplicates
+    // of themselves — 21 replays as admitted, 20 and 22 as the same pairs
+    val replay = Seq((20L, fresh), (21L, novel), (22L, novel))
+      .toDF("doc_id", "text")
+    val replayed = TextDedup.dedupGateBatch(replay, "doc_id", "text",
+        indexPath, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed == Set((20L, 11L), (22L, 21L)), s"replay got $replayed")
   }
 
   test("substringOverlap reports pairs sharing a long verbatim run only") {
