@@ -110,15 +110,23 @@ object Curation {
       val t = math.round(rate * 256).toInt
       // t=256 would print "100", which a 2-hex-digit prefix only compares
       // below when it starts with '0' — rate 1.0 must keep EVERY row, so
-      // use a sentinel above any hex digit pair
-      if (t >= 256) "zz" else f"$t%02x"
+      // use a sentinel above any hex digit pair. The mirror boundary:
+      // a POSITIVE rate below 1/512 would round to "00" and keep nothing
+      // — floor-clamp to "01" so only rate == 0.0 zeroes a stratum.
+      if (t >= 256) "zz"
+      else if (rate > 0.0) f"${math.max(t, 1)}%02x"
+      else "00"
     }
     val threshold = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(thresholdHex(defaultRate))) { case (acc, (stratum, rate)) =>
         when(col(stratumCol) === stratum, lit(thresholdHex(rate))).otherwise(acc)
       }
+    // NULL strata hash as the empty string instead of null-propagating the
+    // whole md5 (which would silently drop the row at ANY rate, rate 1.0
+    // included); they sample at defaultRate
     val prefix = substring(
-      md5(concat(col(stratumCol), lit(":"), col(idCol).cast("string"))), 1, 2)
+      md5(concat(coalesce(col(stratumCol).cast("string"), lit("")),
+        lit(":"), col(idCol).cast("string"))), 1, 2)
     df.filter(prefix < threshold)
   }
 

@@ -92,8 +92,10 @@ object Curation {
 
     // Substring-granular overlap detection: pairs sharing >= 10 RARE
     // winnowing fingerprints (df <= 16, sized to duplicate-cluster size —
-    // see the operator scaladoc) — shared verbatim runs of >= 11 chars
-    // surface here even when whole-doc Jaccard stays low
+    // see the operator scaladoc). Each fingerprint witnesses a shared run
+    // of >= k+w-1 = 11 chars; at winnowing density ~2/(w+1) per char the
+    // minShared=10 floor means pairs sharing roughly >= 30-50 verbatim
+    // chars surface here even when whole-doc Jaccard stays low
     // (operators.TextDedup.substringOverlap).
     "doc_substring_overlap" -> ((s, dir) => {
       import s.implicits._

@@ -94,6 +94,26 @@ class CurationSpec extends AnyFunSuite {
       Map("en" -> 0.0), defaultRate = 1.0).count() == 0)
   }
 
+  test("stratifiedSample: NULL strata sample at defaultRate, never vanish") {
+    import spark.implicits._
+    val df = Seq((1L, Option("en")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("doc_id", "lang")
+    val kept = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 1.0)
+    assert(kept.count() == 3, "rate 1.0 keeps every row, NULL stratum included")
+  }
+
+  test("stratifiedSample: tiny positive rates floor at 1/256, only 0.0 zeroes") {
+    import spark.implicits._
+    val df = (0L until 2000L).map((_, "en")).toDF("doc_id", "lang")
+    val tiny = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.001), defaultRate = 0.5).count()
+    // floor threshold "01" keeps md5-prefix "00" rows: ~2000/256 ≈ 8
+    assert(tiny > 0 && tiny < 40, s"rate 0.001 floors to 1/256, got $tiny")
+    assert(Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.0), defaultRate = 0.5).count() == 0)
+  }
+
   test("decontaminate finds exactly the planted overlaps") {
     import spark.implicits._
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ") // 10 words
