@@ -93,6 +93,47 @@ object Relational {
         .limit(20)
     }),
 
+    // GROUPING SETS surface: revenue subtotals at (region, nation), per
+    // region and grand total in ONE pass — Spark's rollup == DuckDB's
+    // ROLLUP, including the NULL indicator rows; grouping() disambiguates
+    // a real NULL from a subtotal marker.
+    "q11_rollup_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(
+          sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("balance"),
+          count(lit(1)).as("n_custs"),
+          (grouping($"r_name") * 2 + grouping($"n_name")).cast("bigint").as("lvl"))
+        .orderBy($"lvl", $"r_name", $"n_name")
+    }),
+
+    // Range-frame window surface: 7-day moving average of daily order
+    // revenue per priority. The daily pre-aggregation is the scale step
+    // (the window then runs over priority x day rows, metadata-sized);
+    // the frame is RANGE over an integer day column so both engines
+    // resolve identical frame bounds.
+    "q12_moving_avg" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "orders")
+        .groupBy($"o_orderpriority",
+          datediff($"o_orderdate", to_date(lit("1992-01-01"))).as("d"))
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"d")
+        .rangeBetween(-6, 0)
+      daily
+        .select($"o_orderpriority", $"d".cast("bigint").as("d"),
+          $"rev".cast("double").as("rev"),
+          round(sum($"rev").over(w).cast("double") /
+            count(lit(1)).over(w), 4).as("mavg7"))
+        .orderBy($"o_orderpriority", $"d")
+    }),
+
     "q6_window_topn" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -189,6 +230,30 @@ object Relational {
         |WHERE l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    "q11_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+        |  count(*)::BIGINT AS n_custs,
+        |  (GROUPING(r_name) * 2 + GROUPING(n_name))::BIGINT AS lvl
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY lvl, r_name, n_name""".stripMargin,
+
+    "q12_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate)::BIGINT AS d,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, d, CAST(rev AS DOUBLE) AS rev,
+        |  round(CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w, 4) AS mavg7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, d""".stripMargin,
 
     "q6_window_topn" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
