@@ -280,6 +280,30 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Per-source dataset card: the aggregate view a data recipe reads
+    // before picking mixture weights — doc/token volume, language spread
+    // and mean quality/perplexity per source, composing the gated signal
+    // operators at the AGGREGATE level (doc_filter_pipeline is the same
+    // composition at the per-document level).
+    "doc_source_card" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select($"doc_id", $"source", $"lang",
+        size(split($"text", " ", -1)).cast("bigint").as("n_tok"),
+        graft.operators.TextAnalysis.qualityScore($"text").as("q"))
+      val ppl = graft.operators.LangModel
+        .bigramPerplexity(docs, "doc_id", "text")
+        .select($"doc_id", $"ppl")
+      base.join(ppl, Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          countDistinct($"lang").as("n_langs"),
+          round(avg($"q"), 4).as("avg_quality"),
+          round(avg($"ppl"), 4).as("avg_ppl"))
+        .orderBy($"source")
+    }),
+
     // Keyword extraction: per-doc top-3 TF-IDF terms (TextAnalysis
     // .tfidfTopK) — one explode scan shared via checkpoint, term-keyed df
     // join, per-doc ranking window.
@@ -667,6 +691,45 @@ object Corpus {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Card replay: the quality formula of the doc_quality oracle + the LM
+    // fragment of doc_lm_perplexity, aggregated per source.
+    "doc_source_card" ->
+      """WITH t AS (SELECT doc_id, source, lang, text, lower(text) lt,
+        |    string_split_regex(lower(text), '\s+') w,
+        |    string_split(text, ' ') sw,
+        |    greatest(length(text), 1)::DOUBLE n_chars
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, lang, len(sw)::BIGINT AS n_tok,
+        |    round(least(len(w)::DOUBLE / 50.0, 1.0) * 0.3
+        |      + (CASE WHEN (length(text) - len(w) + 1)::DOUBLE / greatest(len(w), 1)
+        |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |      + least((length(regexp_replace(lt, '[^a-z]', '', 'g'))::DOUBLE / n_chars) / 0.6, 1.0) * 0.4,
+        |      6) AS q
+        |  FROM t),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(sw)),
+        |        i -> sw[i] || ' ' || sw[i+1])) AS gram FROM t),
+        |dg AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1,
+        |        count(*)::DOUBLE AS m FROM g GROUP BY ALL),
+        |c2 AS (SELECT gram, sum(m) AS c2 FROM dg GROUP BY gram),
+        |c1 AS (SELECT w1, sum(m) AS c1 FROM dg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT u)::DOUBLE AS vocab
+        |      FROM (SELECT unnest(sw) AS u FROM t)),
+        |s AS (SELECT dg.doc_id,
+        |        sum(dg.m * ln((c2.c2 + 1) / (c1.c1 + v.vocab))) AS logp,
+        |        sum(dg.m)::BIGINT AS n_bigrams
+        |      FROM dg JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+        |      GROUP BY dg.doc_id),
+        |p AS (SELECT t.doc_id,
+        |        coalesce(round(exp(-s.logp / s.n_bigrams), 4), 0.0) AS ppl
+        |      FROM t LEFT JOIN s USING (doc_id))
+        |SELECT q.source, count(*)::BIGINT AS n_docs,
+        |  sum(q.n_tok)::BIGINT AS total_tokens,
+        |  count(DISTINCT q.lang)::BIGINT AS n_langs,
+        |  round(avg(q.q), 4) AS avg_quality,
+        |  round(avg(p.ppl), 4) AS avg_ppl
+        |FROM q JOIN p USING (doc_id)
+        |GROUP BY q.source ORDER BY q.source""".stripMargin,
 
     "doc_tfidf_top3" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
