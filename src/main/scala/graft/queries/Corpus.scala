@@ -280,6 +280,28 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Quality DECILE binning the scale-correct way: exact interpolated
+    // percentile boundaries from ONE distributed aggregate, broadcast,
+    // then scan-side bin assignment — no global-sort ntile window (which
+    // would serialize the corpus through one task at 100 TB). Ties at a
+    // boundary go to the lower bin (strict > on both engines).
+    "doc_quality_bins" -> ((s, dir) => {
+      import s.implicits._
+      val q = Tables(s, dir, "documents")
+        .select($"doc_id",
+          graft.operators.TextAnalysis.qualityScore($"text").as("q"))
+      val bounds = q.agg(
+        percentile($"q", lit(Array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)))
+          .as("bs"))
+      q.crossJoin(broadcast(bounds))
+        .select($"doc_id", $"q",
+          size(filter($"bs", b => $"q" > b)).cast("bigint").as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min($"q"), 6).as("lo"), round(max($"q"), 6).as("hi"))
+        .orderBy($"bin")
+    }),
+
     // Per-source dataset card: the aggregate view a data recipe reads
     // before picking mixture weights — doc/token volume, language spread
     // and mean quality/perplexity per source, composing the gated signal
@@ -691,6 +713,29 @@ object Corpus {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Decile replay: quantile_cont's linear interpolation matches Spark's
+    // exact `percentile` bit-for-bit (the cdc_latency_pcts precedent);
+    // bin = strict-> count against the same unrounded boundaries.
+    "doc_quality_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lower(text) lt,
+        |    string_split_regex(lower(text), '\s+') w,
+        |    greatest(length(text), 1)::DOUBLE n_chars
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    round(least(len(w)::DOUBLE / 50.0, 1.0) * 0.3
+        |      + (CASE WHEN (length(text) - len(w) + 1)::DOUBLE / greatest(len(w), 1)
+        |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |      + least((length(regexp_replace(lt, '[^a-z]', '', 'g'))::DOUBLE / n_chars) / 0.6, 1.0) * 0.4,
+        |      6) AS q
+        |  FROM t),
+        |b AS (SELECT quantile_cont(q, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM q)
+        |SELECT len(list_filter(b.bs, x -> q.q > x))::BIGINT AS bin,
+        |  count(*)::BIGINT AS n_docs,
+        |  round(min(q.q), 6) AS lo, round(max(q.q), 6) AS hi
+        |FROM q CROSS JOIN b
+        |GROUP BY bin ORDER BY bin""".stripMargin,
 
     // Card replay: the quality formula of the doc_quality oracle + the LM
     // fragment of doc_lm_perplexity, aggregated per source.

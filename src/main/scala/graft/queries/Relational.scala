@@ -134,6 +134,22 @@ object Relational {
         .orderBy($"o_orderpriority", $"d")
     }),
 
+    // Set-operation surface: INTERSECT / EXCEPT over monthly customer
+    // activity — retained vs churned buyers between two months, tagged in
+    // one result. Spark intersect()/except() plan as hash semi/anti joins.
+    "q13_setops" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      def month(m: String) = o
+        .filter(date_format($"o_orderdate", "yyyyMM") === m)
+        .select($"o_custkey")
+      val jun = month("199506")
+      val jul = month("199507")
+      jun.intersect(jul).withColumn("tag", lit("both"))
+        .unionByName(jun.except(jul).withColumn("tag", lit("jun_only")))
+        .orderBy($"tag", $"o_custkey")
+    }),
+
     "q6_window_topn" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -230,6 +246,18 @@ object Relational {
         |WHERE l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    "q13_setops" ->
+      """WITH jun AS (SELECT DISTINCT o_custkey FROM orders
+        |            WHERE strftime(o_orderdate, '%Y%m') = '199506'),
+        |jul AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE strftime(o_orderdate, '%Y%m') = '199507')
+        |SELECT o_custkey, 'both' AS tag FROM (
+        |  SELECT o_custkey FROM jun INTERSECT SELECT o_custkey FROM jul)
+        |UNION ALL
+        |SELECT o_custkey, 'jun_only' AS tag FROM (
+        |  SELECT o_custkey FROM jun EXCEPT SELECT o_custkey FROM jul)
+        |ORDER BY tag, o_custkey""".stripMargin,
 
     "q11_rollup_revenue" ->
       """SELECT r_name, n_name,
