@@ -393,6 +393,23 @@ object Corpus {
         k = 10, tables = 32, bits = 6)
     }),
 
+    // Hard-negative mining (contrastive-training data op): the top-k
+    // most-similar vectors whose label DIFFERS from the query's — the
+    // negatives that actually teach. Same broadcast-query scan shape as
+    // knn_cosine_topk plus a label predicate pushed into the scan.
+    "knn_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter($"vec_id" === 0)
+        .select($"embedding".as("query_vec"), $"label".as("query_label"))
+      e.join(broadcast(q))
+        .filter($"vec_id" =!= 0 && $"label" =!= $"query_label")
+        .select($"vec_id", $"label",
+          round(cosine($"embedding", $"query_vec"), 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+        .limit(10)
+    }),
+
     // Brute-force cosine top-k: the ANN correctness baseline. Query vector =
     // vec_id 0; at scale this is one broadcast vector against a scan.
     "knn_cosine_topk" -> ((s, dir) => {
@@ -878,6 +895,15 @@ object Corpus {
         |FROM a2 a JOIN a2 b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "knn_hard_negatives" ->
+      """WITH q AS (SELECT embedding AS query_vec, label AS query_label
+        |          FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])), 6) AS sim
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> 0 AND e.label <> q.query_label
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
 
     "knn_cosine_topk" ->
       """WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0)
