@@ -111,6 +111,27 @@ object Events {
         steps = Seq("signup", "view", "click", "purchase"))
     }),
 
+    // Daily volume anomaly detection: per-type z-scores of daily event
+    // counts — the burst/outage monitor over the event stream. Mean and
+    // variance come from EXACT integer sums (n, Σc, Σc²), so the double
+    // arithmetic is one identical expression in both engines; only the
+    // final z is rounded.
+    "evt_anomaly_daily" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("nd"), sum($"n").as("s1"),
+          sum($"n" * $"n").as("s2"))
+      val mean = $"s1" / $"nd".cast("double")
+      daily.join(broadcast(stats), Seq("event_type"))
+        .select($"event_type", $"d", $"n",
+          round(($"n" - mean) /
+            sqrt(($"s2" - $"s1" * mean) / ($"nd" - 1)), 4).as("z"))
+        .orderBy($"event_type", $"d")
+    }),
+
     // Cohort retention matrix (operators.Temporal.cohortRetention): users
     // grouped by first-event date, counted per days-since-cohort active
     // day. The event stream compacts to distinct (user, day) before any
@@ -197,6 +218,20 @@ object Events {
         |UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM s3
         |UNION ALL SELECT 4, 'purchase', count(*)::BIGINT FROM s4
         |ORDER BY step""".stripMargin,
+
+    "evt_anomaly_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, count(*)::BIGINT AS nd,
+        |    sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+        |  FROM daily GROUP BY event_type)
+        |SELECT daily.event_type, daily.d, daily.n,
+        |  round((daily.n - s1 / CAST(nd AS DOUBLE)) /
+        |    sqrt((s2 - s1 * (s1 / CAST(nd AS DOUBLE))) / (nd - 1)), 4) AS z
+        |FROM daily JOIN stats USING (event_type)
+        |ORDER BY event_type, d""".stripMargin,
 
     "evt_cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -46,6 +46,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), plan.take(2000))
   }
 
+  test("round-5 query plans: no cartesian products, broadcasts where expected") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    Seq("doc_source_card", "q13_setops", "knn_hard_negatives",
+      "doc_quality_bins", "evt_anomaly_daily", "q11_rollup_revenue",
+      "q12_moving_avg", "doc_mix_budget", "doc_chunks").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q: ") {
+        assert(!p.contains("CartesianProduct"), p.take(1500))
+        assert(!p.contains("BroadcastNestedLoop") ||
+          // single-row bounds/stats frames legitimately broadcast-nest
+          Seq("doc_quality_bins", "evt_anomaly_daily", "knn_hard_negatives",
+            "doc_source_card").contains(q), p.take(1500))
+      }
+    }
+    // the one-row broadcast frames really broadcast
+    assert(plan("doc_quality_bins").contains("Broadcast"))
+    assert(plan("doc_mix_budget").contains("BroadcastHashJoin"))
+  }
+
   test("cdc_ledger ops partition the stream") {
     import spark.implicits._
     val ledger = graft.queries.CdcAnalog.queries("cdc_ledger")(spark, sf)
