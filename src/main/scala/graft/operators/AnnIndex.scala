@@ -89,7 +89,7 @@ object AnnIndex {
       .groupBy("vec_id") // a candidate may collide in several tables
       .agg(first(col("v")).as("v"), first(col("qv")).as("qv"))
       .select(col("vec_id"),
-        round(graft.queries.Corpus.cosine(col("v"), col("qv")), 6).as("sim"))
+        round(VectorMath.cosine(col("v"), col("qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -122,7 +122,7 @@ object AnnIndex {
       .groupBy("query_id", "vec_id") // a candidate may collide in several tables
       .agg(first(col("v")).as("v"), first(col("qv")).as("qv"))
       .select(col("query_id"), col("vec_id"),
-        round(graft.queries.Corpus.cosine(col("v"), col("qv")), 6).as("sim"))
+        round(VectorMath.cosine(col("v"), col("qv")), 6).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -198,7 +198,7 @@ object AnnIndex {
     embeddings.select(col(idCol), col(vecCol))
       .join(broadcast(c))
       .withColumn("_d",
-        graft.queries.Corpus.cosine(col(vecCol), col("_km_centroid")))
+        VectorMath.cosine(col(vecCol), col("_km_centroid")))
       .groupBy(col(idCol))
       .agg(max_by(col("_km_label"), struct(col("_d"), -col("_km_label")))
         .as("label"),
@@ -230,7 +230,7 @@ object AnnIndex {
       .select(col(vecCol).as("qv"))
     val probed = cents.join(broadcast(qv))
       .select(col("label"),
-        graft.queries.Corpus.cosine(col("centroid"), col("qv")).as("csim"))
+        VectorMath.cosine(col("centroid"), col("qv")).as("csim"))
       .orderBy(col("csim").desc, col("label")) // label tiebreak: deterministic probes
       .limit(nprobe)
       .select("label")
@@ -238,7 +238,7 @@ object AnnIndex {
       .join(broadcast(probed), embeddings(labelCol) === probed("label"))
       .join(broadcast(qv))
       .select(col(idCol).as("vec_id"),
-        round(graft.queries.Corpus.cosine(col(vecCol), col("qv")), 6).as("sim"))
+        round(VectorMath.cosine(col(vecCol), col("qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

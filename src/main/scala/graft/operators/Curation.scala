@@ -199,23 +199,30 @@ object Curation {
     *
     * Output: the kept rows with `_src_tokens` (source total) and
     * `_rate_q` (the quantized keep-rate numerator, 1..65536) attached.
+    *
+    * NULL sources form their own stratum (same contract as
+    * `stratifiedSample`): the rate join is null-safe and the md5 key
+    * coalesces a NULL source to the empty string, so a NULL-source row is
+    * downsampled at its stratum's rate — never silently dropped by
+    * null-propagation through md5 or the join key.
     */
   def tokenBudgetMix(docs: DataFrame, idCol: String, srcCol: String,
                      tokCol: String, perSourceBudget: Long): DataFrame = {
     require(perSourceBudget > 0, s"budget must be positive: $perSourceBudget")
     val t = greatest(lit(1), round(least(lit(1.0),
       lit(perSourceBudget.toDouble) / col("_src_tokens")) * 65536).cast("int"))
-    val rates = docs.groupBy(col(srcCol))
+    val rates = docs.groupBy(col(srcCol).as("_src_key"))
       .agg(sum(col(tokCol)).as("_src_tokens"))
       .withColumn("_rate_q", t)
       .withColumn("_thr",
         when(col("_rate_q") >= 65536, lit("zzzz"))
           .otherwise(lpad(lower(hex(col("_rate_q"))), 4, "0")))
-    docs.join(broadcast(rates), Seq(srcCol))
+    docs.join(broadcast(rates), docs(srcCol) <=> rates("_src_key"))
       .filter(substring(
-        md5(concat(col(srcCol), lit(":"), col(idCol).cast("string"))),
+        md5(concat(coalesce(col(srcCol).cast("string"), lit("")),
+          lit(":"), col(idCol).cast("string"))),
         1, 4) < col("_thr"))
-      .drop("_thr")
+      .drop("_thr", "_src_key")
   }
 
   /** Ordered regex redaction (PII scrubbing surface): apply each

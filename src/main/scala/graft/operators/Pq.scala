@@ -156,7 +156,7 @@ object Pq {
     val qv = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
     val probed = cents.join(broadcast(qv))
       .select(col("label"),
-        graft.queries.Corpus.cosine(col("centroid"), col("qv")).as("csim"))
+        VectorMath.cosine(col("centroid"), col("qv")).as("csim"))
       .orderBy(col("csim").desc, col("label")) // label tiebreak: deterministic
       .limit(nprobe)
       .select("label")

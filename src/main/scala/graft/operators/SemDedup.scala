@@ -50,7 +50,7 @@ object SemDedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.label").as("label"),
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.queries.Corpus.cosine(col("a.v"), col("b.v")).as("sim"))
+        VectorMath.cosine(col("a.v"), col("b.v")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

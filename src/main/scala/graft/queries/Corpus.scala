@@ -11,16 +11,12 @@ object Corpus {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Cosine similarity between two array<float|double> columns, computed in
-    * double with sequential accumulation (deterministic order ⇒ reproducible
-    * bit pattern). Uses the codegen VecDot expression — the equivalent
-    * aggregate(zip_with(...)) runs interpreted (HOFs don't codegen) and is
-    * ~5× slower on all-pairs workloads.
+  /** Cosine similarity — delegates to the operators-layer home
+    * (graft.operators.VectorMath) so queries compose operators, never the
+    * reverse.
     */
-  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    import graft.functions.VecDot.vec_dot
-    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
-  }
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.operators.VectorMath.cosine(a, b)
 
   val queries: Map[String, Q] = Map(
     // Exact deduplication by content hash (hash-groupBy; scale path: the

@@ -260,6 +260,8 @@ object Curation {
 
     // Mixing replay: same rate quantization (round half-up on positives
     // in both engines, floor-clamped to 1) and 4-hex md5-prefix keep rule.
+    // NULL sources form their own stratum: null-safe join + coalesce in
+    // the md5 key, mirroring tokenBudgetMix.
     "doc_mix_budget" ->
       """WITH d AS (SELECT doc_id, source,
         |        len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
@@ -271,8 +273,8 @@ object Curation {
         |        END AS thr
         |      FROM tot),
         |k AS (SELECT d.source, d.n_tok, q.src_tokens, q.rate_q
-        |      FROM d JOIN q USING (source)
-        |      WHERE substring(md5(d.source || ':' || d.doc_id::VARCHAR), 1, 4) < q.thr)
+        |      FROM d JOIN q ON d.source IS NOT DISTINCT FROM q.source
+        |      WHERE substring(md5(coalesce(d.source, '') || ':' || d.doc_id::VARCHAR), 1, 4) < q.thr)
         |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
         |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin,

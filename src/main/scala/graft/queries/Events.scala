@@ -115,7 +115,11 @@ object Events {
     // counts — the burst/outage monitor over the event stream. Mean and
     // variance come from EXACT integer sums (n, Σc, Σc²), so the double
     // arithmetic is one identical expression in both engines; only the
-    // final z is rounded.
+    // final z is rounded. Degenerate strata (a single day, or zero
+    // variance) have no defined z — guarded to NULL explicitly, because
+    // Spark's non-ANSI division yields NULL there while DuckDB's IEEE
+    // float ops yield inf/NaN, and the guard condition (exact int sums)
+    // evaluates identically in both engines.
     "evt_anomaly_daily" -> ((s, dir) => {
       import s.implicits._
       val daily = Tables(s, dir, "events")
@@ -125,10 +129,11 @@ object Events {
         .agg(count(lit(1)).as("nd"), sum($"n").as("s1"),
           sum($"n" * $"n").as("s2"))
       val mean = $"s1" / $"nd".cast("double")
+      val variance = ($"s2" - $"s1" * mean) / ($"nd" - 1)
       daily.join(broadcast(stats), Seq("event_type"))
         .select($"event_type", $"d", $"n",
-          round(($"n" - mean) /
-            sqrt(($"s2" - $"s1" * mean) / ($"nd" - 1)), 4).as("z"))
+          when($"nd" > 1 && variance > 0,
+            round(($"n" - mean) / sqrt(variance), 4)).as("z"))
         .orderBy($"event_type", $"d")
     }),
 
@@ -228,8 +233,10 @@ object Events {
         |    sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
         |  FROM daily GROUP BY event_type)
         |SELECT daily.event_type, daily.d, daily.n,
-        |  round((daily.n - s1 / CAST(nd AS DOUBLE)) /
-        |    sqrt((s2 - s1 * (s1 / CAST(nd AS DOUBLE))) / (nd - 1)), 4) AS z
+        |  CASE WHEN nd > 1 AND (s2 - s1 * (s1 / CAST(nd AS DOUBLE))) / (nd - 1) > 0
+        |       THEN round((daily.n - s1 / CAST(nd AS DOUBLE)) /
+        |         sqrt((s2 - s1 * (s1 / CAST(nd AS DOUBLE))) / (nd - 1)), 4)
+        |       END AS z
         |FROM daily JOIN stats USING (event_type)
         |ORDER BY event_type, d""".stripMargin,
 

@@ -217,6 +217,24 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.head.getInt(kept.head.fieldIndex("_rate_q")) == 1)
   }
 
+  test("tokenBudgetMix: NULL sources form their own stratum, never silently dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // before the null-safe key fix, md5(concat(source, ...)) null-propagated
+    // and the equi-join dropped the NULL key: every NULL-source row vanished
+    // at ANY rate — the contract is "downsampled, never silently zeroed"
+    val docs = ((0 until 30).map(i => (i.toLong, null.asInstanceOf[String], 10L)) ++
+      (0 until 20).map(i => (1000L + i, "srcB", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val kept = Curation.tokenBudgetMix(docs, "doc_id", "source", "n_tok", 1000L)
+    val bySrc = kept.groupBy($"source")
+      .agg(count(lit(1)).as("n"), max($"_src_tokens").as("t"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    // both strata are under budget: every row passes, including NULL source
+    assert(bySrc(None) == (30L, 300L), s"NULL stratum must keep all: $bySrc")
+    assert(bySrc(Some("srcB")) == (20L, 200L), s"got $bySrc")
+  }
+
   test("tokenBudgetMix rate table broadcasts; no extra shuffle on the kept side") {
     import spark.implicits._
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")

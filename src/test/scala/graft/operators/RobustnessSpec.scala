@@ -58,6 +58,36 @@ class RobustnessSpec extends AnyFunSuite {
     assert(tfidf.filter($"doc_id" === 3L).count() == 0)
   }
 
+  test("evt_anomaly_daily guards degenerate strata (single day / zero variance) to NULL z") {
+    import spark.implicits._
+    // Spark non-ANSI division yields NULL on a zero divisor while DuckDB's
+    // IEEE float ops yield inf/NaN — the explicit guard keeps both engines
+    // on the same (NULL) answer for strata where z is undefined.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    try {
+      Seq(
+        // 'solo': one day only (nd = 1 — the nd-1 divisor is zero)
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "solo", 1.0, "{}"),
+        // 'flat': two days, identical counts (variance = 0)
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "flat", 1.0, "{}"),
+        (3L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "flat", 1.0, "{}"),
+        // 'vary': two days, different counts (z is defined)
+        (4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "vary", 1.0, "{}"),
+        (5L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "vary", 1.0, "{}"),
+        (6L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), 1L, "vary", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$tmp/events.parquet")
+      val z = graft.queries.Events.queries("evt_anomaly_daily")(spark, tmp)
+        .select($"event_type", $"z").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) =>
+          k -> rs.map(r => Option(r.get(1))).toSeq }
+      assert(z("solo") == Seq(None), s"single-day stratum: ${z("solo")}")
+      assert(z("flat") == Seq(None, None), s"zero-variance stratum: ${z("flat")}")
+      assert(z("vary").forall(_.isDefined), s"defined stratum: ${z("vary")}")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("empty input frames produce empty outputs everywhere") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
