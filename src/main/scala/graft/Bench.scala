@@ -26,7 +26,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset (re-measurement / scale sweeps);
+    // unset = the driver's full run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         runOnce(fn) // warmup
         val times = Seq.fill(3)(runOnce(fn)).sorted

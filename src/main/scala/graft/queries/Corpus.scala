@@ -241,13 +241,19 @@ object Corpus {
     // distribution, no BroadcastNestedLoopJoin, bit-identical doubles to
     // the brute-force form (see operators.SimilarityJoin for why LSH
     // candidates are NOT sound at these similarity levels).
+    // The top-k ORDERS BY THE RAW sim and rounds only the k winners:
+    // round(x, 6) is BigDecimal-backed and costs ~1 s over the n²/2 pair
+    // stream at sf0.1 (measured: half the query) for zero ranking value —
+    // raw doubles are bit-identical across engines (emb_dedup_cos already
+    // thresholds on them), so the raw order is the same deterministic
+    // order, and rounding k rows is free.
     "emb_top_pairs" -> ((s, dir) => {
       import s.implicits._
       graft.operators.SimilarityJoin
         .allPairsCosine(Tables(s, dir, "embeddings"), "vec_id", "embedding")
-        .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
         .orderBy($"sim".desc, $"id_a", $"id_b")
         .limit(10)
+        .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
     }),
 
     // Embedding-cosine near-duplicate pairs (threshold form of the
@@ -713,11 +719,13 @@ object Corpus {
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "emb_top_pairs" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin,
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |top AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.v, b.v) AS s
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  ORDER BY s DESC, id_a, id_b LIMIT 10)
+        |SELECT id_a, id_b, round(s, 6) AS sim FROM top
+        |ORDER BY sim DESC, id_a, id_b""".stripMargin,
 
     "emb_dedup_cos" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
