@@ -202,41 +202,52 @@ object TextDedup {
 
   /** STREAMING dedup gate — the `foreachBatch` body that puts the
     * incremental join in front of a corpus as documents ARRIVE: each
-    * micro-batch is checked against the persisted index at `indexPath`
-    * AND against itself (within-batch duplicates reject their higher id),
-    * duplicate docs are rejected, and the admitted docs' sketch rows are
-    * APPENDED to the index so later batches dedup against them too.
-    * Returns the batch's duplicate pairs (new_id, old_id, jaccard) for
-    * the caller to sink; the index append happens before returning (the
-    * pair frame is checkpointed first, so the append never re-reads a
-    * half-written index).
+    * micro-batch is checked against the persisted index table
+    * `indexTable` AND against itself (within-batch duplicates reject
+    * their higher id), duplicate docs are rejected, and the admitted
+    * docs' sketch rows are written to the index so later batches dedup
+    * against them too. Returns the batch's duplicate pairs
+    * (new_id, old_id, jaccard) for the caller to sink; the index write
+    * happens before returning (the pair frame is checkpointed first, so
+    * the write never invalidates a plan still reading the index).
     *
-    * Crash-replay idempotency: a replayed batch meets its OWN sketch rows
-    * in the index, so identical-id matches are filtered (`new_id` ≠
-    * `old_id`) — already-admitted docs replay as admitted, not as
-    * duplicates of themselves. The re-append leaves duplicate index rows,
-    * which only create duplicate candidate pairs that the pair-level
-    * groupBy collapses. For exactly-once index CONTENTS, write the append
-    * through a `_batch_id`-partitioned dynamic overwrite as
-    * `streaming.Pipeline` does for the event store.
+    * The index is the BUCKETED table discipline of `bandedIndex`, made
+    * durable for a long-lived stream:
+    *  - bucketed by (band, bucket): the per-batch join shuffles ONLY the
+    *    incoming delta — the index side is exchange-free however large
+    *    the corpus grows (plan-asserted in `TextDedupSpec`). A plain
+    *    parquet index would re-shuffle the ENTIRE accumulated corpus
+    *    sketch every micro-batch.
+    *  - partitioned by `_batch_id` and written with dynamic partition
+    *    OVERWRITE: a crash-replayed batch rewrites exactly its own
+    *    partition, so the index CONTENTS are exactly-once (a plain
+    *    append would duplicate sketch rows on replay, inflating bucket
+    *    occupancy toward `maxBucketSize` until true duplicates are
+    *    silently dropped). Replay also EXCLUDES the batch's own
+    *    partition from the join (plus the `new_id` ≠ `old_id` belt), so
+    *    admitted docs replay as admitted, not as duplicates of
+    *    themselves.
+    *  - per-batch small files are swept by `compactGateIndex` below.
+    *
+    * The table is created (bucketed, at `indexPath`) on first use, keyed
+    * off the batch's own schema.
     */
   def dedupGateBatch(batch: DataFrame, idCol: String, textCol: String,
-                     indexPath: String, threshold: Double = 0.8, n: Int = 3,
+                     indexTable: String, indexPath: String, batchId: Long,
+                     threshold: Double = 0.8, n: Int = 3,
                      numHashes: Int = 64, bands: Int = 16, rows: Int = 4,
-                     maxBucketSize: Int = 1000): DataFrame = {
+                     maxBucketSize: Int = 1000, buckets: Int = 32): DataFrame = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexPath),
-      spark.sparkContext.hadoopConfiguration)
-    val empty = bandedIndex(batch.limit(0), idCol, textCol, n, numHashes,
-      bands, rows)
-    val idx =
-      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-        spark.read.schema(empty.schema).parquet(indexPath)
-      else empty
-    val cross = incrementalAgainstIndex(idx, batch, idCol, textCol, threshold,
-        n, numHashes, bands, rows, maxBucketSize)
-      .filter(col("new_id") =!= col("old_id")) // crash replay: self-matches
+    if (!spark.catalog.tableExists(indexTable)) {
+      bandedIndex(batch.limit(0), idCol, textCol, n, numHashes, bands, rows)
+        .withColumn("_batch_id", lit(-1L))
+        .write.option("path", indexPath)
+        .partitionBy("_batch_id")
+        .bucketBy(buckets, "band", "bucket").sortBy("bucket")
+        .saveAsTable(indexTable)
+    }
+    val cross = gateCrossPairs(batch, idCol, textCol, indexTable, batchId,
+      threshold, n, numHashes, bands, rows, maxBucketSize)
     val within = candidatePairs(batch, idCol, textCol, n, numHashes, bands,
         rows, maxBucketSize)
       .filter(col("jaccard") >= threshold)
@@ -246,9 +257,128 @@ object TextDedup {
     val admitted = batch.join(
       dups.select(col("new_id")).distinct(),
       batch(idCol) === col("new_id"), "left_anti")
-    bandedIndex(admitted, idCol, textCol, n, numHashes, bands, rows)
-      .write.mode("append").parquet(indexPath)
+    withDynamicOverwrite(spark) {
+      bandedIndex(admitted, idCol, textCol, n, numHashes, bands, rows)
+        .withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .insertInto(indexTable)
+    }
     dups
+  }
+
+  /** `insertInto` a catalog table honors only the SESSION
+    * partitionOverwriteMode (the per-write option applies to path-based
+    * saves only) — without `dynamic`, an overwrite-mode insert TRUNCATES
+    * every other partition. Scoped set-and-restore.
+    */
+  private def withDynamicOverwrite[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** The gate's index-vs-batch join frame, lazy (exposed for plan
+    * assertions): the bucketed index scan minus the batch's own partition
+    * (crash replay must not meet its previous write), joined against the
+    * incoming delta.
+    */
+  private[graft] def gateCrossPairs(batch: DataFrame, idCol: String,
+                                    textCol: String, indexTable: String,
+                                    batchId: Long, threshold: Double = 0.8,
+                                    n: Int = 3, numHashes: Int = 64,
+                                    bands: Int = 16, rows: Int = 4,
+                                    maxBucketSize: Int = 1000): DataFrame = {
+    val idx = batch.sparkSession.table(indexTable)
+      .filter(col("_batch_id") =!= batchId) // partition-pruned
+      .drop("_batch_id")
+    incrementalAgainstIndex(idx, batch, idCol, textCol, threshold,
+        n, numHashes, bands, rows, maxBucketSize)
+      .filter(col("new_id") =!= col("old_id")) // replay belt-and-braces
+  }
+
+  /** Small-file compaction for the gate's index table: a long-lived
+    * stream lands one `_batch_id` partition (≤ `buckets` files) per
+    * trigger, so file count grows linearly with stream age. Merges all
+    * batches `0 <= id <= upToBatchId` into one consolidated partition
+    * `_batch_id = -(upToBatchId+1)` — the same crash-convergent
+    * negative-horizon discipline as `cdc.Sinks.compactBatches`, but every
+    * write goes THROUGH the table (`insertInto`) so the consolidated
+    * partition keeps valid bucket files and the exchange-free join
+    * property survives compaction.
+    *
+    * Crash safety: (1) consolidated rows are staged to a scratch path
+    * (outside the table root, so partition discovery never sees it);
+    * (2) the staged rows are inserted via dynamic partition overwrite —
+    * atomic at job commit; (3) only then are source partitions deleted.
+    * A crash between (2) and (3) leaves duplicates visible; re-running
+    * with the same or any later `upToBatchId` converges, because the
+    * committed horizon is re-derived from existing negative partitions
+    * and batches at or below it are excluded from the consolidation
+    * read while their leftover dirs still get deleted.
+    *
+    * Only compact batches strictly below the streaming checkpoint's
+    * committed horizon: a batch the running query may still replay must
+    * keep its own partition (a replay dynamic-overwrites it).
+    *
+    * Returns (filesBefore, filesAfter) under the affected partitions.
+    */
+  def compactGateIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexTable: String, upToBatchId: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(java.net.URI.create(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(indexTable))
+        .location.toString))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return (0, 0)
+    val compactedId = -(upToBatchId + 1)
+
+    def batchDirs(pred: Long => Boolean): Seq[Path] =
+      fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("_batch_id=") &&
+            scala.util.Try(p.getName.stripPrefix("_batch_id=").toLong)
+              .toOption.exists(pred)
+        }
+    def countFiles(dirs: Seq[Path]): Int =
+      dirs.map(d => fs.listStatus(d).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_"))).sum
+
+    val sources = batchDirs(id => id >= 0 && id <= upToBatchId)
+    if (sources.isEmpty) return (0, 0)
+    val filesBefore = countFiles(sources)
+
+    val committedHorizon = batchDirs(_ < 0)
+      .flatMap(p => scala.util.Try(
+        -p.getName.stripPrefix("_batch_id=").toLong - 1).toOption)
+      .foldLeft(-1L)(math.max)
+    val alreadyCompacted = batchDirs(_ == compactedId).nonEmpty
+    if (!alreadyCompacted && committedHorizon < upToBatchId) {
+      val staging = new Path(root.getParent,
+        s".${root.getName}_compact_$upToBatchId")
+      // stage 1: consolidated rows to scratch (read is path-based and the
+      // write target is a different path — no table self-read conflict)
+      spark.read.parquet(root.toString)
+        .filter(col("_batch_id")
+          .between(committedHorizon + 1, upToBatchId)) // partition-pruned
+        .withColumn("_batch_id", lit(compactedId))
+        .write.mode("overwrite").parquet(staging.toString)
+      // stage 2: through the table, so bucket files stay valid
+      withDynamicOverwrite(spark) {
+        spark.read.parquet(staging.toString)
+          .write.mode("overwrite")
+          .insertInto(indexTable)
+      }
+      fs.delete(staging, true)
+    }
+    sources.foreach(p => fs.delete(p, true))
+    spark.catalog.refreshTable(indexTable)
+    (filesBefore, countFiles(batchDirs(_ == compactedId)))
   }
 
   /** Exact n-gram-Jaccard near-dup via a PREFIX-FILTERED inverted index

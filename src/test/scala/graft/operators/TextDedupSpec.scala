@@ -218,7 +218,7 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming dedup gate: batches reject against an index that grows") {
+  test("streaming dedup gate: batches reject against a bucketed index that grows") {
     import spark.implicits._
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
@@ -227,52 +227,152 @@ class TextDedupSpec extends AnyFunSuite {
     val indexPath = Files.createTempDirectory("gate_idx").toString + "/idx"
     val srcDir = Files.createTempDirectory("gate_src").toString
     val ckpt = Files.createTempDirectory("gate_ckpt").toString
+    val table = "graft_gate_index"
     val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      // seed: run the pre-existing corpus through the gate as batch 0
+      TextDedup.dedupGateBatch(Seq((1L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", table, indexPath, batchId = 0L, threshold = 0.5)
 
-    // seed the index with the pre-existing corpus
-    TextDedup.bandedIndex(Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text")
-      .write.parquet(indexPath)
+      def runBatchFile(docs: Seq[(Long, String)]): Unit = {
+        // one new file per run + AvailableNow = exactly one micro-batch
+        docs.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        val q = spark.readStream
+          .schema("doc_id LONG, text STRING").parquet(srcDir)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            val dups = TextDedup.dedupGateBatch(df, "doc_id", "text", table,
+              indexPath, batchId = id + 1, threshold = 0.5)
+            pairs.synchronized {
+              pairs ++= dups.collect().map(r => (r.getLong(0), r.getLong(1)))
+            }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
 
-    def runBatchFile(docs: Seq[(Long, String)]): Unit = {
-      // one new file per run + AvailableNow = exactly one micro-batch
-      docs.toDF("doc_id", "text").coalesce(1)
-        .write.mode("append").parquet(srcDir)
-      val q = spark.readStream
-        .schema("doc_id LONG, text STRING").parquet(srcDir)
-        .writeStream.trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          val dups = TextDedup.dedupGateBatch(df, "doc_id", "text", indexPath,
-            threshold = 0.5)
-          pairs.synchronized {
-            pairs ++= dups.collect().map(r => (r.getLong(0), r.getLong(1)))
-          }
-          ()
-        }.start()
-      q.awaitTermination()
+      // batch 1: a dup of the seed (rejected) and a unique doc (admitted)
+      runBatchFile(Seq((10L, base), (11L, fresh)))
+      assert(pairs.toSet == Set((10L, 1L)), s"got $pairs")
+      // batch 2: a dup of the doc ADMITTED in batch 1 (the index grew), a
+      // novel doc, and a WITHIN-BATCH copy of that novel doc
+      val novel = "one more novel document about catalyst rule ordering and exchange reuse"
+      runBatchFile(Seq((20L, fresh), (21L, novel), (22L, novel)))
+      assert(pairs.toSet == Set((10L, 1L), (20L, 11L), (22L, 21L)), s"got $pairs")
+      // rejected docs never entered the index: only 1, 11, 21 hold rows
+      def idxState() = spark.table(table)
+        .select($"doc_id", $"_batch_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = idxState()
+      assert(before.map(_._1) == Set(1L, 11L, 21L), s"index holds $before")
+      // crash replay: re-running the SAME batch must (a) not report
+      // admitted docs as duplicates of themselves and (b) leave the index
+      // CONTENTS bit-identical — the dynamic overwrite rewrites the
+      // batch's own partition instead of appending duplicate sketch rows
+      val replay = Seq((20L, fresh), (21L, novel), (22L, novel))
+        .toDF("doc_id", "text")
+      val replayed = TextDedup.dedupGateBatch(replay, "doc_id", "text",
+          table, indexPath, batchId = 2L, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(replayed == Set((20L, 11L), (22L, 21L)), s"replay got $replayed")
+      assert(idxState() == before, "replay must not change index contents")
+      val rowsBefore = spark.table(table).count()
+      TextDedup.dedupGateBatch(replay, "doc_id", "text", table, indexPath,
+        batchId = 2L, threshold = 0.5)
+      assert(spark.table(table).count() == rowsBefore,
+        "replay must not grow the index (exactly-once contents)")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(indexPath).getParentFile)
     }
+  }
 
-    // batch 1: a dup of the seed (rejected) and a unique doc (admitted)
-    runBatchFile(Seq((10L, base), (11L, fresh)))
-    assert(pairs.toSet == Set((10L, 1L)), s"got $pairs")
-    // batch 2: a dup of the doc ADMITTED in batch 1 (the index grew), a
-    // novel doc, and a WITHIN-BATCH copy of that novel doc
-    val novel = "one more novel document about catalyst rule ordering and exchange reuse"
-    runBatchFile(Seq((20L, fresh), (21L, novel), (22L, novel)))
-    assert(pairs.toSet == Set((10L, 1L), (20L, 11L), (22L, 21L)), s"got $pairs")
-    // rejected docs never entered the index: only 1, 11, 21 hold rows
-    val idxIds = spark.read.parquet(indexPath)
-      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(idxIds == Set(1L, 11L, 21L), s"index holds $idxIds")
-    // crash replay: re-running the SAME batch against the index that
-    // already holds its rows must not report admitted docs as duplicates
-    // of themselves — 21 replays as admitted, 20 and 22 as the same pairs
-    val replay = Seq((20L, fresh), (21L, novel), (22L, novel))
-      .toDF("doc_id", "text")
-    val replayed = TextDedup.dedupGateBatch(replay, "doc_id", "text",
-        indexPath, threshold = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(replayed == Set((20L, 11L), (22L, 21L)), s"replay got $replayed")
+  test("dedup gate per-batch join has NO index-side exchange (bucketed scan)") {
+    import spark.implicits._
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("gate_plan").toString
+    val table = "graft_gate_plan_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      TextDedup.dedupGateBatch(corpus.filter($"doc_id" % 5 =!= 4),
+        "doc_id", "text", table, s"$tmp/idx", batchId = 0L)
+      val delta = corpus.filter($"doc_id" % 5 === 4)
+      // force the shuffle-join shape (a tiny test delta would broadcast,
+      // making the exchange count vacuous about the index side)
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cross = TextDedup.gateCrossPairs(delta, "doc_id", "text", table,
+        batchId = 1L)
+      // the only (band, bucket) exchange is the DELTA side: the index
+      // scan reports the join partitioning (bucketed table), and the
+      // bucket-cap aggregate reuses it — corpus growth never re-shuffles
+      val exchanges = "Exchange hashpartitioning\\(band".r
+        .findAllIn(cross.queryExecution.executedPlan.toString).size
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      assert(exchanges == 1,
+        s"want exactly the delta-side exchange, got $exchanges:\n" +
+          cross.queryExecution.executedPlan.toString.take(3000))
+      // and the gate's answer through the table equals the rebuild form
+      val direct = TextDedup.incrementalNearDuplicates(
+          corpus.filter($"doc_id" % 5 =!= 4), delta, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cross.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == direct)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("dedup gate compaction: one consolidated partition, fewer files, same answer") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gate_compact").toString
+    val table = "graft_gate_compact_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      // fully distinct word soups: no cross-batch shingle overlap, so every
+      // doc is admitted and every batch lands its own partition
+      val texts = (0 until 8).map(b =>
+        (0 until 4).map(i => (b * 100L + i,
+          (0 until 12).map(w => s"w${b}x${i}y$w").mkString(" "))))
+      texts.zipWithIndex.foreach { case (docs, b) =>
+        TextDedup.dedupGateBatch(docs.toDF("doc_id", "text"), "doc_id",
+          "text", table, s"$tmp/idx", batchId = b.toLong, threshold = 0.5,
+          buckets = 4)
+      }
+      val rowsBefore = spark.table(table).drop("_batch_id")
+        .collect().map(_.toString).sorted.toSeq
+      // compact batches 0..5; 6 and 7 stay replayable
+      val (filesBefore, filesAfter) =
+        TextDedup.compactGateIndex(spark, table, upToBatchId = 5L)
+      assert(filesBefore > filesAfter && filesAfter > 0,
+        s"compaction must shrink files: $filesBefore -> $filesAfter")
+      val parts = spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(parts == Set(-6L, 6L, 7L), s"partitions after compact: $parts")
+      // contents survive byte-for-byte (modulo the partition id)
+      val rowsAfter = spark.table(table).drop("_batch_id")
+        .collect().map(_.toString).sorted.toSeq
+      assert(rowsAfter == rowsBefore)
+      // re-running with the same horizon converges (idempotent), and the
+      // gate still answers through the compacted index
+      TextDedup.compactGateIndex(spark, table, upToBatchId = 5L)
+      assert(spark.table(table).drop("_batch_id")
+        .collect().map(_.toString).sorted.toSeq == rowsBefore)
+      val dups = TextDedup.dedupGateBatch(
+        Seq((9999L, texts(2)(1)._2)).toDF("doc_id", "text"), "doc_id",
+        "text", table, s"$tmp/idx", batchId = 8L, threshold = 0.5,
+        buckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups == Set((9999L, texts(2)(1)._1)), s"got $dups")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
   }
 
   test("substringOverlap reports pairs sharing a long verbatim run only") {
