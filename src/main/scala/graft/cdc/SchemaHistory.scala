@@ -9,14 +9,20 @@ import org.apache.spark.sql.types._
   * any ledger position with the schema that was active at that time.
   *
   * Model: per-table ordered versions, each effective from an event
-  * timestamp. Evolution v2 (round 4) supports, per adjacent version pair:
+  * timestamp. Evolution v3 (round 6) supports, per adjacent version pair:
   *  - ADDITIVE columns (new fields decode as null for older rows),
   *  - RENAME (declared as `renames: old -> new`; older rows' values surface
   *    under the canonical latest name),
   *  - TYPE WIDENING along the numeric lattice (byte < short < int < long,
   *    float < double, int < double — the casts JSON replay can always
-  *    perform losslessly). Narrowing, drops, or unrelated type changes
-  *    still fail registration: they cannot be replayed without a rewrite.
+  *    perform losslessly),
+  *  - DROP COLUMN (the dropped field stays in the canonical view, typed at
+  *    its last-alive version, and decodes as null for rows AFTER the drop
+  *    — the exact mirror of an added field being null before its birth, so
+  *    any ledger position replays into one stable view, Debezium's
+  *    decode-at-any-position contract). Narrowing and unrelated type
+  *    changes still fail registration: they cannot be replayed without a
+  *    rewrite.
   *
   * Decoding (`deserializeEvolved`) stays ONE parse per row at any version
   * count: the version branch is selected by event time (a cheap `ts_ms`
@@ -56,20 +62,98 @@ object SchemaHistory {
           require(b.schema.fieldNames.contains(to),
             s"$table v${b.version}: rename target $to missing from schema")
         }
-        a.schema.fields.foreach { f =>
-          val newName = b.renames.getOrElse(f.name, f.name)
-          val kept = b.schema.fields.find(_.name == newName)
-          require(kept.isDefined,
-            s"$table v${b.version}: drops field ${f.name} of v${a.version} " +
-              "(evolution must be additive/rename/widen)")
-          require(widenable(f.dataType, kept.get.dataType),
-            s"$table v${b.version}: field ${f.name} -> $newName changes type " +
-              s"${f.dataType} -> ${kept.get.dataType} (not a widening)")
-        }
       case _ =>
     }
 
+    /** One entry per field IDENTITY across the history (v3, round 6):
+      * `local(i)` = the name the field carried in version index i — None
+      * before its birth and after its drop. Built FORWARD: a version's
+      * field continues a lineage if the (renamed) name survives, dies if
+      * it disappears (DROP COLUMN — the field then surfaces as null in
+      * the canonical view for later rows, the mirror of an added field
+      * being null for earlier rows), and every unclaimed name is a birth.
+      * A name recycled after a rename or drop is a NEW lineage — it must
+      * not steal the old field's values (pinned in the spec).
+      */
+    private[cdc] final case class Lineage(local: Vector[Option[String]]) {
+      def lastAlive: Int = local.lastIndexWhere(_.isDefined)
+    }
+
+    private[cdc] val lineages: Vector[Lineage] = {
+      var acc: Vector[Vector[Option[String]]] = versions.head.schema
+        .fieldNames.toVector.map(n => Vector(Some(n): Option[String]))
+      for (k <- 1 until versions.length) {
+        val r = versions(k).renames
+        val present = versions(k).schema.fieldNames.toSet
+        val continued = acc.map { lin =>
+          lin.last match {
+            case Some(nm) =>
+              val next = r.getOrElse(nm, nm)
+              lin :+ (if (present.contains(next)) Some(next): Option[String]
+                      else None)
+            case None => lin :+ (None: Option[String]) // drops are permanent
+          }
+        }
+        val names = continued.flatMap(_.last)
+        require(names.distinct.size == names.size,
+          s"$table v${versions(k).version}: two fields map to one name " +
+            s"(rename collision): ${names.diff(names.distinct).distinct}")
+        val claimed = names.toSet
+        val born = versions(k).schema.fieldNames.toVector
+          .filterNot(claimed)
+          .map(n => Vector.fill(k)(None: Option[String]) :+
+            (Some(n): Option[String]))
+        acc = continued ++ born
+      }
+      acc.map(Lineage(_))
+    }
+
+    // type evolution along each lineage must be a widening
+    lineages.foreach { lin =>
+      lin.local.zipWithIndex.sliding(2).foreach {
+        case Seq((Some(a), i), (Some(b), j)) =>
+          val (ta, tb) = (versions(i).schema(a).dataType,
+            versions(j).schema(b).dataType)
+          require(widenable(ta, tb),
+            s"$table v${versions(j).version}: field $a -> $b changes type " +
+              s"$ta -> $tb (not a widening)")
+        case _ =>
+      }
+    }
+
+    /** Canonical decoded view: the latest schema's fields in their
+      * declared order, then DROPPED fields (ordered by drop version, then
+      * name), each typed at its last-alive version. A dropped field whose
+      * name was later recycled surfaces as `<name>_dropped_v<version>` so
+      * both identities stay addressable.
+      */
+    private[cdc] val canonicalFields: Vector[(String, DataType, Lineage)] = {
+      val (live, dead) = lineages.partition(_.local.last.isDefined)
+      val order = versions.last.schema.fieldNames.toVector
+      val liveCols = live.sortBy(l => order.indexOf(l.local.last.get)).map {
+        l =>
+          val nm = l.local.last.get
+          (nm, versions.last.schema(nm).dataType, l)
+      }
+      val liveNames = liveCols.map(_._1).toSet
+      val deadCols = dead.sortBy(l => (l.lastAlive, l.local(l.lastAlive).get))
+        .map { l =>
+          val i = l.lastAlive
+          val nm = l.local(i).get
+          val canon = // suffix names the version that DROPPED the field
+            if (liveNames.contains(nm))
+              s"${nm}_dropped_v${versions(i + 1).version}"
+            else nm
+          (canon, versions(i).schema(nm).dataType, l)
+        }
+      liveCols ++ deadCols
+    }
+
     def latest: StructType = versions.last.schema
+
+    /** The canonical view's schema: latest fields plus dropped fields. */
+    def canonical: StructType =
+      StructType(canonicalFields.map { case (n, t, _) => StructField(n, t) })
 
     /** Version number active at an event-time column (ms). */
     def versionAt(tsMs: Column): Column =
@@ -77,33 +161,12 @@ object SchemaHistory {
         when(tsMs >= v.fromTsMs, v.version).otherwise(acc)
       }
 
-    /** For version index i: canonical (latest) field name -> the name it
-      * carried in that version, absent if the field did not exist yet.
-      * Walks the rename chains backward from the latest version.
+    /** For version index i: canonical field name -> the name it carried in
+      * that version, absent if the field did not exist (yet, or anymore).
       */
     private[cdc] def nameIn(i: Int): Map[String, Option[String]] =
-      latest.fieldNames.toSeq.map { canon =>
-        var name = canon
-        var alive = true
-        var k = versions.length - 1
-        while (k > i && alive) { // versions(k).renames: name-in-(k-1) -> name-in-k
-          val r = versions(k).renames
-          r.collectFirst { case (from, to) if to == name => from } match {
-            case Some(from) => name = from
-            case None =>
-              // no rename produced `name` at version k. If version k ALSO
-              // consumed `name` via a rename (name -> other), then the
-              // pre-k field called `name` is a DIFFERENT field — ours was
-              // born at k (re-added under a recycled name) and must decode
-              // as null below it, not steal the old field's values.
-              if (r.contains(name)) alive = false
-          }
-          k -= 1
-        }
-        canon -> Some(name)
-          .filter(_ => alive)
-          .filter(versions(i).schema.fieldNames.contains)
-      }.toMap
+      canonicalFields.map { case (canon, _, lin) => canon -> lin.local(i) }
+        .toMap
   }
 
   /** Decode wire rows whose history is additive-only (v1 path, kept): one
@@ -142,13 +205,12 @@ object SchemaHistory {
       }: _*)
     val branches = vs.indices.map { i =>
       val p = col(s"_p$i")
-      val names = history.nameIn(i)
       def canon(side: String): Column = {
-        val fields = history.latest.fields.map { f =>
-          names(f.name) match {
+        val fields = history.canonicalFields.map { case (name, dt, lin) =>
+          lin.local(i) match {
             case Some(local) =>
-              p.getField(side).getField(local).cast(f.dataType).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
+              p.getField(side).getField(local).cast(dt).as(name)
+            case None => lit(null).cast(dt).as(name)
           }
         }
         when(p.getField(side).isNotNull, struct(fields.toIndexedSeq: _*))

@@ -220,21 +220,33 @@ object CdcAnalog {
     // row with its version's schema (one parse per row, branch by event
     // time) and surfaces the canonical latest view; the oracle recomputes
     // that view straight from the source table.
+    // Three generations over the real events table: v1 {id int, val int},
+    // v2 renames val->amount (widened to long) and adds note, v3 DROPS
+    // note and adds score. The canonical view carries live fields plus the
+    // dropped note (null for v3 rows, the mirror of score being null
+    // before its birth) — decode-at-any-position across add/rename/widen/
+    // drop, one JSON parse per row.
     "cdc_schema_evolution" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types._
       val base = 1718000000000L
       val cutover = base + 1000000000L
-      val isV2 = $"event_id" % 2 === 1
-      val tsMs = when(isV2, lit(cutover) + $"event_id")
+      val cutover2 = base + 2000000000L
+      val gen = $"event_id" % 3
+      val tsMs = when(gen === 2, lit(cutover2) + $"event_id")
+        .when(gen === 1, lit(cutover) + $"event_id")
         .otherwise(lit(base) + $"event_id")
       val cents = floor($"value" * 100).cast("int")
+      val score = ($"user_id" % 100).cast("int")
       val srcTail = lit(""","source":{"version":"1.0","connector":"graft","name":"HCM.CDC.HR","ts_ms":""")
       val wire = Tables(s, dir, "events").select(concat(
         lit("""{"before":null,"after":{"id":"""), $"event_id",
-        when(isV2,
+        when(gen === 2,
           concat(lit(""","amount":"""), cents,
-            lit(""","note":""""), $"event_type", lit("\"")))
+            lit(""","score":"""), score))
+          .when(gen === 1,
+            concat(lit(""","amount":"""), cents,
+              lit(""","note":""""), $"event_type", lit("\"")))
           .otherwise(concat(lit(""","val":"""), cents)),
         lit("}"), srcTail, tsMs,
         lit(""","db":"hrdb","table":"metrics"},"op":"c","ts_ms":"""),
@@ -245,10 +257,14 @@ object CdcAnalog {
         graft.cdc.SchemaHistory.Version(2, cutover, StructType(Seq(
           StructField("id", LongType), StructField("amount", LongType),
           StructField("note", StringType))),
-          renames = Map("val" -> "amount"))))
+          renames = Map("val" -> "amount")),
+        graft.cdc.SchemaHistory.Version(3, cutover2, StructType(Seq(
+          StructField("id", LongType), StructField("amount", LongType),
+          StructField("score", IntegerType))))))
       graft.cdc.SchemaHistory.deserializeEvolved(wire, history)
         .select($"after.id".as("id"), $"after.amount".as("amount"),
-          $"after.note".as("note"), $"schema_version")
+          $"after.score".as("score"), $"after.note".as("note"),
+          $"schema_version")
         .orderBy($"id")
     }),
   )
@@ -257,8 +273,9 @@ object CdcAnalog {
     "cdc_schema_evolution" ->
       """SELECT event_id AS id,
         |  CAST(floor(value * 100) AS BIGINT) AS amount,
-        |  CASE WHEN event_id % 2 = 1 THEN event_type END AS note,
-        |  CAST(CASE WHEN event_id % 2 = 1 THEN 2 ELSE 1 END AS INT) AS schema_version
+        |  CAST(CASE WHEN event_id % 3 = 2 THEN user_id % 100 END AS INT) AS score,
+        |  CASE WHEN event_id % 3 = 1 THEN event_type END AS note,
+        |  CAST(event_id % 3 + 1 AS INT) AS schema_version
         |FROM events ORDER BY id""".stripMargin,
 
     "cdc_snapshot" ->

@@ -30,13 +30,7 @@ class SchemaHistorySpec extends AnyFunSuite {
     assert(decoded == Seq(1 -> None, 2 -> Some("berlin")))
   }
 
-  test("non-additive evolution is rejected at registration") {
-    val dropsColumn = StructType(v1.fields.drop(1))
-    intercept[IllegalArgumentException] {
-      SchemaHistory.History("employees", Seq(
-        SchemaHistory.Version(1, 0L, v1),
-        SchemaHistory.Version(2, cutover, dropsColumn)))
-    }
+  test("unreplayable evolution is rejected at registration") {
     val changesType = StructType(v1.fields.map {
       case f if f.name == "salary" => f.copy(dataType = DoubleType)
       case f => f
@@ -46,6 +40,65 @@ class SchemaHistorySpec extends AnyFunSuite {
         SchemaHistory.Version(1, 0L, v1),
         SchemaHistory.Version(2, cutover, changesType)))
     }
+    // two fields renamed onto one name is ambiguous
+    intercept[IllegalArgumentException] {
+      SchemaHistory.History("t", Seq(
+        SchemaHistory.Version(1, 0L, StructType(Seq(
+          StructField("x", IntegerType), StructField("y", IntegerType)))),
+        SchemaHistory.Version(2, 1L, StructType(Seq(
+          StructField("y", IntegerType))), renames = Map("x" -> "y"))))
+    }
+  }
+
+  test("dropped column stays in the canonical view, null after the drop") {
+    import spark.implicits._
+    // v1 {id, note}; v2 DROPS note and adds score
+    val s1 = StructType(Seq(
+      StructField("id", IntegerType), StructField("note", StringType)))
+    val s2 = StructType(Seq(
+      StructField("id", IntegerType), StructField("score", IntegerType)))
+    val h = SchemaHistory.History("t", Seq(
+      SchemaHistory.Version(1, 0L, s1),
+      SchemaHistory.Version(2, 100L, s2)))
+    assert(h.canonical.fieldNames.toSeq == Seq("id", "score", "note"))
+    val wire = Seq(
+      Fixtures.env("t", "c", "null", """{"id":1,"note":"old"}""", 50L),
+      Fixtures.env("t", "c", "null", """{"id":2,"score":9}""", 150L))
+      .toDF("value")
+    val got = SchemaHistory.deserializeEvolved(wire, h)
+      .select($"schema_version", $"after.id".as("id"),
+        $"after.note".as("note"),
+        $"after.score".as("score"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSeq.sortBy(_._2)
+    assert(got == Seq(
+      (1, 1, Some("old"), None), // pre-drop row: note decodes, score unborn
+      (2, 2, None, Some(9))))    // post-drop row: note null, score live
+  }
+
+  test("a dropped name recycled by a later field surfaces both identities") {
+    import spark.implicits._
+    // v1 {a int}; v2 drops a; v3 adds a NEW (long) field also called "a"
+    val h = SchemaHistory.History("t", Seq(
+      SchemaHistory.Version(1, 0L,
+        StructType(Seq(StructField("a", IntegerType)))),
+      SchemaHistory.Version(2, 100L,
+        StructType(Seq(StructField("k", IntegerType)))),
+      SchemaHistory.Version(3, 200L, StructType(Seq(
+        StructField("k", IntegerType), StructField("a", LongType))))))
+    assert(h.canonical.fieldNames.toSeq == Seq("k", "a", "a_dropped_v2"))
+    val wire = Seq(
+      Fixtures.env("t", "c", "null", """{"a":7}""", 50L),
+      Fixtures.env("t", "c", "null", """{"k":1,"a":8}""", 250L)).toDF("value")
+    val got = SchemaHistory.deserializeEvolved(wire, h)
+      .select($"schema_version", $"after.a".as("a"),
+        $"after.a_dropped_v2".as("a_old"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq.sortBy(_._1)
+    // v1's 7 surfaces ONLY under the dropped identity; the new long "a"
+    // holds only v3 values
+    assert(got == Seq((1, None, Some(7)), (3, Some(8L), None)), got.toString)
   }
 
   test("evolved decode: rename + widening under the canonical latest view") {
