@@ -124,8 +124,10 @@ object SchemaHistory {
     /** Canonical decoded view: the latest schema's fields in their
       * declared order, then DROPPED fields (ordered by drop version, then
       * name), each typed at its last-alive version. A dropped field whose
-      * name was later recycled surfaces as `<name>_dropped_v<version>` so
-      * both identities stay addressable.
+      * name is not unique in the view — recycled by a live field, or
+      * dropped again in a later incarnation — surfaces as
+      * `<name>_dropped_v<version>` (the version that dropped it) so every
+      * identity stays addressable.
       */
     private[cdc] val canonicalFields: Vector[(String, DataType, Lineage)] = {
       val (live, dead) = lineages.partition(_.local.last.isDefined)
@@ -136,17 +138,23 @@ object SchemaHistory {
           (nm, versions.last.schema(nm).dataType, l)
       }
       val liveNames = liveCols.map(_._1).toSet
-      val deadCols = dead.sortBy(l => (l.lastAlive, l.local(l.lastAlive).get))
-        .map { l =>
-          val i = l.lastAlive
-          val nm = l.local(i).get
-          val canon = // suffix names the version that DROPPED the field
-            if (liveNames.contains(nm))
-              s"${nm}_dropped_v${versions(i + 1).version}"
-            else nm
-          (canon, versions(i).schema(nm).dataType, l)
-        }
-      liveCols ++ deadCols
+      val deadSorted = dead.sortBy(l => (l.lastAlive, l.local(l.lastAlive).get))
+      val deadBare = deadSorted.map(l => l.local(l.lastAlive).get)
+      val deadCols = deadSorted.map { l =>
+        val i = l.lastAlive
+        val nm = l.local(i).get
+        val canon = // suffix names the version that DROPPED the field
+          if (liveNames.contains(nm) || deadBare.count(_ == nm) > 1)
+            s"${nm}_dropped_v${versions(i + 1).version}"
+          else nm
+        (canon, versions(i).schema(nm).dataType, l)
+      }
+      val out = liveCols ++ deadCols
+      val names = out.map(_._1)
+      require(names.distinct.size == names.size,
+        s"$table: canonical view has colliding field names: " +
+          names.diff(names.distinct).distinct.mkString(", "))
+      out
     }
 
     def latest: StructType = versions.last.schema
@@ -160,13 +168,6 @@ object SchemaHistory {
       versions.tail.foldLeft(lit(versions.head.version)) { (acc, v) =>
         when(tsMs >= v.fromTsMs, v.version).otherwise(acc)
       }
-
-    /** For version index i: canonical field name -> the name it carried in
-      * that version, absent if the field did not exist (yet, or anymore).
-      */
-    private[cdc] def nameIn(i: Int): Map[String, Option[String]] =
-      canonicalFields.map { case (canon, _, lin) => canon -> lin.local(i) }
-        .toMap
   }
 
   /** Decode wire rows whose history is additive-only (v1 path, kept): one

@@ -269,16 +269,24 @@ object TextDedup {
   /** `insertInto` a catalog table honors only the SESSION
     * partitionOverwriteMode (the per-write option applies to path-based
     * saves only) — without `dynamic`, an overwrite-mode insert TRUNCATES
-    * every other partition. Scoped set-and-restore.
+    * every other partition. Scoped set-and-restore, serialized through
+    * one library-wide lock so two gates/compactions on the same session
+    * cannot interleave their set/restore windows. The lock cannot protect
+    * NON-library overwrite-mode partition writes racing on the same
+    * session — callers running such writes concurrently should give the
+    * gate its own session (`spark.newSession()` shares the catalog), the
+    * same isolation `streaming.Pipeline.run` uses.
     */
+  private val overwriteModeLock = new Object
   private def withDynamicOverwrite[T](
-      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body
-    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-  }
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    overwriteModeLock.synchronized {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try body
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
 
   /** The gate's index-vs-batch join frame, lazy (exposed for plan
     * assertions): the bucketed index scan minus the batch's own partition
@@ -348,6 +356,14 @@ object TextDedup {
     def countFiles(dirs: Seq[Path]): Int =
       dirs.map(d => fs.listStatus(d).count(f => f.isFile &&
         !f.getPath.getName.startsWith("_"))).sum
+
+    // sweep staging dirs leaked by a crash after insertInto committed but
+    // before cleanup (the consolidation block is skipped on that re-run,
+    // so nothing else would ever delete them); ours is created below
+    fs.listStatus(root.getParent).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s".${root.getName}_compact_"))
+      .foreach(p => fs.delete(p, true))
 
     val sources = batchDirs(id => id >= 0 && id <= upToBatchId)
     if (sources.isEmpty) return (0, 0)

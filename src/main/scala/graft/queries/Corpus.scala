@@ -725,7 +725,7 @@ object Corpus {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |  ORDER BY s DESC, id_a, id_b LIMIT 10)
         |SELECT id_a, id_b, round(s, 6) AS sim FROM top
-        |ORDER BY sim DESC, id_a, id_b""".stripMargin,
+        |ORDER BY s DESC, id_a, id_b""".stripMargin,
 
     "emb_dedup_cos" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

@@ -277,7 +277,8 @@ object Curation {
         |      WHERE substring(md5(coalesce(d.source, '') || ':' || d.doc_id::VARCHAR), 1, 4) < q.thr)
         |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
         |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
-        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+        |FROM k GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin,
 
     // IVF-PQ replay: coarse label centroids + probe selection (as the
     // knn_ivf_topk oracle), then the PQ pipeline (as knn_pq_adc) with the

@@ -76,6 +76,35 @@ class SchemaHistorySpec extends AnyFunSuite {
       (2, 2, None, Some(9))))    // post-drop row: note null, score live
   }
 
+  test("same name dropped twice (drop, recycle, drop again) keeps all identities distinct") {
+    import spark.implicits._
+    // v1 {a int}; v2 drops a; v3 re-adds a (long); v4 drops it again
+    val h = SchemaHistory.History("t", Seq(
+      SchemaHistory.Version(1, 0L,
+        StructType(Seq(StructField("a", IntegerType), StructField("k", IntegerType)))),
+      SchemaHistory.Version(2, 100L,
+        StructType(Seq(StructField("k", IntegerType)))),
+      SchemaHistory.Version(3, 200L, StructType(Seq(
+        StructField("k", IntegerType), StructField("a", LongType)))),
+      SchemaHistory.Version(4, 300L,
+        StructType(Seq(StructField("k", IntegerType))))))
+    // both dead incarnations carry the bare name "a" — they must surface
+    // under distinct drop-version suffixes, never as duplicate fields
+    assert(h.canonical.fieldNames.toSeq == Seq("k", "a_dropped_v2", "a_dropped_v4"))
+    val wire = Seq(
+      Fixtures.env("t", "c", "null", """{"a":7,"k":0}""", 50L),
+      Fixtures.env("t", "c", "null", """{"k":1,"a":8}""", 250L),
+      Fixtures.env("t", "c", "null", """{"k":2}""", 350L)).toDF("value")
+    val got = SchemaHistory.deserializeEvolved(wire, h)
+      .select($"schema_version", $"after.a_dropped_v2".as("a1"),
+        $"after.a_dropped_v4".as("a2"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sortBy(_._1)
+    assert(got == Seq((1, Some(7), None), (3, None, Some(8L)), (4, None, None)),
+      got.toString)
+  }
+
   test("a dropped name recycled by a later field surfaces both identities") {
     import spark.implicits._
     // v1 {a int}; v2 drops a; v3 adds a NEW (long) field also called "a"

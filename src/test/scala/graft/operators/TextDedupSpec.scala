@@ -302,17 +302,21 @@ class TextDedupSpec extends AnyFunSuite {
         "doc_id", "text", table, s"$tmp/idx", batchId = 0L)
       val delta = corpus.filter($"doc_id" % 5 === 4)
       // force the shuffle-join shape (a tiny test delta would broadcast,
-      // making the exchange count vacuous about the index side)
+      // making the exchange count vacuous about the index side); restore
+      // in a finally so a failure here cannot poison later suites
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val cross = TextDedup.gateCrossPairs(delta, "doc_id", "text", table,
-        batchId = 1L)
-      // the only (band, bucket) exchange is the DELTA side: the index
-      // scan reports the join partitioning (bucketed table), and the
-      // bucket-cap aggregate reuses it — corpus growth never re-shuffles
-      val exchanges = "Exchange hashpartitioning\\(band".r
-        .findAllIn(cross.queryExecution.executedPlan.toString).size
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      val (cross, exchanges) =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val c = TextDedup.gateCrossPairs(delta, "doc_id", "text", table,
+            batchId = 1L)
+          // the only (band, bucket) exchange is the DELTA side: the index
+          // scan reports the join partitioning (bucketed table), and the
+          // bucket-cap aggregate reuses it — corpus growth never re-shuffles
+          (c, "Exchange hashpartitioning\\(band".r
+            .findAllIn(c.queryExecution.executedPlan.toString).size)
+        } finally
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       assert(exchanges == 1,
         s"want exactly the delta-side exchange, got $exchanges:\n" +
           cross.queryExecution.executedPlan.toString.take(3000))
