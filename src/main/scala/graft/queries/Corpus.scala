@@ -375,9 +375,16 @@ object Corpus {
     // at sf0.01), which is the SemDeDup contract.
     "emb_semdedup" -> ((s, dir) => {
       import s.implicits._
+      // k SCALES with the corpus (k = max(8, n/250), mirrored in the
+      // oracle): within-cluster pair work is Σ|cluster|² ≈ n²/k, so a
+      // fixed k grows quadratically with corpus size — the round-6 10×
+      // sweep measured exactly that (10.7× at 10× data). k ∝ n pins the
+      // expected cluster size (~250) and the per-task work instead.
+      val e = Tables(s, dir, "embeddings")
+      val k = math.max(8L, e.count() / 250L).toInt
       graft.operators.SemDedup
-        .clusterPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 8, iters = 1, threshold = 0.45)
+        .clusterPairs(e, "vec_id", "embedding",
+          k = k, iters = 1, threshold = 0.45)
         .select($"label", $"id_a", $"id_b", round($"sim", 6).as("sim"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -878,9 +885,10 @@ object Corpus {
     // oracle — then the within-cluster pair scan.
     "emb_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |p AS (SELECT greatest((SELECT count(*) FROM e) // 8, 1) AS stride),
+        |kk AS (SELECT greatest(8, (SELECT count(*) FROM e) // 250) AS k),
+        |p AS (SELECT greatest((SELECT count(*) FROM e) // kk.k, 1) AS stride, kk.k AS k FROM kk),
         |c0 AS (SELECT (vec_id // p.stride)::INT AS label, v AS centroid
-        |       FROM e, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 8),
+        |       FROM e, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * p.k),
         |a1 AS (SELECT vec_id, v, label FROM (
         |  SELECT e.vec_id, e.v, c.label,
         |    row_number() OVER (PARTITION BY e.vec_id
