@@ -367,6 +367,16 @@ class TextDedupSpec extends AnyFunSuite {
       TextDedup.compactGateIndex(spark, table, upToBatchId = 5L)
       assert(spark.table(table).drop("_batch_id")
         .collect().map(_.toString).sorted.toSeq == rowsBefore)
+      // a staging dir leaked by a crash after the insert committed (the
+      // consolidation block is skipped on the re-run) is swept on entry
+      val idxRoot = new java.io.File(s"$tmp/idx")
+      val leaked = new java.io.File(idxRoot.getParentFile, ".idx_compact_3")
+      assert(leaked.mkdir())
+      TextDedup.compactGateIndex(spark, table, upToBatchId = 6L)
+      assert(!leaked.exists(), "stale staging dir must be swept")
+      assert(spark.table(table).drop("_batch_id")
+        .collect().map(_.toString).sorted.toSeq == rowsBefore,
+        "advancing the horizon past leftovers must not duplicate rows")
       val dups = TextDedup.dedupGateBatch(
         Seq((9999L, texts(2)(1)._2)).toDF("doc_id", "text"), "doc_id",
         "text", table, s"$tmp/idx", batchId = 8L, threshold = 0.5,
