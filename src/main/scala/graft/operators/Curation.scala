@@ -225,6 +225,55 @@ object Curation {
       .drop("_thr", "_src_key")
   }
 
+  /** Temperature-flattened source mixing — the multinomial mixture step in
+    * LLaMA/Gopher-style data recipes: source i's natural token share is
+    * flattened to p_i = tokens_i^alpha / Σ_j tokens_j^alpha (alpha < 1
+    * upweights small sources; alpha = 1 is proportional, alpha = 0
+    * uniform), and the corpus is downsampled toward that mixture under a
+    * TOTAL token budget: keep rate r_i = min(1, budget·p_i / tokens_i).
+    *
+    * A pure downsampler by design: rates cap at 1 — upweighting a source
+    * BEYOND its volume means epoch repetition, which belongs to the
+    * training loader, not a row filter — so the realized mixture equals p
+    * exactly while budget·p_i ≤ tokens_i and clips at small sources
+    * otherwise. Same scale shape and determinism discipline as
+    * `tokenBudgetMix`: one aggregation + a broadcast one-row total + a
+    * scan-side md5-prefix filter (1/65536 quantization, floor-clamped so
+    * a source is downsampled, never zeroed; null-safe source keys).
+    * The p_i formula deliberately cancels the total-token denominator
+    * (tok_i^α/Σtok^α ≡ (tok_i/T)^α/Σ(tok_j/T)^α), keeping one pow per
+    * source — pow's cross-engine ulp drift is absorbed by the 1/65536
+    * rate quantization.
+    *
+    * Output: kept rows with `_src_tokens` and `_rate_q` attached.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, srcCol: String,
+                     tokCol: String, totalBudget: Long,
+                     alpha: Double): DataFrame = {
+    require(totalBudget > 0, s"budget must be positive: $totalBudget")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    val perSrc = docs.groupBy(col(srcCol).as("_src_key"))
+      .agg(sum(col(tokCol)).as("_src_tokens"))
+      .withColumn("_w", pow(col("_src_tokens").cast("double"), alpha))
+    val totalW = perSrc.agg(sum(col("_w")).as("_sum_w"))
+    val rate = least(lit(1.0),
+      lit(totalBudget.toDouble) * (col("_w") / col("_sum_w"))
+        / col("_src_tokens"))
+    val rates = perSrc.crossJoin(broadcast(totalW)) // one-row total
+      .withColumn("_rate_q",
+        greatest(lit(1), round(rate * 65536).cast("int")))
+      .withColumn("_thr",
+        when(col("_rate_q") >= 65536, lit("zzzz"))
+          .otherwise(lpad(lower(hex(col("_rate_q"))), 4, "0")))
+      .select("_src_key", "_src_tokens", "_rate_q", "_thr")
+    docs.join(broadcast(rates), docs(srcCol) <=> rates("_src_key"))
+      .filter(substring(
+        md5(concat(coalesce(col(srcCol).cast("string"), lit("")),
+          lit(":"), col(idCol).cast("string"))),
+        1, 4) < col("_thr"))
+      .drop("_thr", "_src_key")
+  }
+
   /** Ordered regex redaction (PII scrubbing surface): apply each
     * (pattern → replacement) rule in sequence. Patterns should stick to
     * the regex subset Java and RE2 share (character classes, +, *, ?) so

@@ -138,6 +138,27 @@ object Curation {
         .orderBy($"source")
     }),
 
+    // Temperature-flattened source mixing (operators.Curation
+    // .temperatureMix): shares flattened to tokens^0.5 / Σ tokens^0.5,
+    // downsampled toward that mixture under a 20k total-token budget —
+    // the LLaMA/Gopher multinomial-mixture step as a deterministic
+    // filter. Per-source totals, quantized keep rates, kept counts.
+    "doc_mix_temperature" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ", -1)).cast("bigint").as("n_tok"))
+      graft.operators.Curation
+        .temperatureMix(d, "doc_id", "source", "n_tok",
+          totalBudget = 20000L, alpha = 0.5)
+        .groupBy($"source")
+        .agg(max($"_src_tokens").as("src_tokens"),
+          max($"_rate_q").as("rate_q"),
+          count(lit(1)).as("n_docs_kept"),
+          sum($"n_tok").as("tokens_kept"))
+        .orderBy($"source")
+    }),
+
     // IVF-PQ (operators.Pq.ivfPqTopK): coarse label-partition probing +
     // ADC scoring inside the probed partitions — the FAISS IVFADC search
     // shape. Oracle replays coarse centroids, probe selection, PQ
@@ -275,6 +296,33 @@ object Curation {
         |k AS (SELECT d.source, d.n_tok, q.src_tokens, q.rate_q
         |      FROM d JOIN q ON d.source IS NOT DISTINCT FROM q.source
         |      WHERE substring(md5(coalesce(d.source, '') || ':' || d.doc_id::VARCHAR), 1, 4) < q.thr)
+        |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
+        |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
+        |FROM k GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // Temperature-mixing replay: p_i = tokens^0.5 / Σ tokens^0.5 (the
+    // total-token denominator cancels, one pow per source; cross-engine
+    // pow ulp drift is absorbed by the 1/65536 quantization), rate =
+    // min(1, B·p_i/tokens_i), then the same quantize + md5-prefix rule
+    // as doc_mix_budget.
+    "doc_mix_temperature" ->
+      """WITH d AS (SELECT doc_id, source,
+        |        len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        |tot AS (SELECT source, sum(n_tok)::BIGINT AS src_tokens,
+        |        pow(CAST(sum(n_tok) AS DOUBLE), 0.5) AS w
+        |        FROM d GROUP BY source),
+        |sw AS (SELECT sum(w) AS sum_w FROM tot),
+        |q AS (SELECT source, src_tokens,
+        |        greatest(1, round(least(1.0, 20000.0 * (w / sum_w) / src_tokens) * 65536)::INT) AS rate_q
+        |      FROM tot, sw),
+        |q2 AS (SELECT source, src_tokens, rate_q,
+        |        CASE WHEN rate_q >= 65536 THEN 'zzzz'
+        |             ELSE lpad(lower(to_hex(rate_q)), 4, '0') END AS thr
+        |       FROM q),
+        |k AS (SELECT d.source, d.n_tok, q2.src_tokens, q2.rate_q
+        |      FROM d JOIN q2 ON d.source IS NOT DISTINCT FROM q2.source
+        |      WHERE substring(md5(coalesce(d.source, '') || ':' || d.doc_id::VARCHAR), 1, 4) < q2.thr)
         |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
         |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
         |FROM k GROUP BY source

@@ -235,6 +235,52 @@ class CurationSpec extends AnyFunSuite {
     assert(bySrc(Some("srcB")) == (20L, 200L), s"got $bySrc")
   }
 
+  test("temperatureMix: alpha=1 is proportional (uniform rate), alpha=0 flattens to uniform targets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // srcBig: 400 docs x 10 tok = 4000; srcSmall: 25 docs x 10 tok = 250
+    val docs = ((0 until 400).map(i => (i.toLong, "srcBig", 10L)) ++
+      (0 until 25).map(i => (10000L + i, "srcSmall", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    def rates(alpha: Double, budget: Long): Map[String, Int] =
+      Curation.temperatureMix(docs, "doc_id", "source", "n_tok", budget, alpha)
+        .groupBy($"source").agg(max($"_rate_q").as("q"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // alpha=1: p_i proportional to tokens => rate = B/total for EVERY
+    // source (2125/4250 = 0.5 -> 32768)
+    val r1 = rates(alpha = 1.0, budget = 2125L)
+    assert(r1("srcBig") == 32768 && r1("srcSmall") == 32768, s"got $r1")
+    // alpha=0: equal targets B/k = 500 per source: srcSmall (250 tokens)
+    // caps at rate 1 and passes WHOLE; srcBig downsamples to 500/4000
+    val r0 = rates(alpha = 0.0, budget = 1000L)
+    assert(r0("srcSmall") == 65536, s"small source must cap at 1: $r0")
+    assert(r0("srcBig") == 8192, s"big source flattens to 500/4000: $r0")
+    val keptSmall = Curation.temperatureMix(docs, "doc_id", "source",
+        "n_tok", 1000L, 0.0)
+      .filter($"source" === "srcSmall").count()
+    assert(keptSmall == 25, "rate-1 stratum keeps every row")
+  }
+
+  test("temperatureMix: NULL source is its own stratum and alpha in (0,1) lands between") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = ((0 until 100).map(i => (i.toLong, "srcA", 10L)) ++
+      (0 until 25).map(i => (10000L + i, null.asInstanceOf[String], 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val got = Curation.temperatureMix(docs, "doc_id", "source", "n_tok",
+        totalBudget = 625L, alpha = 0.5)
+      .groupBy($"source").agg(max($"_rate_q").as("q"), count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getInt(1)).toMap
+    // shares 1000:250 flatten to sqrt: w = 31.62:15.81 -> p = 2/3:1/3 ->
+    // targets 416.7:208.3 -> rates 0.4167:0.8333 (between the alpha=1
+    // rate 0.5 and the alpha=0 cap); NULL stratum present, not dropped
+    assert(got.contains(None), s"NULL stratum must survive: $got")
+    assert(got(Some("srcA")) == math.round(625.0 * (2.0 / 3) / 1000 * 65536).toInt,
+      s"got $got")
+    assert(got(None) == math.round(625.0 * (1.0 / 3) / 250 * 65536).toInt,
+      s"got $got")
+  }
+
   test("tokenBudgetMix rate table broadcasts; no extra shuffle on the kept side") {
     import spark.implicits._
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
