@@ -512,6 +512,19 @@ object TextDedup {
   * split the fingerprint into `pieces` segments — any pair at Hamming
   * distance ≤ pieces-1 shares at least one exact segment (pigeonhole), so
   * the candidate join is again equality-bucketed, never all-pairs.
+  *
+  * Candidate growth at scale (measured in the round-6 10× sweep): with p
+  * pieces over 64 bits each segment carries ~64/p bits, so each piece's
+  * buckets hold ~n/2^(64/p) docs and the candidate volume is
+  * ≈ p · n² / 2^(64/p+1) — quadratic in n with a constant set ENTIRELY by
+  * the segment width. The defaults (maxDistance 12 ⇒ 13 pieces ⇒ ~5-bit
+  * segments) are comfortable to ~10⁵ docs; beyond that either tighten
+  * `maxDistance` (distance 6 ⇒ 7 pieces ⇒ 9-bit segments ⇒ ~16× fewer
+  * candidates — observed distances at J ≥ 0.9 are ≤ 10, so tighter
+  * bounds suit higher thresholds), or prefer the banded-MinHash path
+  * (`nearDuplicates`), whose bucket keys hash the full band value and so
+  * don't dense-pack. The pigeonhole form stays the right tool when the
+  * fingerprints are precomputed or the corpus fits the width budget.
   */
 object SimHash {
 
