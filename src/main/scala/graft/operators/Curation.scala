@@ -225,6 +225,35 @@ object Curation {
       .drop("_thr", "_src_key")
   }
 
+  /** Deterministic corpus SPLIT assignment (train/val/test): every row
+    * gets exactly one split label by slicing the 4-hex md5(salt:id) prefix
+    * space at the splits' cumulative-weight boundaries (granularity
+    * 1/65536, the samplers' discipline). Properties that matter at 100 TB:
+    * a row's split is a pure function of its id — stable under corpus
+    * growth, reshuffling, or re-runs, and never requires a global sort or
+    * any shuffle at all (scan-side CASE). Change `salt` to draw an
+    * independent split without touching the sampler hashes.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)],
+                   salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).forall(_ > 0),
+      s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    require(cums.init.forall(c => math.round(c * 65536) < 65536),
+      s"a non-final split quantizes to the whole space: $splits")
+    val bounds = cums.init.map(c => f"${math.round(c * 65536)}%04x") :+ "zzzz"
+    val prefix = substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 4)
+    val label = splits.zip(bounds).tail.foldLeft(
+      when(prefix < bounds.head, splits.head._1)) {
+      case (acc, ((name, _), b)) => acc.when(prefix < b, name)
+    } // the final 'zzzz' bound catches every prefix
+    df.withColumn("split", label)
+  }
+
   /** Temperature-flattened source mixing — the multinomial mixture step in
     * LLaMA/Gopher-style data recipes: source i's natural token share is
     * flattened to p_i = tokens_i^alpha / Σ_j tokens_j^alpha (alpha < 1

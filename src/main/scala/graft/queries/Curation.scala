@@ -138,6 +138,23 @@ object Curation {
         .orderBy($"source")
     }),
 
+    // Deterministic 80/10/10 train/val/test split (operators.Curation
+    // .assignSplits): md5-prefix space sliced at cumulative-weight
+    // boundaries — per-split doc and token counts. A row's split is a
+    // pure function of its id: stable under growth, no shuffle.
+    "doc_split_assign" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id",
+          size(split($"text", " ", -1)).cast("bigint").as("n_tok"))
+      graft.operators.Curation
+        .assignSplits(d, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .orderBy($"split")
+    }),
+
     // Temperature-flattened source mixing (operators.Curation
     // .temperatureMix): shares flattened to tokens^0.5 / Σ tokens^0.5,
     // downsampled toward that mixture under a 20k total-token budget —
@@ -300,6 +317,21 @@ object Curation {
         |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
         |FROM k GROUP BY source
         |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // Split replay: identical 4-hex boundaries (round-half-up of the
+    // cumulative weights x 65536 agrees across engines on positives).
+    "doc_split_assign" ->
+      """WITH d AS (SELECT doc_id,
+        |        len(string_split(text, ' '))::BIGINT AS n_tok,
+        |        substring(md5('v1:' || doc_id::VARCHAR), 1, 4) AS pfx
+        |      FROM documents),
+        |l AS (SELECT n_tok, CASE
+        |        WHEN pfx < lpad(lower(to_hex(round(0.8 * 65536)::INT)), 4, '0') THEN 'train'
+        |        WHEN pfx < lpad(lower(to_hex(round(0.9 * 65536)::INT)), 4, '0') THEN 'val'
+        |        ELSE 'test' END AS split
+        |      FROM d)
+        |SELECT split, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+        |FROM l GROUP BY split ORDER BY split""".stripMargin,
 
     // Temperature-mixing replay: p_i = tokens^0.5 / Σ tokens^0.5 (the
     // total-token denominator cancels, one pow per source; cross-engine

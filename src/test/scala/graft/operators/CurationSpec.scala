@@ -235,6 +235,39 @@ class CurationSpec extends AnyFunSuite {
     assert(bySrc(Some("srcB")) == (20L, 200L), s"got $bySrc")
   }
 
+  test("assignSplits: total partition, ~weights, growth-stable, scan-side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 2000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Curation.assignSplits(docs, "doc_id", splits)
+    val byLabel = labeled.groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == 2000, "every row gets exactly one label")
+    assert(byLabel("train") > 1500 && byLabel("train") < 1700, s"got $byLabel")
+    assert(byLabel("val") > 120 && byLabel("val") < 280, s"got $byLabel")
+    // growth stability: the first 500 ids keep their labels when the
+    // corpus quadruples (a row's split is a pure function of its id)
+    val small = Curation.assignSplits((0L until 500L).toDF("doc_id"),
+        "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bigSlice = labeled.filter($"doc_id" < 500)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == bigSlice)
+    // a different salt draws an independent assignment
+    val other = Curation.assignSplits(docs, "doc_id", splits, salt = "v2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val same = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other != same)
+    // scan-side: no exchange in the plan
+    assert(!labeled.queryExecution.executedPlan.toString.contains("Exchange"))
+    // a non-final split too small for the 1/65536 grid is rejected
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(docs, "doc_id",
+        Seq("a" -> 1.0, "b" -> 1e-9))
+    }
+  }
+
   test("temperatureMix: alpha=1 is proportional (uniform rate), alpha=0 flattens to uniform targets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
