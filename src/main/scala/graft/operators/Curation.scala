@@ -209,15 +209,32 @@ object Curation {
   def tokenBudgetMix(docs: DataFrame, idCol: String, srcCol: String,
                      tokCol: String, perSourceBudget: Long): DataFrame = {
     require(perSourceBudget > 0, s"budget must be positive: $perSourceBudget")
-    val t = greatest(lit(1), round(least(lit(1.0),
-      lit(perSourceBudget.toDouble) / col("_src_tokens")) * 65536).cast("int"))
     val rates = docs.groupBy(col(srcCol).as("_src_key"))
       .agg(sum(col(tokCol)).as("_src_tokens"))
-      .withColumn("_rate_q", t)
+      .withColumn("_rate", least(lit(1.0),
+        lit(perSourceBudget.toDouble) / col("_src_tokens")))
+    applyQuantizedRates(docs, idCol, srcCol, rates)
+  }
+
+  /** Shared tail of the mixing samplers (`tokenBudgetMix`,
+    * `temperatureMix`): raw per-source keep-rate → 1/65536 quantization
+    * (floor-clamped: downsampled, never zeroed) → 4-hex threshold with
+    * the full-rate sentinel → null-safe broadcast rate join →
+    * deterministic md5(source:id)-prefix filter. ONE edit point for the
+    * sampling discipline. `rates` must carry `_src_key`, `_src_tokens`
+    * and `_rate` in [0,1].
+    */
+  private def applyQuantizedRates(docs: DataFrame, idCol: String,
+                                  srcCol: String,
+                                  rates: DataFrame): DataFrame = {
+    val quantized = rates
+      .withColumn("_rate_q",
+        greatest(lit(1), round(col("_rate") * 65536).cast("int")))
       .withColumn("_thr",
         when(col("_rate_q") >= 65536, lit("zzzz"))
           .otherwise(lpad(lower(hex(col("_rate_q"))), 4, "0")))
-    docs.join(broadcast(rates), docs(srcCol) <=> rates("_src_key"))
+      .select("_src_key", "_src_tokens", "_rate_q", "_thr")
+    docs.join(broadcast(quantized), docs(srcCol) <=> quantized("_src_key"))
       .filter(substring(
         md5(concat(coalesce(col(srcCol).cast("string"), lit("")),
           lit(":"), col(idCol).cast("string"))),
@@ -232,7 +249,11 @@ object Curation {
     * a row's split is a pure function of its id — stable under corpus
     * growth, reshuffling, or re-runs, and never requires a global sort or
     * any shuffle at all (scan-side CASE). Change `salt` to draw an
-    * independent split without touching the sampler hashes.
+    * independent split without touching the sampler hashes. NULL ids
+    * hash as the empty string (they all land in one deterministic split
+    * rather than silently falling out of every split), and weights whose
+    * quantized boundaries collapse a split to zero width on the 1/65536
+    * grid are rejected at construction — the partition is TOTAL.
     */
   def assignSplits(df: DataFrame, idCol: String,
                    splits: Seq[(String, Double)],
@@ -242,11 +263,13 @@ object Curation {
       s"split weights must be positive: $splits")
     val total = splits.map(_._2).sum
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
-    require(cums.init.forall(c => math.round(c * 65536) < 65536),
-      s"a non-final split quantizes to the whole space: $splits")
-    val bounds = cums.init.map(c => f"${math.round(c * 65536)}%04x") :+ "zzzz"
+    val qBounds = cums.init.map(c => math.round(c * 65536))
+    val walls = 0L +: qBounds :+ 65536L
+    require(walls.sliding(2).forall(p => p(1) > p(0)),
+      s"a split quantizes to zero width on the 1/65536 grid: $splits")
+    val bounds = qBounds.map(b => f"$b%04x") :+ "zzzz"
     val prefix = substring(md5(concat(lit(salt), lit(":"),
-      col(idCol).cast("string"))), 1, 4)
+      coalesce(col(idCol).cast("string"), lit("")))), 1, 4)
     val label = splits.zip(bounds).tail.foldLeft(
       when(prefix < bounds.head, splits.head._1)) {
       case (acc, ((name, _), b)) => acc.when(prefix < b, name)
@@ -265,14 +288,15 @@ object Curation {
     * BEYOND its volume means epoch repetition, which belongs to the
     * training loader, not a row filter — so the realized mixture equals p
     * exactly while budget·p_i ≤ tokens_i and clips at small sources
-    * otherwise. Same scale shape and determinism discipline as
-    * `tokenBudgetMix`: one aggregation + a broadcast one-row total + a
-    * scan-side md5-prefix filter (1/65536 quantization, floor-clamped so
-    * a source is downsampled, never zeroed; null-safe source keys).
+    * otherwise. Shares `applyQuantizedRates` with `tokenBudgetMix`
+    * (1/65536 quantization, floor clamp, null-safe source keys).
     * The p_i formula deliberately cancels the total-token denominator
     * (tok_i^α/Σtok^α ≡ (tok_i/T)^α/Σ(tok_j/T)^α), keeping one pow per
     * source — pow's cross-engine ulp drift is absorbed by the 1/65536
-    * rate quantization.
+    * rate quantization. Σw is folded in SORTED source order (and the
+    * oracle sums `ORDER BY source`): a plain sum() adds shuffle partials
+    * in fetch order, so its last ulp — and with it a rate sitting on a
+    * quantization boundary — could differ between runs and engines.
     *
     * Output: kept rows with `_src_tokens` and `_rate_q` attached.
     */
@@ -284,23 +308,18 @@ object Curation {
     val perSrc = docs.groupBy(col(srcCol).as("_src_key"))
       .agg(sum(col(tokCol)).as("_src_tokens"))
       .withColumn("_w", pow(col("_src_tokens").cast("double"), alpha))
-    val totalW = perSrc.agg(sum(col("_w")).as("_sum_w"))
-    val rate = least(lit(1.0),
-      lit(totalBudget.toDouble) * (col("_w") / col("_sum_w"))
-        / col("_src_tokens"))
+    val totalW = perSrc.agg(
+      aggregate(
+        array_sort(collect_list(struct(
+          coalesce(col("_src_key").cast("string"), lit("")).as("k"),
+          col("_w").as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("_sum_w"))
     val rates = perSrc.crossJoin(broadcast(totalW)) // one-row total
-      .withColumn("_rate_q",
-        greatest(lit(1), round(rate * 65536).cast("int")))
-      .withColumn("_thr",
-        when(col("_rate_q") >= 65536, lit("zzzz"))
-          .otherwise(lpad(lower(hex(col("_rate_q"))), 4, "0")))
-      .select("_src_key", "_src_tokens", "_rate_q", "_thr")
-    docs.join(broadcast(rates), docs(srcCol) <=> rates("_src_key"))
-      .filter(substring(
-        md5(concat(coalesce(col(srcCol).cast("string"), lit("")),
-          lit(":"), col(idCol).cast("string"))),
-        1, 4) < col("_thr"))
-      .drop("_thr", "_src_key")
+      .withColumn("_rate", least(lit(1.0),
+        lit(totalBudget.toDouble) * (col("_w") / col("_sum_w"))
+          / col("_src_tokens")))
+      .select("_src_key", "_src_tokens", "_rate")
+    applyQuantizedRates(docs, idCol, srcCol, rates)
   }
 
   /** Ordered regex redaction (PII scrubbing surface): apply each

@@ -323,7 +323,7 @@ object Curation {
     "doc_split_assign" ->
       """WITH d AS (SELECT doc_id,
         |        len(string_split(text, ' '))::BIGINT AS n_tok,
-        |        substring(md5('v1:' || doc_id::VARCHAR), 1, 4) AS pfx
+        |        substring(md5('v1:' || coalesce(doc_id::VARCHAR, '')), 1, 4) AS pfx
         |      FROM documents),
         |l AS (SELECT n_tok, CASE
         |        WHEN pfx < lpad(lower(to_hex(round(0.8 * 65536)::INT)), 4, '0') THEN 'train'
@@ -337,14 +337,15 @@ object Curation {
     // total-token denominator cancels, one pow per source; cross-engine
     // pow ulp drift is absorbed by the 1/65536 quantization), rate =
     // min(1, B·p_i/tokens_i), then the same quantize + md5-prefix rule
-    // as doc_mix_budget.
+    // as doc_mix_budget. Σw sums in sorted source order on BOTH sides
+    // (Spark folds a sorted list) — sum order moves the last ulp.
     "doc_mix_temperature" ->
       """WITH d AS (SELECT doc_id, source,
         |        len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
         |tot AS (SELECT source, sum(n_tok)::BIGINT AS src_tokens,
         |        pow(CAST(sum(n_tok) AS DOUBLE), 0.5) AS w
         |        FROM d GROUP BY source),
-        |sw AS (SELECT sum(w) AS sum_w FROM tot),
+        |sw AS (SELECT sum(w ORDER BY coalesce(source, ''), w) AS sum_w FROM tot),
         |q AS (SELECT source, src_tokens,
         |        greatest(1, round(least(1.0, 20000.0 * (w / sum_w) / src_tokens) * 65536)::INT) AS rate_q
         |      FROM tot, sw),

@@ -261,11 +261,24 @@ class CurationSpec extends AnyFunSuite {
     assert(other != same)
     // scan-side: no exchange in the plan
     assert(!labeled.queryExecution.executedPlan.toString.contains("Exchange"))
-    // a non-final split too small for the 1/65536 grid is rejected
+    // a split too small for the 1/65536 grid is rejected wherever it
+    // sits (zero-width middle split included)
     intercept[IllegalArgumentException] {
       Curation.assignSplits(docs, "doc_id",
         Seq("a" -> 1.0, "b" -> 1e-9))
     }
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(docs, "doc_id",
+        Seq("a" -> 0.8, "b" -> 1e-9, "c" -> 0.2))
+    }
+    // NULL ids hash as "" and land in ONE deterministic split — the
+    // partition stays total (no NULL label, no silent drop)
+    val withNull = Seq(Option(1L), Option(2L), Option.empty[Long])
+      .toDF("doc_id")
+    val nullLabel = Curation.assignSplits(withNull, "doc_id", splits)
+      .filter($"doc_id".isNull).collect()
+    assert(nullLabel.length == 1 && !nullLabel.head.isNullAt(1),
+      s"NULL id must still get a split: ${nullLabel.toSeq}")
   }
 
   test("temperatureMix: alpha=1 is proportional (uniform rate), alpha=0 flattens to uniform targets") {
