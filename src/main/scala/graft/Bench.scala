@@ -9,9 +9,36 @@ import org.apache.spark.sql.SparkSession
   * work the way `.count()` does); the reported number is the median.
   */
 object Bench {
+
+  /** 1-minute load average, or -1 where /proc is unavailable. */
+  def load1(): Double = scala.util.Try {
+    val src = scala.io.Source.fromFile("/proc/loadavg")
+    try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+  }.getOrElse(-1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // Contamination guard (round-6 lesson: a bench recorded on a contended
+    // box showed phantom 5-15x regressions in unchanged code). Wait for the
+    // box to go quiet rather than refusing outright — refusing would zero
+    // the round's artifact when the driver's own prior step is still
+    // decaying out of the 1-minute average. If it never goes quiet, run
+    // anyway but stamp the JSON so a hot measurement can't be mistaken for
+    // a clean one.
+    val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
+      .map(_.toDouble).getOrElse(1.5)
+    val waitSec = sys.env.get("SPARK_GRAFT_BENCH_WAIT")
+      .map(_.toInt).getOrElse(180)
+    val deadline = System.nanoTime() + waitSec * 1000000000L
+    var loadStart = load1()
+    while (loadStart > maxLoad && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] load1=$loadStart%.2f > $maxLoad%.2f — waiting for quiet box")
+      Thread.sleep(5000)
+      loadStart = load1()
+    }
+    val contaminated = loadStart > maxLoad
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,7 +76,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadEnd = load1() // includes our own run's decay; load_start is the clean-box signal
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadEnd,"contaminated":$contaminated}""")
     spark.stop()
   }
 }

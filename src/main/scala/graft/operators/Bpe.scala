@@ -131,19 +131,47 @@ object Bpe {
     ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(text),
       merges.flatMap(m => Seq(m._1, m._2))))
 
-  /** Classic BPE training over a text column. Returns up to `numMerges`
-    * merges in rank order (fewer once every pair count drops below 2).
+  /** Distributed word-type count feeding the trainer's driver loop, with
+    * the two bounds every production BPE trainer applies BEFORE collecting:
+    * a frequency floor (`minCount` — singleton/rare types cannot win a
+    * merge on their own and at web scale there are 10⁸+ of them, so an
+    * unfloored collect is a driver OOM) and a top-N cap (`maxWordTypes`,
+    * 0 = uncapped) evaluated as a distributed TakeOrdered, so the driver
+    * only ever receives min(maxWordTypes, surviving types) rows.
+    * Deterministic: the cap breaks count ties lexicographically.
     */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Array[(String, String)] = {
+  def trainWordTypes(docs: DataFrame, textCol: String, minCount: Long,
+      maxWordTypes: Int): Array[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words: Array[(String, Long)] = docs
+    val counted = docs
       .select(explode(split(lower(col(textCol)), "\\s+")).as("chunk"))
       .as[String]
       .flatMap(c => preTokens(c))
       .groupBy("value").count()
-      .as[(String, Long)]
-      .collect()
+      .filter(col("count") >= minCount)
+    val capped =
+      if (maxWordTypes > 0)
+        counted.orderBy(col("count").desc, col("value")).limit(maxWordTypes)
+      else counted
+    capped.as[(String, Long)].collect()
+  }
+
+  /** Classic BPE training over a text column. Returns up to `numMerges`
+    * merges in rank order (fewer once every pair count drops below 2).
+    *
+    * The driver only holds the FLOORED word-type table (`minCount`, default
+    * 2): a type seen once contributes 1 to each of its pairs, and a merge
+    * needs a pair count ≥ 2, so singletons can only matter through
+    * cross-type accumulation of near-threshold pairs — the standard trade
+    * every BPE trainer makes to keep vocab collection bounded. The
+    * provenance test (BpeSpec) pins that Merges60 is invariant under the
+    * floor on the training corpus. `maxWordTypes` (default 2²², 0 = off)
+    * hard-bounds driver memory even on adversarial corpora.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, maxWordTypes: Int = 1 << 22): Array[(String, String)] = {
+    val words = trainWordTypes(docs, textCol, minCount, maxWordTypes)
     require(words.forall(!_._1.contains(Sep)),
       "corpus contains the BPE separator character U+0001")
 

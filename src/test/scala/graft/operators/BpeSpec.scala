@@ -40,6 +40,25 @@ class BpeSpec extends AnyFunSuite {
       "embedded merge table no longer matches its training provenance")
   }
 
+  test("trainWordTypes bounds the driver collect: floor drops singletons, cap takes top-N") {
+    import spark.implicits._
+    // 200 singleton types + 3 heavy types; unfloored would collect 203.
+    // Letter-only singletons: the pre-tokenizer would split digits off.
+    val docs = ((0 until 200).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}zz") ++
+      Seq.fill(9)("alpha") ++ Seq.fill(7)("beta") ++ Seq.fill(5)("gamma"))
+      .map(w => Tuple1(w)).toDF("text")
+    val floored = Bpe.trainWordTypes(docs, "text", minCount = 2L, maxWordTypes = 0)
+    assert(floored.map(_._1).sorted.toSeq == Seq("alpha", "beta", "gamma"))
+    assert(floored.forall(_._2 >= 2L))
+    val capped = Bpe.trainWordTypes(docs, "text", minCount = 2L, maxWordTypes = 2)
+    assert(capped.map(_._1).toSet == Set("alpha", "beta"),
+      "cap must keep the highest-count types deterministically")
+    // uncapped, unfloored really does see every singleton (the 100 TB hazard)
+    val unbounded = Bpe.trainWordTypes(docs, "text", minCount = 1L, maxWordTypes = 0)
+    assert(unbounded.length == 203)
+  }
+
   test("bpe_token_count stays codegen (no UDF in the plan)") {
     import spark.implicits._
     val df = Seq("the customer batch").toDF("text")
