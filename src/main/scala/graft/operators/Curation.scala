@@ -121,14 +121,26 @@ object Curation {
       .foldLeft(lit(thresholdHex(defaultRate))) { case (acc, (stratum, rate)) =>
         when(col(stratumCol) === stratum, lit(thresholdHex(rate))).otherwise(acc)
       }
-    // NULL strata hash as the empty string instead of null-propagating the
-    // whole md5 (which would silently drop the row at ANY rate, rate 1.0
-    // included); they sample at defaultRate
+    // NULL strata hash via the NullStratumKey sentinel instead of
+    // null-propagating the whole md5 (which would silently drop the row at
+    // ANY rate, rate 1.0 included); they sample at defaultRate
     val prefix = substring(
-      md5(concat(coalesce(col(stratumCol).cast("string"), lit("")),
+      md5(concat(coalesce(col(stratumCol).cast("string"), lit(NullStratumKey)),
         lit(":"), col(idCol).cast("string"))), 1, 2)
     df.filter(prefix < threshold)
   }
+
+  /** Hash-key stand-in for a NULL stratum/source in the deterministic
+    * samplers. NOT the empty string: a NULL stratum and an empty-string
+    * stratum are DISTINCT strata (the rate joins are null-safe), so their
+    * per-row hash draws must be independent too — with a shared key their
+    * keep decisions would be perfectly correlated, which breaks the
+    * independent-draws contract exactly when both strata exist. U+0001
+    * cannot appear in sane source labels (and is already reserved as the
+    * BPE separator corpus-wide), so the sentinel cannot collide with a
+    * real value.
+    */
+  val NullStratumKey = "\u0001null"
 
   /** Sliding-window document CHUNKING — the preprocessing step in front of
     * any embedding or long-context pipeline: windows of `chunkChars`
@@ -236,7 +248,7 @@ object Curation {
       .select("_src_key", "_src_tokens", "_rate_q", "_thr")
     docs.join(broadcast(quantized), docs(srcCol) <=> quantized("_src_key"))
       .filter(substring(
-        md5(concat(coalesce(col(srcCol).cast("string"), lit("")),
+        md5(concat(coalesce(col(srcCol).cast("string"), lit(NullStratumKey)),
           lit(":"), col(idCol).cast("string"))),
         1, 4) < col("_thr"))
       .drop("_thr", "_src_key")

@@ -245,6 +245,19 @@ object TextDedup {
         .partitionBy("_batch_id")
         .bucketBy(buckets, "band", "bucket").sortBy("bucket")
         .saveAsTable(indexTable)
+    } else {
+      // `indexPath` only takes effect at table creation; a caller pointing
+      // an existing table name at a DIFFERENT path would silently keep
+      // writing to the old location — fail fast instead.
+      val existing = new org.apache.hadoop.fs.Path(java.net.URI.create(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(indexTable))
+          .location.toString))
+      val fs = existing.getFileSystem(spark.sessionState.newHadoopConf())
+      val requested = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
+      require(fs.makeQualified(existing) == requested,
+        s"index table $indexTable already exists at ${fs.makeQualified(existing)}, " +
+          s"not at the requested indexPath $requested — drop the table or pass its path")
     }
     val cross = gateCrossPairs(batch, idCol, textCol, indexTable, batchId,
       threshold, n, numHashes, bands, rows, maxBucketSize)
@@ -310,31 +323,52 @@ object TextDedup {
   /** Small-file compaction for the gate's index table: a long-lived
     * stream lands one `_batch_id` partition (≤ `buckets` files) per
     * trigger, so file count grows linearly with stream age. Merges all
-    * batches `0 <= id <= upToBatchId` into one consolidated partition
-    * `_batch_id = -(upToBatchId+1)` — the same crash-convergent
-    * negative-horizon discipline as `cdc.Sinks.compactBatches`, but every
-    * write goes THROUGH the table (`insertInto`) so the consolidated
+    * batches `0 <= id <= upToBatchId` AND every previously consolidated
+    * (negative) partition into ONE partition `_batch_id = -(upToBatchId+1)`
+    * — the negative-horizon discipline of `cdc.Sinks.compactBatches`, but
+    * every write goes THROUGH the table (`insertInto`) so the consolidated
     * partition keeps valid bucket files and the exchange-free join
-    * property survives compaction.
+    * property survives compaction. Because prior consolidations are
+    * re-merged, the steady state is exactly one negative partition —
+    * partition count does NOT grow with compaction-run count (asserted in
+    * `TextDedupSpec`); the cost is that each run rewrites the consolidated
+    * history, so at scale the cadence should be sized to the index, not
+    * the trigger rate.
     *
     * Crash safety: (1) consolidated rows are staged to a scratch path
     * (outside the table root, so partition discovery never sees it);
     * (2) the staged rows are inserted via dynamic partition overwrite —
-    * atomic at job commit; (3) only then are source partitions deleted.
-    * A crash between (2) and (3) leaves duplicates visible; re-running
-    * with the same or any later `upToBatchId` converges, because the
-    * committed horizon is re-derived from existing negative partitions
-    * and batches at or below it are excluded from the consolidation
-    * read while their leftover dirs still get deleted.
+    * atomic at job commit; (3) only then are source partitions (including
+    * superseded negative ones) deleted. A crash between (2) and (3)
+    * leaves duplicate rows visible; re-running with the same or any later
+    * `upToBatchId` converges: the consolidation read spans everything at
+    * or below the horizon and collapses crash duplicates via
+    * `dropDuplicates` on the index's natural key (doc_id, band) — an
+    * index row is a pure function of the doc, so surviving copies are
+    * identical.
     *
     * Only compact batches strictly below the streaming checkpoint's
     * committed horizon: a batch the running query may still replay must
     * keep its own partition (a replay dynamic-overwrites it).
     *
+    * Concurrency: runs for the SAME table must not overlap — the run is
+    * serialized against other gate/compaction writes in this JVM (shared
+    * lock), and the staging-dir sweep only removes dirs whose horizon is
+    * at or below the committed one (a live concurrent run's staging dir
+    * has a higher horizon and is left alone). Cross-JVM concurrent
+    * compaction of one table is NOT supported.
+    *
+    * Catalog note: partition dirs are dropped through the catalog
+    * (`ALTER TABLE … DROP PARTITION`) when the catalog tracks them, and
+    * always deleted from the filesystem + `refreshTable`d — covering both
+    * filesystem-discovered (in-memory catalog) and managed-partition
+    * (Hive `manageFilesourcePartitions`) tables.
+    *
     * Returns (filesBefore, filesAfter) under the affected partitions.
     */
   def compactGateIndex(spark: org.apache.spark.sql.SparkSession,
-                       indexTable: String, upToBatchId: Long): (Int, Int) = {
+                       indexTable: String,
+                       upToBatchId: Long): (Int, Int) = overwriteModeLock.synchronized {
     import org.apache.hadoop.fs.Path
     val root = new Path(java.net.URI.create(
       spark.sessionState.catalog.getTableMetadata(
@@ -356,32 +390,59 @@ object TextDedup {
     def countFiles(dirs: Seq[Path]): Int =
       dirs.map(d => fs.listStatus(d).count(f => f.isFile &&
         !f.getPath.getName.startsWith("_"))).sum
-
-    // sweep staging dirs leaked by a crash after insertInto committed but
-    // before cleanup (the consolidation block is skipped on that re-run,
-    // so nothing else would ever delete them); ours is created below
-    fs.listStatus(root.getParent).toSeq
-      .map(_.getPath)
-      .filter(_.getName.startsWith(s".${root.getName}_compact_"))
-      .foreach(p => fs.delete(p, true))
-
-    val sources = batchDirs(id => id >= 0 && id <= upToBatchId)
-    if (sources.isEmpty) return (0, 0)
-    val filesBefore = countFiles(sources)
+    def dropPartitions(dirs: Seq[Path]): Unit = {
+      dirs.foreach { p =>
+        val id = p.getName.stripPrefix("_batch_id=")
+        // catalog first (no-op where partitions are filesystem-discovered),
+        // then the data; refreshTable below re-syncs discovery caches
+        scala.util.Try(spark.sql(
+          s"ALTER TABLE $indexTable DROP IF EXISTS PARTITION (_batch_id=$id)"))
+        fs.delete(p, true)
+      }
+    }
 
     val committedHorizon = batchDirs(_ < 0)
       .flatMap(p => scala.util.Try(
         -p.getName.stripPrefix("_batch_id=").toLong - 1).toOption)
       .foldLeft(-1L)(math.max)
+
+    // sweep staging dirs leaked by a crash after insertInto committed but
+    // before cleanup (the consolidation block is skipped on that re-run,
+    // so nothing else would ever delete them). Only dirs at or below the
+    // committed horizon are provably leaked — a higher-horizon dir could
+    // be a concurrent run's live staging area.
+    fs.listStatus(root.getParent).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val name = p.getName
+        name.startsWith(s"${root.getName}_compact_") &&
+          name.endsWith("_staging") &&
+          scala.util.Try(name.stripPrefix(s"${root.getName}_compact_")
+            .stripSuffix("_staging").toLong)
+            .toOption.exists(_ <= committedHorizon)
+      }
+      .foreach(p => fs.delete(p, true))
+
+    val sources = batchDirs(id => id >= 0 && id <= upToBatchId)
+    val superseded = batchDirs(id => id < 0 && id != compactedId)
+    if (sources.isEmpty && superseded.isEmpty) return (0, 0)
+    val filesBefore = countFiles(sources ++ superseded)
+
     val alreadyCompacted = batchDirs(_ == compactedId).nonEmpty
-    if (!alreadyCompacted && committedHorizon < upToBatchId) {
+    if (!alreadyCompacted) {
+      // visible name: it lives OUTSIDE the table root (partition discovery
+      // never lists it), and a dot/underscore prefix would make Spark's
+      // own reader treat it as hidden
       val staging = new Path(root.getParent,
-        s".${root.getName}_compact_$upToBatchId")
+        s"${root.getName}_compact_${upToBatchId}_staging")
       // stage 1: consolidated rows to scratch (read is path-based and the
-      // write target is a different path — no table self-read conflict)
+      // write target is a different path — no table self-read conflict).
+      // The read spans ALL prior consolidations and in-horizon batches;
+      // dropDuplicates collapses crash-leftover copies (identical rows —
+      // an index row is a function of the doc alone).
       spark.read.parquet(root.toString)
-        .filter(col("_batch_id")
-          .between(committedHorizon + 1, upToBatchId)) // partition-pruned
+        .filter(col("_batch_id") <= upToBatchId) // partition-pruned
+        .dropDuplicates("doc_id", "band")
         .withColumn("_batch_id", lit(compactedId))
         .write.mode("overwrite").parquet(staging.toString)
       // stage 2: through the table, so bucket files stay valid
@@ -392,7 +453,7 @@ object TextDedup {
       }
       fs.delete(staging, true)
     }
-    sources.foreach(p => fs.delete(p, true))
+    dropPartitions(sources ++ superseded)
     spark.catalog.refreshTable(indexTable)
     (filesBefore, countFiles(batchDirs(_ == compactedId)))
   }
@@ -456,17 +517,31 @@ object TextDedup {
     * from the pigeonhole segment join (Hamming ≤ `maxDistance`), output
     * filtered on the exact shingle Jaccard — so the result is identical to
     * the brute-force J ≥ threshold answer whenever every true pair sits
-    * within `maxDistance` (observed ≤ 10 at J ≥ 0.9 on 64-bit fingerprints;
-    * the default 12 adds margin).
+    * within `maxDistance` (measured on the gate corpora: max true-pair
+    * distance 10 at 500 docs, 11 at 5,000; the default 12 adds margin).
+    *
+    * `pieces`/`maxDistance` ≤ 0 (the default) means AUTO: the banding is
+    * chosen from the corpus size by `SimHash.autoParams`, keeping the
+    * expected candidate volume ~linear in n — wider segments (fewer
+    * pieces, tighter distance) as the corpus grows, per the candidate
+    * math on `SimHash`. Auto resolves to (13, 12) through the gate scales
+    * (n ≤ ~5,100), so gate results are identical to the fixed defaults;
+    * beyond that it trades the distance bound down (e.g. (8, 7) at
+    * 50,000 docs ≈ 4× less candidate work, covering ~90% of measured
+    * J ≥ 0.8 pairs there — the exact-recall path at such scales is
+    * `nearDuplicates`/`jaccardNearDuplicates`).
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            threshold: Double = 0.8, maxDistance: Int = 12,
-                            pieces: Int = 13, n: Int = 3): DataFrame = {
+                            threshold: Double = 0.8, maxDistance: Int = 0,
+                            pieces: Int = 0, n: Int = 3): DataFrame = {
+    val (p, d) =
+      if (pieces > 0 && maxDistance > 0) (pieces, maxDistance)
+      else SimHash.autoParams(docs.count())
     val sh = docs
       .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     verifyJaccard(
-      SimHash.nearDuplicates(docs, idCol, textCol, maxDistance, pieces, n)
+      SimHash.nearDuplicates(docs, idCol, textCol, d, p, n)
         .select("id_a", "id_b"),
       sh, threshold)
   }
@@ -492,13 +567,27 @@ object TextDedup {
     * exists to find (measured: cap 4 found 21 pairs at 500 docs and ZERO
     * at 5000, where planted clusters exceed 4 members), while boilerplate
     * df grows with the corpus and stays safely above any sane cap.
+    *
+    * `dfCap` ≤ 0 (the default) means AUTO: `autoDfCap(docs.count())` —
+    * cluster size scales linearly with the corpus under a constant
+    * duplication rate, so the cap follows n with a floor at the
+    * historically-calibrated 16. Measured on the 10× sweep corpus
+    * (50,000 docs): every fixed cap ≤ 160 finds ZERO pairs there (the
+    * planted clusters' fingerprint df is ~10× the 5,000-doc corpus's),
+    * cap 256 recovers them (43 pairs), and 512 explodes into boilerplate
+    * (4.5M pairs) — auto lands at 261, inside the working band. Callers
+    * with a known cluster-size bound should still pass it explicitly
+    * (the declared gate query pins 16, its fixtures' cluster scale).
     */
+  def autoDfCap(n: Long): Int = math.max(16L, (n + 191L) / 192L).toInt
+
   def substringOverlap(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int = 8, w: Int = 4, dfCap: Int = 16,
+                       k: Int = 8, w: Int = 4, dfCap: Int = 0,
                        minShared: Long = 10L): DataFrame = {
+    val cap = if (dfCap > 0) dfCap else autoDfCap(docs.count())
     val fp = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.winnowingFingerprint(col(textCol), k, w)).as("f"))
-    val rare = keepPairableBuckets(fp, Seq("f"), dfCap)
+    val rare = keepPairableBuckets(fp, Seq("f"), cap)
     rare.alias("fa")
       .join(rare.alias("fb"), col("fa.f") === col("fb.f"))
       .filter(col("fa.doc_id") < col("fb.doc_id"))
@@ -527,6 +616,37 @@ object TextDedup {
   * fingerprints are precomputed or the corpus fits the width budget.
   */
 object SimHash {
+
+  /** Corpus-size-driven banding: the largest piece count (loosest Hamming
+    * bound, best recall) whose expected candidate volume stays within a
+    * fixed per-doc budget. From the candidate math above, p pieces give
+    * ~64/p-bit segments and ≈ p·n/2^(64/p+1) expected candidates per doc
+    * on uniform (dissimilar-doc) fingerprints, so the rule is
+    *
+    *   pieces = max { p ∈ ladder : p·n/2^(64/p+1) ≤ budget },
+    *   maxDistance = pieces − 1
+    *
+    * with budget 1100 calibrated so the gate scales keep the historical
+    * (13, 12) banding (n = 5,000 sits just inside: 13·5000/2^5.92 ≈ 1073)
+    * and larger corpora widen segments exponentially: (8, 7) at 50k docs,
+    * (7, 6) to ~180k, floor (4, 3) — 16-bit segments — good to tens of
+    * millions. This is the SemDeDup k-scaling discipline applied to the
+    * pigeonhole search: the data size picks the constant, the shape of
+    * the plan never changes.
+    *
+    * The trade is explicit: tightening maxDistance lowers recall on
+    * far-apart true pairs (measured max true-pair Hamming at J ≥ 0.8:
+    * 10/11/15 at 500/5k/50k docs), which is the correct LSH contract at
+    * scale — exactness at a FIXED threshold belongs to the MinHash-banded
+    * and prefix-filter paths.
+    */
+  def autoParams(n: Long, budget: Double = 1100.0): (Int, Int) = {
+    val ladder = Seq(13, 11, 9, 8, 7, 6, 5, 4)
+    val p = ladder
+      .find(p => p * n.toDouble / math.pow(2.0, 64.0 / p + 1.0) <= budget)
+      .getOrElse(4)
+    (p, p - 1)
+  }
 
   /** SimHash fingerprint of an array<long> of shingle hashes: sign of the
     * per-bit vote sum. Codegen expression (graft.functions.SimHash64Expr);

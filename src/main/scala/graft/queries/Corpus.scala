@@ -121,6 +121,49 @@ object Corpus {
         .orderBy($"new_id", $"old_id")
     }),
 
+    // The STREAMING dedup gate replayed in batch form — the foreachBatch
+    // body (TextDedup.dedupGateBatch) driven over two fixture batches
+    // (batch 0 = doc_id % 5 != 4, batch 1 = the rest, the doc_dedup_incr
+    // split), then compactGateIndex consolidates batch 0. Every doc is
+    // reported admitted or rejected; 'admitted' is derived from the
+    // POST-COMPACTION bucketed index contents, so the gate's rejection
+    // rule, the index's exactly-once write discipline AND the compaction
+    // rewrite are all under the hash gate. Oracle replays the rejection
+    // semantics (reject the higher id of any within-batch J>=0.8 pair;
+    // reject a batch-1 doc matching an ADMITTED batch-0 doc) from exact
+    // shingle Jaccard. The per-batch join's single delta-side exchange is
+    // plan-asserted in TextDedupSpec.
+    "doc_dedup_gate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+      val table = "graft_gate_replay_idx"
+      val path = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_gate_replay_idx")
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      fs.delete(path, true)
+      val d1 = graft.operators.TextDedup.dedupGateBatch(
+        docs.filter($"doc_id" % 5 =!= 4), "doc_id", "text", table,
+        path.toString, batchId = 0L, threshold = 0.8)
+      val d2 = graft.operators.TextDedup.dedupGateBatch(
+        docs.filter($"doc_id" % 5 === 4), "doc_id", "text", table,
+        path.toString, batchId = 1L, threshold = 0.8)
+      graft.operators.TextDedup.compactGateIndex(s, table, upToBatchId = 0L)
+      val rejected = d1.select($"new_id").union(d2.select($"new_id"))
+        .distinct().withColumnRenamed("new_id", "doc_id")
+        .withColumn("_rej", lit(1))
+      val inIndex = s.table(table).select($"doc_id").distinct()
+        .withColumn("_idx", lit(1))
+      docs.select($"doc_id")
+        .join(rejected, Seq("doc_id"), "left")
+        .join(inIndex, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"_rej" === 1, "rejected")
+            .when($"_idx" === 1, "admitted")
+            .otherwise("admitted_nosketch").as("status"))
+        .orderBy($"doc_id")
+    }),
+
     // Same near-dup semantics via SimHash pigeonhole banding + exact
     // verification — the second sketch family. Identical oracle as
     // doc_dedup_near: three algorithms, one answer.
@@ -553,6 +596,42 @@ object Corpus {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
         |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         |ORDER BY new_id, old_id""".stripMargin,
+
+    // Gate replay: p = ALL J>=0.8 pairs among sketchable docs (>= 3
+    // words); batch-0 rejections are within-batch higher ids; batch-1
+    // rejections are within-batch higher ids plus any doc matching an
+    // ADMITTED batch-0 doc (rejected batch-0 docs never reach the index,
+    // so they cannot reject anyone later). A doc too short to sketch is
+    // admitted but absent from the index ('admitted_nosketch').
+    "doc_dedup_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |rej1 AS (SELECT DISTINCT id_b AS doc_id FROM p
+        |         WHERE id_a % 5 <> 4 AND id_b % 5 <> 4),
+        |adm1 AS (SELECT doc_id FROM sh WHERE doc_id % 5 <> 4
+        |         AND doc_id NOT IN (SELECT doc_id FROM rej1)),
+        |rej2 AS (
+        |  SELECT DISTINCT n AS doc_id FROM (
+        |    SELECT id_b AS n, id_a AS o FROM p WHERE id_b % 5 = 4 AND id_a % 5 <> 4
+        |    UNION ALL
+        |    SELECT id_a AS n, id_b AS o FROM p WHERE id_a % 5 = 4 AND id_b % 5 <> 4
+        |  ) x JOIN adm1 ON x.o = adm1.doc_id
+        |  UNION
+        |  SELECT id_b FROM p WHERE id_a % 5 = 4 AND id_b % 5 = 4),
+        |rej AS (SELECT doc_id FROM rej1 UNION SELECT doc_id FROM rej2)
+        |SELECT t.doc_id,
+        |  CASE WHEN rej.doc_id IS NOT NULL THEN 'rejected'
+        |       WHEN len(t.w) >= 3 THEN 'admitted'
+        |       ELSE 'admitted_nosketch' END AS status
+        |FROM t LEFT JOIN rej ON t.doc_id = rej.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "doc_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

@@ -97,10 +97,15 @@ object Curation {
     // minShared=10 floor means pairs sharing roughly >= 30-50 verbatim
     // chars surface here even when whole-doc Jaccard stays low
     // (operators.TextDedup.substringOverlap).
+    // dfCap pinned at 16 = this fixture family's duplicate-cluster scale
+    // (and what the oracle's HAVING clause states); the OPERATOR default
+    // is corpus-scaled (TextDedup.autoDfCap) for callers without a known
+    // cluster bound.
     "doc_substring_overlap" -> ((s, dir) => {
       import s.implicits._
       graft.operators.TextDedup
-        .substringOverlap(Tables(s, dir, "documents"), "doc_id", "text")
+        .substringOverlap(Tables(s, dir, "documents"), "doc_id", "text",
+          dfCap = 16)
         .select($"id_a", $"id_b", $"n_shared")
         .orderBy($"id_a", $"id_b")
     }),
@@ -312,7 +317,7 @@ object Curation {
         |      FROM tot),
         |k AS (SELECT d.source, d.n_tok, q.src_tokens, q.rate_q
         |      FROM d JOIN q ON d.source IS NOT DISTINCT FROM q.source
-        |      WHERE substring(md5(coalesce(d.source, '') || ':' || d.doc_id::VARCHAR), 1, 4) < q.thr)
+        |      WHERE substring(md5(coalesce(d.source, chr(1) || 'null') || ':' || d.doc_id::VARCHAR), 1, 4) < q.thr)
         |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
         |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
         |FROM k GROUP BY source
@@ -355,7 +360,7 @@ object Curation {
         |       FROM q),
         |k AS (SELECT d.source, d.n_tok, q2.src_tokens, q2.rate_q
         |      FROM d JOIN q2 ON d.source IS NOT DISTINCT FROM q2.source
-        |      WHERE substring(md5(coalesce(d.source, '') || ':' || d.doc_id::VARCHAR), 1, 4) < q2.thr)
+        |      WHERE substring(md5(coalesce(d.source, chr(1) || 'null') || ':' || d.doc_id::VARCHAR), 1, 4) < q2.thr)
         |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
         |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
         |FROM k GROUP BY source

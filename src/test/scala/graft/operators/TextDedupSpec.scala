@@ -370,19 +370,49 @@ class TextDedupSpec extends AnyFunSuite {
       // a staging dir leaked by a crash after the insert committed (the
       // consolidation block is skipped on the re-run) is swept on entry
       val idxRoot = new java.io.File(s"$tmp/idx")
-      val leaked = new java.io.File(idxRoot.getParentFile, ".idx_compact_3")
+      val leaked = new java.io.File(idxRoot.getParentFile, "idx_compact_3_staging")
       assert(leaked.mkdir())
       TextDedup.compactGateIndex(spark, table, upToBatchId = 6L)
       assert(!leaked.exists(), "stale staging dir must be swept")
       assert(spark.table(table).drop("_batch_id")
         .collect().map(_.toString).sorted.toSeq == rowsBefore,
         "advancing the horizon past leftovers must not duplicate rows")
+      // prior consolidations are re-merged: steady state is exactly ONE
+      // negative partition, so partition count does not grow with
+      // compaction-run count
+      val parts2 = spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(parts2 == Set(-7L, 7L), s"partitions after second compact: $parts2")
       val dups = TextDedup.dedupGateBatch(
         Seq((9999L, texts(2)(1)._2)).toDF("doc_id", "text"), "doc_id",
         "text", table, s"$tmp/idx", batchId = 8L, threshold = 0.5,
         buckets = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(dups == Set((9999L, texts(2)(1)._1)), s"got $dups")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("dedup gate refuses an indexPath that differs from the existing table's location") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gate_pathchk").toString
+    val table = "graft_gate_pathchk_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val batch = Seq((1L, (0 until 12).map(w => s"pq${w}zr").mkString(" ")))
+        .toDF("doc_id", "text")
+      TextDedup.dedupGateBatch(batch, "doc_id", "text", table, s"$tmp/idx",
+        batchId = 0L, threshold = 0.5, buckets = 4)
+      val ex = intercept[IllegalArgumentException] {
+        TextDedup.dedupGateBatch(batch, "doc_id", "text", table,
+          s"$tmp/elsewhere", batchId = 1L, threshold = 0.5, buckets = 4)
+      }
+      assert(ex.getMessage.contains("indexPath"))
+      // the matching path keeps working
+      TextDedup.dedupGateBatch(batch, "doc_id", "text", table, s"$tmp/idx",
+        batchId = 1L, threshold = 0.5, buckets = 4)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
@@ -414,5 +444,50 @@ class TextDedupSpec extends AnyFunSuite {
     val got = TextDedup.substringOverlap(docs, "doc_id", "text",
       k = 8, w = 4, dfCap = 4, minShared = 1L).count()
     assert(got == 0)
+  }
+
+  test("autoDfCap follows corpus size with the calibrated floor") {
+    assert(TextDedup.autoDfCap(500L) == 16)   // gate scale: historical cap
+    assert(TextDedup.autoDfCap(5000L) == 27)  // ceil(5000/192)
+    assert(TextDedup.autoDfCap(50000L) == 261) // inside the measured 256..511 band
+    assert(TextDedup.autoDfCap(1L) == 16)
+    // monotone non-decreasing
+    val caps = Seq(100L, 1000L, 10000L, 100000L, 1000000L).map(TextDedup.autoDfCap)
+    assert(caps == caps.sorted)
+  }
+
+  test("auto dfCap keeps recall where a fixed small cap measured ZERO (5,000 docs)") {
+    // the documented trap: cap 4 found pairs at 500 docs and ZERO at
+    // 5,000 (clusters outgrow the cap). The auto default must stay
+    // nonzero on the 5,000-doc corpus.
+    val docs = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
+    val auto = TextDedup.substringOverlap(docs, "doc_id", "text").count()
+    assert(auto > 0, "auto dfCap lost all substring-overlap pairs at 5,000 docs")
+  }
+
+  test("auto dfCap keeps recall on the 10x sweep corpus (50,000 docs)") {
+    // every fixed cap <= 160 measures ZERO pairs there; auto (261) must
+    // recover the planted clusters. Guarded: bench_scale is gitignored.
+    val sf1 = new java.io.File("/root/repo/bench_scale/sf1/documents.parquet")
+    assume(sf1.exists(), "10x sweep corpus not materialized")
+    val docs = graft.Tables(spark, "/root/repo/bench_scale/sf1", "documents")
+    val auto = TextDedup.substringOverlap(docs, "doc_id", "text").count()
+    assert(auto > 0, "auto dfCap lost all substring-overlap pairs at 50,000 docs")
+  }
+
+  test("SimHash.autoParams: gate scales keep (13,12), larger corpora widen segments") {
+    assert(SimHash.autoParams(500L) == ((13, 12)))
+    assert(SimHash.autoParams(5000L) == ((13, 12))) // sf0.1 stays on the full banding
+    assert(SimHash.autoParams(50000L) == ((8, 7)))  // 10x sweep: 8-bit segments
+    // pigeonhole completeness invariant and monotonicity across sizes
+    var lastP = Int.MaxValue
+    for (n <- Seq(100L, 1000L, 10000L, 100000L, 1000000L, 100000000L)) {
+      val (p, d) = SimHash.autoParams(n)
+      assert(p > d && d >= 3, s"degenerate banding at n=$n: ($p, $d)")
+      assert(p <= lastP, s"pieces must not grow with n (n=$n)")
+      lastP = p
+    }
+    // the floor: even absurd corpus sizes keep a valid banding
+    assert(SimHash.autoParams(Long.MaxValue / 4) == ((4, 3)))
   }
 }
