@@ -289,7 +289,8 @@ object Pipeline {
           maxFilesPerTrigger: Option[Int] = None,
           trigger: Trigger = Trigger.AvailableNow(),
           histories: Map[String, graft.cdc.SchemaHistory.History] = Map.empty,
-          failpoint: Long => Unit = _ => ()): StreamingQuery = {
+          failpoint: Long => Unit = _ => (),
+          tuning: Map[String, String] = Map.empty): StreamingQuery = {
     // Latency tuning for the micro-batch work: with the defaults, AQE
     // coalesces the dedup exchange of a small batch to ONE partition and
     // the whole dedup+explode+sort+write tail serializes into one task
@@ -298,9 +299,12 @@ object Pipeline {
     // still bounding files/dir (compaction absorbs the rest). The confs
     // apply to a CLONED session so the caller's session keeps its own
     // planning behavior — the pipeline never mutates shared state.
+    // `tuning` lets a deployment override per-query session confs (e.g.
+    // throughput mode disables AQE — see StreamTuneProbe measurements).
     val session = spark.newSession()
     session.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
     session.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
+    tuning.foreach { case (k, v) => session.conf.set(k, v) }
     val reader = session.readStream.format("graft-changelog")
       .option("path", ledgerRoot)
       // small admitted batches still parse on every core

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import graft.cdc.Fixtures
+import graft.sources.Ledger
+
+/** Throughput-mode tuning experiment (VERDICT r6 ask #6): one pipeline
+  * instance draining 50k-event admission batches, measured per candidate
+  * session-conf set. Reports the sustained per-batch rate (from stored
+  * rows, not the over-reporting numInputRows) and P95 batch latency.
+  *
+  * Usage: Test/runMain graft.StreamTuneProbe [segments] [perSeg] [mft]
+  */
+object StreamTuneProbe {
+  def main(args: Array[String]): Unit = {
+    val nSegs = args.headOption.map(_.toInt).getOrElse(60)
+    val perSeg = args.lift(1).map(_.toInt).getOrElse(5000)
+    val mft = args.lift(2).map(_.toInt).getOrElse(10) // 10 x 5k = 50k/batch
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var id = 0
+    def writeLedger(): String = {
+      val ledger = Files.createTempDirectory("tune_ledger").toString
+      for (seg <- 1 to nSegs) {
+        val lines = (1 to perSeg).map { _ =>
+          id += 1
+          Fixtures.env("employees", "c", "null",
+            Fixtures.emp(id = id, num = s"EMP$id"), Fixtures.T0 + id * 100L)
+        }
+        Ledger.writeSegment(ledger, "hrdb", "employees", f"$seg%06d.jsonl", lines)
+      }
+      ledger
+    }
+
+    val configs: Seq[(String, Map[String, String])] = Seq(
+      "baseline" -> Map.empty,
+      "aqe-off" -> Map("spark.sql.adaptive.enabled" -> "false"),
+      "aqe-off+nostats" -> Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.cbo.enabled" -> "false",
+        "spark.sql.parquet.int96RebaseModeInWrite" -> "CORRECTED"),
+      "baseline2" -> Map.empty // repeat to expose run-to-run drift
+    )
+
+    // warmup query absorbs JVM/codegen startup
+    locally {
+      val (l, r, c) = (writeLedger(), Files.createTempDirectory("ws").toString,
+        Files.createTempDirectory("wc").toString)
+      graft.streaming.Pipeline.run(spark, l, r, c,
+        maxFilesPerTrigger = Some(mft)).awaitTermination(600000)
+    }
+
+    for ((name, tuning) <- configs) {
+      val (l, r, c) = (writeLedger(), Files.createTempDirectory("ts").toString,
+        Files.createTempDirectory("tc").toString)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Pipeline.run(spark, l, r, c,
+        maxFilesPerTrigger = Some(mft), tuning = tuning)
+      q.awaitTermination(600000)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val events = nSegs.toLong * perSeg
+      val stored = spark.read.parquet(graft.streaming.Pipeline.storeDir(r)).count()
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val lat = progress
+        .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)
+          .getOrElse(p.durationMs.values().asScala.map(_.toLong).sum))
+      val measured = lat.drop(1) // first batch pays residual warmup
+      val realBatchRows =
+        if (progress.nonEmpty) events.toDouble / progress.size else 0.0
+      val perBatch = measured.map(ms => realBatchRows / (ms / 1000.0))
+      val sustained =
+        if (perBatch.nonEmpty) perBatch.sorted.apply(perBatch.size / 2) else 0.0
+      val sortedLat = measured.sorted
+      val p95 = if (sortedLat.nonEmpty)
+        sortedLat(math.min(sortedLat.size - 1, (sortedLat.size * 95) / 100)) else 0L
+      println(f"TUNE $name%-16s wall=$wall%6.1fs whole=${events / wall}%6.0f ev/s " +
+        f"sustainedPerBatch=$sustained%6.0f ev/s p95BatchMs=$p95%5d " +
+        f"batches=${progress.size} batchRows=$realBatchRows%.0f stored=$stored")
+    }
+    spark.stop()
+  }
+}
