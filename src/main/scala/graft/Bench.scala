@@ -16,6 +16,20 @@ object Bench {
     try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
   }.getOrElse(-1.0)
 
+  /** Cumulative hypervisor steal time in seconds (/proc/stat cpu col 8),
+    * or -1 where unavailable. Loadavg only sees GUEST-runnable tasks — on
+    * a VM a noisy host neighbor slows every task while load reads 0; the
+    * start/end DELTA of this counter is the signal that catches it
+    * (round-7 lesson: 4x wall-clock swings on identical code at load<1).
+    */
+  def stealSec(): Double = scala.util.Try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val cols = src.getLines().next().trim.split("\\s+")
+      cols(8).toDouble / 100.0 // USER_HZ ticks
+    } finally src.close()
+  }.getOrElse(-1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +53,7 @@ object Bench {
       loadStart = load1()
     }
     val contaminated = loadStart > maxLoad
+    val stealStart = stealSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,7 +92,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = load1() // includes our own run's decay; load_start is the clean-box signal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadEnd,"contaminated":$contaminated}""")
+    // steal is reported as the delta over the run: CPU seconds the host
+    // gave to a neighbor VM while this bench wanted to run. A nonzero-ish
+    // value (more than a few seconds) marks the run contended even when
+    // loadavg was clean.
+    val stealRun = { val s = stealSec()
+      if (s < 0 || stealStart < 0) -1.0 else s - stealStart }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadEnd,"steal_sec":$stealRun,"contaminated":$contaminated}""")
     spark.stop()
   }
 }

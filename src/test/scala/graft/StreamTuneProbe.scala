@@ -81,6 +81,14 @@ object StreamTuneProbe {
       println(f"TUNE $name%-16s wall=$wall%6.1fs whole=${events / wall}%6.0f ev/s " +
         f"sustainedPerBatch=$sustained%6.0f ev/s p95BatchMs=$p95%5d " +
         f"batches=${progress.size} batchRows=$realBatchRows%.0f stored=$stored")
+      // per-phase medians over the measured batches: shows whether driver
+      // planning/offset bookkeeping or executor work (addBatch) dominates
+      val phases = progress.drop(1).flatMap(_.durationMs.asScala.toSeq.map {
+        case (k, v) => (k, v.toLong) })
+        .groupBy(_._1).map { case (k, vs) =>
+          val s = vs.map(_._2).sorted; (k, s(s.size / 2)) }
+      println("TUNE   phases(ms): " + phases.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
     spark.stop()
   }
