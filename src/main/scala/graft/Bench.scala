@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * footer reads and JIT), then 3 timed executions writing every output
   * column to the `noop` sink (so column pruning cannot skip real expression
   * work the way `.count()` does); the reported number is the median.
+  *
+  * Contention handling (rounds 6+7 both shipped steal-poisoned artifacts):
+  * every sample carries its own hypervisor-steal delta; a query whose
+  * samples spread > 2x or ran under visible steal is re-sampled (worst
+  * sample dropped), and if it stays contended it is listed in `flagged`
+  * and the whole artifact is stamped `contaminated: true` — keyed on
+  * loadavg AND run-steal AND per-query spread, not loadavg alone.
   */
 object Bench {
 
@@ -68,6 +75,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** One timed run plus the hypervisor-steal accumulated DURING it —
+      * the per-sample contention witness (steal only ever inflates a
+      * wall-clock number, never deflates it).
+      */
+    def sample(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s0 = stealSec()
+      val t = runOnce(fn)
+      val s1 = stealSec()
+      (t, if (s0 < 0 || s1 < 0) 0.0 else s1 - s0)
+    }
+
     // optional comma-separated subset (re-measurement / scale sweeps);
     // unset = the driver's full run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -80,25 +98,60 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
 
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
-        runOnce(fn) // warmup
-        val times = Seq.fill(3)(runOnce(fn)).sorted
-        times(1) // median
-      } catch { case _: Throwable => -1.0 }
-      name -> t
+    // Per-query protocol (round-7 lesson: host steal is BURSTY — a whole-run
+    // loadavg/steal stamp cannot say WHICH numbers it poisoned, and r6/r7
+    // both shipped artifacts with phantom 3-35x regressions in unchanged
+    // code). Per query: warmup, then 3 timed samples each carrying its own
+    // steal delta; if the samples disagree (max/min spread > 2x on a
+    // non-trivial query) or a sample ran under visible steal, the worst
+    // sample is discarded and re-taken (up to 2 retries) — steal only
+    // inflates, so dropping the slowest contaminated sample is principled.
+    // A query still contended after retries lands in `flagged`, which
+    // forces `contaminated: true`: the artifact can no longer certify
+    // itself clean while carrying poisoned numbers.
+    case class QStat(min: Double, med: Double, max: Double, steal: Double,
+                     runs: Int, flagged: Boolean)
+    def contended(samples: Seq[(Double, Double)]): Boolean = {
+      val ts = samples.map(_._1)
+      val spready = ts.max / math.max(ts.min, 1e-9) > 2.0 && ts.max - ts.min > 0.3
+      spready || samples.exists(_._2 > 1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QStat = {
+      runOnce(fn) // warmup
+      var samples = Vector.fill(3)(sample(fn))
+      var extra = 0
+      while (extra < 2 && contended(samples)) {
+        samples = (samples.sortBy(_._1).dropRight(1) :+ sample(fn))
+        extra += 1
+      }
+      val ts = samples.map(_._1).sorted
+      QStat(ts.head, ts(ts.size / 2), ts.last, samples.map(_._2).sum,
+        3 + extra, contended(samples))
+    }
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val st = try measure(fn)
+        catch { case _: Throwable => QStat(-1, -1, -1, 0, 0, flagged = false) }
+      name -> st
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val stats = results.map { case (k, v) =>
+      f""""$k":{"min":${v.min}%.3f,"med":${v.med}%.3f,"max":${v.max}%.3f,"steal":${v.steal}%.2f,"runs":${v.runs},"flagged":${v.flagged}}"""
+    }.mkString("{", ",", "}")
+    val flagged = results.collect { case (k, v) if v.flagged => "\"" + k + "\"" }
+    val total = results.map(_._2.med).filter(_ >= 0).sum
     val loadEnd = load1() // includes our own run's decay; load_start is the clean-box signal
     // steal is reported as the delta over the run: CPU seconds the host
     // gave to a neighbor VM while this bench wanted to run. A nonzero-ish
     // value (more than a few seconds) marks the run contended even when
-    // loadavg was clean.
+    // loadavg was clean — and since round 8 it CONTAMINATES the artifact
+    // (the r7 artifact recorded steal_sec=60.45 yet stamped itself clean
+    // because the flag keyed on loadavg alone).
     val stealRun = { val s = stealSec()
       if (s < 0 || stealStart < 0) -1.0 else s - stealStart }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadEnd,"steal_sec":$stealRun,"contaminated":$contaminated}""")
+    val dirty = contaminated || stealRun > 5.0 || flagged.nonEmpty
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","query_stats":$stats,"flagged":${flagged.mkString("[", ",", "]")},"load_start":$loadStart,"load_end":$loadEnd,"steal_sec":$stealRun,"contaminated":$dirty}""")
     spark.stop()
   }
 }

@@ -168,6 +168,13 @@ object Bpe {
     * provenance test (BpeSpec) pins that Merges60 is invariant under the
     * floor on the training corpus. `maxWordTypes` (default 2²², 0 = off)
     * hard-bounds driver memory even on adversarial corpora.
+    *
+    * BEHAVIOR NOTE for pre-round-7 callers: the floor CAN change merges on
+    * corpora where singleton types accumulate near-threshold pair counts.
+    * Pass `minCount = 1` for classic unfloored BPE — `maxWordTypes` alone
+    * still bounds the driver (the collect is a distributed TakeOrdered),
+    * at the cost of the cap now choosing WHICH rare types survive on
+    * corpora that exceed it.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L, maxWordTypes: Int = 1 << 22): Array[(String, String)] = {

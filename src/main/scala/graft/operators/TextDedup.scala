@@ -342,14 +342,23 @@ object TextDedup {
     * superseded negative ones) deleted. A crash between (2) and (3)
     * leaves duplicate rows visible; re-running with the same or any later
     * `upToBatchId` converges: the consolidation read spans everything at
-    * or below the horizon and collapses crash duplicates via
-    * `dropDuplicates` on the index's natural key (doc_id, band) — an
-    * index row is a pure function of the doc, so surviving copies are
-    * identical.
+    * or below the horizon and collapses crash duplicates via a FULL-ROW
+    * `dropDuplicates` (after normalizing `_batch_id` to the target
+    * partition) — crash copies are bit-identical, so they collapse, while
+    * a doc_id legitimately re-admitted in a later batch with different
+    * text keeps BOTH versions' sketch rows (deduping on (doc_id, band)
+    * would arbitrarily mix rows across the two versions).
     *
     * Only compact batches strictly below the streaming checkpoint's
     * committed horizon: a batch the running query may still replay must
     * keep its own partition (a replay dynamic-overwrites it).
+    *
+    * Calling with an `upToBatchId` BELOW an already-committed horizon is a
+    * no-op returning (0, 0): re-consolidating would move rows into a
+    * less-negative partition and silently regress the recorded horizon
+    * (a later replay of batches between the two horizons would then
+    * duplicate). Re-running AT the committed horizon stays the crash
+    *-convergence path (skips consolidation, sweeps leftovers).
     *
     * Concurrency: runs for the SAME table must not overlap — the run is
     * serialized against other gate/compaction writes in this JVM (shared
@@ -405,6 +414,11 @@ object TextDedup {
       .flatMap(p => scala.util.Try(
         -p.getName.stripPrefix("_batch_id=").toLong - 1).toOption)
       .foldLeft(-1L)(math.max)
+    // horizon-regression guard: a caller replaying an OLD compaction
+    // request must not fold the committed history into a less-negative
+    // partition (re-running AT the horizon is the crash-cleanup path and
+    // proceeds — alreadyCompacted skips the rewrite, leftovers are swept)
+    if (upToBatchId < committedHorizon) return (0, 0)
 
     // sweep staging dirs leaked by a crash after insertInto committed but
     // before cleanup (the consolidation block is skipped on that re-run,
@@ -438,12 +452,14 @@ object TextDedup {
       // stage 1: consolidated rows to scratch (read is path-based and the
       // write target is a different path — no table self-read conflict).
       // The read spans ALL prior consolidations and in-horizon batches;
-      // dropDuplicates collapses crash-leftover copies (identical rows —
-      // an index row is a function of the doc alone).
+      // _batch_id is normalized BEFORE the full-row dropDuplicates so
+      // crash-leftover copies (identical rows landed in two partitions)
+      // collapse, while distinct sketch rows for a re-admitted doc_id
+      // (different text, later batch) all survive.
       spark.read.parquet(root.toString)
         .filter(col("_batch_id") <= upToBatchId) // partition-pruned
-        .dropDuplicates("doc_id", "band")
         .withColumn("_batch_id", lit(compactedId))
+        .dropDuplicates()
         .write.mode("overwrite").parquet(staging.toString)
       // stage 2: through the table, so bucket files stay valid
       withDynamicOverwrite(spark) {
@@ -529,14 +545,27 @@ object TextDedup {
     * beyond that it trades the distance bound down (e.g. (8, 7) at
     * 50,000 docs ≈ 4× less candidate work, covering ~90% of measured
     * J ≥ 0.8 pairs there — the exact-recall path at such scales is
-    * `nearDuplicates`/`jaccardNearDuplicates`).
+    * `nearDuplicates`/`jaccardNearDuplicates`). Overrides are
+    * all-or-nothing: a half-specified banding (`pieces` without
+    * `maxDistance` or vice versa) fails fast instead of being silently
+    * replaced by auto.
+    *
+    * `nHint` > 0 supplies the corpus size for auto-banding without the
+    * extra `docs.count()` action/scan — at 100 TB the count scan costs as
+    * much as the sketch scan it parameterizes, and callers usually know n
+    * (table stats, a prior stage's count).
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8, maxDistance: Int = 0,
-                            pieces: Int = 0, n: Int = 3): DataFrame = {
+                            pieces: Int = 0, n: Int = 3,
+                            nHint: Long = 0L): DataFrame = {
+    require((pieces > 0) == (maxDistance > 0),
+      s"specify both pieces and maxDistance or neither (got pieces=$pieces, " +
+        s"maxDistance=$maxDistance) — a half-specified banding would be " +
+        "silently replaced by autoParams")
     val (p, d) =
-      if (pieces > 0 && maxDistance > 0) (pieces, maxDistance)
-      else SimHash.autoParams(docs.count())
+      if (pieces > 0) (pieces, maxDistance)
+      else SimHash.autoParams(if (nHint > 0) nHint else docs.count())
     val sh = docs
       .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -581,10 +610,15 @@ object TextDedup {
     */
   def autoDfCap(n: Long): Int = math.max(16L, (n + 191L) / 192L).toInt
 
+  /** `nHint` > 0 supplies the corpus size for `autoDfCap` without the
+    * extra `docs.count()` action — same contract as
+    * `simhashNearDuplicates`' hint.
+    */
   def substringOverlap(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, w: Int = 4, dfCap: Int = 0,
-                       minShared: Long = 10L): DataFrame = {
-    val cap = if (dfCap > 0) dfCap else autoDfCap(docs.count())
+                       minShared: Long = 10L, nHint: Long = 0L): DataFrame = {
+    val cap = if (dfCap > 0) dfCap
+      else autoDfCap(if (nHint > 0) nHint else docs.count())
     val fp = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.winnowingFingerprint(col(textCol), k, w)).as("f"))
     val rare = keepPairableBuckets(fp, Seq("f"), cap)

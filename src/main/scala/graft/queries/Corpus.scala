@@ -136,32 +136,49 @@ object Corpus {
     "doc_dedup_gate" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
-      val table = "graft_gate_replay_idx"
+      // per-run salted table/path: two harness processes sharing a JVM or
+      // box (bench + verify) must not corrupt each other's replay index,
+      // and the fixture cleans up after itself (the table is dropped
+      // before returning — see the inIndex checkpoint below)
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_gate_replay_idx_$salt"
       val path = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_gate_replay_idx")
+        java.nio.file.Files.createTempDirectory(s"graft_gate_$salt").toString,
+        "idx")
       val fs = path.getFileSystem(s.sessionState.newHadoopConf())
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      fs.delete(path, true)
-      val d1 = graft.operators.TextDedup.dedupGateBatch(
-        docs.filter($"doc_id" % 5 =!= 4), "doc_id", "text", table,
-        path.toString, batchId = 0L, threshold = 0.8)
-      val d2 = graft.operators.TextDedup.dedupGateBatch(
-        docs.filter($"doc_id" % 5 === 4), "doc_id", "text", table,
-        path.toString, batchId = 1L, threshold = 0.8)
-      graft.operators.TextDedup.compactGateIndex(s, table, upToBatchId = 0L)
-      val rejected = d1.select($"new_id").union(d2.select($"new_id"))
-        .distinct().withColumnRenamed("new_id", "doc_id")
-        .withColumn("_rej", lit(1))
-      val inIndex = s.table(table).select($"doc_id").distinct()
-        .withColumn("_idx", lit(1))
-      docs.select($"doc_id")
-        .join(rejected, Seq("doc_id"), "left")
-        .join(inIndex, Seq("doc_id"), "left")
-        .select($"doc_id",
-          when($"_rej" === 1, "rejected")
-            .when($"_idx" === 1, "admitted")
-            .otherwise("admitted_nosketch").as("status"))
-        .orderBy($"doc_id")
+      try {
+        // buckets=8: the gate-scale fixture (≤5k docs/batch) writes 2
+        // bucketed partitions + a compaction rewrite per execution — 32
+        // buckets spent most of the query's wall-clock committing
+        // near-empty files (VERDICT r7 #2). The 100 TB deployment sizes
+        // buckets to the corpus; the bucketed-join plan shape is identical.
+        val d1 = graft.operators.TextDedup.dedupGateBatch(
+          docs.filter($"doc_id" % 5 =!= 4), "doc_id", "text", table,
+          path.toString, batchId = 0L, threshold = 0.8, buckets = 8)
+        val d2 = graft.operators.TextDedup.dedupGateBatch(
+          docs.filter($"doc_id" % 5 === 4), "doc_id", "text", table,
+          path.toString, batchId = 1L, threshold = 0.8, buckets = 8)
+        graft.operators.TextDedup.compactGateIndex(s, table, upToBatchId = 0L)
+        val rejected = d1.select($"new_id").union(d2.select($"new_id"))
+          .distinct().withColumnRenamed("new_id", "doc_id")
+          .withColumn("_rej", lit(1))
+        // materialized (one small row per admitted doc) so the returned
+        // frame no longer references the catalog table and the fixture can
+        // be dropped in the finally
+        val inIndex = s.table(table).select($"doc_id").distinct()
+          .withColumn("_idx", lit(1)).localCheckpoint(true)
+        docs.select($"doc_id")
+          .join(rejected, Seq("doc_id"), "left")
+          .join(inIndex, Seq("doc_id"), "left")
+          .select($"doc_id",
+            when($"_rej" === 1, "rejected")
+              .when($"_idx" === 1, "admitted")
+              .otherwise("admitted_nosketch").as("status"))
+          .orderBy($"doc_id")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        fs.delete(path.getParent, true)
+      }
     }),
 
     // Same near-dup semantics via SimHash pigeonhole banding + exact
@@ -603,6 +620,10 @@ object Corpus {
     // ADMITTED batch-0 doc (rejected batch-0 docs never reach the index,
     // so they cannot reject anyone later). A doc too short to sketch is
     // admitted but absent from the index ('admitted_nosketch').
+    // ORACLE COST: the replay is exact all-pairs list_intersect Jaccard —
+    // quadratic in corpus size. Fine at sf0.01 (seconds) and sf0.1
+    // (~10 min, same family as the three near-dup oracles); a scale bump
+    // past sf0.1 must budget the oracle, not just the query.
     "doc_dedup_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |sh AS (SELECT doc_id,

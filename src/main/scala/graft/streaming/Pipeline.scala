@@ -58,6 +58,32 @@ object Pipeline {
     */
   val WriteSpread = 8
 
+  /** THROUGHPUT-MODE deployment recipe — the configuration
+    * `graft.StreamTuneProbe` measured at 31–35.5 k ev/s sustained with
+    * P95 batch latency 1.48–1.87 s on a single local[32] instance
+    * (round 7; the <2 s KPI met at 6–7× the 5 k ev/s gate):
+    *
+    *  - `ThroughputTuning`: the session-conf overrides to pass as
+    *    `run(..., tuning = ...)`. EMPTY by measurement, not omission —
+    *    the probe ran AQE-off and AQE-off+CBO-off variants against the
+    *    defaults and all landed within run-to-run noise (addBatch
+    *    executor work is ≈95% of trigger time; queryPlanning is
+    *    8–14 ms/batch, so no planning conf can buy anything). The
+    *    defaults `run` already applies (parallelismFirst coalescing +
+    *    128k min partition size) ARE the tuned state.
+    *  - `ThroughputAdmissionEvents`: size `maxFilesPerTrigger` so one
+    *    trigger admits ~this many events (e.g. 10 × 5 k-event segments).
+    *    Bigger batches amortize the fixed per-trigger cost (offset
+    *    bookkeeping 80–130 ms + one commit) without breaching the P95
+    *    KPI; beyond ~50 k the latency KPI starts to govern.
+    *
+    * Scale-out past one instance is the multi-instance model (one
+    * pipeline per ledger shard, ~38 k ev/s/box aggregate measured,
+    * near-linear to box saturation): the 100 k+ ev/s tier is ~3 workers.
+    */
+  val ThroughputTuning: Map[String, String] = Map.empty
+  val ThroughputAdmissionEvents = 50000
+
   /** Wire rows → domain events: typed per-table envelopes through the
     * single-pass rule engine, unioned. For multi-table batches call on a
     * MATERIALIZED (persisted) batch: the per-table branches then read from

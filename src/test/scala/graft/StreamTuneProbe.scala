@@ -16,7 +16,10 @@ object StreamTuneProbe {
   def main(args: Array[String]): Unit = {
     val nSegs = args.headOption.map(_.toInt).getOrElse(60)
     val perSeg = args.lift(1).map(_.toInt).getOrElse(5000)
-    val mft = args.lift(2).map(_.toInt).getOrElse(10) // 10 x 5k = 50k/batch
+    // default admission = the recipe these measurements produced:
+    // Pipeline.ThroughputAdmissionEvents per trigger (10 x 5k segments)
+    val mft = args.lift(2).map(_.toInt).getOrElse(
+      graft.streaming.Pipeline.ThroughputAdmissionEvents / perSeg)
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,8 +40,11 @@ object StreamTuneProbe {
       ledger
     }
 
+    // "baseline" IS the shipped recipe (Pipeline.ThroughputTuning — empty
+    // by measurement: these very runs showed the conf variants land within
+    // noise); the variants stay to re-verify that finding on re-runs
     val configs: Seq[(String, Map[String, String])] = Seq(
-      "baseline" -> Map.empty,
+      "baseline" -> graft.streaming.Pipeline.ThroughputTuning,
       "aqe-off" -> Map("spark.sql.adaptive.enabled" -> "false"),
       "aqe-off+nostats" -> Map(
         "spark.sql.adaptive.enabled" -> "false",

@@ -490,4 +490,77 @@ class TextDedupSpec extends AnyFunSuite {
     // the floor: even absurd corpus sizes keep a valid banding
     assert(SimHash.autoParams(Long.MaxValue / 4) == ((4, 3)))
   }
+
+  test("simhashNearDuplicates rejects a half-specified banding override") {
+    // pieces without maxDistance (or vice versa) must fail fast, not fall
+    // through to autoParams silently discarding the caller's value
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashNearDuplicates(docs, "doc_id", "text", pieces = 13)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashNearDuplicates(docs, "doc_id", "text", maxDistance = 12)
+    }
+  }
+
+  test("nHint skips the corpus-count action in the auto-param paths") {
+    val sc = spark.sparkContext
+    val st = sc.statusTracker
+    // job groups are thread-local, so concurrent suites on the shared
+    // session cannot pollute this group's job list
+    val group = s"nhint-${java.util.UUID.randomUUID}"
+    sc.setJobGroup(group, "nhint probe")
+    try {
+      // positive control: the auto path DOES submit a count job — proves
+      // the group-based detection below is not vacuous
+      TextDedup.simhashNearDuplicates(docs, "doc_id", "text")
+      val deadline = System.currentTimeMillis + 20000
+      while (st.getJobIdsForGroup(group).isEmpty &&
+             System.currentTimeMillis < deadline) Thread.sleep(50)
+      val controlJobs = st.getJobIdsForGroup(group).length
+      assert(controlJobs > 0, "control: auto path must submit a count job")
+      // hinted calls are pure plan construction — no job may appear
+      TextDedup.simhashNearDuplicates(docs, "doc_id", "text", nHint = 5L)
+      TextDedup.substringOverlap(docs, "doc_id", "text", nHint = 5L)
+      Thread.sleep(1000)
+      assert(st.getJobIdsForGroup(group).length == controlJobs,
+        "nHint must not run an extra count job/scan")
+    } finally sc.clearJobGroup()
+  }
+
+  test("compaction keeps both sketch versions of a re-admitted doc_id; stale horizon is a no-op") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gate_readmit").toString
+    val table = "graft_gate_readmit_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      // same doc_id, different text across batches (disjoint vocab, so the
+      // gate admits both): an id re-ingest/upsert, NOT a crash duplicate
+      val textA = (0 until 12).map(w => s"va${w}q").mkString(" ")
+      val textB = (0 until 12).map(w => s"vb${w}q").mkString(" ")
+      TextDedup.dedupGateBatch(Seq((1L, textA)).toDF("doc_id", "text"),
+        "doc_id", "text", table, s"$tmp/idx", batchId = 0L,
+        threshold = 0.5, buckets = 4)
+      TextDedup.dedupGateBatch(Seq((1L, textB)).toDF("doc_id", "text"),
+        "doc_id", "text", table, s"$tmp/idx", batchId = 1L,
+        threshold = 0.5, buckets = 4)
+      val rowsBefore = spark.table(table).drop("_batch_id")
+        .collect().map(_.toString).sorted.toSeq
+      TextDedup.compactGateIndex(spark, table, upToBatchId = 1L)
+      val rowsAfter = spark.table(table).drop("_batch_id")
+        .collect().map(_.toString).sorted.toSeq
+      assert(rowsAfter == rowsBefore,
+        "compaction dedup must collapse crash copies ONLY — both admitted " +
+          "versions' sketch rows must survive")
+      // committed horizon is now 1; a replayed OLDER compaction request
+      // must not fold history into a less-negative partition
+      assert(TextDedup.compactGateIndex(spark, table, upToBatchId = 0L)
+        == ((0, 0)))
+      val parts = spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(parts == Set(-2L), s"horizon must not regress: $parts")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }
