@@ -109,6 +109,16 @@ object TextAnalysis {
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.WinnowingFingerprintExpr.winnow(text, k, w)
 
+  /** Super-fingerprints: 64-bit keys over `s` consecutive recorded window
+    * minima (Broder super-shingles over the winnowing sequence) — one key
+    * witnesses a shared run of ~ k+w−1+(s−1)(w+1)/2 chars, the
+    * strong-evidence unit `TextDedup.substringClusters` builds star edges
+    * from. See `graft.functions.Winnow.superFingerprint`.
+    */
+  def winnowingSuperFingerprint(text: Column, k: Int = 8, w: Int = 4,
+                                s: Int = 12): Column =
+    graft.functions.WinnowingSuperExpr.winnowSuper(text, k, w, s)
+
   /** Per-document top-k TF-IDF terms — keyword extraction over the corpus:
     * tf = in-doc occurrence count, idf = ln(N / df) with df the number of
     * documents containing the term; rank by (tfidf desc, term asc) so ties

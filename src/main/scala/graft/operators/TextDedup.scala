@@ -607,6 +607,14 @@ object TextDedup {
     * (4.5M pairs) — auto lands at 261, inside the working band. Callers
     * with a known cluster-size bound should still pass it explicitly
     * (the declared gate query pins 16, its fixtures' cluster scale).
+    *
+    * SCALE BOUNDARY (measured, round-8 100× sweep): the pair output is
+    * Θ(Σ c²) over duplicate-cluster sizes c — when clusters reach the
+    * thousands (the 500k-doc sweep corpus aliases its planted clusters to
+    * c ≈ 2,600) the join output is ~10⁹ rows for ANY in-band cap and the
+    * operator OOMs by construction, not by miscalibration. Past that
+    * regime use `substringClusters` below: identical rare-fingerprint
+    * index, cluster-granular (linear) output.
     */
   def autoDfCap(n: Long): Int = math.max(16L, (n + 191L) / 192L).toInt
 
@@ -628,6 +636,60 @@ object TextDedup {
       .groupBy(col("fa.doc_id").as("id_a"), col("fb.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** CLUSTER-granular substring dedup — the shape that survives large
+    * duplicate clusters, where the pair form above cannot: `substring
+    * Overlap` emits Θ(c²) rows for a c-member cluster of shared runs, and
+    * the round-8 100× sweep measured that boundary directly (500k-doc
+    * corpus whose planted clusters alias across copies to c ≈ 2,600:
+    * every in-band dfCap OOMs a 48 GB executor pool on the pair join,
+    * because the OUTPUT is ~10⁹ rows regardless of how the cap is
+    * chosen). Here each rare-but-shared fingerprint contributes STAR
+    * edges instead — bucket members link to the bucket's minimum doc_id
+    * — which is connectivity-equivalent to the bucket clique, so
+    * connected components give exactly the components of the "shares ≥ 1
+    * rare fingerprint" graph with per-bucket output LINEAR in bucket
+    * size.
+    *
+    * The edge unit is the SUPER-fingerprint (`winnowingSuperFingerprint`):
+    * `s` consecutive recorded winnowing minima hashed into one 64-bit key,
+    * witnessing a shared verbatim run of ~ k+w−1+(s−1)(w+1)/2 ≈ 38 chars
+    * at the defaults — comparable evidence to the pair form's
+    * minShared=10 floor. Weaker edge units chain transitively (measured
+    * at sf0.01: single fingerprints merge ALL 500 docs into one
+    * component, s=6 still leaves a 453-doc component; s=12 sits on the
+    * stable 23-cluster plateau that covers every doc of the pair query's
+    * graph — see `Winnow.superFingerprint`).
+    *
+    * Contract differences from the pair form, both deliberate: (1) the
+    * pair-wise `minShared` count is replaced by the per-key run-length
+    * evidence above (membership is single-linkage over strong edges);
+    * (2) output is (cluster_id = component min doc_id, doc_id) for every
+    * doc in a nontrivial cluster, ready for keep-one dedup.
+    * `dfCap`/`nHint` follow `substringOverlap`'s auto contract.
+    */
+  def substringClusters(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, w: Int = 4, s: Int = 12, dfCap: Int = 0,
+                        nHint: Long = 0L, maxIter: Int = 20): DataFrame = {
+    val cap = if (dfCap > 0) dfCap
+      else autoDfCap(if (nHint > 0) nHint else docs.count())
+    val fp = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.winnowingSuperFingerprint(col(textCol), k, w, s))
+        .as("f"))
+    // one aggregate finds each pairable bucket's size AND its seed — the
+    // star-edge join then shuffles only (f, seed) against the fingerprint
+    // frame, never bucket×bucket
+    val seeds = fp.groupBy(col("f"))
+      .agg(count(lit(1)).as("_bsz"), min(col("doc_id")).as("seed"))
+      .filter(col("_bsz") >= 2 && col("_bsz") <= cap)
+      .select(col("f"), col("seed"))
+    val edges = fp.join(seeds, Seq("f"))
+      .filter(col("doc_id") =!= col("seed"))
+      .select(col("seed").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+    Components.connectedComponents(edges, maxIter = maxIter)
+      .select(col("component").as("cluster_id"), col("id").as("doc_id"))
   }
 }
 

@@ -110,6 +110,23 @@ object Curation {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Cluster-granular substring dedup (operators.TextDedup
+    // .substringClusters): connected components over STAR edges (each
+    // rare SUPER-fingerprint — 12 consecutive recorded winnowing minima,
+    // one key ≈ a ~38-char shared run — links its bucket to the
+    // bucket's min doc_id) — the linear-output form that survives the
+    // mega-cluster regime where the pair query above is Θ(c²) (measured
+    // OOM at the 100× sweep's c≈2,600 clusters). Oracle = recursive-CTE
+    // closure over the same star edges; same dfCap=16 fixture pin as the
+    // pair form.
+    "doc_substring_clusters" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextDedup
+        .substringClusters(Tables(s, dir, "documents"), "doc_id", "text",
+          dfCap = 16)
+        .orderBy($"cluster_id", $"doc_id")
+    }),
+
     // Sliding-window chunking (operators.Curation.chunkDocs): 200-char
     // windows every 120 chars — the embedding-pipeline preprocessing
     // step; digests gate the exact chunk text.
@@ -287,6 +304,48 @@ object Curation {
         |FROM er a JOIN er b ON a.f = b.f AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Star edges (bucket min doc_id -> member) over SUPER-fingerprints
+    // (12 consecutive recorded winnowing minima — mw = per-window minima,
+    // cm = adjacent repeats collapsed, the original winnowing recording
+    // rule) + recursive closure. The oracle groups by the raw '|'-joined
+    // minima where Spark groups by their md5-derived 64-bit surrogate —
+    // identical partitions modulo md5 collisions. df cap 2..16 mirrors
+    // the Spark query's pinned fixture-cluster scale.
+    // ORACLE COST: ~4 min at sf0.01 (the per-char list lambdas dominate);
+    // budget ~10x that at sf0.1 — same family as the near-dup oracles.
+    "doc_substring_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 8 + 2), i -> md5(text[i:i+7])) grams
+        |  FROM documents
+        |), mw AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(grams) - 4 + 2),
+        |      j -> list_min(grams[j:j+3])) m
+        |  FROM g WHERE len(grams) >= 4
+        |), cm AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(range(1, len(m) + 1), j -> j = 1 OR m[j] <> m[j-1]),
+        |    j -> m[j]) cmin
+        |  FROM mw
+        |), sup AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(cmin) - 12 + 2),
+        |      j -> array_to_string(cmin[j:j+11], '|'))) sf
+        |  FROM cm WHERE len(cmin) >= 12
+        |), e AS (SELECT doc_id, unnest(sf) AS f FROM sup),
+        |b AS (SELECT f, min(doc_id) AS seed FROM e GROUP BY f
+        |      HAVING count(*) BETWEEN 2 AND 16),
+        |se AS (SELECT DISTINCT b.seed AS u, e.doc_id AS v
+        |       FROM e JOIN b USING (f) WHERE e.doc_id <> b.seed),
+        |ed AS (SELECT u, v FROM se UNION SELECT v, u FROM se),
+        |r AS (
+        |  SELECT u AS id, v AS reach FROM ed
+        |  UNION
+        |  SELECT r.id, ed.v FROM r JOIN ed ON r.reach = ed.u
+        |)
+        |SELECT least(id, min(reach)) AS cluster_id, id AS doc_id
+        |FROM r GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
 
     "doc_chunks" ->
       """WITH c AS (

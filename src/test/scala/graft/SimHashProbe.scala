@@ -40,8 +40,16 @@ object SimHashProbe {
       val maxD = if (truePairs.isEmpty) -1 else truePairs.map(_.getInt(0)).max
       println(s"== $dir  n=$n  truePairDistances=${truePairs.map(r =>
         s"${r.getInt(0)}:${r.getLong(1)}").mkString(",")}  maxD=$maxD")
-      // candidate volume per piece count (pre-verification join size)
-      for (p <- Seq(13, 11, 9, 8, 7, 6)) {
+      // candidate volume per piece count (pre-verification join size).
+      // Skip piece counts whose EXPECTED volume (the autoParams model)
+      // exceeds ~1e9 pairs — at 500k docs p>=7 predicts 1.5e9..10^10
+      // candidates, which is exactly what the ladder exists to avoid;
+      // override with SIMHASH_PIECES=csv.
+      val pieceList = sys.env.get("SIMHASH_PIECES")
+        .map(_.split(",").map(_.toInt).toSeq)
+        .getOrElse(Seq(13, 11, 9, 8, 7, 6, 5).filter(p =>
+          p * n.toDouble * n.toDouble / math.pow(2.0, 64.0 / p + 1.0) <= 1e9))
+      for (p <- pieceList) {
         val t0 = System.nanoTime()
         val cand = graft.operators.SimHash
           .nearDuplicates(docs, "doc_id", "text",
