@@ -111,10 +111,18 @@ object Bench {
     // itself clean while carrying poisoned numbers.
     case class QStat(min: Double, med: Double, max: Double, steal: Double,
                      runs: Int, flagged: Boolean)
+    // a sample is steal-poisoned when the host took a meaningful FRACTION
+    // of the sample's cpu-time (steal is cumulative across all vCPUs, so
+    // the budget scales with wall x cores) — absolute-only thresholds let
+    // short queries under steady moderate steal self-certify clean. The
+    // 0.5 s floor absorbs USER_HZ tick noise on sub-second queries.
+    val nCpus = cpus.toDouble
+    def stolenSample(wall: Double, steal: Double): Boolean =
+      steal > 0.5 && steal > 0.01 * wall * nCpus
     def contended(samples: Seq[(Double, Double)]): Boolean = {
       val ts = samples.map(_._1)
       val spready = ts.max / math.max(ts.min, 1e-9) > 2.0 && ts.max - ts.min > 0.3
-      spready || samples.exists(_._2 > 1.0)
+      spready || samples.exists { case (w, st) => stolenSample(w, st) }
     }
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QStat = {
       runOnce(fn) // warmup
@@ -136,8 +144,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.med }
       .mkString("{", ",", "}")
+    // Double.toString is locale-independent; %f via the f-interpolator is
+    // NOT (a de_DE JVM renders "0,313" and breaks the JSON artifact)
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val stats = results.map { case (k, v) =>
-      f""""$k":{"min":${v.min}%.3f,"med":${v.med}%.3f,"max":${v.max}%.3f,"steal":${v.steal}%.2f,"runs":${v.runs},"flagged":${v.flagged}}"""
+      s""""$k":{"min":${r3(v.min)},"med":${r3(v.med)},"max":${r3(v.max)},"steal":${r3(v.steal)},"runs":${v.runs},"flagged":${v.flagged}}"""
     }.mkString("{", ",", "}")
     val flagged = results.collect { case (k, v) if v.flagged => "\"" + k + "\"" }
     val total = results.map(_._2.med).filter(_ >= 0).sum

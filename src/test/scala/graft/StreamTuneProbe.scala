@@ -19,7 +19,7 @@ object StreamTuneProbe {
     // default admission = the recipe these measurements produced:
     // Pipeline.ThroughputAdmissionEvents per trigger (10 x 5k segments)
     val mft = args.lift(2).map(_.toInt).getOrElse(
-      graft.streaming.Pipeline.ThroughputAdmissionEvents / perSeg)
+      math.max(1, graft.streaming.Pipeline.ThroughputAdmissionEvents / perSeg))
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

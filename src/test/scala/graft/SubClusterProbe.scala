@@ -30,7 +30,8 @@ object SubClusterProbe {
         .localCheckpoint(true)
       val members = cl.count()
       val stats = cl.groupBy($"cluster_id").count()
-        .agg(count(lit(1)).as("clusters"), max($"count").as("maxsz"))
+        .agg(count(lit(1)).as("clusters"),
+          coalesce(max($"count"), lit(0L)).as("maxsz"))
         .head
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"== $dir n=$n members=$members clusters=${stats.getLong(0)} " +
