@@ -111,30 +111,37 @@ object Bench {
     // itself clean while carrying poisoned numbers.
     case class QStat(min: Double, med: Double, max: Double, steal: Double,
                      runs: Int, flagged: Boolean)
-    // a sample is steal-poisoned when the host took a meaningful FRACTION
-    // of the sample's cpu-time (steal is cumulative across all vCPUs, so
-    // the budget scales with wall x cores) — absolute-only thresholds let
-    // short queries under steady moderate steal self-certify clean. The
-    // 0.5 s floor absorbs USER_HZ tick noise on sub-second queries.
+    // Two distinct signals, used differently:
+    //  - SPREAD (max/min > 2x with a 0.3 s absolute floor) is the TIMING
+    //    witness that contention actually moved a number — it triggers
+    //    re-sampling and, if it persists, the final per-query flag.
+    //  - per-sample STEAL (> 0.5 s AND > 1% of the sample's wall x cores)
+    //    marks a sample suspicious and triggers a precautionary re-sample,
+    //    but does NOT by itself flag the query: on a partially-idle box
+    //    the host steals idle cores without touching the query (measured:
+    //    steal-hit samples whose medians match steal-free re-runs to
+    //    <2%), so steal-only flags were false positives. The RUN-level
+    //    steal delta below still stamps the whole artifact.
     val nCpus = cpus.toDouble
     def stolenSample(wall: Double, steal: Double): Boolean =
       steal > 0.5 && steal > 0.01 * wall * nCpus
-    def contended(samples: Seq[(Double, Double)]): Boolean = {
+    def spready(samples: Seq[(Double, Double)]): Boolean = {
       val ts = samples.map(_._1)
-      val spready = ts.max / math.max(ts.min, 1e-9) > 2.0 && ts.max - ts.min > 0.3
-      spready || samples.exists { case (w, st) => stolenSample(w, st) }
+      ts.max / math.max(ts.min, 1e-9) > 2.0 && ts.max - ts.min > 0.3
     }
+    def suspicious(samples: Seq[(Double, Double)]): Boolean =
+      spready(samples) || samples.exists { case (w, st) => stolenSample(w, st) }
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QStat = {
       runOnce(fn) // warmup
       var samples = Vector.fill(3)(sample(fn))
       var extra = 0
-      while (extra < 2 && contended(samples)) {
+      while (extra < 2 && suspicious(samples)) {
         samples = (samples.sortBy(_._1).dropRight(1) :+ sample(fn))
         extra += 1
       }
       val ts = samples.map(_._1).sorted
       QStat(ts.head, ts(ts.size / 2), ts.last, samples.map(_._2).sum,
-        3 + extra, contended(samples))
+        3 + extra, spready(samples))
     }
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
