@@ -371,4 +371,104 @@ object Curation {
       .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Decontamination for the regime where the benchmark side is TOO BIG to
+    * broadcast raw (union of every eval suite + contamination corpus at
+    * 100 TB scale): same result as `decontaminate`, different plan. A Bloom
+    * filter over the bench grams — built DISTRIBUTED by Spark's own
+    * `BloomFilterAggregate` (the runtime-filter machinery), only the filter
+    * bytes reach the driver — prunes the train-side gram stream scan-side
+    * (`BloomFilterMightContain`, codegen'd), and only the survivors enter
+    * the exact-confirm equality join (shuffled, NOT broadcast: the bench
+    * side stays distributed). Bloom false positives are eliminated by the
+    * confirm join, so the output is EXACTLY `decontaminate`'s — the filter
+    * only cuts the shuffle volume, by ~(1 - fpp) for uncontaminated
+    * corpora, which is the dominant term when train >> bench overlap.
+    *
+    * `expectedGrams` sizes the filter (overestimates only lower the
+    * realized fpp); <= 0 counts the bench gram stream with one extra
+    * action — pass the hint when the caller already knows the scale
+    * (same contract as `TextDedup`'s `nHint`).
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8, minShared: Long = 1L,
+                         fpp: Double = 0.01,
+                         expectedGrams: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    def grams(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        explode(TextDedup.shingleHashSet(col(textCol), n)).as("gram"))
+    val benchGrams = grams(bench, "bench_id")
+    val est = math.max(1L,
+      if (expectedGrams > 0) expectedGrams else benchGrams.count())
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, fpp)
+    val bloomAgg = new BloomFilterAggregate(
+      UnresolvedAttribute("gram"), Literal(est), Literal(numBits))
+      .toAggregateExpression()
+    val bloomBytes = benchGrams
+      .select(ColumnBridge.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val trainGrams = grams(train, "train_id")
+    val pruned =
+      if (bloomBytes == null) trainGrams.filter(lit(false)) // empty bench
+      else trainGrams.filter(ColumnBridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        UnresolvedAttribute("gram"))))
+    pruned
+      .join(benchGrams, Seq("gram")) // exact confirm: kills bloom FPs
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Cross-document line-level dedup (the CCNet / RefinedWeb boilerplate
+    * pass): a line whose exact text appears in >= `minDf` DISTINCT
+    * documents is removed from every document; surviving lines keep their
+    * original order. Returns one row per input document — `text_clean`
+    * (delim-rejoined survivors, "" when everything was boilerplate),
+    * `n_kept`, `n_removed`.
+    *
+    * Scale shape: lines travel as 64-bit xxhash64 keys through BOTH
+    * shuffles — the document-frequency count (over distinct (doc_id, h),
+    * so within-doc repeats count once) and the per-doc regroup — and the
+    * line string rides alongside only for reconstruction. No join back to
+    * the base table: every doc has >= 1 line (split of "" is [""]), so the
+    * single conditional aggregation covers fully-boilerplate docs too.
+    * Both shuffle keys are high-cardinality (line hash, doc_id); the df
+    * table is NOT broadcast — boilerplate sets are heavy-hitter-shaped but
+    * unbounded in adversarial corpora, and the equality join costs one
+    * already-keyed exchange. (A 64-bit hash collision merges two lines'
+    * df counts; the DuckDB oracle joins raw strings and would flag one.)
+    *
+    * `delim` is taken literally (regex-quoted for the split, verbatim for
+    * the rejoin). Callers wanting CCNet's normalization (lowercase, strip
+    * digits/punctuation) should pre-normalize a shadow column and dedup on
+    * that — this operator dedups on the exact line.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                delim: String = "\n", minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 removes nothing or everything, got $minDf")
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), java.util.regex.Pattern.quote(delim), -1).as("ls"))
+      .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val df = lines.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    lines.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(delim,
+          transform(
+            array_sort(collect_list(
+              when(col("df") < minDf, struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as("text_clean"),
+        count(when(col("df") < minDf, 1)).as("n_kept"),
+        count(when(col("df") >= minDf, 1)).as("n_removed"))
+  }
 }

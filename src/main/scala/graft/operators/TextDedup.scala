@@ -529,6 +529,61 @@ object TextDedup {
         jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** Exact CONTAINMENT detection — the asymmetric cousin of
+    * `jaccardNearDuplicates`: emit (id_sub, id_sup, containment) for every
+    * ORDERED pair where containment(sub ⊆ sup) = |S(sub) ∩ S(sup)| /
+    * |S(sub)| >= `threshold` over distinct word `n`-gram shingle sets.
+    * Jaccard misses these by construction (a 30-word quote inside a
+    * 500-word article has J ≈ 0.06 but containment 1.0); this is the
+    * subset/quote/excerpt dedup pass — near-identical docs simply show up
+    * twice, once per direction.
+    *
+    * Exact via the asymmetric prefix filter (the containment half of the
+    * AllPairs family): order each doc's shingle hashes ascending and index
+    * only the first |A| - ceil(t·|A|) + 1 as PROBES — if containment(A⊆B)
+    * >= t, at most |A| - ceil(t·|A|) of A's hashes are outside A∩B, so the
+    * smallest shared hash sits inside A's prefix — joined against the FULL
+    * index of every doc (the container side can't be prefix-pruned: the
+    * shared hash's rank in B is unbounded). Candidates verify against the
+    * complete sets, so precision is exact and recall is exact up to the
+    * `maxDF` guard: full-index buckets with df > maxDF are dropped
+    * (boilerplate shingles; affects candidate recall only on corpora where
+    * a pair shares NOTHING but such grams — at the default n=4 word grams
+    * that means thousands of docs sharing the same 4-word run). df-1
+    * buckets can never pair and are dropped too.
+    *
+    * At 100 TB: probes are ~(1-t) of the shingle volume, the join is
+    * equality-keyed on the hash (uniform, high-cardinality), and the
+    * verify join touches only candidates — no doc×doc product anywhere.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8, n: Int = 4,
+                       maxDF: Int = 100000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val sh = docs
+      .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+    val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val probes = sh.select(col("doc_id"),
+      explode(slice(sort_array(col("sh")), lit(1), prefLen)).as("h"))
+    val full = keepPairableBuckets(
+      sh.select(col("doc_id"), explode(col("sh")).as("h")), Seq("h"), maxDF)
+    val cand = probes.alias("pa")
+      .join(full.alias("fb"), col("pa.h") === col("fb.h"))
+      .filter(col("pa.doc_id") =!= col("fb.doc_id"))
+      .select(col("pa.doc_id").as("id_sub"), col("fb.doc_id").as("id_sup"))
+      .distinct()
+    cand
+      .join(sh.alias("sa"), col("id_sub") === col("sa.doc_id"))
+      .join(sh.alias("sb"), col("id_sup") === col("sb.doc_id"))
+      .select(col("id_sub"), col("id_sup"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          col("sa.sz")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** SimHash-bucketed near-dup with exact Jaccard verification: candidates
     * from the pigeonhole segment join (Hamming ≤ `maxDistance`), output
     * filtered on the exact shingle Jaccard — so the result is identical to

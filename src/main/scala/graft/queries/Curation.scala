@@ -219,6 +219,70 @@ object Curation {
         "vec_id", "embedding", queryId = 0L, k = 10, m = 4, kCent = 8,
         iters = 1, dim = 64)
     }),
+
+    // Cross-document LINE dedup (operators.Curation.lineDedup — the
+    // CCNet/RefinedWeb boilerplate pass): documents re-rendered as
+    // newline-joined 12-word paragraphs wrapped in a per-source
+    // header/footer line (the synthetic boilerplate — every doc of a
+    // source shares it), then any line present in >= 3 distinct docs is
+    // removed corpus-wide. Digest gates the exact surviving text + order.
+    "doc_line_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id", $"source", split($"text", " ", -1).as("w"))
+      val paras = transform(
+        sequence(lit(0), ((size($"w") + lit(11)) / lit(12)).cast("int") - 1),
+        i => array_join(slice($"w", i * 12 + 1, lit(12)), " "))
+      val hdr = array(concat(lit("== "), $"source", lit(" ==")))
+      val lined = d.select($"doc_id",
+        array_join(flatten(array(hdr, paras, hdr)), "\n").as("txt"))
+      graft.operators.Curation
+        .lineDedup(lined, "doc_id", "txt", delim = "\n", minDf = 3)
+        .select($"doc_id", $"n_kept", $"n_removed",
+          md5($"text_clean").as("digest"))
+        .orderBy($"doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination (operators.Curation
+    // .decontaminateBloom): same overlap semantics as doc_decontaminate
+    // (word 8-grams, minShared=1) on the complementary bench split
+    // (doc_id % 50 == 1), but through the big-bench-side plan — a
+    // distributed BloomFilterAggregate prunes train grams scan-side and
+    // the exact-confirm shuffle join removes the bloom's false positives,
+    // so the oracle is the exact relational overlap.
+    "doc_decontaminate_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Curation
+        .decontaminateBloom(
+          train = docs.filter($"doc_id" % 50 =!= 1),
+          bench = docs.filter($"doc_id" % 50 === 1),
+          idCol = "doc_id", textCol = "text", n = 8, minShared = 1L,
+          fpp = 0.01)
+        .select($"train_id", $"bench_id", $"n_shared")
+        .orderBy($"train_id", $"bench_id")
+    }),
+
+    // Containment / subset dedup (operators.TextDedup.containmentPairs):
+    // excerpt docs (first 30 words of every doc_id % 10 == 0, re-id'd
+    // +1,000,000) unioned with the corpus; every ordered pair where >= 80%
+    // of the smaller side's distinct word 4-grams appear in the other doc.
+    // Catches quotes/excerpts that whole-doc Jaccard misses (a 30-of-50
+    // word excerpt has J ~ 0.55 but containment 1.0); near-identical docs
+    // surface in both directions.
+    "doc_containment" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+      val snip = Tables(s, dir, "documents")
+        .filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          array_join(slice(split($"text", " ", -1), 1, 30), " ").as("text"))
+      graft.operators.TextDedup
+        .containmentPairs(docs.unionByName(snip), "doc_id", "text",
+          threshold = 0.8, n = 4)
+        .select($"id_sub", $"id_sup", round($"containment", 6).as("containment"))
+        .orderBy($"id_sub", $"id_sup")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -520,5 +584,69 @@ object Curation {
         |  FROM codes JOIN lut USING (m, code) GROUP BY codes.vec_id)
         |SELECT vec_id, round(s0 + s1 + s2 + s3, 6) AS adc
         |FROM adc ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Line-dedup replay: identical paragraphization (12-word chunks +
+    // per-source header/footer), df = distinct docs per EXACT line, lines
+    // with df >= 3 removed, survivors rejoined in position order. Spark
+    // groups by xxhash64(line) where this joins raw strings — a 64-bit
+    // collision would surface as a digest mismatch here.
+    "doc_line_dedup" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
+        |p AS (SELECT doc_id, '== ' || source || ' ==' AS hdr,
+        |        list_transform(range(0, (len(w) + 11) // 12),
+        |          i -> array_to_string(w[i*12+1 : i*12+12], ' ')) ps
+        |      FROM d),
+        |docs2 AS (SELECT doc_id, list_concat(list_concat([hdr], ps), [hdr]) ls FROM p),
+        |lines AS (SELECT doc_id, unnest(ls) AS line,
+        |            unnest(range(1, len(ls) + 1)) AS pos FROM docs2),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+        |SELECT l.doc_id,
+        |  count(*) FILTER (WHERE f.df < 3) AS n_kept,
+        |  count(*) FILTER (WHERE f.df >= 3) AS n_removed,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE f.df < 3), '')) AS digest
+        |FROM lines l JOIN freq f USING (line)
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+
+    // Bloom decontamination is EXACT (the confirm join kills false
+    // positives), so the oracle is the plain relational overlap on the
+    // complementary bench split — the bloom changes the plan, not the
+    // result.
+    "doc_decontaminate_bloom" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 6),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) s
+        |      FROM t WHERE len(w) >= 8),
+        |e AS (SELECT doc_id, unnest(s) AS gram FROM g)
+        |SELECT a.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+        |FROM e a JOIN e b USING (gram)
+        |WHERE a.doc_id % 50 <> 1 AND b.doc_id % 50 = 1
+        |GROUP BY 1, 2
+        |ORDER BY train_id, bench_id""".stripMargin,
+
+    // Containment replay: same excerpt fixture, distinct word 4-gram sets,
+    // shared count via the gram equality join, containment = shared /
+    // |sub's set| — filter on the raw double, round only the output (the
+    // division is exact-int / exact-int in both engines).
+    "doc_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[1:30], ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) s
+        |      FROM t WHERE len(w) >= 4),
+        |g AS (SELECT doc_id, len(s) AS sz, unnest(s) AS gram FROM sh),
+        |p AS (SELECT a.doc_id AS id_sub, b.doc_id AS id_sup,
+        |        count(*) AS n_shared, any_value(a.sz) AS sz_sub
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_sub, id_sup, round(n_shared::DOUBLE / sz_sub, 6) AS containment
+        |FROM p WHERE n_shared::DOUBLE / sz_sub >= 0.8
+        |ORDER BY id_sub, id_sup""".stripMargin,
   )
 }

@@ -336,4 +336,70 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
+
+  test("decontaminateBloom returns exactly decontaminate's result") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$shared unique0 filler a b c"),
+      (1L, s"prefix1 $shared suffix1"),
+      (2L, "totally different words here nothing shared at all longer than eight"),
+      (50L, "another bench doc with its own content words one two three"),
+      (51L, s"also $shared trailing"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val train = docs.filter($"doc_id" % 50 =!= 0)
+    val exact = Curation.decontaminate(train, bench, "doc_id", "text", n = 8)
+      .orderBy("train_id", "bench_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val bloom = Curation.decontaminateBloom(train, bench, "doc_id", "text", n = 8)
+      .orderBy("train_id", "bench_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(bloom == exact)
+    assert(bloom == List((1L, 0L, 3L), (51L, 0L, 3L)))
+  }
+
+  test("decontaminateBloom prunes scan-side via might_contain; empty bench is empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "j k l m n o p q r"))
+      .toDF("doc_id", "text")
+    val plan = Curation.decontaminateBloom(docs, docs.limit(1), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    val empty = Curation.decontaminateBloom(
+      docs, docs.filter(lit(false)), "doc_id", "text").count()
+    assert(empty == 0L)
+  }
+
+  test("lineDedup removes corpus-frequent lines, keeps order, counts exactly") {
+    import spark.implicits._
+    // "HDR" appears in all 3 docs (df=3 >= minDf=2 -> removed);
+    // "shared" in docs 1+2 (df=2 -> removed); within-doc repeat of "only1"
+    // counts ONCE for df, so it survives (df=1) — both copies kept.
+    val docs = Seq(
+      (1L, "HDR\nonly1\nshared\nonly1\nTAIL1"),
+      (2L, "HDR\nshared\nTAIL2"),
+      (3L, "HDR"))
+      .toDF("doc_id", "text")
+    val got = Curation.lineDedup(docs, "doc_id", "text", minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(
+      (1L, "only1\nonly1\nTAIL1", 3L, 2L),
+      (2L, "TAIL2", 1L, 2L),
+      (3L, "", 0L, 1L)))
+  }
+
+  test("lineDedup treats the delimiter literally and keeps empty lines distinct") {
+    import spark.implicits._
+    // '.' must not act as regex-any; empty lines dedup like any other line.
+    val docs = Seq((1L, "a.b..a"), (2L, "c..d")).toDF("doc_id", "text")
+    val got = Curation.lineDedup(docs, "doc_id", "text", delim = ".", minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    // doc1 lines: a, b, "", a ; doc2: c, "", d — "" in both docs -> removed
+    assert(got == List((1L, "a.b.a", 3L, 1L), (2L, "c.d", 2L, 1L)))
+  }
 }

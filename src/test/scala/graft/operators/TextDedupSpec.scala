@@ -600,4 +600,70 @@ class TextDedupSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("containmentPairs finds excerpts one-directionally, near-identicals both ways") {
+    import spark.implicits._
+    val body = (1 to 50).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ") // fully inside body
+    val nearA = (1 to 40).map(i => s"n$i").mkString(" ")
+    val nearB = (1 to 40).map(i => s"n$i").mkString(" ") + " extra"
+    val docs = Seq(
+      (1L, body), (2L, excerpt), (3L, nearA), (4L, nearB),
+      (5L, "completely unrelated vocabulary nothing matching anywhere at all"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.8, n = 4)
+      .orderBy("id_sub", "id_sup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // excerpt(2) ⊆ body(1): 9 of 9 grams shared, one direction only
+    // (body has 47 grams, 9/47 < 0.8); nearA/nearB contain each other.
+    assert(got.map(t => (t._1, t._2)) == List((2L, 1L), (3L, 4L), (4L, 3L)))
+    assert(got.head._3 == 1.0)
+    assert(got(1)._3 == 1.0) // nearA's 37 grams all inside nearB
+    assert(got(2)._3 >= 0.8 && got(2)._3 < 1.0) // nearB has 1 extra gram
+  }
+
+  test("containmentPairs matches brute-force set containment on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 12).map(i => s"v$i")
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (0 until (8 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextDedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.6, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over exact word-3-gram string sets
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = texts.map { case (id, t) => id -> grams(t) }.toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty &&
+        sa.intersect(sb).size.toDouble / sa.size >= 0.6
+    } yield (a, b)).toSet
+    assert(got == want)
+  }
+
+  test("containmentPairs maxDF guard drops only boilerplate-bucket candidates") {
+    import spark.implicits._
+    // every doc shares the same 4-gram run ("b1 b2 b3 b4"); with maxDF=3
+    // that bucket (df=5) is dropped, so only the genuine excerpt pair
+    // (whose overlap spans rarer grams too) survives.
+    val docs = Seq(
+      (1L, "b1 b2 b3 b4 u1 u2 u3 u4 u5 u6 u7 u8"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7"), // excerpt of 1 beyond the boilerplate
+      (3L, "b1 b2 b3 b4 x1 x2 x3 x4 x5"),
+      (4L, "b1 b2 b3 b4 y1 y2 y3 y4 y5"),
+      (5L, "b1 b2 b3 b4 z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.8, n = 4, maxDF = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((2L, 1L)))
+  }
 }
