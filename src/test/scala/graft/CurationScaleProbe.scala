@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the round-8 curation operators (lineDedup,
+  * decontaminateBloom, containmentPairs): times each on an arbitrary
+  * documents dir (driver sf dirs or ScaleDataGen output) using the same
+  * fixture shapes as the declared queries, printing seconds + result
+  * cardinalities — the evidence that the claimed ~linear shapes hold at
+  * 10×/100×, mirroring DfCapProbe/SimHashProbe for the round-7 knobs.
+  *
+  * Usage: CurationScaleProbe <docsDir> [op ...]   (ops default to all)
+  */
+object CurationScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val ops: Set[String] =
+      if (args.length > 1) args.drop(1).toSet
+      else Set("line", "bloom", "containment")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = Tables(spark, dir, "documents")
+    val n = docs.count()
+    println(s"[probe] corpus $dir: $n docs")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    if (ops("line")) {
+      val d = docs.select($"doc_id", $"source", split($"text", " ", -1).as("w"))
+      val paras = transform(
+        sequence(lit(0), ((size($"w") + lit(11)) / lit(12)).cast("int") - 1),
+        i => array_join(slice($"w", i * 12 + 1, lit(12)), " "))
+      val hdr = array(concat(lit("== "), $"source", lit(" ==")))
+      val lined = d.select($"doc_id",
+        array_join(flatten(array(hdr, paras, hdr)), "\n").as("txt"))
+      val res = timed("lineDedup (minDf=3)") {
+        graft.operators.Curation.lineDedup(lined, "doc_id", "txt", minDf = 3)
+          .agg(count(lit(1)), sum($"n_removed")).head()
+      }
+      println(s"[probe]   docs=${res.getLong(0)} lines_removed=${res.getLong(1)}")
+    }
+
+    if (ops("bloom")) {
+      val bench = docs.filter($"doc_id" % 50 === 1)
+      val train = docs.filter($"doc_id" % 50 =!= 1)
+      val pairs = timed("decontaminateBloom (n=8, fpp=0.01)") {
+        graft.operators.Curation
+          .decontaminateBloom(train, bench, "doc_id", "text", n = 8)
+          .count()
+      }
+      println(s"[probe]   contaminated_pairs=$pairs")
+      val exact = timed("decontaminate broadcast form (reference)") {
+        graft.operators.Curation
+          .decontaminate(train, bench, "doc_id", "text", n = 8)
+          .count()
+      }
+      println(s"[probe]   broadcast_pairs=$exact match=${pairs == exact}")
+    }
+
+    if (ops("containment")) {
+      val base = docs.select($"doc_id", $"text")
+      val snip = docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + lit(1000000000L)).as("doc_id"),
+          array_join(slice(split($"text", " ", -1), 1, 30), " ").as("text"))
+      val res = timed("containmentPairs (t=0.8, n=4)") {
+        graft.operators.TextDedup
+          .containmentPairs(base.unionByName(snip), "doc_id", "text",
+            threshold = 0.8, n = 4)
+          .agg(count(lit(1)),
+            sum(when($"id_sub" >= 1000000000L, 1).otherwise(0))).head()
+      }
+      println(s"[probe]   pairs=${res.getLong(0)} excerpt_pairs=${res.getLong(1)}")
+    }
+
+    spark.stop()
+  }
+}
