@@ -227,6 +227,130 @@ object Multimodal {
     }
   }
 
+  /** splitmix64 of a step index — the deterministic pixel/byte generator
+    * shared by the synthetic fixtures AND replayed verbatim by the DuckDB
+    * oracles (state is a pure function of the index, so the stream
+    * replicates in SQL via range() + the 32-bit-halves wrapping multiply).
+    */
+  def splitmix64(k: Long): Long = {
+    var z = k * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** A REAL minimal BMP encoder (BITMAPINFOHEADER, 24 bpp, BI_RGB,
+    * bottom-up rows, 4-byte row padding) over a grayscale function of the
+    * row-major pixel index — `javax.imageio`'s BMP reader decodes it back
+    * bit-exactly (asserted in `MultimodalSpec`), which is what lets the
+    * perceptual-hash oracle replay pixels without an image library.
+    */
+  def encodeBmp24Gray(width: Int, height: Int, gray: Int => Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * height
+    val fileSize = 54 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = height - 1 // BMP stores rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = (gray(y * width + x) & 0xFF).toByte
+        buf.put(v).put(v).put(v) // B G R equal: grayscale
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Perceptual average-hash (aHash) of a decoded raster: 8×8 grid over
+    * the image, bit i set iff cell i's mean grayscale exceeds the global
+    * mean. All comparisons are EXACT integer cross-multiplies
+    * (cellSum·totalN > totalSum·cellN — no floating point anywhere), so
+    * the hash replays bit-identically in SQL; grayscale is the integer
+    * (299r + 587g + 114b) / 1000 (identity on gray pixels). Safe to
+    * ~100 MP (the cross-multiply stays inside Long). Cell of pixel
+    * (x, y) = (y·8/h)·8 + x·8/w — exact 8×8 blocks when 8 | w, h.
+    */
+  def averageHash64(img: DecodedImage): Long = {
+    require(img.width >= 8 && img.height >= 8,
+      s"image ${img.width}x${img.height} smaller than the 8x8 hash grid")
+    val ch = img.channels
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var y = 0
+    while (y < img.height) {
+      val cy = y * 8 / img.height
+      var x = 0
+      while (x < img.width) {
+        val cx = x * 8 / img.width
+        val o = (y * img.width + x) * ch
+        val gray = (299 * (img.pixels(o) & 0xFF) +
+          587 * (img.pixels(o + 1) & 0xFF) +
+          114 * (img.pixels(o + 2) & 0xFF)) / 1000
+        val c = cy * 8 + cx
+        cellSum(c) += gray
+        cellN(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalSum = cellSum.sum
+    val totalN = img.width.toLong * img.height
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (cellSum(i) * totalN > totalSum * cellN(i)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** (asset_id, ahash) for every DECODABLE image in the frame — real
+    * `javax.imageio` decode + `averageHash64`, undecodable payloads
+    * dropped (a real pipeline routes them to a dead-letter table, as
+    * `audioFeatures` documents). Runs as a deserialized map — decode is a
+    * JVM library call, not expressible as a Catalyst expression — but the
+    * hash output re-enters columnar land immediately, so everything
+    * downstream (the dedup join) is back in codegen.
+    */
+  def imageHashes(images: DataFrame, idCol: String,
+                  contentCol: String): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images
+      .select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(contentCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeImage(bytes).map(img => (id, averageHash64(img)))
+      }
+      .toDF("asset_id", "ahash")
+  }
+
+  /** Perceptual image near-dedup: aHash per image, then the pigeonhole
+    * Hamming join shared with the SimHash text path
+    * (`SimHash.hammingPairs`) — pairs at Hamming ≤ `maxDistance` over the
+    * 64-bit perceptual hash, found exactly for the hash (`pieces` >
+    * maxDistance), candidates bounded by segment buckets, never an
+    * all-pairs product. The training-data use: collapse re-encoded /
+    * lightly-edited duplicate images before captioning or embedding.
+    */
+  def imageDedup(images: DataFrame, idCol: String, contentCol: String,
+                 maxDistance: Int = 8, pieces: Int = 9): DataFrame =
+    graft.operators.SimHash.hammingPairs(
+      imageHashes(images, idCol, contentCol), "asset_id", "ahash",
+      maxDistance, pieces)
+
   /** A decoded audio clip: PCM bytes + the format sidecar. */
   final case class DecodedAudio(sampleRate: Int, channels: Int,
                                 bitsPerSample: Int, nFrames: Long,

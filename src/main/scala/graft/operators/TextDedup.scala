@@ -839,17 +839,37 @@ object SimHash {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      maxDistance: Int = 3, pieces: Int = 4,
                      shingleN: Int = 3): DataFrame = {
+    val fp = docs
+      .select(col(idCol).as("doc_id"),
+        TextDedup.shingleHashSet(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("fp", simhash64(col("sh")))
+      .select(col("doc_id"), col("fp"))
+    hammingPairs(fp, "doc_id", "fp", maxDistance, pieces)
+  }
+
+  /** Pigeonhole Hamming join over ANY 64-bit fingerprint column (shared by
+    * the SimHash text path and `Multimodal.imageDedup`'s perceptual
+    * hashes): pairs with Hamming(hash) ≤ `maxDistance`, found exactly —
+    * split into `pieces` > maxDistance segments, a qualifying pair shares
+    * at least one exact segment, verify on the full hash.
+    *
+    * Segments cover ALL 64 bits with near-equal widths (⌈64/pieces⌉ then
+    * ⌊64/pieces⌋): wider segments mean exponentially more buckets per
+    * piece, which is what bounds candidate fan-out — at 13 pieces this is
+    * 12 five-bit + 1 four-bit segments (32-value buckets) instead of
+    * uniform four-bit ones, halving bucket collisions.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxDistance: Int, pieces: Int): DataFrame = {
     require(pieces > maxDistance, "need pieces > maxDistance for full recall")
     require(pieces <= 64, "at most one segment per bit")
     val wide = 64 % pieces       // this many segments get an extra bit
     val base = 64 / pieces
     val widths = Seq.tabulate(pieces)(p => if (p < wide) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val fp = docs
-      .select(col(idCol).as("doc_id"),
-        TextDedup.shingleHashSet(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("fp", simhash64(col("sh")))
+    val fp = hashes
+      .select(col(idCol).as("doc_id"), col(hashCol).as("fp"))
       .select(col("doc_id"), col("fp"),
         explode(array(Seq.tabulate(pieces) { p =>
           struct(lit(p).as("piece"),

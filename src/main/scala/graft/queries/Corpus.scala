@@ -296,6 +296,40 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Perceptual image near-dedup (operators.Multimodal.imageDedup): one
+    // REAL 64×64 BMP per documents row (pixels = splitmix64 of the
+    // row-major index — the PRNG the oracle replays in SQL), plus a
+    // perturbed re-encode for every doc_id % 10 == 0 (three 8×8 cells
+    // shifted +64 gray levels). The pipeline is real end to end:
+    // javax.imageio decodes the BMP bytes, averageHash64 computes the
+    // integer-exact aHash, and the pigeonhole Hamming join (shared with
+    // the SimHash text path) finds pairs at distance ≤ 8. The oracle
+    // regenerates the pixels arithmetically, replays the hash bit rule
+    // (64·cellSum > totalSum — no floats anywhere) and compares packed
+    // bit halves — so the decode+hash+join pipeline sits under the exact
+    // hash gate without DuckDB ever touching an image library.
+    "mm_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val base = ids.map { id =>
+        (id, Multimodal.encodeBmp24Gray(64, 64, p =>
+          (Multimodal.splitmix64(id * 4096L + p + 1L) & 255L).toInt))
+      }
+      val copies = ids.filter(_ % 10 == 0).map { id =>
+        (id + 100000L, Multimodal.encodeBmp24Gray(64, 64, { p =>
+          val v = (Multimodal.splitmix64(id * 4096L + p + 1L) & 255L).toInt
+          val cell = (p / 64 / 8) * 8 + (p % 64) / 8
+          if (cell == 0 || cell == 9 || cell == 18) (v + 64) % 256 else v
+        }))
+      }
+      Multimodal.imageDedup(
+          base.union(copies).toDF("asset_id", "content"),
+          "asset_id", "content", maxDistance = 8, pieces = 9)
+        .select($"id_a", $"id_b", $"distance".cast("bigint").as("distance"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Exact top-10 most-similar embedding pairs (all-pairs similarity
     // surface), via the block-tiled equality self-join: even shuffle
     // distribution, no BroadcastNestedLoopJoin, bit-identical doubles to
@@ -807,6 +841,58 @@ object Corpus {
         |FROM dq CROSS JOIN q
         |WHERE dq.vec_id <> 0
         |ORDER BY sim DESC, dq.vec_id LIMIT 10""".stripMargin,
+
+    // Perceptual-hash replay WITHOUT an image library: pixels regenerate
+    // from splitmix64 of (src_id·4096 + p + 1) — the 32-bit-halves
+    // wrapping-multiply formulation shared with the knn_lsh oracle — and
+    // the aHash bit rule is pure integers (64·cellSum > totalSum), so the
+    // oracle's packed 32-bit halves xor/bit_count to the same Hamming
+    // distances the Spark side computes AFTER a real BMP encode +
+    // javax.imageio decode round trip (bit-exactness of that round trip
+    // is what the gate proves). ORACLE COST: the SQL pixel regen is
+    // 4096 rows/image (17 s at sf0.01, ~3 min at sf0.1) and the Hamming
+    // check is all-pairs over packed halves — a scale bump past sf0.1
+    // must budget the oracle, not the query (which is linear + bucketed).
+    "mm_image_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS img_id, doc_id AS src_id, false AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id, true FROM documents WHERE doc_id % 10 = 0),
+        |px AS (
+        |  SELECT img_id, pert, p,
+        |    ((p // 64) // 8) * 8 + (p % 64) // 8 AS cell,
+        |    (src_id * 4096 + p + 1)::HUGEINT AS k
+        |  FROM ids, range(0, 4096) r(p)),
+        |x0 AS (SELECT img_id, pert, cell,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM px),
+        |z1 AS (
+        |  SELECT img_id, pert, cell, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT img_id, pert, cell, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |g AS (SELECT img_id, cell,
+        |  CASE WHEN pert AND cell IN (0, 9, 18)
+        |       THEN ((xor(z, z >> 31) % 256)::BIGINT + 64) % 256
+        |       ELSE (xor(z, z >> 31) % 256)::BIGINT END AS v FROM z2),
+        |cells AS (SELECT img_id, cell, sum(v)::BIGINT AS cs FROM g GROUP BY 1, 2),
+        |tot AS (SELECT img_id, sum(cs)::BIGINT AS ts FROM cells GROUP BY 1),
+        |bits AS (SELECT c.img_id, c.cell, (64 * c.cs > t.ts) AS bit
+        |         FROM cells c JOIN tot t USING (img_id)),
+        |pack AS (SELECT img_id,
+        |  sum(CASE WHEN bit AND cell < 32 THEN (1::BIGINT << cell) ELSE 0 END) AS lo,
+        |  sum(CASE WHEN bit AND cell >= 32 THEN (1::BIGINT << (cell - 32)) ELSE 0 END) AS hi
+        |  FROM bits GROUP BY img_id),
+        |ham AS (SELECT a.img_id AS id_a, b.img_id AS id_b,
+        |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS distance
+        |  FROM pack a JOIN pack b ON a.img_id < b.img_id)
+        |SELECT id_a, id_b, distance FROM ham WHERE distance <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "mm_doc_binary" ->
       """WITH b AS (

@@ -182,4 +182,71 @@ class MultimodalSpec extends AnyFunSuite {
       d.pixels((y * d.width + x) * 3) & 0xFF
     assert(red(dec, 7, 0) > red(dec, 0, 0))
   }
+
+  test("encodeBmp24Gray round-trips bit-exactly through javax.imageio") {
+    val gray = (p: Int) => (Multimodal.splitmix64(p + 1L) & 255L).toInt
+    val bmp = Multimodal.encodeBmp24Gray(64, 64, gray)
+    val img = Multimodal.decodeImage(bmp).get
+    assert(img.width == 64 && img.height == 64 && img.channels == 3)
+    var p = 0
+    while (p < 64 * 64) {
+      val o = p * 3
+      val v = gray(p)
+      assert((img.pixels(o) & 0xFF) == v && (img.pixels(o + 1) & 0xFF) == v &&
+        (img.pixels(o + 2) & 0xFF) == v, s"pixel $p")
+      p += 1
+    }
+    // non-multiple-of-4 row width exercises the padding path
+    val bmp2 = Multimodal.encodeBmp24Gray(10, 9, gray)
+    val img2 = Multimodal.decodeImage(bmp2).get
+    assert(img2.width == 10 && img2.height == 9)
+    assert((img2.pixels(0) & 0xFF) == gray(0) &&
+      (img2.pixels((8 * 10 + 9) * 3) & 0xFF) == gray(89))
+  }
+
+  test("averageHash64: flat image hashes to 0, one bright cell sets exactly its bit") {
+    val flat = Multimodal.decodeImage(
+      Multimodal.encodeBmp24Gray(64, 64, _ => 100)).get
+    assert(Multimodal.averageHash64(flat) == 0L) // strict >: no cell beats the mean
+    // brighten cell 27 (cellY=3, cellX=3): only that bit can exceed the mean
+    val oneBright = Multimodal.decodeImage(
+      Multimodal.encodeBmp24Gray(64, 64, { p =>
+        val cell = (p / 64 / 8) * 8 + (p % 64) / 8
+        if (cell == 27) 200 else 100
+      })).get
+    assert(Multimodal.averageHash64(oneBright) == (1L << 27))
+  }
+
+  test("imageDedup finds the perturbed re-encode, not unrelated images") {
+    import spark.implicits._
+    def mk(id: Long, pert: Boolean): (Long, Array[Byte]) = {
+      val srcId = if (pert) id - 1000L else id
+      (id, Multimodal.encodeBmp24Gray(64, 64, { p =>
+        val v = (Multimodal.splitmix64(srcId * 4096L + p + 1L) & 255L).toInt
+        val cell = (p / 64 / 8) * 8 + (p % 64) / 8
+        if (pert && (cell == 0 || cell == 9)) (v + 64) % 256 else v
+      }))
+    }
+    val images = (Seq.tabulate(8)(i => mk(i.toLong, pert = false)) :+
+      mk(1003L, pert = true)) // perturbed copy of image 3
+      .toDF("asset_id", "content")
+    val got = Multimodal.imageDedup(images, "asset_id", "content",
+        maxDistance = 8, pieces = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    assert(got.map(t => (t._1, t._2)) == List((3L, 1003L)))
+    // the two perturbed cells' bits plus any borderline cell the global
+    // mean shift tips over (measured 3 on this fixture) — far below the
+    // ~32 of unrelated images
+    assert(got.head._3 <= 4)
+  }
+
+  test("imageDedup drops undecodable payloads instead of failing") {
+    import spark.implicits._
+    val good = Multimodal.encodeBmp24Gray(64, 64, p => p % 251)
+    val images = Seq(
+      (1L, good), (2L, Array[Byte](1, 2, 3)), (3L, Array.empty[Byte]))
+      .toDF("asset_id", "content")
+    assert(Multimodal.imageHashes(images, "asset_id", "content").count() == 1L)
+    assert(Multimodal.imageDedup(images, "asset_id", "content").count() == 0L)
+  }
 }
