@@ -83,7 +83,20 @@ object Multimodal {
     * any WAV reader, including `decodeAudio` below.
     */
   def encodeWavPcm16(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
-    val dataBytes = nSamples * 2
+    val freq = 220.0 + (seed % 7) * 110.0
+    encodeWavPcm16Samples(Array.tabulate(nSamples) { i =>
+      (math.sin(2.0 * math.Pi * freq * i / sampleRate) * 0.5 *
+        Short.MaxValue).toShort
+    }, sampleRate)
+  }
+
+  /** A REAL mono 16-bit PCM WAV container around caller-provided samples
+    * (the sine generator above and the PRNG-noise dedup fixtures both
+    * route through here). Decodes with `javax.sound.sampled`.
+    */
+  def encodeWavPcm16Samples(samples: Array[Short],
+                            sampleRate: Int): Array[Byte] = {
+    val dataBytes = samples.length * 2
     val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
@@ -96,11 +109,9 @@ object Multimodal {
       .putShort(2) // block align
       .putShort(16) // bits per sample
       .put("data".getBytes("US-ASCII")).putInt(dataBytes)
-    val freq = 220.0 + (seed % 7) * 110.0
     var i = 0
-    while (i < nSamples) {
-      val s = math.sin(2.0 * math.Pi * freq * i / sampleRate) * 0.5
-      out.putShort((s * Short.MaxValue).toShort)
+    while (i < samples.length) {
+      out.putShort(samples(i))
       i += 1
     }
     out.array()
@@ -349,6 +360,75 @@ object Multimodal {
                  maxDistance: Int = 8, pieces: Int = 9): DataFrame =
     graft.operators.SimHash.hammingPairs(
       imageHashes(images, idCol, contentCol), "asset_id", "ahash",
+      maxDistance, pieces)
+
+  /** Energy-profile audio fingerprint (an echoprint-style sign
+    * fingerprint, simplified to one band): the first 64·F samples
+    * (F = nSamples/64) split into 64 equal frames, bit f set iff frame
+    * f's absolute-amplitude sum exceeds the global mean — the same
+    * integer cross-multiply rule as `averageHash64` (64·energy_f >
+    * totalEnergy, no floats), so it replays exactly in SQL. Amplitude-
+    * scale-robust by construction: a uniformly re-leveled copy scales
+    * every energy together, moving no bit except exact-boundary ties.
+    * Expects mono 16-bit little-endian PCM (what `decodeAudio` yields for
+    * the WAV fixtures); requires ≥ 64 samples.
+    */
+  def audioFingerprint64(pcm: Array[Byte]): Long = {
+    val n = pcm.length / 2
+    require(n >= 64, s"need >= 64 samples for the 64-frame fingerprint, got $n")
+    val f = n / 64
+    val energy = new Array[Long](64)
+    var frame = 0
+    while (frame < 64) {
+      var i = frame * f
+      val end = i + f
+      var sum = 0L
+      while (i < end) {
+        val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)).toShort.toInt
+        sum += math.abs(s)
+        i += 1
+      }
+      energy(frame) = sum
+      frame += 1
+    }
+    val total = energy.sum
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (64L * energy(b) > total) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  /** (asset_id, ahash) for every DECODABLE audio payload — real
+    * `javax.sound.sampled` decode + `audioFingerprint64`; undecodable or
+    * too-short payloads drop to the dead-letter path.
+    */
+  def audioHashes(clips: DataFrame, idCol: String,
+                  contentCol: String): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips
+      .select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(contentCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeAudio(bytes).filter(_.pcm.length >= 128)
+          .map(a => (id, audioFingerprint64(a.pcm)))
+      }
+      .toDF("asset_id", "ahash")
+  }
+
+  /** Perceptual audio near-dedup: energy fingerprint per clip, then the
+    * shared pigeonhole Hamming join — collapse re-encoded / re-leveled
+    * duplicate audio before transcription or embedding, the audio leg of
+    * the text/image/audio dedup family.
+    */
+  def audioDedup(clips: DataFrame, idCol: String, contentCol: String,
+                 maxDistance: Int = 8, pieces: Int = 9): DataFrame =
+    graft.operators.SimHash.hammingPairs(
+      audioHashes(clips, idCol, contentCol), "asset_id", "ahash",
       maxDistance, pieces)
 
   /** A decoded audio clip: PCM bytes + the format sidecar. */

@@ -330,6 +330,41 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Perceptual AUDIO near-dedup (operators.Multimodal.audioDedup): one
+    // REAL mono 16-bit WAV per documents row — PRNG samples shaped by a
+    // per-frame amplitude envelope (both splitmix64 streams, so the
+    // oracle replays them in SQL) — plus a HALF-VOLUME re-encode for
+    // every doc_id % 10 == 0. javax.sound.sampled decodes the container,
+    // audioFingerprint64 computes the integer-exact energy-profile hash
+    // (amplitude-scale-robust: the halved copy moves only exact-boundary
+    // bits), and the shared pigeonhole Hamming join pairs at distance
+    // ≤ 8. ORACLE COST: ~2,100 PRNG rows per clip in SQL (~1 min at
+    // sf0.1) + the all-pairs packed-halves Hamming check — budget the
+    // oracle past sf0.1, the query itself is linear + bucketed.
+    "mm_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      def pcm(id: Long, half: Boolean): Array[Short] =
+        Array.tabulate(2048) { i =>
+          val amp = (Multimodal.splitmix64(id * 64L + i / 32 + 911L)
+            & 32767L).toInt
+          val v = java.lang.Long.remainderUnsigned(
+            Multimodal.splitmix64(id * 2048L + i + 1L), amp + 1L).toInt
+          (if (half) v / 2 else v).toShort
+        }
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val base = ids.map(id =>
+        (id, Multimodal.encodeWavPcm16Samples(pcm(id, half = false), 16000)))
+      val copies = ids.filter(_ % 10 == 0).map(id =>
+        (id + 200000L,
+          Multimodal.encodeWavPcm16Samples(pcm(id, half = true), 16000)))
+      Multimodal.audioDedup(
+          base.union(copies).toDF("asset_id", "content"),
+          "asset_id", "content", maxDistance = 8, pieces = 9)
+        .select($"id_a", $"id_b", $"distance".cast("bigint").as("distance"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Exact top-10 most-similar embedding pairs (all-pairs similarity
     // surface), via the block-tiled equality self-join: even shuffle
     // distribution, no BroadcastNestedLoopJoin, bit-identical doubles to
@@ -891,6 +926,59 @@ object Corpus {
         |ham AS (SELECT a.img_id AS id_a, b.img_id AS id_b,
         |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS distance
         |  FROM pack a JOIN pack b ON a.img_id < b.img_id)
+        |SELECT id_a, id_b, distance FROM ham WHERE distance <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Audio-fingerprint replay: both PRNG streams (per-frame amplitude
+    // envelope + per-sample noise) regenerate through one tagged splitmix
+    // chain; the energy bit rule is the same pure-integer cross-multiply
+    // as the image hash, and the half-volume perturbation is nonnegative
+    // integer division on both engines (v // 2 == Scala v / 2 for v >= 0).
+    "mm_audio_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS clip_id, doc_id AS src_id, false AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, true FROM documents WHERE doc_id % 10 = 0),
+        |keys AS (
+        |  SELECT clip_id, pert, 0 AS kind, f AS idx,
+        |    (src_id * 64 + f + 911)::HUGEINT AS k
+        |  FROM ids, range(0, 64) r(f)
+        |  UNION ALL
+        |  SELECT clip_id, pert, 1, i, (src_id * 2048 + i + 1)::HUGEINT
+        |  FROM ids, range(0, 2048) r(i)),
+        |x0 AS (SELECT clip_id, pert, kind, idx,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM keys),
+        |z1 AS (
+        |  SELECT clip_id, pert, kind, idx, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT clip_id, pert, kind, idx, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |zf AS (SELECT clip_id, pert, kind, idx, xor(z, z >> 31) AS z FROM z2),
+        |amp AS (SELECT clip_id, idx AS f, (z & 32767)::BIGINT AS amp
+        |        FROM zf WHERE kind = 0),
+        |smp AS (SELECT clip_id, pert, idx // 32 AS f, z FROM zf WHERE kind = 1),
+        |sv AS (SELECT s.clip_id, s.f,
+        |        CASE WHEN s.pert
+        |             THEN ((s.z % ((a.amp + 1)::UBIGINT))::BIGINT) // 2
+        |             ELSE (s.z % ((a.amp + 1)::UBIGINT))::BIGINT END AS v
+        |       FROM smp s JOIN amp a ON a.clip_id = s.clip_id AND a.f = s.f),
+        |energy AS (SELECT clip_id, f, sum(v)::BIGINT AS e FROM sv GROUP BY 1, 2),
+        |tot AS (SELECT clip_id, sum(e)::BIGINT AS te FROM energy GROUP BY 1),
+        |bits AS (SELECT en.clip_id, en.f, (64 * en.e > t.te) AS bit
+        |         FROM energy en JOIN tot t USING (clip_id)),
+        |pack AS (SELECT clip_id,
+        |  sum(CASE WHEN bit AND f < 32 THEN (1::BIGINT << f) ELSE 0 END) AS lo,
+        |  sum(CASE WHEN bit AND f >= 32 THEN (1::BIGINT << (f - 32)) ELSE 0 END) AS hi
+        |  FROM bits GROUP BY clip_id),
+        |ham AS (SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+        |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS distance
+        |  FROM pack a JOIN pack b ON a.clip_id < b.clip_id)
         |SELECT id_a, id_b, distance FROM ham WHERE distance <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -249,4 +249,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageHashes(images, "asset_id", "content").count() == 1L)
     assert(Multimodal.imageDedup(images, "asset_id", "content").count() == 0L)
   }
+
+  test("encodeWavPcm16Samples round-trips PCM bit-exactly through javax.sound") {
+    val samples = Array.tabulate(300)(i =>
+      (Multimodal.splitmix64(i + 1L) & 0xFFFFL).toShort)
+    val wav = Multimodal.encodeWavPcm16Samples(samples, 16000)
+    val dec = Multimodal.decodeAudio(wav).get
+    assert(dec.sampleRate == 16000 && dec.channels == 1 &&
+      dec.bitsPerSample == 16)
+    val got = Array.tabulate(300)(i =>
+      (((dec.pcm(2 * i + 1) << 8) | (dec.pcm(2 * i) & 0xFF)).toShort))
+    assert(got.sameElements(samples))
+  }
+
+  test("audioFingerprint64: flat energy hashes to 0, one loud frame sets its bit") {
+    def wav(loudFrame: Int): Array[Byte] =
+      Multimodal.encodeWavPcm16Samples(Array.tabulate(64 * 16) { i =>
+        if (i / 16 == loudFrame) 2000.toShort else 100.toShort
+      }, 16000)
+    val flat = Multimodal.decodeAudio(wav(-1)).get
+    assert(Multimodal.audioFingerprint64(flat.pcm) == 0L)
+    val loud27 = Multimodal.decodeAudio(wav(27)).get
+    assert(Multimodal.audioFingerprint64(loud27.pcm) == (1L << 27))
+  }
+
+  test("audioDedup pairs the half-volume re-encode, drops undecodables") {
+    import spark.implicits._
+    def clip(id: Long, srcId: Long, half: Boolean): (Long, Array[Byte]) =
+      (id, Multimodal.encodeWavPcm16Samples(Array.tabulate(2048) { i =>
+        val amp = (Multimodal.splitmix64(srcId * 64L + i / 32 + 911L)
+          & 32767L).toInt
+        val v = java.lang.Long.remainderUnsigned(
+          Multimodal.splitmix64(srcId * 2048L + i + 1L), amp + 1L).toInt
+        (if (half) v / 2 else v).toShort
+      }, 16000))
+    val clips = (Seq.tabulate(6)(i => clip(i.toLong, i.toLong, half = false)) ++
+      Seq(clip(1004L, 4L, half = true),
+        (7L, Array[Byte](9, 9, 9)))) // undecodable
+      .toDF("asset_id", "content")
+    val got = Multimodal.audioDedup(clips, "asset_id", "content",
+        maxDistance = 8, pieces = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    assert(got.map(t => (t._1, t._2)) == List((4L, 1004L)))
+    // amplitude-scale robustness: only exact-boundary bits may move
+    assert(got.head._3 <= 4)
+  }
 }
