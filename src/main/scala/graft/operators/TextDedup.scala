@@ -862,22 +862,7 @@ object SimHash {
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                    maxDistance: Int, pieces: Int): DataFrame = {
-    require(pieces > maxDistance, "need pieces > maxDistance for full recall")
-    require(pieces <= 64, "at most one segment per bit")
-    val wide = 64 % pieces       // this many segments get an extra bit
-    val base = 64 / pieces
-    val widths = Seq.tabulate(pieces)(p => if (p < wide) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
-    val fp = hashes
-      .select(col(idCol).as("doc_id"), col(hashCol).as("fp"))
-      .select(col("doc_id"), col("fp"),
-        explode(array(Seq.tabulate(pieces) { p =>
-          struct(lit(p).as("piece"),
-            call_function("shiftright", col("fp"), lit(offsets(p)))
-              .bitwiseAND(lit((1L << widths(p)) - 1)).as("seg"))
-        }: _*)).as("pk"))
-      .select(col("doc_id"), col("fp"),
-        col("pk.piece").as("piece"), col("pk.seg").as("seg"))
+    val fp = segmentIndex(hashes, idCol, hashCol, pieces)
     // singleton segments can never collide — prune them before the
     // self-join (lossless: Int.MaxValue cap = no bucket dropped)
     val pairable = TextDedup.keepPairableBuckets(fp, Seq("piece", "seg"), Int.MaxValue)
@@ -889,6 +874,65 @@ object SimHash {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         hamming(col("a.fp"), col("b.fp")).as("distance"))
+      .filter(col("distance") <= maxDistance)
+      .distinct()
+  }
+
+  /** The PERSISTABLE Hamming index: one (doc_id, fp, piece, seg) row per
+    * segment of each 64-bit fingerprint — `hammingPairs`' explode, exposed
+    * so a corpus's sketch can be written ONCE with
+    * `.bucketBy(B, "piece", "seg").saveAsTable(...)` and every delta batch
+    * joins it exchange-free on the index side (the bucketed scan reports
+    * the join's hash partitioning — the same 100 TB discipline as
+    * `TextDedup.bandedIndex`, here for perceptual image/audio hashes and
+    * SimHash fingerprints alike).
+    */
+  def segmentIndex(hashes: DataFrame, idCol: String, hashCol: String,
+                   pieces: Int): DataFrame = {
+    require(pieces >= 1 && pieces <= 64, "pieces must be in 1..64")
+    val wide = 64 % pieces       // this many segments get an extra bit
+    val base = 64 / pieces
+    val widths = Seq.tabulate(pieces)(p => if (p < wide) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    hashes
+      .select(col(idCol).as("doc_id"), col(hashCol).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        explode(array(Seq.tabulate(pieces) { p =>
+          struct(lit(p).as("piece"),
+            call_function("shiftright", col("fp"), lit(offsets(p)))
+              .bitwiseAND(lit((1L << widths(p)) - 1)).as("seg"))
+        }: _*)).as("pk"))
+      .select(col("doc_id"), col("fp"),
+        col("pk.piece").as("piece"), col("pk.seg").as("seg"))
+  }
+
+  /** Delta-vs-index Hamming pairs — the incremental re-ingest shape:
+    * (new_id, old_id, distance ≤ maxDistance) between an incoming batch
+    * and a persisted `segmentIndex` built with the SAME `pieces`. Exact
+    * for the hash by the usual pigeonhole argument (maxDistance <
+    * pieces); identical ids are filtered (a crash-replayed batch meets
+    * its own rows, per the streaming-gate lesson). `maxBucketSize` caps
+    * index buckets (degenerate content — all-black images, silence —
+    * piles thousands of fingerprints on one segment value; the cap costs
+    * candidate recall ONLY for pairs whose every shared segment is
+    * degenerate). The index side joins without an exchange when the
+    * table is bucketed by (piece, seg); only the delta shuffles —
+    * spec-asserted like the text index.
+    */
+  def hammingAgainstIndex(index: DataFrame, delta: DataFrame,
+                          idCol: String, hashCol: String,
+                          maxDistance: Int, pieces: Int,
+                          maxBucketSize: Int = 100000): DataFrame = {
+    require(pieces > maxDistance, "need pieces > maxDistance for full recall")
+    val cappedIdx = TextDedup.keepPairableBuckets(index, Seq("piece", "seg"),
+      maxBucketSize, minSize = 1)
+    val nw = segmentIndex(delta, idCol, hashCol, pieces)
+    nw.alias("nw")
+      .join(cappedIdx.alias("ex"),
+        col("nw.piece") === col("ex.piece") && col("nw.seg") === col("ex.seg"))
+      .filter(col("nw.doc_id") =!= col("ex.doc_id"))
+      .select(col("nw.doc_id").as("new_id"), col("ex.doc_id").as("old_id"),
+        hamming(col("nw.fp"), col("ex.fp")).as("distance"))
       .filter(col("distance") <= maxDistance)
       .distinct()
   }

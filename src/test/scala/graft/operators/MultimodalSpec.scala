@@ -273,6 +273,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioFingerprint64(loud27.pcm) == (1L << 27))
   }
 
+  test("perceptual hashes persist to a bucketed segment index; delta joins exchange-free") {
+    import spark.implicits._
+    def img(id: Long, srcId: Long, pert: Boolean): (Long, Array[Byte]) =
+      (id, Multimodal.encodeBmp24Gray(64, 64, { p =>
+        val v = (Multimodal.splitmix64(srcId * 4096L + p + 1L) & 255L).toInt
+        val cell = (p / 64 / 8) * 8 + (p % 64) / 8
+        if (pert && cell == 0) (v + 64) % 256 else v
+      }))
+    val corpus = Seq.tabulate(10)(i => img(i.toLong, i.toLong, pert = false))
+      .toDF("asset_id", "content")
+    val delta = Seq(img(1005L, 5L, pert = true),
+      img(2000L, 2000L, pert = false)).toDF("asset_id", "content")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_img_idx").toString
+    spark.sql("DROP TABLE IF EXISTS graft_image_hash_index")
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val corpusHashes = Multimodal.imageHashes(corpus, "asset_id", "content")
+      graft.operators.SimHash.segmentIndex(corpusHashes, "asset_id", "ahash", 9)
+        .write.option("path", tmp)
+        .bucketBy(4, "piece", "seg").sortBy("seg")
+        .saveAsTable("graft_image_hash_index")
+      // force the shuffle shape being asserted (a tiny test delta would
+      // broadcast and make the exchange count vacuous)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val deltaHashes = Multimodal.imageHashes(delta, "asset_id", "content")
+        .localCheckpoint(true)
+      val got = graft.operators.SimHash.hammingAgainstIndex(
+        spark.table("graft_image_hash_index"), deltaHashes,
+        "asset_id", "ahash", maxDistance = 8, pieces = 9)
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+        == List((1005L, 5L)))
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning\\(piece".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      val rebuilt = graft.operators.SimHash.hammingAgainstIndex(
+        graft.operators.SimHash.segmentIndex(corpusHashes, "asset_id", "ahash", 9),
+        deltaHashes, "asset_id", "ahash", maxDistance = 8, pieces = 9)
+      assert(exchanges(got) < exchanges(rebuilt),
+        s"bucketed=${exchanges(got)} rebuilt=${exchanges(rebuilt)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+      spark.sql("DROP TABLE IF EXISTS graft_image_hash_index")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("audioDedup pairs the half-volume re-encode, drops undecodables") {
     import spark.implicits._
     def clip(id: Long, srcId: Long, half: Boolean): (Long, Array[Byte]) =
