@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SplitMix64.{leading_zeros64, splitmix64}
+
+/** HyperLogLog distinct-count sketch (Flajolet et al. 2007), built from
+  * scratch on the declarative plan — the 100 TB cardinality primitive:
+  * "how many distinct users/tokens/urls per group" without the exact
+  * `count(DISTINCT …)` shuffle, whose per-group state is the full value
+  * set. Here the state is 2^p registers per group (p=12 → 4 KB), the
+  * aggregation is an ordinary groupBy max — fully parallel, skew-immune —
+  * and the relative error is the classic 1.04/√m (~1.6% at p=12).
+  *
+  * Built on `splitmix64` (codegen, ANSI-safe) rather than xxhash64 so the
+  * DuckDB oracle replays the WHOLE sketch — hash, bucket split, rank,
+  * register max, harmonic mean, linear-counting branch — in SQL and the
+  * estimate gates EXACTLY (floating error bounded by round(,4): the only
+  * transcendentals are pow(2,-k), exact in IEEE, and the ln of the
+  * linear-counting branch, covered by the perplexity precedent).
+  *
+  * Spark's own `approx_count_distinct` is the production alternative;
+  * this exists because an engine claiming sketch coverage should own the
+  * math (and because approx_count_distinct's HLL++ bias tables cannot be
+  * replayed relationally, so it can never sit under the exactness gate).
+  *
+  * Estimator: raw E = α_m·m²/Σ2^(−rho_j) with empty registers counting
+  * 2^0; small-range (E ≤ 2.5m, V empty registers > 0) switches to linear
+  * counting m·ln(m/V). The 64-bit-hash large-range correction is omitted
+  * (it matters past ~2^57 distinct values). No sparse mode — at the
+  * scales this engine targets the dense register block is the steady
+  * state anyway.
+  */
+object Hll {
+
+  /** Per-group HLL registers: `groupCols` + (bucket, rho). Exposed so
+    * registers can be PERSISTED and merged across partitions/days — HLL
+    * merge is register-wise max, i.e. another groupBy max over this
+    * frame — before `estimateFromRegisters` turns them into a number.
+    */
+  def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in 4..16, got $p")
+    val h = splitmix64(col(valueCol).cast("long"))
+    val bucket = shiftrightunsigned(h, 64 - p)
+    // rank over the remaining 64-p bits, shifted to the top; w == 0
+    // (all-zero suffix) caps at 64-p+1 via the least()
+    val rho = least(leading_zeros64(shiftleft(h, p)) + 1, lit(64 - p + 1))
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Collapse a register frame to one estimate per group. */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                            p: Int = 12): DataFrame = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_v_present"),
+        sum(pow(lit(2.0), -col("rho"))).as("_hsum"))
+    val zeros = lit(m.toDouble) - col("_v_present")
+    val harm = zeros + col("_hsum") // absent registers contribute 2^0 = 1
+    val rawE = lit(alpha * m) * lit(m.toDouble) / harm
+    val est = when(rawE <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(rawE)
+    agg.select(groupCols.map(col) :+ est.as("estimate"): _*)
+  }
+
+  /** One-shot: distinct-`valueCol` estimate per `groupCols` group. */
+  def estimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               p: Int = 12): DataFrame =
+    estimateFromRegisters(registers(df, groupCols, valueCol, p), groupCols, p)
+}

@@ -243,12 +243,7 @@ object Multimodal {
     * oracles (state is a pure function of the index, so the stream
     * replicates in SQL via range() + the 32-bit-halves wrapping multiply).
     */
-  def splitmix64(k: Long): Long = {
-    var z = k * 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  def splitmix64(k: Long): Long = graft.functions.SplitMix64.hash(k)
 
   /** A REAL minimal BMP encoder (BITMAPINFOHEADER, 24 bpp, BI_RGB,
     * bottom-up rows, 4-byte row padding) over a grayscale function of the

@@ -157,9 +157,73 @@ object Events {
       Temporal.cohortRetention(Tables(s, dir, "events"), "user_id", "ts")
         .orderBy($"cohort_date", $"offset_days")
     }),
+
+    // HyperLogLog distinct-user estimate per event type (operators.Hll,
+    // p=12 → 4096 registers, ~1.6% expected error) NEXT TO the exact
+    // count(DISTINCT) — the output demonstrates the sketch's accuracy
+    // inside the gate itself. The oracle replays the ENTIRE sketch in
+    // SQL: splitmix64 hash, bucket/rank split (rank via 64 − len(bin)),
+    // register max, harmonic mean, the linear-counting branch — so the
+    // estimator math is gated, not just the number's shape.
+    "evt_hll_users" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val est = graft.operators.Hll
+        .estimate(ev, Seq("event_type"), "user_id", p = 12)
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      est.join(exact, "event_type")
+        .select($"event_type", round($"estimate", 4).as("est_users"),
+          $"exact_users")
+        .orderBy($"event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Full HLL replay: splitmix64 via the 32-bit-halves HUGEINT wrap
+    // (the knn_lsh formulation), rank = 64 − len(bin(w)) + 1 capped at
+    // 64−p+1 (bin prints no leading zeros; bin(0)='0' caps out), then
+    // registers → harmonic mean → α·m²/Σ with the linear-counting branch.
+    // The arithmetic mirrors Hll.estimateFromRegisters' operation order;
+    // Σ2^(−rho) is the one order-sensitive double sum, absorbed by
+    // round(,4) (pow(2,−k) itself is IEEE-exact).
+    "evt_hll_users" ->
+      """WITH k0 AS (SELECT event_type, user_id::HUGEINT AS k FROM events),
+        |x0 AS (SELECT event_type,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM k0),
+        |z1 AS (
+        |  SELECT event_type, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT event_type, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |zf AS (SELECT event_type, xor(z, z >> 31) AS h FROM z2),
+        |br AS (SELECT event_type, (h >> 52)::BIGINT AS bucket,
+        |        least(64 - length(bin(((h::HUGEINT * 4096)
+        |          % 18446744073709551616)::UBIGINT)) + 1, 53)::INT AS rho
+        |       FROM zf),
+        |reg AS (SELECT event_type, bucket, max(rho) AS rho FROM br GROUP BY 1, 2),
+        |agg AS (SELECT event_type, count(*) AS v_present,
+        |         sum(pow(2.0, -rho)) AS hsum FROM reg GROUP BY 1),
+        |est AS (SELECT event_type, (4096.0 - v_present) AS zeros,
+        |         (0.7213 / (1 + 1.079 / 4096) * 4096) * 4096
+        |           / ((4096.0 - v_present) + hsum) AS e_raw
+        |        FROM agg),
+        |fin AS (SELECT event_type,
+        |         CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+        |              THEN 4096.0 * ln(4096.0 / zeros) ELSE e_raw END AS est
+        |        FROM est),
+        |exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |          FROM events GROUP BY 1)
+        |SELECT f.event_type, round(f.est, 4) AS est_users, x.exact_users
+        |FROM fin f JOIN exact x USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "evt_asof_click" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
