@@ -17,7 +17,8 @@ import org.apache.spark.sql.types._
   * the 32-bit-halves HUGEINT decomposition (see the knn_lsh oracle), so
   * sketches built on this hash gate exactly.
   */
-case class SplitMix64Expr(child: Expression) extends UnaryExpression {
+case class SplitMix64Expr(child: Expression, seed: Long = 0L)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -27,13 +28,13 @@ case class SplitMix64Expr(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    SplitMix64.hash(input.asInstanceOf[Long])
+    SplitMix64.hash(input.asInstanceOf[Long] + seed) // wrapping add
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val z = ctx.freshName("z")
       s"""
-         |long $z = $c * 0x9e3779b97f4a7c15L;
+         |long $z = ($c + ${seed}L) * 0x9e3779b97f4a7c15L;
          |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
          |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
          |${ev.value} = $z ^ ($z >>> 31);
@@ -80,6 +81,12 @@ object SplitMix64 {
 
   def splitmix64(c: Column): Column =
     ColumnBridge.column(SplitMix64Expr(ColumnBridge.expression(c)))
+
+  /** hash(v + seed) with a WRAPPING add (ANSI-safe: the add happens inside
+    * generated Java) — the row-seeded family for Count-Min's d hash rows.
+    */
+  def splitmix64Seeded(c: Column, seed: Long): Column =
+    ColumnBridge.column(SplitMix64Expr(ColumnBridge.expression(c), seed))
 
   def leading_zeros64(c: Column): Column =
     ColumnBridge.column(LeadingZeros64Expr(ColumnBridge.expression(c)))

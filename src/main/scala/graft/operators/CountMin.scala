@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SplitMix64.splitmix64Seeded
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) on the declarative
+  * plan — the heavy-hitter / frequency primitive next to `Hll`'s
+  * cardinality: per-value count estimates from d·w counters instead of a
+  * full `groupBy(value).count()` whose state is one row PER DISTINCT
+  * VALUE. At 100 TB the sketch is what you keep (d=4, w=2¹⁰ → 32 KB) and
+  * merge across days — counter-wise SUM, i.e. another groupBy sum — while
+  * the exact table is what you can't.
+  *
+  * Every estimate OVERCOUNTS or is exact, never undercounts (each row's
+  * counter holds the value's true count plus whatever collided into the
+  * cell; min over rows takes the least-contaminated one) — the classic
+  * one-sided guarantee, spec-pinned. All integers end to end: the hash
+  * rows are `splitmix64(v + r·GAMMA)` (codegen, wrapping adds in
+  * generated Java), columns are the top `widthLog2` bits, counters are
+  * longs — so the DuckDB oracle replays the sketch EXACTLY, no rounding
+  * anywhere.
+  */
+object CountMin {
+
+  private val Gamma = 0x9e3779b97f4a7c15L
+
+  /** The (row, col) cell for `v` in hash row `r`. */
+  private def cell(v: Column, r: Int, widthLog2: Int): Column =
+    shiftrightunsigned(splitmix64Seeded(v.cast("long"), r * Gamma),
+      64 - widthLog2)
+
+  /** Build the sketch: (row, col, cnt) — d·w counters, one shuffle on the
+    * (row, col) key (uniform by construction). Merge sketches across
+    * batches/days by unioning the frames and summing per (row, col).
+    */
+  def sketch(df: DataFrame, valueCol: String, depth: Int = 4,
+             widthLog2: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in 1..16, got $depth")
+    require(widthLog2 >= 1 && widthLog2 <= 30,
+      s"widthLog2 must be in 1..30, got $widthLog2")
+    df.select(explode(array(Seq.tabulate(depth) { r =>
+        struct(lit(r).as("row"),
+          cell(col(valueCol), r, widthLog2).as("col"))
+      }: _*)).as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the counts of `queries`' `valueCol` values against a
+    * sketch built with the SAME (depth, widthLog2): min over the d
+    * counters the value hashes to; a (row, col) cell absent from the
+    * sketch frame means nothing ever hashed there → 0.
+    */
+  def pointEstimates(sk: DataFrame, queries: DataFrame, valueCol: String,
+                     depth: Int = 4, widthLog2: Int = 10): DataFrame = {
+    val cells = queries
+      .select(col(valueCol).as("_v"))
+      .distinct()
+      .select(col("_v"), explode(array(Seq.tabulate(depth) { r =>
+        struct(lit(r).as("row"), cell(col("_v"), r, widthLog2).as("col"))
+      }: _*)).as("cell"))
+      .select(col("_v"), col("cell.row").as("row"), col("cell.col").as("col"))
+    cells
+      .join(sk, Seq("row", "col"), "left")
+      .groupBy(col("_v").as(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

@@ -158,6 +158,28 @@ object Events {
         .orderBy($"cohort_date", $"offset_days")
     }),
 
+    // Count-Min frequency estimates for the top-20 most active users
+    // (operators.CountMin, d=4, w=2^10 → 32 KB of counters) NEXT TO the
+    // exact per-user event counts — the heavy-hitter sketch beside Hll's
+    // cardinality sketch. All-integer end to end, so the oracle replays
+    // the sketch EXACTLY (row-seeded splitmix64 hashes, top-bits column
+    // split, counter sums, min-over-rows), and the one-sided guarantee
+    // (estimate >= exact, never under) is visible inside the gate.
+    "evt_cms_users" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val exact = ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"user_id").limit(20)
+      val sk = graft.operators.CountMin.sketch(ev, "user_id",
+        depth = 4, widthLog2 = 10)
+      graft.operators.CountMin
+        .pointEstimates(sk, exact, "user_id", depth = 4, widthLog2 = 10)
+        .join(exact, "user_id")
+        .select($"user_id", $"exact_cnt", $"cms_est")
+        .orderBy($"exact_cnt".desc, $"user_id")
+    }),
+
     // HyperLogLog distinct-user estimate per event type (operators.Hll,
     // p=12 → 4096 registers, ~1.6% expected error) NEXT TO the exact
     // count(DISTINCT) — the output demonstrates the sketch's accuracy
@@ -180,6 +202,41 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Count-Min replay, integer-exact (no rounding anywhere): per-event
+    // cells from the row-seeded splitmix64 (seed r·GAMMA added under the
+    // 2^64 wrap), counter sums per (row, col), min over the queried
+    // users' cells. GAMMA unsigned = 11400714819323198485.
+    "evt_cms_users" ->
+      """WITH cc AS (SELECT user_id, r FROM events, range(0, 4) t(r)),
+        |kk AS (SELECT user_id, r,
+        |  ((user_id::HUGEINT + r * 11400714819323198485) % 18446744073709551616) AS k
+        |  FROM cc),
+        |x0 AS (SELECT user_id, r,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM kk),
+        |z1 AS (
+        |  SELECT user_id, r, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT user_id, r, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |cell AS (SELECT user_id, r, ((xor(z, z >> 31)) >> 54)::BIGINT AS col FROM z2),
+        |sk AS (SELECT r AS row, col, count(*)::BIGINT AS cnt FROM cell GROUP BY 1, 2),
+        |ex AS (SELECT user_id, count(*)::BIGINT AS exact_cnt FROM events
+        |       GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 20),
+        |qc AS (SELECT DISTINCT e.user_id, c.r, c.col
+        |       FROM ex e JOIN cell c USING (user_id)),
+        |est AS (SELECT qc.user_id, min(sk.cnt)::BIGINT AS cms_est
+        |        FROM qc JOIN sk ON sk.row = qc.r AND sk.col = qc.col
+        |        GROUP BY 1)
+        |SELECT e.user_id, e.exact_cnt, est.cms_est
+        |FROM ex e JOIN est USING (user_id)
+        |ORDER BY exact_cnt DESC, user_id""".stripMargin,
+
     // Full HLL replay: splitmix64 via the 32-bit-halves HUGEINT wrap
     // (the knn_lsh formulation), rank = 64 − len(bin(w)) + 1 capped at
     // 64−p+1 (bin prints no leading zeros; bin(0)='0' caps out), then

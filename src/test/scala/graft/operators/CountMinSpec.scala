@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CountMinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("seeded splitmix64 equals hash(v + seed) with a wrapping add") {
+    import spark.implicits._
+    val seed = 3L * 0x9e3779b97f4a7c15L
+    val vals = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 123456789L)
+    val got = vals.toDF("v")
+      .select($"v", graft.functions.SplitMix64.splitmix64Seeded($"v", seed).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) ==
+        graft.functions.SplitMix64.hash(r.getLong(0) + seed))
+    }
+  }
+
+  test("estimates never undercount, and are exact without collisions") {
+    import spark.implicits._
+    // zipf-ish stream: value v appears 101 - v times
+    val stream = (1 to 100).flatMap(v => Seq.fill(101 - v)(v.toLong))
+      .toDF("v")
+    val exact = stream.groupBy($"v").agg(count(lit(1)).as("exact")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tight sketch (w=2^4=16 << 100 distinct): collisions guaranteed,
+    // but NEVER an undercount
+    val tight = CountMin.pointEstimates(
+      CountMin.sketch(stream, "v", depth = 4, widthLog2 = 4),
+      stream, "v", depth = 4, widthLog2 = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (v, n) =>
+      assert(tight(v) >= n, s"undercount for $v: ${tight(v)} < $n")
+    }
+    assert(exact.exists { case (v, n) => tight(v) > n },
+      "w=16 over 100 values must collide somewhere")
+    // wide sketch (w=2^16): no collisions expected -> exact everywhere
+    val wide = CountMin.pointEstimates(
+      CountMin.sketch(stream, "v", depth = 4, widthLog2 = 16),
+      stream, "v", depth = 4, widthLog2 = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == exact)
+  }
+
+  test("sketches merge by counter-wise sum") {
+    import spark.implicits._
+    val a = (1L to 500L).map(v => v % 37).toDF("v")
+    val b = (1L to 300L).map(v => v % 53).toDF("v")
+    val whole = CountMin.sketch(a.unionByName(b), "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = CountMin.sketch(a, "v").unionByName(CountMin.sketch(b, "v"))
+      .groupBy($"row", $"col").agg(sum($"cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole == merged)
+  }
+
+  test("absent values estimate from empty cells as >= 0 without failing") {
+    import spark.implicits._
+    val sk = CountMin.sketch(Seq(1L, 2L, 3L).toDF("v"), "v")
+    val est = CountMin.pointEstimates(sk, Seq(999999L).toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(est.length == 1 && est.head._2 >= 0L)
+  }
+}
