@@ -17,7 +17,7 @@ object CurationScaleProbe {
     val dir = args(0)
     val ops: Set[String] =
       if (args.length > 1) args.drop(1).toSet
-      else Set("line", "bloom", "containment")
+      else Set("line", "bloom", "containment", "sketch", "image")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -83,6 +83,44 @@ object CurationScaleProbe {
             sum(when($"id_sub" >= 1000000000L, 1).otherwise(0))).head()
       }
       println(s"[probe]   pairs=${res.getLong(0)} excerpt_pairs=${res.getLong(1)}")
+    }
+
+    if (ops("sketch")) {
+      val ev = Tables(spark, dir, "events")
+      val hll = timed("Hll.estimate by event_type (p=12)") {
+        graft.operators.Hll.estimate(ev, Seq("event_type"), "user_id")
+          .agg(sum($"estimate")).head.getDouble(0)
+      }
+      println(f"[probe]   hll_sum=$hll%.1f")
+      val cms = timed("CountMin sketch+top20 estimates (d=4,w=1024)") {
+        val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"user_id").limit(20)
+        graft.operators.CountMin.pointEstimates(
+          graft.operators.CountMin.sketch(ev, "user_id"), exact, "user_id")
+          .agg(sum($"cms_est")).head.getLong(0)
+      }
+      println(s"[probe]   cms_top20_sum=$cms")
+    }
+
+    if (ops("image")) {
+      import graft.operators.Multimodal
+      val ids = docs.select($"doc_id").as[Long]
+      val base = ids.map { id =>
+        (id, Multimodal.encodeBmp24Gray(64, 64, p =>
+          (Multimodal.splitmix64(id * 4096L + p + 1L) & 255L).toInt))
+      }
+      val copies = ids.filter(_ % 10 == 0).map { id =>
+        (id + 1000000000L, Multimodal.encodeBmp24Gray(64, 64, { p =>
+          val v = (Multimodal.splitmix64(id * 4096L + p + 1L) & 255L).toInt
+          val cell = (p / 64 / 8) * 8 + (p % 64) / 8
+          if (cell == 0 || cell == 9 || cell == 18) (v + 64) % 256 else v
+        }))
+      }
+      val pairs = timed("imageDedup (encode+decode+hash+join, d<=8)") {
+        Multimodal.imageDedup(base.union(copies).toDF("asset_id", "content"),
+          "asset_id", "content", maxDistance = 8, pieces = 9).count()
+      }
+      println(s"[probe]   image_pairs=$pairs")
     }
 
     spark.stop()
