@@ -158,6 +158,21 @@ object Events {
         .orderBy($"cohort_date", $"offset_days")
     }),
 
+    // Z-order (Morton) clustering values for (user_id, event-minute)
+    // (operators.Layout): the physical-design lever for two-dimensional
+    // scan pruning — files sorted by this value carry tight min/max
+    // envelopes in BOTH dimensions (locality measured in LayoutSpec;
+    // this query gates the interleave arithmetic itself, which is pure
+    // bitwise Column math replayed verbatim in SQL).
+    "evt_zvalue" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"event_id",
+          graft.operators.Layout.zValue($"user_id",
+            expr("unix_micros(ts) div 60000000")).as("zval"))
+        .orderBy($"event_id")
+    }),
+
     // Count-Min frequency estimates for the top-20 most active users
     // (operators.CountMin, d=4, w=2^10 → 32 KB of counters) NEXT TO the
     // exact per-user event counts — the heavy-hitter sketch beside Hll's
@@ -202,6 +217,26 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Z-value replay: the parallel-prefix bit spread on UBIGINT, one CTE
+    // per step, masks in decimal (0x0000FFFF0000FFFF etc.); the 62-bit
+    // result casts back to BIGINT losslessly.
+    "evt_zvalue" ->
+      """WITH e AS (SELECT event_id, user_id::UBIGINT AS xa,
+        |            (epoch_us(ts) // 60000000)::UBIGINT AS xb FROM events),
+        |m AS (SELECT event_id, xa & 2147483647 AS a, xb & 2147483647 AS b FROM e),
+        |s1 AS (SELECT event_id, (a | (a << 16)) & 281470681808895 AS a,
+        |        (b | (b << 16)) & 281470681808895 AS b FROM m),
+        |s2 AS (SELECT event_id, (a | (a << 8)) & 71777214294589695 AS a,
+        |        (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+        |s3 AS (SELECT event_id, (a | (a << 4)) & 1085102592571150095 AS a,
+        |        (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+        |s4 AS (SELECT event_id, (a | (a << 2)) & 3689348814741910323 AS a,
+        |        (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+        |s5 AS (SELECT event_id, (a | (a << 1)) & 6148914691236517205 AS a,
+        |        (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+        |SELECT event_id, (a | (b << 1))::BIGINT AS zval
+        |FROM s5 ORDER BY event_id""".stripMargin,
+
     // Count-Min replay, integer-exact (no rounding anywhere): per-event
     // cells from the row-seeded splitmix64 (seed r·GAMMA added under the
     // 2^64 wrap), counter sums per (row, col), min over the queried
