@@ -158,6 +158,25 @@ object Events {
         .orderBy($"cohort_date", $"offset_days")
     }),
 
+    // Grouped top-k through the custom Catalyst AGGREGATE
+    // (functions.TopKDoublesAgg, a TypedImperativeAggregate): top-5
+    // event values per type from a bounded k-element heap with map-side
+    // partial merge — at most k doubles per group per map task cross the
+    // shuffle, vs the window-rank idiom's full-width shuffle + per-group
+    // sort (plan-asserted in TopKSpec). Ties keep duplicate VALUES, so
+    // the exploded (rank, value) rows are deterministic even when the
+    // window form would break the tie arbitrarily.
+    "evt_topk_values" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(graft.functions.TopK.topk_doubles($"value", 5).as("top"))
+        .select($"event_type", posexplode($"top"))
+        .select($"event_type", ($"pos" + 1).cast("bigint").as("rank"),
+          $"col".as("value"))
+        .orderBy($"event_type", $"rank")
+    }),
+
     // Z-order (Morton) clustering values for (user_id, event-minute)
     // (operators.Layout): the physical-design lever for two-dimensional
     // scan pruning — files sorted by this value carry tight min/max
@@ -217,6 +236,16 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Top-k replay via window rank: at a tie on the k boundary the two
+    // engines may keep different ROWS but identical VALUES — and only
+    // the value is output, so the comparison is deterministic.
+    "evt_topk_values" ->
+      """WITH r AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rank
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, rank::BIGINT AS rank, value
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+
     // Z-value replay: the parallel-prefix bit spread on UBIGINT, one CTE
     // per step, masks in decimal (0x0000FFFF0000FFFF etc.); the 62-bit
     // result casts back to BIGINT losslessly.
