@@ -102,6 +102,23 @@ object CurationScaleProbe {
       println(s"[probe]   cms_top20_sum=$cms")
     }
 
+    if (ops("topk")) {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(spark, dir, "events")
+      val agg = timed("topk_doubles aggregate (k=5 per event_type)") {
+        ev.groupBy($"event_type")
+          .agg(graft.functions.TopK.topk_doubles($"value", 5).as("top"))
+          .agg(sum(size($"top"))).head.getLong(0)
+      }
+      val win = timed("window row_number form (reference)") {
+        ev.filter($"value".isNotNull)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"event_type").orderBy($"value".desc)))
+          .filter($"rk" <= 5).count()
+      }
+      println(s"[probe]   agg_rows=$agg window_rows=$win")
+    }
+
     if (ops("image")) {
       import graft.operators.Multimodal
       val ids = docs.select($"doc_id").as[Long]
