@@ -39,7 +39,8 @@ object CountMin {
     require(depth >= 1 && depth <= 16, s"depth must be in 1..16, got $depth")
     require(widthLog2 >= 1 && widthLog2 <= 30,
       s"widthLog2 must be in 1..30, got $widthLog2")
-    df.select(explode(array(Seq.tabulate(depth) { r =>
+    df.filter(col(valueCol).isNotNull) // NULL is not a countable value
+      .select(explode(array(Seq.tabulate(depth) { r =>
         struct(lit(r).as("row"),
           cell(col(valueCol), r, widthLog2).as("col"))
       }: _*)).as("cell"))
@@ -56,6 +57,7 @@ object CountMin {
                      depth: Int = 4, widthLog2: Int = 10): DataFrame = {
     val cells = queries
       .select(col(valueCol).as("_v"))
+      .filter(col("_v").isNotNull)
       .distinct()
       .select(col("_v"), explode(array(Seq.tabulate(depth) { r =>
         struct(lit(r).as("row"), cell(col("_v"), r, widthLog2).as("col"))

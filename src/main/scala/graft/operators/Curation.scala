@@ -433,12 +433,14 @@ object Curation {
     * (delim-rejoined survivors, "" when everything was boilerplate),
     * `n_kept`, `n_removed`.
     *
-    * Scale shape: lines travel as 64-bit xxhash64 keys through BOTH
-    * shuffles — the document-frequency count (over distinct (doc_id, h),
-    * so within-doc repeats count once) and the per-doc regroup — and the
-    * line string rides alongside only for reconstruction. No join back to
-    * the base table: every doc has >= 1 line (split of "" is [""]), so the
-    * single conditional aggregation covers fully-boilerplate docs too.
+    * Scale shape: lines travel as 64-bit xxhash64 keys through every
+    * shuffle — THREE exchanges over TWO scans of the exploded lines
+    * (measured on the executed plan): the df branch's distinct
+    * (doc_id, h) + count-by-h (within-doc repeats count once), then the
+    * join + per-doc regroup — and the line string rides alongside only
+    * for reconstruction. No join back to the base table: every doc has
+    * >= 1 line (split of "" is [""]), so the single conditional
+    * aggregation covers fully-boilerplate docs too.
     * Both shuffle keys are high-cardinality (line hash, doc_id); the df
     * table is NOT broadcast — boilerplate sets are heavy-hitter-shaped but
     * unbounded in adversarial corpora, and the equality join costs one

@@ -46,7 +46,8 @@ object Hll {
     // rank over the remaining 64-p bits, shifted to the top; w == 0
     // (all-zero suffix) caps at 64-p+1 via the least()
     val rho = least(leading_zeros64(shiftleft(h, p)) + 1, lit(64 - p + 1))
-    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+    df.filter(col(valueCol).isNotNull) // count(DISTINCT) semantics: NULLs don't count
+      .select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("rho")).as("rho"))
   }

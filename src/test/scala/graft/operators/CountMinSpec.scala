@@ -58,6 +58,18 @@ class CountMinSpec extends AnyFunSuite {
     assert(whole == merged)
   }
 
+  test("NULL values enter no counter and query as no row") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(1L), None, Some(2L))
+      .map(_.map(Long.box).orNull).toDF("v")
+    val sk = CountMin.sketch(df, "v")
+    val clean = CountMin.sketch(Seq(1L, 1L, 2L).toDF("v"), "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sk.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap == clean, "NULLs must not inflate counters")
+    assert(CountMin.pointEstimates(sk, df, "v").filter($"v".isNull).count() == 0)
+  }
+
   test("absent values estimate from empty cells as >= 0 without failing") {
     import spark.implicits._
     val sk = CountMin.sketch(Seq(1L, 2L, 3L).toDF("v"), "v")

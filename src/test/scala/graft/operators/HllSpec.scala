@@ -50,6 +50,19 @@ class HllSpec extends AnyFunSuite {
     assert(direct == merged, s"direct=$direct merged=$merged")
   }
 
+  test("NULL values do not count and an all-NULL group yields no estimate") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None), ("b", None))
+      .map { case (g, v) => (g, v.map(Long.box).orNull) }.toDF("grp", "v")
+    val est = Hll.estimate(df, Seq("grp"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!est.contains("b"), "an all-NULL group must not appear")
+    val clean = Hll.estimate(
+      Seq(("a", 1L), ("a", 2L)).toDF("grp", "v"), Seq("grp"), "v")
+      .head.getDouble(1)
+    assert(est("a") == clean, "NULLs must not perturb the registers")
+  }
+
   test("small cardinalities take the linear-counting branch exactly") {
     import spark.implicits._
     // n distinct values with no bucket collisions -> V = m - n and the
