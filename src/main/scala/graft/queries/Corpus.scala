@@ -219,6 +219,30 @@ object Corpus {
         .orderBy($"cluster_id", $"doc_id")
     }),
 
+    // Canonical-document selection — the step that completes the dedup
+    // story (detect pairs → cluster → KEEP one): per duplicate cluster,
+    // keep the longest member (RefinedWeb's keep rule; doc_id breaks
+    // ties) and report how many it displaces. Pure composition of the
+    // verified pieces — LSH pairs, connected components, a length
+    // argmax — so the oracle is the clusters closure + the same argmax.
+    "doc_dedup_keep" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val pairs = graft.operators.TextDedup
+        .nearDuplicates(docs, "doc_id", "text", threshold = 0.8)
+      val clusters = graft.operators.Components.connectedComponents(pairs)
+      val withLen = clusters
+        .join(docs.select($"doc_id".as("id"), length($"text").as("len")), "id")
+      withLen
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"component").orderBy($"len".desc, $"id")))
+        .groupBy($"component".as("cluster_id"))
+        .agg(max(when($"rk" === 1, $"id")).as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy($"cluster_id")
+    }),
+
     // Language identification (stopword-profile argmax + CJK script
     // override) — per-doc prediction next to the ground-truth label.
     "doc_langid" -> ((s, dir) => {
@@ -770,6 +794,40 @@ object Corpus {
         |)
         |SELECT least(id, min(reach)) AS cluster_id, id AS doc_id
         |FROM r GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
+
+    // Keep-rule replay: the doc_dup_clusters recursive closure, then the
+    // same (length DESC, doc_id ASC) argmax per cluster. ORACLE COST:
+    // repeats the clusters closure (the most expensive oracle in the
+    // sf0.1 sweep) — a scale bump past sf0.1 budgets the oracle, not
+    // the query.
+    "doc_dedup_keep" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT u AS id, v AS reach FROM e
+        |  UNION
+        |  SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u
+        |),
+        |c AS (SELECT least(id, min(reach)) AS cluster_id, id AS doc_id
+        |      FROM r GROUP BY id),
+        |l AS (SELECT c.cluster_id, c.doc_id, length(d.text) AS len
+        |      FROM c JOIN documents d USING (doc_id)),
+        |k AS (SELECT cluster_id, doc_id AS keep_id,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY len DESC, doc_id) AS rk FROM l),
+        |n AS (SELECT cluster_id, count(*) AS n_members FROM l GROUP BY 1)
+        |SELECT k.cluster_id, k.keep_id, n.n_members
+        |FROM k JOIN n USING (cluster_id) WHERE rk = 1
+        |ORDER BY cluster_id""".stripMargin,
 
     "doc_langid" ->
       """WITH t AS (
