@@ -440,7 +440,9 @@ object Curation {
     * join + per-doc regroup — and the line string rides alongside only
     * for reconstruction. No join back to the base table: every doc has
     * >= 1 line (split of "" is [""]), so the single conditional
-    * aggregation covers fully-boilerplate docs too.
+    * aggregation covers fully-boilerplate docs too. NULL text yields no
+    * lines and therefore NO output row (SQL null-propagation through the
+    * split) — pre-coalesce if NULL docs must survive.
     * Both shuffle keys are high-cardinality (line hash, doc_id); the df
     * table is NOT broadcast — boilerplate sets are heavy-hitter-shaped but
     * unbounded in adversarial corpora, and the equality join costs one

@@ -97,4 +97,27 @@ class RobustnessSpec extends AnyFunSuite {
     assert(TextAnalysis.tfidfTopK(empty, "doc_id", "text").count() == 0)
     assert(Curation.repetitionStats(empty, "doc_id", "text").count() == 0)
   }
+
+  test("round-8 operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextDedup.containmentPairs(empty, "doc_id", "text").count() == 0)
+    assert(Curation.lineDedup(empty, "doc_id", "text").count() == 0)
+    assert(Curation.decontaminateBloom(empty, empty, "doc_id", "text")
+      .count() == 0)
+    val emptyBin = Seq.empty[(Long, Array[Byte])].toDF("asset_id", "content")
+    assert(Multimodal.imageDedup(emptyBin, "asset_id", "content").count() == 0)
+    assert(Multimodal.audioDedup(emptyBin, "asset_id", "content").count() == 0)
+    val emptyVals = Seq.empty[(String, java.lang.Long)].toDF("g", "v")
+    assert(Hll.estimate(emptyVals, Seq("g"), "v").count() == 0)
+    assert(CountMin.sketch(emptyVals, "v").count() == 0)
+    // NULL/empty text flows through the new text operators without error
+    val degenerate = Seq((1L, null.asInstanceOf[String]), (2L, ""),
+      (3L, "   "), (4L, "real words here for a document"))
+      .toDF("doc_id", "text")
+    assert(Curation.lineDedup(degenerate, "doc_id", "text").count() == 3,
+      "NULL text drops (posexplode of null array); empty/blank docs keep a row")
+    assert(TextDedup.containmentPairs(degenerate, "doc_id", "text")
+      .count() == 0)
+  }
 }
