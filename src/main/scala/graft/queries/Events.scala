@@ -192,6 +192,36 @@ object Events {
         .orderBy($"event_id")
     }),
 
+    // HLL set algebra — audience overlap WITHOUT rescanning raw data:
+    // |clickers ∩ purchasers| estimated by inclusion-exclusion over three
+    // sketch estimates (union = registers merged by max, the mergeability
+    // HllSpec pins), next to the exact intersection count. The classic
+    // "overlap of two audiences from their sketches" workflow: at 100 TB
+    // the per-segment registers are PERSISTED (4 KB each) and any pair's
+    // overlap estimate costs two register frames, not a data scan.
+    "evt_hll_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      def est(tag: String, f: DataFrame): DataFrame =
+        graft.operators.Hll.estimate(f.withColumn("_t", lit(tag)),
+          Seq("_t"), "user_id").select(lit(tag).as("_t"), $"estimate")
+      val clicks = ev.filter($"event_type" === "click")
+      val buys = ev.filter($"event_type" === "purchase")
+      val ests = est("a", clicks)
+        .unionByName(est("b", buys))
+        .unionByName(est("u", clicks.unionByName(buys)))
+        .groupBy()
+        .pivot("_t", Seq("a", "b", "u")).agg(first($"estimate"))
+      val exact = clicks.select($"user_id").distinct()
+        .join(buys.select($"user_id").distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_overlap"))
+      ests.crossJoin(exact)
+        .select(round($"a", 4).as("est_clickers"),
+          round($"b", 4).as("est_buyers"),
+          round($"a" + $"b" - $"u", 4).as("est_overlap"),
+          $"exact_overlap")
+    }),
+
     // Count-Min frequency estimates for the top-20 most active users
     // (operators.CountMin, d=4, w=2^10 → 32 KB of counters) NEXT TO the
     // exact per-user event counts — the heavy-hitter sketch beside Hll's
@@ -265,6 +295,58 @@ object Events {
         |        (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
         |SELECT event_id, (a | (b << 1))::BIGINT AS zval
         |FROM s5 ORDER BY event_id""".stripMargin,
+
+    // HLL-overlap replay: one tagged stream (clickers / buyers / union)
+    // through the same splitmix+register chain as evt_hll_users, pivoted
+    // to one row, inclusion-exclusion in the same a+b-u order.
+    "evt_hll_overlap" ->
+      """WITH s0 AS (
+        |  SELECT 'a' AS t, user_id FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'b', user_id FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'u', user_id FROM events WHERE event_type IN ('click', 'purchase')),
+        |k0 AS (SELECT t, user_id::HUGEINT AS k FROM s0),
+        |x0 AS (SELECT t,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM k0),
+        |z1 AS (
+        |  SELECT t, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT t, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |zf AS (SELECT t, xor(z, z >> 31) AS h FROM z2),
+        |br AS (SELECT t, (h >> 52)::BIGINT AS bucket,
+        |        least(64 - length(bin(((h::HUGEINT * 4096)
+        |          % 18446744073709551616)::UBIGINT)) + 1, 53)::INT AS rho
+        |       FROM zf),
+        |reg AS (SELECT t, bucket, max(rho) AS rho FROM br GROUP BY 1, 2),
+        |agg AS (SELECT t, count(*) AS v_present,
+        |         sum(pow(2.0, -rho)) AS hsum FROM reg GROUP BY 1),
+        |est AS (SELECT t, (4096.0 - v_present) AS zeros,
+        |         (0.7213 / (1 + 1.079 / 4096) * 4096) * 4096
+        |           / ((4096.0 - v_present) + hsum) AS e_raw
+        |        FROM agg),
+        |fin AS (SELECT t,
+        |         CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+        |              THEN 4096.0 * ln(4096.0 / zeros) ELSE e_raw END AS est
+        |        FROM est),
+        |piv AS (SELECT
+        |  max(CASE WHEN t = 'a' THEN est END) AS a,
+        |  max(CASE WHEN t = 'b' THEN est END) AS b,
+        |  max(CASE WHEN t = 'u' THEN est END) AS u FROM fin),
+        |exact AS (SELECT count(*) AS exact_overlap FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+        |  JOIN (SELECT DISTINCT user_id FROM events
+        |        WHERE event_type = 'purchase') p USING (user_id))
+        |SELECT round(a, 4) AS est_clickers, round(b, 4) AS est_buyers,
+        |  round(a + b - u, 4) AS est_overlap, exact_overlap
+        |FROM piv, exact""".stripMargin,
 
     // Count-Min replay, integer-exact (no rounding anywhere): per-event
     // cells from the row-seeded splitmix64 (seed r·GAMMA added under the
