@@ -48,6 +48,18 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge sketch frames built with the SAME (depth, widthLog2):
+    * counter-wise sum over the `unionByName` of the frames — the CMS
+    * union. Exact, not approximate-on-approximate: the merged counters
+    * equal the one-shot sketch's over the concatenated data (each cell's
+    * count is additive over disjoint inputs), so daily 32 KB sketches sum
+    * into weekly/monthly ones with zero extra error — the mergeability
+    * `evt_cms_merge` gates.
+    */
+  def mergeSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("row"), col("col"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point-estimate the counts of `queries`' `valueCol` values against a
     * sketch built with the SAME (depth, widthLog2): min over the d
     * counters the value hashes to; a (row, col) cell absent from the
@@ -63,8 +75,11 @@ object CountMin {
         struct(lit(r).as("row"), cell(col("_v"), r, widthLog2).as("col"))
       }: _*)).as("cell"))
       .select(col("_v"), col("cell.row").as("row"), col("cell.col").as("col"))
+    // the sketch is <= d·2^widthLog2 rows (32 KB at the defaults) — always
+    // broadcast-able by construction; the hint makes that the plan, not an
+    // AQE rescue
     cells
-      .join(sk, Seq("row", "col"), "left")
+      .join(broadcast(sk), Seq("row", "col"), "left")
       .groupBy(col("_v").as(valueCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }

@@ -389,6 +389,16 @@ object Curation {
     * realized fpp); <= 0 counts the bench gram stream with one extra
     * action — pass the hint when the caller already knows the scale
     * (same contract as `TextDedup`'s `nHint`).
+    *
+    * Sizing honesty: `BloomFilterAggregate` silently CLAMPS its inputs to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4M items / 64M bits — runtime-join-filter scale, not this
+    * operator's), which would quietly raise the realized fpp far above the
+    * requested one exactly in the big-bench regime this operator exists
+    * for. The two confs are raised to cover (est, numBits) for the
+    * aggregation and restored after — correctness never depended on it
+    * (the confirm join kills false positives), but the fpp/expectedGrams
+    * sizing contract now actually holds.
     */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int = 8, minShared: Long = 1L,
@@ -409,9 +419,25 @@ object Curation {
     val bloomAgg = new BloomFilterAggregate(
       UnresolvedAttribute("gram"), Literal(est), Literal(numBits))
       .toAggregateExpression()
-    val bloomBytes = benchGrams
-      .select(ColumnBridge.column(bloomAgg).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val spark = bench.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.get(itemsKey)
+    val oldBits = spark.conf.get(bitsKey)
+    val bloomBytes =
+      try {
+        // lift the runtime-join-filter clamps so the requested sizing is
+        // the realized one (see scaladoc); restored immediately after the
+        // one aggregation that reads them
+        spark.conf.set(itemsKey, math.max(est, oldItems.toLong))
+        spark.conf.set(bitsKey, math.max(numBits, oldBits.toLong))
+        benchGrams
+          .select(ColumnBridge.column(bloomAgg).as("bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally {
+        spark.conf.set(itemsKey, oldItems)
+        spark.conf.set(bitsKey, oldBits)
+      }
     val trainGrams = grams(train, "train_id")
     val pruned =
       if (bloomBytes == null) trainGrams.filter(lit(false)) // empty bench

@@ -52,6 +52,18 @@ object Hll {
       .agg(max(col("rho")).as("rho"))
   }
 
+  /** Merge register frames built with the SAME p: register-wise max — the
+    * HLL union. Feed it the `unionByName` of any number of frames (days,
+    * partitions, audience segments); the result is ANOTHER register frame,
+    * so merges compose and `estimateFromRegisters` closes it. This is the
+    * whole 100 TB contract: a segment's registers are 2^p rows persisted
+    * once, and any union's estimate costs a groupBy max over frames — no
+    * raw-data rescan.
+    */
+  def mergeRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+
   /** Collapse a register frame to one estimate per group. */
   def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
                             p: Int = 12): DataFrame = {

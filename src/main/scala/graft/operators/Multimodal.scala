@@ -338,7 +338,12 @@ object Multimodal {
         org.apache.spark.sql.functions.col(contentCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        decodeImage(bytes).map(img => (id, averageHash64(img)))
+        // decodable-but-tiny rasters (1x1 tracking pixels are common in
+        // web corpora) can't fill the 8x8 hash grid — drop them to the
+        // dead-letter path instead of throwing, mirroring audioHashes'
+        // minimum-length guard
+        decodeImage(bytes).filter(img => img.width >= 8 && img.height >= 8)
+          .map(img => (id, averageHash64(img)))
       }
       .toDF("asset_id", "ahash")
   }

@@ -547,10 +547,13 @@ object TextDedup {
     * shared hash's rank in B is unbounded). Candidates verify against the
     * complete sets, so precision is exact and recall is exact up to the
     * `maxDF` guard: full-index buckets with df > maxDF are dropped
-    * (boilerplate shingles; affects candidate recall only on corpora where
-    * a pair shares NOTHING but such grams — at the default n=4 word grams
-    * that means thousands of docs sharing the same 4-word run). df-1
-    * buckets can never pair and are dropped too.
+    * (boilerplate shingles), and a qualifying pair is missed when EVERY
+    * shared gram that lands in the sub-doc's PREFIX is above the cap —
+    * the prefix filter guarantees some shared gram sits in the prefix,
+    * not a low-df one, so low-df grams shared outside the prefix don't
+    * rescue the pair. At the default n=4 word grams that still requires
+    * the prefix's shared grams to each be 4-word runs common to > maxDF
+    * docs. df-1 buckets can never pair and are dropped too.
     *
     * At 100 TB: probes are ~(1-t) of the shingle volume, the join is
     * equality-keyed on the hash (uniform, high-cardinality), and the
@@ -862,6 +865,10 @@ object SimHash {
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                    maxDistance: Int, pieces: Int): DataFrame = {
+    // pigeonhole completeness: with pieces <= maxDistance a qualifying
+    // pair need not share ANY exact segment, and the join silently loses
+    // recall — fail fast instead (hammingAgainstIndex has the same guard)
+    require(pieces > maxDistance, "need pieces > maxDistance for full recall")
     val fp = segmentIndex(hashes, idCol, hashCol, pieces)
     // singleton segments can never collide — prune them before the
     // self-join (lossless: Int.MaxValue cap = no bucket dropped)

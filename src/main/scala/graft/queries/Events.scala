@@ -194,22 +194,32 @@ object Events {
 
     // HLL set algebra — audience overlap WITHOUT rescanning raw data:
     // |clickers ∩ purchasers| estimated by inclusion-exclusion over three
-    // sketch estimates (union = registers merged by max, the mergeability
-    // HllSpec pins), next to the exact intersection count. The classic
-    // "overlap of two audiences from their sketches" workflow: at 100 TB
-    // the per-segment registers are PERSISTED (4 KB each) and any pair's
-    // overlap estimate costs two register frames, not a data scan.
+    // sketch estimates, next to the exact intersection count. The union
+    // audience's registers are DERIVED from the two audience register
+    // frames by register-wise max (Hll.mergeRegisters) — the raw events
+    // are never rescanned for the union, so the gate executes the exact
+    // workflow the 100 TB story rests on: per-segment registers are
+    // PERSISTED (4 KB each) and any pair's overlap estimate costs two
+    // register frames, not a data scan. (The oracle mirrors the merge:
+    // its union registers are a max over the a/b register CTE, not a
+    // third raw-data pass.)
     "evt_hll_overlap" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables(s, dir, "events")
-      def est(tag: String, f: DataFrame): DataFrame =
-        graft.operators.Hll.estimate(f.withColumn("_t", lit(tag)),
-          Seq("_t"), "user_id").select(lit(tag).as("_t"), $"estimate")
       val clicks = ev.filter($"event_type" === "click")
       val buys = ev.filter($"event_type" === "purchase")
-      val ests = est("a", clicks)
-        .unionByName(est("b", buys))
-        .unionByName(est("u", clicks.unionByName(buys)))
+      def regs(tag: String, f: DataFrame): DataFrame =
+        graft.operators.Hll.registers(f.withColumn("_t", lit(tag)),
+          Seq("_t"), "user_id")
+      val ra = regs("a", clicks)
+      val rb = regs("b", buys)
+      // the mergeability claim, executed inside the gate: union registers
+      // = max over the two frames' registers, no third scan of events
+      val ru = graft.operators.Hll.mergeRegisters(
+        ra.withColumn("_t", lit("u")).unionByName(rb.withColumn("_t", lit("u"))),
+        Seq("_t"))
+      val ests = graft.operators.Hll.estimateFromRegisters(
+        ra.unionByName(rb).unionByName(ru), Seq("_t"))
         .groupBy()
         .pivot("_t", Seq("a", "b", "u")).agg(first($"estimate"))
       val exact = clicks.select($"user_id").distinct()
@@ -241,6 +251,38 @@ object Events {
         .pointEstimates(sk, exact, "user_id", depth = 4, widthLog2 = 10)
         .join(exact, "user_id")
         .select($"user_id", $"exact_cnt", $"cms_est")
+        .orderBy($"exact_cnt".desc, $"user_id")
+    }),
+
+    // Count-Min MERGE — the sketch-maintenance workflow the 32 KB pitch
+    // rests on: the event stream is split into two disjoint day-parity
+    // partitions (stand-ins for daily batches), each gets its own sketch,
+    // and the frames merge by counter-wise SUM (CountMin.mergeSketches)
+    // into the sketch the full stream would have produced — EXACTLY, not
+    // approximately (cell counts are additive over disjoint inputs). The
+    // output carries the merged-path and one-shot-path estimates side by
+    // side; the gate pins them equal row by row. The oracle replays BOTH
+    // paths structurally (per-parity counter sums vs direct counts).
+    "evt_cms_merge" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val even = ev.filter(dayofmonth($"ts") % 2 === 0)
+      val odd = ev.filter(dayofmonth($"ts") % 2 === 1)
+      val merged = graft.operators.CountMin.mergeSketches(
+        graft.operators.CountMin.sketch(even, "user_id")
+          .unionByName(graft.operators.CountMin.sketch(odd, "user_id")))
+      val oneShot = graft.operators.CountMin.sketch(ev, "user_id")
+      val exact = ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"user_id").limit(20)
+      graft.operators.CountMin
+        .pointEstimates(merged, exact, "user_id")
+        .withColumnRenamed("cms_est", "cms_merged")
+        .join(graft.operators.CountMin
+          .pointEstimates(oneShot, exact, "user_id")
+          .withColumnRenamed("cms_est", "cms_oneshot"), "user_id")
+        .join(exact, "user_id")
+        .select($"user_id", $"exact_cnt", $"cms_merged", $"cms_oneshot")
         .orderBy($"exact_cnt".desc, $"user_id")
     }),
 
@@ -296,16 +338,17 @@ object Events {
         |SELECT event_id, (a | (b << 1))::BIGINT AS zval
         |FROM s5 ORDER BY event_id""".stripMargin,
 
-    // HLL-overlap replay: one tagged stream (clickers / buyers / union)
-    // through the same splitmix+register chain as evt_hll_users, pivoted
-    // to one row, inclusion-exclusion in the same a+b-u order.
+    // HLL-overlap replay: the clicker/buyer streams through the same
+    // splitmix+register chain as evt_hll_users; the UNION audience's
+    // registers are then DERIVED from those two register frames by
+    // register-wise max (regu), mirroring the Spark side's
+    // Hll.mergeRegisters — the raw events are scanned for a and b only.
+    // Pivoted to one row, inclusion-exclusion in the same a+b-u order.
     "evt_hll_overlap" ->
       """WITH s0 AS (
         |  SELECT 'a' AS t, user_id FROM events WHERE event_type = 'click'
         |  UNION ALL
-        |  SELECT 'b', user_id FROM events WHERE event_type = 'purchase'
-        |  UNION ALL
-        |  SELECT 'u', user_id FROM events WHERE event_type IN ('click', 'purchase')),
+        |  SELECT 'b', user_id FROM events WHERE event_type = 'purchase'),
         |k0 AS (SELECT t, user_id::HUGEINT AS k FROM s0),
         |x0 AS (SELECT t,
         |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
@@ -326,8 +369,10 @@ object Events {
         |          % 18446744073709551616)::UBIGINT)) + 1, 53)::INT AS rho
         |       FROM zf),
         |reg AS (SELECT t, bucket, max(rho) AS rho FROM br GROUP BY 1, 2),
+        |regu AS (SELECT 'u' AS t, bucket, max(rho) AS rho FROM reg GROUP BY 2),
+        |allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM regu),
         |agg AS (SELECT t, count(*) AS v_present,
-        |         sum(pow(2.0, -rho)) AS hsum FROM reg GROUP BY 1),
+        |         sum(pow(2.0, -rho)) AS hsum FROM allreg GROUP BY 1),
         |est AS (SELECT t, (4096.0 - v_present) AS zeros,
         |         (0.7213 / (1 + 1.079 / 4096) * 4096) * 4096
         |           / ((4096.0 - v_present) + hsum) AS e_raw
@@ -381,6 +426,50 @@ object Events {
         |        GROUP BY 1)
         |SELECT e.user_id, e.exact_cnt, est.cms_est
         |FROM ex e JOIN est USING (user_id)
+        |ORDER BY exact_cnt DESC, user_id""".stripMargin,
+
+    // CMS-merge replay, integer-exact: same hash chain as evt_cms_users
+    // but every cell carries its event's day-parity tag; the MERGED
+    // sketch is the per-parity counter sums summed per (row, col) — the
+    // structural mirror of CountMin.mergeSketches — while the ONE-SHOT
+    // sketch counts cells directly. Both estimates are emitted and must
+    // agree row by row (counter additivity over disjoint inputs).
+    "evt_cms_merge" ->
+      """WITH cc AS (SELECT user_id, day(ts) % 2 AS par, r
+        |  FROM events, range(0, 4) t(r)),
+        |kk AS (SELECT user_id, par, r,
+        |  ((user_id::HUGEINT + r * 11400714819323198485) % 18446744073709551616) AS k
+        |  FROM cc),
+        |x0 AS (SELECT user_id, par, r,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM kk),
+        |z1 AS (
+        |  SELECT user_id, par, r, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT user_id, par, r, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |cell AS (SELECT user_id, par, r, ((xor(z, z >> 31)) >> 54)::BIGINT AS col FROM z2),
+        |skp AS (SELECT par, r AS row, col, count(*)::BIGINT AS cnt
+        |        FROM cell GROUP BY 1, 2, 3),
+        |skm AS (SELECT row, col, sum(cnt)::BIGINT AS cnt FROM skp GROUP BY 1, 2),
+        |sko AS (SELECT r AS row, col, count(*)::BIGINT AS cnt FROM cell GROUP BY 1, 2),
+        |ex AS (SELECT user_id, count(*)::BIGINT AS exact_cnt FROM events
+        |       GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 20),
+        |qc AS (SELECT DISTINCT e.user_id, c.r, c.col
+        |       FROM ex e JOIN cell c USING (user_id)),
+        |estm AS (SELECT qc.user_id, min(skm.cnt)::BIGINT AS cms_merged
+        |         FROM qc JOIN skm ON skm.row = qc.r AND skm.col = qc.col
+        |         GROUP BY 1),
+        |esto AS (SELECT qc.user_id, min(sko.cnt)::BIGINT AS cms_oneshot
+        |         FROM qc JOIN sko ON sko.row = qc.r AND sko.col = qc.col
+        |         GROUP BY 1)
+        |SELECT e.user_id, e.exact_cnt, m.cms_merged, o.cms_oneshot
+        |FROM ex e JOIN estm m USING (user_id) JOIN esto o USING (user_id)
         |ORDER BY exact_cnt DESC, user_id""".stripMargin,
 
     // Full HLL replay: splitmix64 via the 32-bit-halves HUGEINT wrap

@@ -52,8 +52,8 @@ class CountMinSpec extends AnyFunSuite {
     val b = (1L to 300L).map(v => v % 53).toDF("v")
     val whole = CountMin.sketch(a.unionByName(b), "v")
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val merged = CountMin.sketch(a, "v").unionByName(CountMin.sketch(b, "v"))
-      .groupBy($"row", $"col").agg(sum($"cnt").as("cnt"))
+    val merged = CountMin.mergeSketches(
+      CountMin.sketch(a, "v").unionByName(CountMin.sketch(b, "v")))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(whole == merged)
   }

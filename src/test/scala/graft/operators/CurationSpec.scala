@@ -371,6 +371,35 @@ class CurationSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  test("decontaminateBloom lifts the runtime bloom clamps for its build, then restores them") {
+    import spark.implicits._
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val docs = Seq((0L, "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8 tail"),
+      (1L, "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8 other"))
+      .toDF("doc_id", "text")
+    val origItems = spark.conf.get(itemsKey)
+    val origBits = spark.conf.get(bitsKey)
+    try {
+      // simulate the clamp regime: confs far below the requested sizing
+      spark.conf.set(itemsKey, "8")
+      spark.conf.set(bitsKey, "64")
+      // expectedGrams >> clamp: without the lift the realized filter would
+      // be 64 bits for a requested ~10M-bit build; either way the confirm
+      // join keeps correctness — the assert here is contract restoration
+      val got = Curation.decontaminateBloom(docs.filter($"doc_id" === 0L),
+          docs.filter($"doc_id" === 1L), "doc_id", "text",
+          expectedGrams = 1000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(got == List((0L, 1L)))
+      assert(spark.conf.get(itemsKey) == "8", "maxNumItems must be restored")
+      assert(spark.conf.get(bitsKey) == "64", "maxNumBits must be restored")
+    } finally {
+      spark.conf.set(itemsKey, origItems)
+      spark.conf.set(bitsKey, origBits)
+    }
+  }
+
   test("lineDedup removes corpus-frequent lines, keeps order, counts exactly") {
     import spark.implicits._
     // "HDR" appears in all 3 docs (df=3 >= minDf=2 -> removed);

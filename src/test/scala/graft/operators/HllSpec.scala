@@ -44,10 +44,26 @@ class HllSpec extends AnyFunSuite {
     val b = (1500L until 6000L).map(i => ("g", i)).toDF("grp", "v") // overlap
     val direct = Hll.estimate(a.unionByName(b), Seq("grp"), "v").head.getDouble(1)
     val merged = Hll.estimateFromRegisters(
-      Hll.registers(a, Seq("grp"), "v").unionByName(Hll.registers(b, Seq("grp"), "v"))
-        .groupBy($"grp", $"bucket").agg(max($"rho").as("rho")),
+      Hll.mergeRegisters(
+        Hll.registers(a, Seq("grp"), "v")
+          .unionByName(Hll.registers(b, Seq("grp"), "v")),
+        Seq("grp")),
       Seq("grp")).head.getDouble(1)
     assert(direct == merged, s"direct=$direct merged=$merged")
+    // merges compose: merging a merged frame with a third frame is the
+    // same as the three-way one-shot
+    val c = (4000L until 9000L).map(i => ("g", i)).toDF("grp", "v")
+    val direct3 = Hll.estimate(a.unionByName(b).unionByName(c),
+      Seq("grp"), "v").head.getDouble(1)
+    val merged3 = Hll.estimateFromRegisters(
+      Hll.mergeRegisters(
+        Hll.mergeRegisters(
+          Hll.registers(a, Seq("grp"), "v")
+            .unionByName(Hll.registers(b, Seq("grp"), "v")), Seq("grp"))
+          .unionByName(Hll.registers(c, Seq("grp"), "v")),
+        Seq("grp")),
+      Seq("grp")).head.getDouble(1)
+    assert(direct3 == merged3, s"direct=$direct3 merged=$merged3")
   }
 
   test("NULL values do not count and an all-NULL group yields no estimate") {

@@ -250,6 +250,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageDedup(images, "asset_id", "content").count() == 0L)
   }
 
+  test("imageHashes drops decodable-but-tiny rasters (tracking pixels) to dead-letter") {
+    import spark.implicits._
+    val good = Multimodal.encodeBmp24Gray(64, 64, p => p % 251)
+    val tiny = Multimodal.encodeBmp24Gray(1, 1, _ => 255) // 1x1 tracking pixel
+    val narrow = Multimodal.encodeBmp24Gray(4, 32, p => p % 7) // one dim < 8
+    val images = Seq((1L, good), (2L, tiny), (3L, narrow))
+      .toDF("asset_id", "content")
+    // decodable (positive control for the filter, not the decoder)
+    assert(Multimodal.decodeImage(tiny).isDefined)
+    assert(Multimodal.decodeImage(narrow).isDefined)
+    val hashed = Multimodal.imageHashes(images, "asset_id", "content")
+      .collect().map(_.getLong(0)).toSet
+    assert(hashed == Set(1L), "sub-8x8 images must drop, not throw")
+  }
+
   test("encodeWavPcm16Samples round-trips PCM bit-exactly through javax.sound") {
     val samples = Array.tabulate(300)(i =>
       (Multimodal.splitmix64(i + 1L) & 0xFFFFL).toShort)

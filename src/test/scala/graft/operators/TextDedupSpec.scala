@@ -539,6 +539,21 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingPairs fails fast when pieces <= maxDistance (pigeonhole broken)") {
+    import spark.implicits._
+    val fp = Seq((1L, 0L), (2L, 255L)).toDF("doc_id", "fp")
+    // pieces == maxDistance: a pair at exactly maxDistance need not share
+    // any segment — silent recall loss, so construction must throw
+    intercept[IllegalArgumentException] {
+      SimHash.hammingPairs(fp, "doc_id", "fp", maxDistance = 4, pieces = 4)
+    }
+    intercept[IllegalArgumentException] {
+      SimHash.hammingPairs(fp, "doc_id", "fp", maxDistance = 8, pieces = 5)
+    }
+    // the boundary-valid banding still constructs
+    SimHash.hammingPairs(fp, "doc_id", "fp", maxDistance = 3, pieces = 4)
+  }
+
   test("nHint skips the corpus-count action in the auto-param paths") {
     val sc = spark.sparkContext
     val st = sc.statusTracker
