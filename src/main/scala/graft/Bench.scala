@@ -37,6 +37,62 @@ object Bench {
     } finally src.close()
   }.getOrElse(-1.0)
 
+  /** Per-query stats. `err` non-empty = the query THREW during
+    * measurement: no usable number exists, and the round-8 artifact would
+    * have recorded a silent -1 with `flagged=false` while still stamping
+    * itself `contaminated: false` — a clean-looking artifact missing a
+    * number. An erred query is now always flagged (forcing the run-level
+    * contamination stamp) and carries the exception inline.
+    */
+  final case class QStat(min: Double, med: Double, max: Double, steal: Double,
+                         runs: Int, flagged: Boolean,
+                         err: Option[String] = None)
+
+  /** Warmup + median-of-3 with spread/steal-triggered re-sampling —
+    * `sample()` returns (wallSec, stealSecDelta) for one timed run. Public
+    * and throw-safe so BenchSpec can drive a deliberately-failing query
+    * through the EXACT artifact path the driver uses.
+    */
+  def measureWith(sample: () => (Double, Double), nCpus: Double): QStat = {
+    def stolenSample(wall: Double, steal: Double): Boolean =
+      steal > 0.5 && steal > 0.01 * wall * nCpus
+    def spready(samples: Seq[(Double, Double)]): Boolean = {
+      val ts = samples.map(_._1)
+      ts.max / math.max(ts.min, 1e-9) > 2.0 && ts.max - ts.min > 0.3
+    }
+    def suspicious(samples: Seq[(Double, Double)]): Boolean =
+      spready(samples) || samples.exists { case (w, st) => stolenSample(w, st) }
+    try {
+      sample() // warmup
+      var samples = Vector.fill(3)(sample())
+      var extra = 0
+      while (extra < 2 && suspicious(samples)) {
+        samples = (samples.sortBy(_._1).dropRight(1) :+ sample())
+        extra += 1
+      }
+      val ts = samples.map(_._1).sorted
+      QStat(ts.head, ts(ts.size / 2), ts.last, samples.map(_._2).sum,
+        3 + extra, spready(samples))
+    } catch {
+      case e: Throwable =>
+        QStat(-1, -1, -1, 0, 0, flagged = true,
+          err = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"))
+    }
+  }
+
+  /** JSON string escape for the err field (exception messages carry
+    * quotes, newlines, file paths).
+    */
+  def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -109,9 +165,8 @@ object Bench {
     // A query still contended after retries lands in `flagged`, which
     // forces `contaminated: true`: the artifact can no longer certify
     // itself clean while carrying poisoned numbers.
-    case class QStat(min: Double, med: Double, max: Double, steal: Double,
-                     runs: Int, flagged: Boolean)
-    // Two distinct signals, used differently:
+    //
+    // Two distinct signals, used differently (logic in `measureWith`):
     //  - SPREAD (max/min > 2x with a 0.3 s absolute floor) is the TIMING
     //    witness that contention actually moved a number — it triggers
     //    re-sampling and, if it persists, the final per-query flag.
@@ -122,32 +177,12 @@ object Bench {
     //    steal-hit samples whose medians match steal-free re-runs to
     //    <2%), so steal-only flags were false positives. The RUN-level
     //    steal delta below still stamps the whole artifact.
+    //  - a THROWN query records its exception in `err` and is always
+    //    flagged — a missing number can never hide in a clean artifact.
     val nCpus = cpus.toDouble
-    def stolenSample(wall: Double, steal: Double): Boolean =
-      steal > 0.5 && steal > 0.01 * wall * nCpus
-    def spready(samples: Seq[(Double, Double)]): Boolean = {
-      val ts = samples.map(_._1)
-      ts.max / math.max(ts.min, 1e-9) > 2.0 && ts.max - ts.min > 0.3
-    }
-    def suspicious(samples: Seq[(Double, Double)]): Boolean =
-      spready(samples) || samples.exists { case (w, st) => stolenSample(w, st) }
-    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QStat = {
-      runOnce(fn) // warmup
-      var samples = Vector.fill(3)(sample(fn))
-      var extra = 0
-      while (extra < 2 && suspicious(samples)) {
-        samples = (samples.sortBy(_._1).dropRight(1) :+ sample(fn))
-        extra += 1
-      }
-      val ts = samples.map(_._1).sorted
-      QStat(ts.head, ts(ts.size / 2), ts.last, samples.map(_._2).sum,
-        3 + extra, spready(samples))
-    }
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val st = try measure(fn)
-        catch { case _: Throwable => QStat(-1, -1, -1, 0, 0, flagged = false) }
-      name -> st
+      name -> measureWith(() => sample(fn), nCpus)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.med }
       .mkString("{", ",", "}")
@@ -155,7 +190,8 @@ object Bench {
     // NOT (a de_DE JVM renders "0,313" and breaks the JSON artifact)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val stats = results.map { case (k, v) =>
-      s""""$k":{"min":${r3(v.min)},"med":${r3(v.med)},"max":${r3(v.max)},"steal":${r3(v.steal)},"runs":${v.runs},"flagged":${v.flagged}}"""
+      val errJson = v.err.map(jsonStr).getOrElse("null")
+      s""""$k":{"min":${r3(v.min)},"med":${r3(v.med)},"max":${r3(v.max)},"steal":${r3(v.steal)},"runs":${v.runs},"flagged":${v.flagged},"err":$errJson}"""
     }.mkString("{", ",", "}")
     val flagged = results.collect { case (k, v) if v.flagged => "\"" + k + "\"" }
     val total = results.map(_._2.med).filter(_ >= 0).sum
