@@ -83,4 +83,53 @@ object CountMin {
       .groupBy(col("_v").as(valueCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** STREAMING counter maintenance — `Hll.mergeBatch`'s discipline for the
+    * frequency sketch: each micro-batch's (row, col, cnt) frame lands in
+    * its own `_batch_id` partition via dynamic partition overwrite
+    * (crash-replay rewrites, never appends — double-counting a replayed
+    * batch is the CMS failure mode, since counters SUM), and reads merge
+    * at query time. Table created (partitioned, at `sketchPath`) on first
+    * use.
+    */
+  def mergeBatch(batch: DataFrame, valueCol: String, sketchTable: String,
+                 sketchPath: String, batchId: Long, depth: Int = 4,
+                 widthLog2: Int = 10): Unit = {
+    val spark = batch.sparkSession
+    val sk = sketch(batch, valueCol, depth, widthLog2)
+      .withColumn("_batch_id", lit(batchId))
+    BatchTables.ensureBatchTable(sk.limit(0), sketchTable, sketchPath)
+    BatchTables.withDynamicOverwrite(spark) {
+      sk.write.mode("overwrite").insertInto(sketchTable)
+    }
+  }
+
+  /** The maintained table's merged sketch (per-batch partitions collapsed
+    * by counter-wise sum) — feeds `pointEstimates` like a one-shot
+    * sketch, and equals it exactly over the same data.
+    */
+  def sketchFromTable(spark: org.apache.spark.sql.SparkSession,
+                      sketchTable: String): DataFrame =
+    mergeSketches(spark.table(sketchTable).drop("_batch_id"))
+
+  /** Fold batches `0..upToBatchId` (plus prior consolidations) into one
+    * negative partition by counter-wise sum — steady-state table size is
+    * d·2^widthLog2 rows (32 KB of counters at the defaults) regardless of
+    * stream age.
+    *
+    * Crash note: in the window between the consolidated insert and the
+    * source sweep, duplicate rows are visible and `sketchFromTable` sums
+    * them — estimates in that window can OVERCOUNT beyond the usual CMS
+    * collision error, but never undercount (the sketch's one-sided
+    * guarantee survives the crash window; re-running the compaction
+    * converges to exact). Contrast `Hll.compactRegisters`, whose
+    * max-merge is idempotent and correct even mid-crash. Only compact
+    * batches strictly below the streaming checkpoint's committed horizon.
+    */
+  def compactSketch(spark: org.apache.spark.sql.SparkSession,
+                    sketchTable: String, upToBatchId: Long): (Int, Int) =
+    BatchTables.compactBatchPartitions(spark, sketchTable, upToBatchId,
+      df => df.groupBy(df.columns.filterNot(_ == "cnt").map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(df.columns.map(col): _*))
 }

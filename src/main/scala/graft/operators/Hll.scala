@@ -89,4 +89,75 @@ object Hll {
   def estimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
                p: Int = 12): DataFrame =
     estimateFromRegisters(registers(df, groupCols, valueCol, p), groupCols, p)
+
+  /** STREAMING register maintenance — the `foreachBatch` body that keeps a
+    * PERSISTED register table current as events arrive (the production
+    * shape of "daily distinct users over 100 TB": per-batch registers
+    * merged into a durable frame, never a batch rescan of history). The
+    * `TextDedup.dedupGateBatch` state discipline applied to sketches:
+    *
+    *  - the batch's register frame lands in its own `_batch_id` partition
+    *    via dynamic partition overwrite, so a crash-replayed batch
+    *    rewrites exactly its prior write — table contents are
+    *    exactly-once and `estimateFromTable` is byte-identical across a
+    *    replay (spec-pinned in `SketchStreamSpec`);
+    *  - reads merge at query time (`registersFromTable` = groupBy max
+    *    over all partitions), so a reader never blocks a writer;
+    *  - `compactRegisters` folds history into one ~4 KB-per-group
+    *    partition, keeping state size independent of stream age.
+    *
+    * The table is created (partitioned, at `registersPath`) on first use.
+    */
+  def mergeBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
+                 registersTable: String, registersPath: String,
+                 batchId: Long, p: Int = 12): Unit = {
+    val spark = batch.sparkSession
+    val regs = registers(batch, groupCols, valueCol, p)
+      .withColumn("_batch_id", lit(batchId))
+    BatchTables.ensureBatchTable(regs.limit(0), registersTable, registersPath)
+    BatchTables.withDynamicOverwrite(spark) {
+      regs.write.mode("overwrite").insertInto(registersTable)
+    }
+  }
+
+  /** The maintained table's merged register frame (per-batch partitions
+    * collapsed by register-wise max) — composes with `mergeRegisters` /
+    * `estimateFromRegisters` like any other frame.
+    */
+  def registersFromTable(spark: org.apache.spark.sql.SparkSession,
+                         registersTable: String,
+                         groupCols: Seq[String]): DataFrame =
+    mergeRegisters(spark.table(registersTable).drop("_batch_id"), groupCols)
+
+  /** Distinct-count estimates over EVERYTHING the maintained table has
+    * absorbed — two aggregates over ≤ (groups × 2^p × batches) register
+    * rows, no raw-data scan.
+    */
+  def estimateFromTable(spark: org.apache.spark.sql.SparkSession,
+                        registersTable: String, groupCols: Seq[String],
+                        p: Int = 12): DataFrame =
+    estimateFromRegisters(
+      registersFromTable(spark, registersTable, groupCols), groupCols, p)
+
+  /** Fold batches `0..upToBatchId` (plus prior consolidations) into one
+    * negative partition, collapsing registers by group-wise max — after
+    * compaction the table holds ≤ groups × 2^p rows for the whole
+    * compacted history, the "state independent of cardinality" posture.
+    *
+    * Crash note (stronger than the gate index's): because HLL merge is
+    * register-wise MAX — idempotent under row duplication — even the
+    * crash window between the consolidated insert and the source-
+    * partition sweep, where duplicate rows are visible, returns CORRECT
+    * estimates from `estimateFromTable` (the gate index and CMS merely
+    * converge after the re-run; see `CountMin.compactSketch` for the
+    * one-sided contrast). Only compact batches strictly below the
+    * streaming checkpoint's committed horizon.
+    */
+  def compactRegisters(spark: org.apache.spark.sql.SparkSession,
+                       registersTable: String,
+                       upToBatchId: Long): (Int, Int) =
+    BatchTables.compactBatchPartitions(spark, registersTable, upToBatchId,
+      df => df.groupBy(df.columns.filterNot(_ == "rho").map(col): _*)
+        .agg(max(col("rho")).as("rho"))
+        .select(df.columns.map(col): _*))
 }

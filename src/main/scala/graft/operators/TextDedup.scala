@@ -238,27 +238,11 @@ object TextDedup {
                      numHashes: Int = 64, bands: Int = 16, rows: Int = 4,
                      maxBucketSize: Int = 1000, buckets: Int = 32): DataFrame = {
     val spark = batch.sparkSession
-    if (!spark.catalog.tableExists(indexTable)) {
+    BatchTables.ensureBatchTable(
       bandedIndex(batch.limit(0), idCol, textCol, n, numHashes, bands, rows)
-        .withColumn("_batch_id", lit(-1L))
-        .write.option("path", indexPath)
-        .partitionBy("_batch_id")
-        .bucketBy(buckets, "band", "bucket").sortBy("bucket")
-        .saveAsTable(indexTable)
-    } else {
-      // `indexPath` only takes effect at table creation; a caller pointing
-      // an existing table name at a DIFFERENT path would silently keep
-      // writing to the old location — fail fast instead.
-      val existing = new org.apache.hadoop.fs.Path(java.net.URI.create(
-        spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(indexTable))
-          .location.toString))
-      val fs = existing.getFileSystem(spark.sessionState.newHadoopConf())
-      val requested = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
-      require(fs.makeQualified(existing) == requested,
-        s"index table $indexTable already exists at ${fs.makeQualified(existing)}, " +
-          s"not at the requested indexPath $requested — drop the table or pass its path")
-    }
+        .withColumn("_batch_id", lit(-1L)),
+      indexTable, indexPath,
+      _.bucketBy(buckets, "band", "bucket").sortBy("bucket"))
     val cross = gateCrossPairs(batch, idCol, textCol, indexTable, batchId,
       threshold, n, numHashes, bands, rows, maxBucketSize)
     val within = candidatePairs(batch, idCol, textCol, n, numHashes, bands,
@@ -279,27 +263,14 @@ object TextDedup {
     dups
   }
 
-  /** `insertInto` a catalog table honors only the SESSION
-    * partitionOverwriteMode (the per-write option applies to path-based
-    * saves only) — without `dynamic`, an overwrite-mode insert TRUNCATES
-    * every other partition. Scoped set-and-restore, serialized through
-    * one library-wide lock so two gates/compactions on the same session
-    * cannot interleave their set/restore windows. The lock cannot protect
-    * NON-library overwrite-mode partition writes racing on the same
-    * session — callers running such writes concurrently should give the
-    * gate its own session (`spark.newSession()` shares the catalog), the
-    * same isolation `streaming.Pipeline.run` uses.
+  /** Dynamic-partition-overwrite scope — shared library-wide through
+    * `BatchTables` so gate writes, sketch-table writes and compactions on
+    * one session all serialize on the same lock (see
+    * `BatchTables.withDynamicOverwrite` for the full contract).
     */
-  private val overwriteModeLock = new Object
   private def withDynamicOverwrite[T](
       spark: org.apache.spark.sql.SparkSession)(body: => T): T =
-    overwriteModeLock.synchronized {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try body
-      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-    }
+    BatchTables.withDynamicOverwrite(spark)(body)
 
   /** The gate's index-vs-batch join frame, lazy (exposed for plan
     * assertions): the bucketed index scan minus the batch's own partition
@@ -377,102 +348,15 @@ object TextDedup {
     */
   def compactGateIndex(spark: org.apache.spark.sql.SparkSession,
                        indexTable: String,
-                       upToBatchId: Long): (Int, Int) = overwriteModeLock.synchronized {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(java.net.URI.create(
-      spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(indexTable))
-        .location.toString))
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return (0, 0)
-    val compactedId = -(upToBatchId + 1)
-
-    def batchDirs(pred: Long => Boolean): Seq[Path] =
-      fs.listStatus(root).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath)
-        .filter { p =>
-          p.getName.startsWith("_batch_id=") &&
-            scala.util.Try(p.getName.stripPrefix("_batch_id=").toLong)
-              .toOption.exists(pred)
-        }
-    def countFiles(dirs: Seq[Path]): Int =
-      dirs.map(d => fs.listStatus(d).count(f => f.isFile &&
-        !f.getPath.getName.startsWith("_"))).sum
-    def dropPartitions(dirs: Seq[Path]): Unit = {
-      dirs.foreach { p =>
-        val id = p.getName.stripPrefix("_batch_id=")
-        // catalog first (no-op where partitions are filesystem-discovered),
-        // then the data; refreshTable below re-syncs discovery caches
-        scala.util.Try(spark.sql(
-          s"ALTER TABLE $indexTable DROP IF EXISTS PARTITION (_batch_id=$id)"))
-        fs.delete(p, true)
-      }
-    }
-
-    val committedHorizon = batchDirs(_ < 0)
-      .flatMap(p => scala.util.Try(
-        -p.getName.stripPrefix("_batch_id=").toLong - 1).toOption)
-      .foldLeft(-1L)(math.max)
-    // horizon-regression guard: a caller replaying an OLD compaction
-    // request must not fold the committed history into a less-negative
-    // partition (re-running AT the horizon is the crash-cleanup path and
-    // proceeds — alreadyCompacted skips the rewrite, leftovers are swept)
-    if (upToBatchId < committedHorizon) return (0, 0)
-
-    // sweep staging dirs leaked by a crash after insertInto committed but
-    // before cleanup (the consolidation block is skipped on that re-run,
-    // so nothing else would ever delete them). Only dirs at or below the
-    // committed horizon are provably leaked — a higher-horizon dir could
-    // be a concurrent run's live staging area.
-    fs.listStatus(root.getParent).toSeq
-      .map(_.getPath)
-      .filter { p =>
-        val name = p.getName
-        name.startsWith(s"${root.getName}_compact_") &&
-          name.endsWith("_staging") &&
-          scala.util.Try(name.stripPrefix(s"${root.getName}_compact_")
-            .stripSuffix("_staging").toLong)
-            .toOption.exists(_ <= committedHorizon)
-      }
-      .foreach(p => fs.delete(p, true))
-
-    val sources = batchDirs(id => id >= 0 && id <= upToBatchId)
-    val superseded = batchDirs(id => id < 0 && id != compactedId)
-    if (sources.isEmpty && superseded.isEmpty) return (0, 0)
-    val filesBefore = countFiles(sources ++ superseded)
-
-    val alreadyCompacted = batchDirs(_ == compactedId).nonEmpty
-    if (!alreadyCompacted) {
-      // visible name: it lives OUTSIDE the table root (partition discovery
-      // never lists it), and a dot/underscore prefix would make Spark's
-      // own reader treat it as hidden
-      val staging = new Path(root.getParent,
-        s"${root.getName}_compact_${upToBatchId}_staging")
-      // stage 1: consolidated rows to scratch (read is path-based and the
-      // write target is a different path — no table self-read conflict).
-      // The read spans ALL prior consolidations and in-horizon batches;
-      // _batch_id is normalized BEFORE the full-row dropDuplicates so
-      // crash-leftover copies (identical rows landed in two partitions)
-      // collapse, while distinct sketch rows for a re-admitted doc_id
-      // (different text, later batch) all survive.
-      spark.read.parquet(root.toString)
-        .filter(col("_batch_id") <= upToBatchId) // partition-pruned
-        .withColumn("_batch_id", lit(compactedId))
-        .dropDuplicates()
-        .write.mode("overwrite").parquet(staging.toString)
-      // stage 2: through the table, so bucket files stay valid
-      withDynamicOverwrite(spark) {
-        spark.read.parquet(staging.toString)
-          .write.mode("overwrite")
-          .insertInto(indexTable)
-      }
-      fs.delete(staging, true)
-    }
-    dropPartitions(sources ++ superseded)
-    spark.catalog.refreshTable(indexTable)
-    (filesBefore, countFiles(batchDirs(_ == compactedId)))
-  }
+                       upToBatchId: Long): (Int, Int) =
+    BatchTables.compactBatchPartitions(spark, indexTable, upToBatchId,
+      // FULL-ROW dropDuplicates (after the helper normalizes _batch_id to
+      // the target partition): crash copies are bit-identical, so they
+      // collapse, while distinct sketch rows for a doc_id legitimately
+      // re-admitted in a later batch with different text all survive
+      // (deduping on (doc_id, band) would arbitrarily mix rows across the
+      // two versions).
+      _.dropDuplicates())
 
   /** Exact n-gram-Jaccard near-dup via a PREFIX-FILTERED inverted index
     * (AllPairs/PPJoin family, Bayardo et al. WWW'07) — the sketch-free

@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Streaming sketch maintenance (`Hll.mergeBatch` / `CountMin.mergeBatch`):
+  * the dedup-gate state discipline applied to mergeable sketches — per-
+  * batch partitions, dynamic-overwrite replay safety, read-time merge,
+  * and compaction to a single consolidated partition whose estimates are
+  * unchanged.
+  */
+class SketchStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(ids: Range, tag: String) = {
+    import spark.implicits._
+    ids.map(i => (tag, i.toLong)).toDF("grp", "uid")
+  }
+
+  test("HLL registers maintained across AvailableNow batches equal the one-shot estimate; replay is byte-identical") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("hll_stream").toString
+    val table = "graft_hll_stream_regs"
+    val srcDir = s"$tmp/src"
+    val ckpt = s"$tmp/ckpt"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      def runBatchFile(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.coalesce(1).write.mode("append").parquet(srcDir)
+        val q = spark.readStream.schema("grp STRING, uid LONG").parquet(srcDir)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            Hll.mergeBatch(b, Seq("grp"), "uid", table, s"$tmp/regs", id)
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      val b0 = rows(0 until 3000, "a").unionByName(rows(0 until 500, "b"))
+      val b1 = rows(1500 until 6000, "a").unionByName(rows(200 until 900, "b"))
+      runBatchFile(b0)
+      runBatchFile(b1)
+
+      def tableEstimates() = Hll.estimateFromTable(spark, table, Seq("grp"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val oneShot = Hll.estimate(b0.unionByName(b1), Seq("grp"), "uid")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val streamed = tableEstimates()
+      assert(streamed == oneShot,
+        s"maintained-table estimate must equal one-shot: $streamed vs $oneShot")
+
+      // crash replay of batch 1: same rows, same batch id — the dynamic
+      // overwrite must leave table CONTENTS bit-identical (an append would
+      // not change the estimate — max is idempotent — so assert contents)
+      def contents() = spark.table(table)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).sortBy(t => (t._1, t._2, t._4)).toSeq
+      val before = contents()
+      Hll.mergeBatch(b1, Seq("grp"), "uid", table, s"$tmp/regs", batchId = 1L)
+      assert(contents() == before, "replay must not change register rows")
+      assert(tableEstimates() == oneShot)
+
+      // compaction: history folds to ONE negative partition, estimates
+      // unchanged, state bounded by groups x 2^p
+      Hll.compactRegisters(spark, table, upToBatchId = 1L)
+      val parts = spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(parts == Set(-2L), s"expected one consolidated partition, got $parts")
+      assert(tableEstimates() == oneShot)
+      assert(spark.table(table).count() <= 2L * (1L << 12))
+
+      // crash-window idempotence (the max-merge asymmetry the scaladoc
+      // claims): a leftover source partition alongside the consolidated
+      // one must not move the estimate; the convergence re-run sweeps it
+      Hll.mergeBatch(b0, Seq("grp"), "uid", table, s"$tmp/regs", batchId = 0L)
+      assert(tableEstimates() == oneShot,
+        "duplicate registers must not perturb a max-merged estimate")
+      Hll.compactRegisters(spark, table, upToBatchId = 1L)
+      assert(spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-2L))
+      assert(tableEstimates() == oneShot)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("CMS counters maintained per batch equal the one-shot sketch; replay never double-counts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("cms_stream").toString
+    val table = "graft_cms_stream_sketch"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val b0 = (1L to 500L).map(v => v % 37).toDF("v")
+      val b1 = (1L to 300L).map(v => v % 53).toDF("v")
+      CountMin.mergeBatch(b0, "v", table, s"$tmp/sk", batchId = 0L)
+      CountMin.mergeBatch(b1, "v", table, s"$tmp/sk", batchId = 1L)
+
+      def merged() = CountMin.sketchFromTable(spark, table)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val oneShot = CountMin.sketch(b0.unionByName(b1), "v")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(merged() == oneShot)
+
+      // replaying batch 1 must overwrite its partition, not add counters —
+      // double-counting a replayed batch is the CMS failure mode
+      CountMin.mergeBatch(b1, "v", table, s"$tmp/sk", batchId = 1L)
+      assert(merged() == oneShot, "replay must not inflate counters")
+
+      CountMin.compactSketch(spark, table, upToBatchId = 1L)
+      assert(spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-2L))
+      assert(merged() == oneShot)
+      // steady state: one consolidated sketch, d x 2^widthLog2 max rows
+      assert(spark.table(table).count() <= 4L * (1L << 10))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+}

@@ -409,7 +409,8 @@ class TextDedupSpec extends AnyFunSuite {
         TextDedup.dedupGateBatch(batch, "doc_id", "text", table,
           s"$tmp/elsewhere", batchId = 1L, threshold = 0.5, buckets = 4)
       }
-      assert(ex.getMessage.contains("indexPath"))
+      assert(ex.getMessage.contains("not at the requested path"))
+      assert(ex.getMessage.contains(table))
       // the matching path keeps working
       TextDedup.dedupGateBatch(batch, "doc_id", "text", table, s"$tmp/idx",
         batchId = 1L, threshold = 0.5, buckets = 4)
