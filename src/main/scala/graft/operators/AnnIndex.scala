@@ -221,6 +221,74 @@ object AnnIndex {
         sort_array(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("centroid"))
 
+  /** PERSIST the IVF index — the index-table discipline
+    * (`TextDedup.bandedIndex`, `SimHash.segmentIndex`) for the ANN family:
+    * k-means centroids + per-vector assignments written ONCE as catalog
+    * tables, so serving queries stop paying the build (`ivfTopK`
+    * recomputes centroids per query — right for gates, wrong for a
+    * serving path).
+    *
+    * Layout choice, deliberate: the assignments table is PARTITIONED by
+    * `label`, not bucketed. The probe pattern reads `nprobe` of `k`
+    * labels; partition-level file pruning makes the scan touch only those
+    * directories (asserted via the scan's dynamic-pruning filter in
+    * `AnnIndexSpec`), which is strictly stronger than what bucketing
+    * offers here — the probe join's small side (per-query probe labels)
+    * broadcasts, so there is never an index-side shuffle for bucketing to
+    * save; what scales is reading nprobe/k of the FILES. Centroids land
+    * in `<indexTable>_centroids` (k rows — always broadcastable).
+    */
+  def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+               k: Int, indexTable: String, indexPath: String,
+               iters: Int = 5): Unit = {
+    val cents = kmeansCentroids(embeddings, idCol, vecCol, k, iters)
+    kmeansAssign(embeddings, idCol, vecCol, cents)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), col("label"))
+      .write.mode("overwrite").option("path", indexPath)
+      .partitionBy("label").saveAsTable(indexTable)
+    cents.write.mode("overwrite").option("path", s"${indexPath}_centroids")
+      .saveAsTable(s"${indexTable}_centroids")
+  }
+
+  /** Batched top-k against a PERSISTED `ivfIndex`: per query, rank the
+    * (broadcast) centroid table by cosine, probe the `nprobe` best
+    * labels, rerank candidates exactly. Returns
+    * (query_id, vec_id, sim, rank), rank 1..k — `lshTopKBatch`'s output
+    * shape. A corpus-member query never matches itself.
+    *
+    * Plan shape (spec-asserted): the probe frame broadcasts, so the index
+    * scan joins WITHOUT an exchange, and the broadcast join key being the
+    * partition column lets dynamic partition pruning cut the scan to the
+    * probed labels' files — the only shuffle in the query is the final
+    * per-query top-k window over candidates (~nprobe/k of the corpus).
+    * `nprobe >= k` (full probe) reproduces exact brute-force top-k.
+    */
+  def searchAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexTable: String, queries: DataFrame,
+                         qidCol: String, qvecCol: String, k: Int = 10,
+                         nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = spark.table(indexTable)
+    val cents = spark.table(s"${indexTable}_centroids")
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("label")) // label tiebreak: deterministic probes
+    val probes = q.join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("label"),
+        VectorMath.cosine(col("centroid"), col("qv")).as("csim"))
+      .withColumn("_r", row_number().over(pw))
+      .filter(col("_r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("label"))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    idx.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorMath.cosine(col("v"), col("qv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
+
   /** Top-k by cosine probing only the `nprobe` nearest centroids' labels. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               labelCol: String, queryId: Long, k: Int = 10,

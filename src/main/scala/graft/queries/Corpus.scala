@@ -280,6 +280,44 @@ object Corpus {
         "label", queryId = 0L, k = 10, nprobe = 3)
     }),
 
+    // The PERSISTED IVF index driven end-to-end inside the gate: build
+    // (k-means train + assign + partitioned-by-label catalog tables via
+    // AnnIndex.ivfIndex), then searchAgainstIndex probes the persisted
+    // centroid table and candidates come off the label-partitioned
+    // assignments scan (dynamically partition-pruned to nprobe/k of the
+    // files — plan-asserted in AnnIndexSpec). The oracle replays the
+    // ENTIRE build in SQL — init, three Lloyd rounds, the final
+    // assignment against the TRAINED centroids, probe selection against
+    // those same centroids (searchAgainstIndex probes what it persisted,
+    // unlike ivfTopK which re-derives means from labels) — so the index
+    // lifecycle build→persist→search is correctness-gated, not just the
+    // rerank. Salted fixture table/path, self-cleaning, like
+    // doc_dedup_gate.
+    "knn_ivf_index" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_ivf_idx_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ivf_$salt")
+        .toString
+      try {
+        graft.operators.AnnIndex.ivfIndex(emb, "vec_id", "embedding",
+          k = 8, indexTable = table, indexPath = s"$tmp/idx", iters = 3)
+        graft.operators.AnnIndex.searchAgainstIndex(s, table,
+            emb.filter($"vec_id" === 0L).select($"vec_id", $"embedding"),
+            "vec_id", "embedding", k = 10, nprobe = 3)
+          .select($"vec_id", $"sim")
+          .orderBy($"sim".desc, $"vec_id")
+          // materialized (10 rows) so the returned frame no longer
+          // references the fixture tables dropped below
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        s.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // Scalar int8 quantization (operators.Quantize): per-dim affine codec
     // over the corpus, then top-k cosine in the DEQUANTIZED space vs the
     // dequantized query — measures the codec end-to-end (stats pass,
@@ -911,6 +949,53 @@ object Corpus {
         |  GROUP BY label, i) GROUP BY label),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |probes AS (SELECT c.label FROM c4 c CROSS JOIN q
+        |  ORDER BY list_cosine_similarity(c.centroid, q.qv) DESC, c.label LIMIT 3)
+        |SELECT a4.vec_id, round(list_cosine_similarity(a4.v, q.qv), 6) AS sim
+        |FROM a4 JOIN probes USING (label) CROSS JOIN q
+        |WHERE a4.vec_id <> 0
+        |ORDER BY sim DESC, a4.vec_id LIMIT 10""".stripMargin,
+
+    // Persisted-IVF replay: identical training chain to knn_kmeans_ivf up
+    // to the trained centroids c3 and the final assignment a4 (labels vs
+    // c3), but probes rank the TRAINED c3 centroids — the frame ivfIndex
+    // persists and searchAgainstIndex reads — rather than re-deriving
+    // label means.
+    "knn_ivf_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |p AS (SELECT greatest((SELECT count(*) FROM e) // 8, 1) AS stride),
+        |c0 AS (SELECT (vec_id // p.stride)::INT AS label, v AS centroid
+        |       FROM e, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 8),
+        |a1 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |c1 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a1, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a2 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |c2 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a2, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a3 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |c3 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a3, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a4 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (SELECT c.label FROM c3 c CROSS JOIN q
         |  ORDER BY list_cosine_similarity(c.centroid, q.qv) DESC, c.label LIMIT 3)
         |SELECT a4.vec_id, round(list_cosine_similarity(a4.v, q.qv), 6) AS sim
         |FROM a4 JOIN probes USING (label) CROSS JOIN q

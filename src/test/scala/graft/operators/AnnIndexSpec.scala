@@ -87,6 +87,51 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(batch.values.forall(_.size == 10))
   }
 
+  test("persisted IVF index: full probe equals brute force; scan is pruned to probed partitions with no index-side exchange") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val table = "graft_ivf_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    try {
+      AnnIndex.ivfIndex(emb, "vec_id", "embedding", k = 8,
+        indexTable = table, indexPath = s"$tmp/idx", iters = 3)
+      assert(spark.table(s"${table}_centroids").count() == 8)
+      assert(spark.table(table).count() == emb.count())
+
+      val queries = emb.filter($"vec_id".isin(0L, 7L))
+        .select($"vec_id", $"embedding")
+      // full probe degenerates to exact search — must equal brute force
+      val full = AnnIndex.searchAgainstIndex(spark, table, queries,
+        "vec_id", "embedding", k = 10, nprobe = 8)
+      val got0 = full.filter($"query_id" === 0L).orderBy($"rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val bruteOrdered = graft.queries.Corpus.queries("knn_cosine_topk")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got0 == bruteOrdered, s"full-probe persisted IVF diverged")
+
+      // partial probe: recall floor at a fraction of the scan
+      val part = AnnIndex.searchAgainstIndex(spark, table, queries,
+        "vec_id", "embedding", k = 10, nprobe = 2)
+      val got0p = part.filter($"query_id" === 0L)
+        .collect().map(_.getLong(1)).toSet
+      assert((got0p & brute).size >= 4, s"recall too low: ${(got0p & brute).size}/10")
+
+      // plan shape: the index side joins with NO exchange (probe frame
+      // broadcasts), and the partitioned scan carries a dynamic-pruning
+      // partition filter on label — the nprobe/k file-pruning claim
+      val plan = part.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(label"),
+        s"index side must not shuffle on label:\n${plan.take(3000)}")
+      assert(plan.contains("dynamicpruning"),
+        s"partitioned scan must be dynamically pruned:\n${plan.take(3000)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("kmeans IVF: full-probe search equals brute force; centroids are stable") {
     val cents = AnnIndex.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
     assert(cents.count() == 8)
