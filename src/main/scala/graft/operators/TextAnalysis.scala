@@ -129,12 +129,18 @@ object TextAnalysis {
     * the scoring join share it; the df join is equality-keyed on the term
     * (uniform — Zipf-hot terms are one row on the df side, AQE splits the
     * fan-in), and the corpus size N is a broadcast one-row aggregate. The
-    * final ranking windows per doc_id, which partitions evenly.
+    * final per-doc ranking runs through the bounded-heap
+    * `TopKStructsAgg` (`functions.TopK.topk_structs`): at most k
+    * (score, term) entries per doc per map task cross the shuffle and no
+    * per-group sort ever runs — the window-rank idiom this replaced
+    * shuffled every (doc, term, tf) row full-width and sorted each doc's
+    * whole term list (plan-asserted windowless in TextAnalysisSpec). The
+    * aggregate's tie-break (score desc, payload asc) is exactly the
+    * window's (tfidf desc, term asc), so the output rows are identical.
     */
   def tfidfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
     val tfc = docs
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ", -1)).as("term"))
@@ -147,11 +153,11 @@ object TextAnalysis {
     val score = col("tf") * log(col("n") / col("df"))
     tfc.join(dfc, Seq("term"))
       .crossJoin(broadcast(n))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(score.desc, col("term").asc)).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("rnk"), col("term"),
-        round(score, 6).as("tfidf"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopK.topk_structs(score, col("term"), k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col.payload").as("term"),
+        round(col("col.score"), 6).as("tfidf"))
   }
 }

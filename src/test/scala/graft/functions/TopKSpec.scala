@@ -53,6 +53,77 @@ class TopKSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("topk_structs equals the window-rank form on long and string payloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 2000).map { i =>
+      // coarse scores force ties; the payload tie-break must match the
+      // window's (score desc, payload asc)
+      (s"g${i % 7}", math.rint(rnd.nextDouble() * 30) / 10.0, i.toLong,
+        f"t${rnd.nextInt(400)}%04d")
+    }
+    val df = rows.toDF("g", "s", "id", "term").repartition(8)
+    // compare rank-by-rank: the aggregate's order is exactly the window's
+    // (score desc, payload asc), so row (g, rank) -> (score, payload)
+    // must match one-for-one
+    def want(payCol: String) = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"g").orderBy($"s".desc, col(payCol).asc)))
+      .filter($"rk" <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(4)) ->
+        (r.getDouble(1), r.get(df.columns.indexOf(payCol)))).toMap
+    def got(payCol: String) = df.groupBy($"g")
+      .agg(TopK.topk_structs($"s", col(payCol), 5).as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", ($"pos" + 1).cast("int").as("rk"),
+        $"col.score", $"col.payload")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.get(3))).toMap
+    assert(got("id") == want("id"))
+    assert(got("term") == want("term"))
+  }
+
+  test("topk_structs skips NULL score or payload; oversize k returns all") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(2.0), Some(1L)), ("a", None, Some(2L)),
+      ("a", Some(3.0), None), ("a", Some(1.0), Some(9L)))
+      .map { case (g, s, p) =>
+        (g, s.map(Double.box).orNull, p.map(Long.box).orNull) }
+      .toDF("g", "s", "p")
+    val got = df.groupBy($"g").agg(TopK.topk_structs($"s", $"p", 10).as("top"))
+      .select(explode($"top").as("e"))
+      .select($"e.score", $"e.payload")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toList
+    assert(got == List((2.0, 1L), (1.0, 9L)))
+  }
+
+  test("pair heap: total order, eviction, merge, serde round-trips both payload kinds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = new TopKPairHeap(3, stringPayload = false)
+    Seq((5.0, 7L), (5.0, 2L), (9.0, 1L), (5.0, 4L), (1.0, 0L))
+      .foreach { case (s, p) => h.add(s, java.lang.Long.valueOf(p)) }
+    // equal scores keep the SMALLEST payloads
+    assert(h.sortedDesc().toList.map { case (s, p) =>
+      (s, p.asInstanceOf[java.lang.Long].longValue()) }
+      == List((9.0, 1L), (5.0, 2L), (5.0, 4L)))
+    val rt = TopKPairHeap.fromBytes(3, stringPayload = false, h.toBytes)
+    assert(rt.sortedDesc().toList.map(_._1) == List(9.0, 5.0, 5.0))
+    val merged = new TopKPairHeap(3, stringPayload = false)
+    merged.addAll(rt)
+    merged.add(5.0, java.lang.Long.valueOf(3L))
+    assert(merged.sortedDesc().toList.map { case (s, p) =>
+      (s, p.asInstanceOf[java.lang.Long].longValue()) }
+      == List((9.0, 1L), (5.0, 2L), (5.0, 3L)))
+
+    val sh = new TopKPairHeap(2, stringPayload = true)
+    Seq((1.0, "zebra"), (1.0, "apple"), (1.0, "mango"))
+      .foreach { case (s, p) => sh.add(s, UTF8String.fromString(p)) }
+    val srt = TopKPairHeap.fromBytes(2, stringPayload = true, sh.toBytes)
+    assert(srt.sortedDesc().toList.map(_._2.toString)
+      == List("apple", "mango"))
+  }
+
   test("heap keeps the k largest under adversarial insertion orders") {
     val h = new TopKHeap(3)
     Seq(5.0, 1.0, 9.0, 7.0, 3.0, 8.0, 2.0).foreach(h.add)

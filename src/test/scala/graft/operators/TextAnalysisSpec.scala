@@ -99,4 +99,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       .filter(!array_contains(split($"text", " ", -1), $"term")).count()
     assert(foreign == 0)
   }
+
+  test("tfidfTopK ranks through the bounded-heap aggregate: no Window in the plan") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-doc ranking must not window-sort:\n${plan.take(2000)}")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
+    // final stages prove <= k (score, term) pairs per doc cross the shuffle
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
 }
