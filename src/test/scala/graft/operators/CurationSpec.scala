@@ -400,6 +400,41 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("autoMinDf: calibrated floor at the paper's 2 through gate scales, then linear") {
+    assert(Curation.autoMinDf(1L) == 2)
+    assert(Curation.autoMinDf(500L) == 2)    // sf0.01
+    assert(Curation.autoMinDf(5000L) == 2)   // sf0.1 — gate pins stay valid
+    assert(Curation.autoMinDf(50000L) == 20) // 10x sweep (measured in scaladoc)
+    assert(Curation.autoMinDf(500000L) == 200)
+    // monotone non-decreasing, never below the floor
+    var last = 0
+    for (n <- Seq(10L, 1000L, 10000L, 1000000L, 100000000L)) {
+      val m = Curation.autoMinDf(n)
+      assert(m >= 2 && m >= last, s"autoMinDf($n) = $m regressed")
+      last = m
+    }
+  }
+
+  test("lineDedup minDf<=0 resolves to auto; identical to the pinned 2 at gate scale") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HDR\nunique one\nshared"),
+      (2L, "HDR\nunique two\nshared"),
+      (3L, "HDR\nunique three"))
+      .toDF("doc_id", "text")
+    def run(minDf: Int, nHint: Long = 0L) = Curation
+      .lineDedup(docs, "doc_id", "text", minDf = minDf, nHint = nHint)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toList
+    val pinned = run(2)
+    assert(run(0) == pinned, "auto at 3 docs must resolve to the floor 2")
+    assert(run(0, nHint = 3L) == pinned)
+    // an absurd hint pushes auto past every df here: nothing is removed
+    val loose = run(0, nHint = 10000000L)
+    assert(loose.forall(_._4 == 0L), s"minDf=autoMinDf(10M) must remove nothing: $loose")
+  }
+
   test("lineDedup removes corpus-frequent lines, keeps order, counts exactly") {
     import spark.implicits._
     // "HDR" appears in all 3 docs (df=3 >= minDf=2 -> removed);

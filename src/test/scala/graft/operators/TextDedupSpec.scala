@@ -540,6 +540,28 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("requireExactRecall fails fast past the calibrated banding, passes inside it") {
+    // 500k docs -> auto (6, 5): 75.9% measured recall — a caller demanding
+    // exact recall must get an exception pointing at the exact paths, not
+    // a silently incomplete answer
+    val ex = intercept[IllegalArgumentException] {
+      TextDedup.simhashNearDuplicates(docs, "doc_id", "text",
+        nHint = 500000L, requireExactRecall = true)
+    }
+    assert(ex.getMessage.contains("exact-recall"))
+    assert(ex.getMessage.contains("jaccardNearDuplicates"))
+    // gate scales keep (13, 12) — construction must succeed
+    TextDedup.simhashNearDuplicates(docs, "doc_id", "text",
+      nHint = 5000L, requireExactRecall = true)
+    // an explicit override is the caller's own banding — the guard still
+    // applies to it (exactness claim is about the distance bound, not
+    // who chose it)
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashNearDuplicates(docs, "doc_id", "text",
+        pieces = 8, maxDistance = 7, requireExactRecall = true)
+    }
+  }
+
   test("hammingPairs fails fast when pieces <= maxDistance (pigeonhole broken)") {
     import spark.implicits._
     val fp = Seq((1L, 0L), (2L, 255L)).toDF("doc_id", "fp")
