@@ -56,4 +56,58 @@ class LayoutSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tDir))
     }
   }
+
+  test("the parquet READER skips z-pruned row groups: scan metrics, both dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = graft.Tables(spark, "/root/testdata/sf0.01", "events")
+      .select($"event_id", $"user_id",
+        expr("unix_micros(ts) div 60000000").as("minute"))
+    val nFiles = 16
+    val total = ev.count()
+    val zDir = java.nio.file.Files.createTempDirectory("zorder_m").toString
+    val tDir = java.nio.file.Files.createTempDirectory("tsort_m").toString
+    try {
+      Layout.zorderBy(ev, "user_id", "minute", nFiles).drop("_z")
+        .write.mode("overwrite").parquet(zDir)
+      ev.repartitionByRange(nFiles, $"minute").sortWithinPartitions($"minute")
+        .write.mode("overwrite").parquet(tDir)
+      // input_file_name() (the locality test above) counts files holding
+      // matching ROWS; this measures what the READER actually touched —
+      // the scan's numOutputRows is the row count of UNSKIPPED row groups
+      // (footer min/max stats + pushed filter), before Spark's re-filter
+      def scanRows(dir: String, cond: org.apache.spark.sql.Column): Long = {
+        val df = spark.read.parquet(dir).filter(cond)
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }.head
+        assert(scan.metadata("PushedFilters") != "[]",
+          "the point filter must reach the parquet scan")
+        scan.metrics("numOutputRows").value
+      }
+      val user = ev.select($"user_id").head.getLong(0)
+      val minLo = ev.agg(min($"minute")).head.getLong(0)
+      // point filter on the USER dimension: z-order skips most row
+      // groups; the time-sorted layout reads ~everything (users are
+      // scattered through every time range)
+      val zUser = scanRows(zDir, $"user_id" === user)
+      val tUser = scanRows(tDir, $"user_id" === user)
+      assert(zUser * 2 <= tUser,
+        s"z-order must at least halve the reader's materialized rows: " +
+          s"z=$zUser vs t-sorted=$tUser of $total")
+      assert(tUser > total / 2,
+        s"time-sorted control unexpectedly pruned ($tUser of $total) — " +
+          "the comparison is vacuous")
+      // point filter on the TIME dimension: z-order still skips (the
+      // interleave keeps minute locality too — the whole point vs a
+      // single-dimension sort)
+      val zTime = scanRows(zDir, $"minute".between(minLo, minLo + 30))
+      assert(zTime < total,
+        s"z-ordered reader materialized every row for a narrow time slice")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tDir))
+    }
+  }
 }
