@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Temporal
@@ -286,6 +286,42 @@ object Events {
         .orderBy($"exact_cnt".desc, $"user_id")
     }),
 
+    // HDR-histogram quantile sketch (operators.Quantiles, m=5 → ≤3.1%
+    // bias-high error) — p50/p95/p99 of the cents-scaled event value per
+    // type, derived THROUGH THE MERGE PATH: two disjoint event-id-parity
+    // histograms (stand-ins for shard/day partials) merged by counter-wise
+    // sum, exactly the histogram one pass would build. All-integer bucket
+    // math (bit length + shifts, no log2), so the oracle replays the
+    // entire estimator relationally and gates it EXACTLY. The cov_* cols
+    // put the rank guarantee inside the gate: the fraction of values at
+    // or below each estimate must be ≥ its q (estimates bias high by at
+    // most one sub-bucket, never low).
+    "evt_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Quantiles
+      val ev = Tables(s, dir, "events")
+        .filter($"value".isNotNull)
+        .withColumn("v", floor($"value" * 100).cast("long"))
+        .filter($"v" >= 1)
+      val parts = Seq(0, 1).map(par =>
+        Quantiles.histogram(ev.filter($"event_id" % 2 === par),
+          Seq("event_type"), "v"))
+      val merged = Quantiles.mergeHistograms(
+        parts.reduce(_ unionByName _), Seq("event_type"))
+      val q = Quantiles.quantilesFromHistogram(merged, Seq("event_type"),
+        Seq("p50_cents" -> 0.5, "p95_cents" -> 0.95, "p99_cents" -> 0.99))
+      def cov(bound: Column): Column =
+        round(sum(when($"v" <= bound, 1L).otherwise(0L)).cast("double") /
+          $"n".cast("double"), 6)
+      ev.join(broadcast(q), "event_type")
+        .groupBy($"event_type", $"n",
+          $"p50_cents", $"p95_cents", $"p99_cents")
+        .agg(cov($"p50_cents").as("cov_p50"),
+          cov($"p95_cents").as("cov_p95"),
+          cov($"p99_cents").as("cov_p99"))
+        .orderBy($"event_type")
+    }),
+
     // HyperLogLog distinct-user estimate per event type (operators.Hll,
     // p=12 → 4096 registers, ~1.6% expected error) NEXT TO the exact
     // count(DISTINCT) — the output demonstrates the sketch's accuracy
@@ -471,6 +507,54 @@ object Events {
         |SELECT e.user_id, e.exact_cnt, m.cms_merged, o.cms_oneshot
         |FROM ex e JOIN estm m USING (user_id) JOIN esto o USING (user_id)
         |ORDER BY exact_cnt DESC, user_id""".stripMargin,
+
+    // Full quantile-sketch replay — HDR bucket math in integer SQL:
+    // exponent via length(bin(v))-1, sub-bucket by shift-free division
+    // (the e>=m branch divides by 2^(e-m), mirroring Quantiles.bucketOf's
+    // overflow-safe form), inclusive upper bounds with the same e>=m /
+    // e<m split, rank pick = cumulative sum vs ceil(q·n) on DOUBLE-cast
+    // operands (so both engines run the identical IEEE multiply). The
+    // merge path needs no replay: counter sums over disjoint parity
+    // splits equal the one-shot histogram exactly, which is what the
+    // Spark side gates by going through mergeHistograms.
+    "evt_quantile_sketch" ->
+      """WITH v0 AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |vv AS (SELECT * FROM v0 WHERE v >= 1),
+        |b AS (SELECT event_type, v, (length(bin(v)) - 1) AS e FROM vv),
+        |bk AS (SELECT event_type,
+        |  (e::BIGINT << 5) + CASE WHEN e >= 5
+        |     THEN (v - (1::BIGINT << e)) // (1::BIGINT << (e - 5))
+        |     ELSE ((v - (1::BIGINT << e)) << 5) // (1::BIGINT << e) END AS bucket
+        |  FROM b),
+        |h AS (SELECT event_type, bucket, count(*)::BIGINT AS cnt
+        |      FROM bk GROUP BY 1, 2),
+        |u AS (SELECT event_type, bucket, cnt,
+        |  CASE WHEN (bucket >> 5) >= 5
+        |    THEN (1::BIGINT << (bucket >> 5)) - 1
+        |         + ((bucket & 31) + 1) * (1::BIGINT << ((bucket >> 5) - 5))
+        |    ELSE (1::BIGINT << (bucket >> 5))
+        |         + (((bucket & 31) + 1) * (1::BIGINT << (bucket >> 5)) + 31) // 32
+        |         - 1 END AS ub
+        |  FROM h),
+        |c AS (SELECT event_type, ub, cnt,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM u),
+        |q AS (SELECT event_type, max(n)::BIGINT AS n,
+        |  min(CASE WHEN cum >= ceil(0.5::DOUBLE * n::DOUBLE) THEN ub END) AS p50_cents,
+        |  min(CASE WHEN cum >= ceil(0.95::DOUBLE * n::DOUBLE) THEN ub END) AS p95_cents,
+        |  min(CASE WHEN cum >= ceil(0.99::DOUBLE * n::DOUBLE) THEN ub END) AS p99_cents
+        |  FROM c GROUP BY event_type)
+        |SELECT q.event_type, q.n, q.p50_cents, q.p95_cents, q.p99_cents,
+        |  round(sum(CASE WHEN vv.v <= q.p50_cents THEN 1 ELSE 0 END)::DOUBLE
+        |    / q.n::DOUBLE, 6) AS cov_p50,
+        |  round(sum(CASE WHEN vv.v <= q.p95_cents THEN 1 ELSE 0 END)::DOUBLE
+        |    / q.n::DOUBLE, 6) AS cov_p95,
+        |  round(sum(CASE WHEN vv.v <= q.p99_cents THEN 1 ELSE 0 END)::DOUBLE
+        |    / q.n::DOUBLE, 6) AS cov_p99
+        |FROM q JOIN vv ON vv.event_type = q.event_type
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY q.event_type""".stripMargin,
 
     // Full HLL replay: splitmix64 via the 32-bit-halves HUGEINT wrap
     // (the knn_lsh formulation), rank = 64 − len(bin(w)) + 1 capped at

@@ -120,4 +120,51 @@ class SketchStreamSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("quantile histograms maintained per batch equal the one-shot sketch; replay never double-counts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("qtl_stream").toString
+    val table = "graft_qtl_stream_hist"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val rnd = new scala.util.Random(31)
+      def mk(n: Int, tag: String) =
+        (1 to n).map(_ => (tag, math.abs(rnd.nextLong()) % 90000 + 1))
+          .toDF("grp", "v")
+      val b0 = mk(4000, "a").unionByName(mk(1000, "b"))
+      val b1 = mk(2500, "a").unionByName(mk(1500, "b"))
+      Quantiles.mergeBatch(b0, Seq("grp"), "v", table, s"$tmp/hist", batchId = 0L)
+      Quantiles.mergeBatch(b1, Seq("grp"), "v", table, s"$tmp/hist", batchId = 1L)
+
+      def merged() = Quantiles.histogramFromTable(spark, table, Seq("grp"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val oneShot = Quantiles.histogram(b0.unionByName(b1), Seq("grp"), "v")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(merged() == oneShot)
+
+      val qs = Seq("p50" -> 0.5, "p99" -> 0.99)
+      def tableQuantiles() = Quantiles.quantilesFromHistogram(
+        Quantiles.histogramFromTable(spark, table, Seq("grp")), Seq("grp"), qs)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val oneShotQ = Quantiles.quantiles(b0.unionByName(b1), Seq("grp"), "v", qs)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(tableQuantiles() == oneShotQ)
+
+      // replaying batch 1 must overwrite its partition, not add counters —
+      // double-counting shifts every rank, same failure mode as CMS
+      Quantiles.mergeBatch(b1, Seq("grp"), "v", table, s"$tmp/hist", batchId = 1L)
+      assert(merged() == oneShot, "replay must not inflate counters")
+
+      Quantiles.compactHistogram(spark, table, upToBatchId = 1L)
+      assert(spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-2L))
+      assert(merged() == oneShot)
+      assert(tableQuantiles() == oneShotQ)
+      // steady state: groups x 64*2^m max rows
+      assert(spark.table(table).count() <= 2L * 64L * (1L << 5))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }
