@@ -243,6 +243,23 @@ object Corpus {
         .orderBy($"cluster_id")
     }),
 
+    // Corpus-level resemblance sketch (operators.CorpusSketch): pairwise
+    // shingle-set Jaccard estimates between the document SOURCES from
+    // one-permutation MinHash signatures — 256 slot minima per corpus,
+    // so any pair's overlap costs two sketch frames, never a cross-
+    // corpus shingle join (the dataset-auditing primitive: "how much
+    // does this crawl overlap that one"). md5 shingles end to end, so
+    // the oracle replays the ENTIRE estimator — slot split, slot minima,
+    // match fraction — and the gate compares exactly.
+    "doc_corpus_overlap" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.CorpusSketch
+        .estimateJaccard(Tables(s, dir, "documents"), "source", "text")
+        .select($"src_a", $"src_b", $"slots_both", $"slots_equal",
+          $"est_jaccard")
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Language identification (stopword-profile argmax + CJK script
     // override) — per-doc prediction next to the ground-truth label.
     "doc_langid" -> ((s, dir) => {
@@ -866,6 +883,26 @@ object Corpus {
         |SELECT k.cluster_id, k.keep_id, n.n_members
         |FROM k JOIN n USING (cluster_id) WHERE rk = 1
         |ORDER BY cluster_id""".stripMargin,
+
+    // Full one-permutation-MinHash replay: the standard word-3-gram
+    // shingle fragment, md5'd (the doc_fingerprint parity primitive),
+    // slot = 2-hex-char prefix, slot minimum per source, then the
+    // match-fraction estimator over jointly occupied slots. Duplicate
+    // shingles need no list_distinct — min() absorbs them.
+    "doc_corpus_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS h
+        |      FROM t WHERE len(w) >= 3),
+        |m AS (SELECT source, substring(h, 1, 2) AS slot, min(h) AS mh
+        |      FROM g GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*)::BIGINT AS slots_both,
+        |  sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT AS slots_equal,
+        |  round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS est_jaccard
+        |FROM m a JOIN m b ON a.slot = b.slot AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_langid" ->
       """WITH t AS (
