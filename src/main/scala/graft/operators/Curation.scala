@@ -142,6 +142,49 @@ object Curation {
     */
   val NullStratumKey = "\u0001null"
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * IPL 2006): per stratum, keep the k rows with the largest
+    * u^(1/w) — u a per-row uniform, w the row's weight — which draws a
+    * weight-proportional sample without ever materializing cumulative
+    * weights. The complement of `stratifiedSample`: that one keeps a
+    * RATE per stratum with equal within-stratum inclusion; this one
+    * keeps a COUNT per stratum with inclusion biased by quality/length/
+    * any positive weight — "the best-ish k documents per source, with
+    * exploration" (deterministically rerunnable, unlike a true RNG
+    * draw).
+    *
+    * Determinism and replay: u derives from md5(salt ‖ id) — 13 hex
+    * chars = 52 bits, centered (+0.5) over 2^52, so u ∈ (0,1) is exactly
+    * representable and identical in any engine. Ranking uses
+    * ln(u)/w, the monotone log of u^(1/w) (ln parity across JVM/libm is
+    * ~1 ulp; adjacent order-statistic gaps at any realistic n are ≥1e-9,
+    * so cross-engine selection never flips — the raw-double-threshold
+    * precedent). Rows with NULL or non-positive weight are excluded (a
+    * zero-weight row has inclusion probability 0 anyway).
+    *
+    * Scale shape: selection runs through the bounded-heap
+    * `TopKStructsAgg` — at most k (key, id) structs per stratum per map
+    * task cross the shuffle, no window, no per-stratum sort; cost is one
+    * scan regardless of corpus size. Output: (stratumCol, rnk, idCol),
+    * rnk 1..k by key descending, id-ascending tie-break.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     weightCol: String, k: Int,
+                     salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hex52 = substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 13)
+    val u = (conv(hex52, 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopK.topk_structs(key, col(idCol), k).as("top"))
+      .select(col(stratumCol), posexplode(col("top")))
+      .select(col(stratumCol), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col.payload").as(idCol))
+  }
+
   /** Sliding-window document CHUNKING — the preprocessing step in front of
     * any embedding or long-context pipeline: windows of `chunkChars`
     * characters starting every `strideChars` (overlap = chunk − stride),

@@ -35,6 +35,21 @@ object Curation {
         .orderBy($"doc_id")
     }),
 
+    // Weighted sampling without replacement (Curation.weightedSample,
+    // Efraimidis–Spirakis keys over md5-derived uniforms): the 5
+    // highest-key docs per source, inclusion biased by n_chars — the
+    // "top-k per source with exploration" curation draw, deterministic
+    // across engines and runs. Selection runs through the bounded-heap
+    // TopKStructsAgg (no window, ≤k structs/source/task through the
+    // shuffle); the oracle states the same draw as a window rank.
+    "doc_sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Curation
+        .weightedSample(Tables(s, dir, "documents"), "source", "doc_id",
+          "n_chars", k = 5, salt = "g9")
+        .orderBy($"source", $"rnk")
+    }),
+
     // Token-budget sequence packing via the DISTRIBUTED prefix sum
     // (operators.Pack): bin = floor(running token offset / 1000). The
     // oracle states the same semantics as one global window — the Spark
@@ -323,6 +338,21 @@ object Curation {
         |WHERE substring(md5(lang || ':' || doc_id::VARCHAR), 1, 2) <
         |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
         |ORDER BY doc_id""".stripMargin,
+
+    // A-ES replay: u = (52-bit md5 prefix + 0.5) / 2^52, key = ln(u)/w,
+    // top-5 per source by (key DESC, doc_id) window rank — the selection
+    // the bounded-heap aggregate makes without the window.
+    "doc_sample_weighted" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents
+        |           WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |k AS (SELECT source, doc_id,
+        |  ln((('0x' || substring(md5('g9' || doc_id::VARCHAR), 1, 13))::BIGINT
+        |      + 0.5) / 4503599627370496.0) / n_chars AS key FROM d),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY key DESC, doc_id) AS rnk FROM k)
+        |SELECT source, rnk::BIGINT AS rnk, doc_id FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
 
     "doc_pack" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n_tok FROM documents),

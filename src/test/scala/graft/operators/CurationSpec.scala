@@ -466,4 +466,55 @@ class CurationSpec extends AnyFunSuite {
     // doc1 lines: a, b, "", a ; doc2: c, "", d — "" in both docs -> removed
     assert(got == List((1L, "a.b.a", 3L, 1L), (2L, "c.d", 2L, 1L)))
   }
+
+  test("weightedSample equals the window-rank formulation; excludes non-positive weights") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i =>
+      (s"s${i % 4}", i, if (i % 50 == 0) 0L else (i % 13) * 100 + 1)) ++
+      Seq(("s0", 401L, -5L)) // negative weight: excluded
+    val df = rows.toDF("src", "id", "w")
+    val got = Curation.weightedSample(df, "src", "id", "w", k = 5, salt = "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: same key, ranked by a window
+    val hex = substring(md5(concat(lit("t"), $"id".cast("string"))), 1, 13)
+    val u = (conv(hex, 16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val key = log(u) / $"w".cast("double")
+    val ref = df.filter($"w" > 0)
+      .withColumn("key", key)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"src")
+          .orderBy($"key".desc, $"id")))
+      .filter($"rnk" <= 5)
+      .select($"src", $"rnk".cast("bigint"), $"id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+    assert(!got.exists(_._3 == 401L), "negative-weight row must never be drawn")
+    assert(!got.exists(t => t._3 % 50 == 0), "zero-weight rows must never be drawn")
+  }
+
+  test("weightedSample inclusion tracks weight: heavy rows dominate across salts") {
+    import spark.implicits._
+    // two weight classes, 10x apart; over many independent draws (salts)
+    // the heavy class must win most of the k slots
+    val df = (1L to 200L).toDF("id")
+      .withColumn("src", lit("all"))
+      .withColumn("w", when($"id" <= 100L, 10.0).otherwise(1.0))
+    val heavyShare = (1 to 20).map { s =>
+      val picked = Curation.weightedSample(df, "src", "id", "w", k = 20,
+        salt = s"salt$s").collect().map(_.getLong(2))
+      picked.count(_ <= 100L)
+    }.sum / (20.0 * 20.0)
+    // E[heavy share] ~ 10/11 with k << n; require well above parity
+    assert(heavyShare > 0.75, s"heavy share $heavyShare")
+  }
+
+  test("weightedSample plan is windowless (bounded-heap aggregate, no sort)") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("id")
+      .withColumn("src", lit("a")).withColumn("w", lit(1.0))
+    val plan = Curation.weightedSample(df, "src", "id", "w", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window found in plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected heap aggregate:\n$plan")
+  }
 }
