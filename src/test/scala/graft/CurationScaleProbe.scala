@@ -100,6 +100,21 @@ object CurationScaleProbe {
           .agg(sum($"cms_est")).head.getLong(0)
       }
       println(s"[probe]   cms_top20_sum=$cms")
+      val qtl = timed("Quantiles p50/p95/p99 by event_type (m=5)") {
+        val v = ev.filter($"value".isNotNull)
+          .withColumn("v", floor($"value" * 100).cast("long"))
+          .filter($"v" >= 1)
+        graft.operators.Quantiles.quantiles(v, Seq("event_type"), "v",
+          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+          .agg(sum($"p99")).head.getLong(0)
+      }
+      println(s"[probe]   qtl_p99_sum=$qtl")
+      val docsC = Tables(spark, dir, "documents")
+      val cj = timed("CorpusSketch pairwise Jaccard by source (256 slots)") {
+        graft.operators.CorpusSketch.estimateJaccard(docsC, "source", "text")
+          .agg(sum($"slots_equal"), count(lit(1))).head
+      }
+      println(s"[probe]   corpus_pairs=${cj.getLong(1)} slots_equal_sum=${cj.getLong(0)}")
     }
 
     if (ops("topk")) {

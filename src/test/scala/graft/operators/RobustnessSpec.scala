@@ -120,4 +120,41 @@ class RobustnessSpec extends AnyFunSuite {
     assert(TextDedup.containmentPairs(degenerate, "doc_id", "text")
       .count() == 0)
   }
+
+  test("round-9 operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    // Quantiles: empty frame, all-filtered frame, single value
+    val emptyVals = Seq.empty[(String, java.lang.Long)].toDF("g", "v")
+    val qs = Seq("p50" -> 0.5, "p99" -> 0.99)
+    assert(Quantiles.quantiles(emptyVals, Seq("g"), "v", qs).count() == 0)
+    val allBad = Seq(("a", null.asInstanceOf[java.lang.Long]),
+      ("a", java.lang.Long.valueOf(0L)),
+      ("a", java.lang.Long.valueOf(-7L))).toDF("g", "v")
+    assert(Quantiles.quantiles(allBad, Seq("g"), "v", qs).count() == 0,
+      "a group with no positive values has no histogram rows, hence no row")
+    val one = Seq(("a", 42L)).toDF("g", "v")
+    val r = Quantiles.quantiles(one, Seq("g"), "v", qs).collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) >= 42L && r.getLong(3) >= 42L)
+
+    // CorpusSketch: empty frame, NULL/short texts, single corpus (no pairs)
+    val emptyDocs = Seq.empty[(String, String)].toDF("corpus", "text")
+    assert(CorpusSketch.estimateJaccard(emptyDocs, "corpus", "text").count() == 0)
+    val messyDocs = Seq(
+      ("x", null.asInstanceOf[String]), ("x", ""), ("x", "one two"),
+      ("x", "three words long enough here")).toDF("corpus", "text")
+    assert(CorpusSketch.estimateJaccard(messyDocs, "corpus", "text").count() == 0,
+      "a single corpus yields no pairs; degenerate docs don't crash")
+    assert(CorpusSketch.signature(messyDocs, "corpus", "text").count() > 0)
+
+    // weightedSample: empty frame, all-excluded weights, k > group size
+    val emptyW = Seq.empty[(String, Long, java.lang.Double)].toDF("s", "id", "w")
+    assert(Curation.weightedSample(emptyW, "s", "id", "w", k = 3).count() == 0)
+    val excluded = Seq(("a", 1L, java.lang.Double.valueOf(0.0)),
+      ("a", 2L, null.asInstanceOf[java.lang.Double])).toDF("s", "id", "w")
+    assert(Curation.weightedSample(excluded, "s", "id", "w", k = 3).count() == 0)
+    val two = Seq(("a", 1L, java.lang.Double.valueOf(1.0)),
+      ("a", 2L, java.lang.Double.valueOf(2.0))).toDF("s", "id", "w")
+    assert(Curation.weightedSample(two, "s", "id", "w", k = 10).count() == 2,
+      "k larger than the stratum returns every eligible row")
+  }
 }
