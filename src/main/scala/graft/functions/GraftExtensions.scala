@@ -55,5 +55,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       LshBucketsExpr(c.head, litInt(c(1), "tables"), litInt(c(2), "bits"),
         litInt(c(3), "dim"),
         if (c.length == 5) litLong(c(4), "seed") else 42L))
+    register("shingle_md5", classOf[ShingleMd5Expr], "2")(c =>
+      ShingleMd5Expr(c.head, litInt(c(1), "n")))
+    register("winnow_super", classOf[WinnowingSuperExpr], "4")(c =>
+      WinnowingSuperExpr(c.head, litInt(c(1), "k"), litInt(c(2), "w"),
+        litInt(c(3), "s")))
+    register("splitmix64", classOf[SplitMix64Expr], "1,2")(c =>
+      SplitMix64Expr(c.head,
+        if (c.length == 2) litLong(c(1), "seed") else 0L))
+    register("leading_zeros64", classOf[LeadingZeros64Expr], "1")(c =>
+      LeadingZeros64Expr(c.head))
+    // aggregates: the registry builder returns the bare AggregateFunction;
+    // the analyzer wraps it in an AggregateExpression like any builtin agg
+    register("topk_doubles", classOf[TopKDoublesAgg], "2")(c =>
+      TopKDoublesAgg(c.head, litInt(c(1), "k")))
+    register("topk_structs", classOf[TopKStructsAgg], "3")(c =>
+      TopKStructsAgg(c.head, c(1), litInt(c(2), "k")))
   }
 }

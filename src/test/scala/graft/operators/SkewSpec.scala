@@ -68,6 +68,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Int]("n_fp") > 0)
       assert(row.getAs[Double]("dot") == 11.0)
       assert(row.getAs[Int]("n_buckets") == 4)
+      // round-9 registrations: md5 shingles, super-fingerprints, the
+      // splitmix64 pair, and both bounded-heap aggregates
+      val row9 = s2.sql(
+        """SELECT
+          |  size(shingle_md5('one two three four', 3)) AS n_md5,
+          |  size(winnow_super('abcdefghijklmnopqrstuvwxyz0123456789', 8, 4, 3)) AS n_super,
+          |  splitmix64(42L) AS h,
+          |  splitmix64(42L, 7L) AS hs,
+          |  leading_zeros64(1L) AS lz
+          |""".stripMargin).collect().head
+      assert(row9.getAs[Int]("n_md5") == 2)
+      assert(row9.getAs[Int]("n_super") > 0)
+      assert(row9.getAs[Long]("h") == graft.functions.SplitMix64.hash(42L))
+      assert(row9.getAs[Long]("hs") != row9.getAs[Long]("h"))
+      assert(row9.getAs[Int]("lz") == 63)
+      Seq(("a", 3.0, 10L), ("a", 1.0, 11L), ("a", 2.0, 12L), ("b", 9.0, 13L))
+        .toDF("g", "v", "id").createOrReplaceTempView("tk")
+      val agg = s2.sql(
+        """SELECT g, topk_doubles(v, 2) AS top2,
+          |  topk_structs(v, id, 1)[0].payload AS best_id
+          |FROM tk GROUP BY g ORDER BY g""".stripMargin).collect()
+      assert(agg(0).getSeq[Double](1) == Seq(3.0, 2.0))
+      assert(agg(0).getAs[Long]("best_id") == 10L)
+      assert(agg(1).getAs[Long]("best_id") == 13L)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
