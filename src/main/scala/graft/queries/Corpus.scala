@@ -45,6 +45,23 @@ object Corpus {
         .orderBy($"lang")
     }),
 
+    // Per-source token-length quantiles via the HDR quantile sketch
+    // (operators.Quantiles) — the sequence-length planning input for
+    // packing/batching: "what p95/p99 context length does each source
+    // need" without sorting the corpus (histogram state ≤64·2^m counters
+    // per source at ANY corpus size; measured flat 10×→100×). Same
+    // integer replay as evt_quantile_sketch, different table — the
+    // sketch is a reusable primitive, not a one-query trick.
+    "doc_token_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select($"source",
+          size(split($"text", " ", -1)).cast("long").as("v"))
+      graft.operators.Quantiles.quantiles(toks, Seq("source"), "v",
+        Seq("p50_tokens" -> 0.5, "p95_tokens" -> 0.95, "p99_tokens" -> 0.99))
+        .orderBy($"source")
+    }),
+
     // Quality scoring (length/word-length/alpha-density heuristics folded
     // to one score) — the C4/Gopher-style quality-filter surface.
     "doc_quality" -> ((s, dir) => {
@@ -653,6 +670,37 @@ object Corpus {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The evt_quantile_sketch integer replay over token counts per source
+    // (see queries/Events.scala for the bucket-math commentary).
+    "doc_token_quantiles" ->
+      """WITH vv AS (SELECT source, len(string_split(text, ' '))::BIGINT AS v
+        |            FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT source, v, (length(bin(v)) - 1) AS e FROM vv WHERE v >= 1),
+        |bk AS (SELECT source,
+        |  (e::BIGINT << 5) + CASE WHEN e >= 5
+        |     THEN (v - (1::BIGINT << e)) // (1::BIGINT << (e - 5))
+        |     ELSE ((v - (1::BIGINT << e)) << 5) // (1::BIGINT << e) END AS bucket
+        |  FROM b),
+        |h AS (SELECT source, bucket, count(*)::BIGINT AS cnt
+        |      FROM bk GROUP BY 1, 2),
+        |u AS (SELECT source, bucket, cnt,
+        |  CASE WHEN (bucket >> 5) >= 5
+        |    THEN (1::BIGINT << (bucket >> 5)) - 1
+        |         + ((bucket & 31) + 1) * (1::BIGINT << ((bucket >> 5) - 5))
+        |    ELSE (1::BIGINT << (bucket >> 5))
+        |         + (((bucket & 31) + 1) * (1::BIGINT << (bucket >> 5)) + 31) // 32
+        |         - 1 END AS ub
+        |  FROM h),
+        |c AS (SELECT source, ub, cnt,
+        |  sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY source) AS n FROM u)
+        |SELECT source, max(n)::BIGINT AS n,
+        |  min(CASE WHEN cum >= ceil(0.5::DOUBLE * n::DOUBLE) THEN ub END) AS p50_tokens,
+        |  min(CASE WHEN cum >= ceil(0.95::DOUBLE * n::DOUBLE) THEN ub END) AS p95_tokens,
+        |  min(CASE WHEN cum >= ceil(0.99::DOUBLE * n::DOUBLE) THEN ub END) AS p99_tokens
+        |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "doc_quality" ->
       """WITH t AS (
