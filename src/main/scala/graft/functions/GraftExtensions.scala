@@ -71,5 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopKDoublesAgg(c.head, litInt(c(1), "k")))
     register("topk_structs", classOf[TopKStructsAgg], "3")(c =>
       TopKStructsAgg(c.head, c(1), litInt(c(2), "k")))
+    register("freq_items", classOf[FreqItemsAgg], "2")(c =>
+      FreqItemsAgg(c.head, litInt(c(1), "m")))
   }
 }

@@ -341,6 +341,27 @@ object Events {
           $"exact_users")
         .orderBy($"event_type")
     }),
+
+    // SpaceSaving frequent items (functions.FreqItemsAgg, m=4096) — the
+    // "WHICH items are frequent" sketch next to CMS's "how often is x":
+    // heavy users by lower-bound count > 66. At the gate scales the
+    // summary never fills (user cardinality < m), so est = lb = the exact
+    // count and the DuckDB hash pins the whole update/serde/32-partition-
+    // merge machinery EXACTLY (the eviction regime's bounds and the
+    // total/m tracking guarantee are property-pinned across partition
+    // layouts in FreqItemsSpec — under eviction per-item estimates are
+    // merge-order-dependent by construction, so production callers
+    // confirm candidates with an exact count join).
+    "evt_freq_items" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .agg(graft.functions.FreqItems.freq_items($"user_id", 4096).as("sk"))
+        .select(explode($"sk").as("e"))
+        .select($"e.item".as("user_id"), $"e.est".as("est_cnt"),
+          $"e.lb".as("lb_cnt"))
+        .filter($"lb_cnt" > 66)
+        .orderBy($"user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -599,6 +620,14 @@ object Events {
         |SELECT f.event_type, round(f.est, 4) AS est_users, x.exact_users
         |FROM fin f JOIN exact x USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // SpaceSaving no-eviction regime: est = lb = exact count, so the
+    // replay is plain exact counting behind the lb threshold.
+    "evt_freq_items" ->
+      """SELECT user_id, count(*)::BIGINT AS est_cnt,
+        |  count(*)::BIGINT AS lb_cnt
+        |FROM events GROUP BY user_id HAVING count(*) > 66
+        |ORDER BY user_id""".stripMargin,
 
     "evt_asof_click" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

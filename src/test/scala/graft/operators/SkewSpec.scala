@@ -92,6 +92,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(agg(0).getSeq[Double](1) == Seq(3.0, 2.0))
       assert(agg(0).getAs[Long]("best_id") == 10L)
       assert(agg(1).getAs[Long]("best_id") == 13L)
+      val fi = s2.sql(
+        """SELECT e.item, e.est, e.lb
+          |FROM (SELECT explode(freq_items(id, 8)) AS e FROM tk)
+          |ORDER BY e.est DESC, e.item""".stripMargin).collect()
+      assert(fi.length == 4 && fi.forall(r =>
+        r.getLong(1) == 1L && r.getLong(2) == 1L))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
