@@ -180,6 +180,46 @@ object Relational {
         .orderBy($"c_custkey")
     }),
 
+    // Bucketed co-located fact join (operators.Bucketing): orders and
+    // lineitem written ONCE bucketed+sorted on the order key, then
+    // scan → sort-merge join → per-order aggregate runs with ZERO
+    // exchanges on the bucketed sides (plan-asserted in BucketingSpec;
+    // this gate pins the RESULTS, q3's shape through the bucketed path).
+    // The at-scale story: the one organized write amortizes the fact
+    // shuffle across every later join/agg on the key. Salted table names
+    // + self-cleanup, the knn_ivf_index fixture discipline.
+    "q14_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val liT = s"graft_bkt_li_$salt"
+      val ordT = s"graft_bkt_ord_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_bkt_$salt")
+        .toString
+      try {
+        graft.operators.Bucketing.bucketTable(
+          Tables(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+          liT, s"$tmp/li", "l_orderkey", buckets = 8)
+        graft.operators.Bucketing.bucketTable(
+          Tables(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+          ordT, s"$tmp/ord", "o_orderkey", buckets = 8)
+        graft.operators.Bucketing
+          .coLocatedJoin(s, liT, ordT, "l_orderkey", "o_orderkey")
+          .groupBy($"o_orderkey", $"o_orderpriority")
+          .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(28,6)")), 2).cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+          // materialized (10 rows) so the returned frame no longer
+          // references the fixture tables dropped below
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $liT")
+        s.sql(s"DROP TABLE IF EXISTS $ordT")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     "q9_enrich_broadcast" -> ((s, dir) => {
       import s.implicits._
       val c = Tables(s, dir, "customer")
@@ -246,6 +286,14 @@ object Relational {
         |WHERE l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    // the bucketed path must produce exactly the plain join's answer
+    "q14_bucketed_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q13_setops" ->
       """WITH jun AS (SELECT DISTINCT o_custkey FROM orders
