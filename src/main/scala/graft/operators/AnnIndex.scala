@@ -250,6 +250,30 @@ object AnnIndex {
       .saveAsTable(s"${indexTable}_centroids")
   }
 
+  /** Append a DELTA of new vectors to a persisted `ivfIndex` — the
+    * re-ingest shape for the ANN family (`incrementalAgainstIndex` /
+    * `hammingAgainstIndex` for text and Hamming fingerprints): the delta
+    * is assigned against the FROZEN centroid table (broadcast, one pass
+    * over the delta only) and appended into the label-partitioned
+    * assignments, so ingest cost is O(delta), never a rebuild or an
+    * index rescan (the append job's plan touches only the delta and the
+    * k-row centroid table — spec-asserted). Centroids deliberately do
+    * NOT move: serving indexes refresh centroids on a rebuild cadence,
+    * not per ingest, or recall drifts silently. A search after the
+    * append sees old + new vectors through the same partition-pruned
+    * probes.
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexTable: String, delta: DataFrame,
+                    idCol: String, vecCol: String): Unit = {
+    val cents = spark.table(s"${indexTable}_centroids")
+    // append-mode insertInto only adds files to the delta's partitions —
+    // no overwrite semantics in play, so no partitionOverwriteMode scope
+    kmeansAssign(delta, idCol, vecCol, cents)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), col("label"))
+      .write.mode("append").insertInto(indexTable)
+  }
+
   /** Batched top-k against a PERSISTED `ivfIndex`: per query, rank the
     * (broadcast) centroid table by cosine, probe the `nprobe` best
     * labels, rerank candidates exactly. Returns

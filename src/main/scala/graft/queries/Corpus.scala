@@ -352,6 +352,44 @@ object Corpus {
       }
     }),
 
+    // IVF index DELTA INGEST (operators.AnnIndex.appendToIndex): the
+    // index is built on the first 4/5 of the corpus ("yesterday"), the
+    // remaining 1/5 appends through the FROZEN centroids ("today's
+    // ingest", one broadcast-assign pass over the delta only — no
+    // rebuild, no index rescan, plan-asserted in AnnIndexSpec), and the
+    // search sees old + new vectors through the same partition-pruned
+    // probes. The oracle replays the k-means build over the prefix, then
+    // assigns the WHOLE corpus against the final centroids — exactly what
+    // build + append materialize.
+    "knn_ivf_append" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val cut = emb.count() * 4 / 5
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_ivfa_idx_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ivfa_$salt")
+        .toString
+      try {
+        graft.operators.AnnIndex.ivfIndex(emb.filter($"vec_id" < cut),
+          "vec_id", "embedding", k = 8, indexTable = table,
+          indexPath = s"$tmp/idx", iters = 3)
+        graft.operators.AnnIndex.appendToIndex(s, table,
+          emb.filter($"vec_id" >= cut), "vec_id", "embedding")
+        graft.operators.AnnIndex.searchAgainstIndex(s, table,
+            emb.filter($"vec_id" === 0L).select($"vec_id", $"embedding"),
+            "vec_id", "embedding", k = 10, nprobe = 3)
+          .select($"vec_id", $"sim")
+          .orderBy($"sim".desc, $"vec_id")
+          // materialized (10 rows) so the returned frame no longer
+          // references the fixture tables dropped below
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        s.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // Scalar int8 quantization (operators.Quantize): per-dim affine codec
     // over the corpus, then top-k cosine in the DEQUANTIZED space vs the
     // dequantized query — measures the codec end-to-end (stats pass,
@@ -1071,6 +1109,53 @@ object Corpus {
         |    row_number() OVER (PARTITION BY e.vec_id
         |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
         |  FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |c3 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a3, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a4 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (SELECT c.label FROM c3 c CROSS JOIN q
+        |  ORDER BY list_cosine_similarity(c.centroid, q.qv) DESC, c.label LIMIT 3)
+        |SELECT a4.vec_id, round(list_cosine_similarity(a4.v, q.qv), 6) AS sim
+        |FROM a4 JOIN probes USING (label) CROSS JOIN q
+        |WHERE a4.vec_id <> 0
+        |ORDER BY sim DESC, a4.vec_id LIMIT 10""".stripMargin,
+
+    // build replayed over the first 4/5 of the corpus (b), then the WHOLE
+    // corpus assigned against the final centroids — exactly what
+    // ivfIndex(prefix) + appendToIndex(delta) materialize
+    "knn_ivf_append" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |b AS (SELECT * FROM e
+        |      WHERE vec_id < ((SELECT count(*) FROM e) * 4) // 5),
+        |p AS (SELECT greatest((SELECT count(*) FROM b) // 8, 1) AS stride),
+        |c0 AS (SELECT (vec_id // p.stride)::INT AS label, v AS centroid
+        |       FROM b, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * 8),
+        |a1 AS (SELECT vec_id, v, label FROM (
+        |  SELECT b.vec_id, b.v, c.label,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM b CROSS JOIN c0 c) WHERE rn = 1),
+        |c1 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a1, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a2 AS (SELECT vec_id, v, label FROM (
+        |  SELECT b.vec_id, b.v, c.label,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM b CROSS JOIN c1 c) WHERE rn = 1),
+        |c2 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a2, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a3 AS (SELECT vec_id, v, label FROM (
+        |  SELECT b.vec_id, b.v, c.label,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM b CROSS JOIN c2 c) WHERE rn = 1),
         |c3 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
         |  SELECT label, i, avg(v[i]) AS m FROM a3, range(1, 65) t(i)
         |  GROUP BY label, i) GROUP BY label),

@@ -132,6 +132,68 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIndex: delta ingest touches only the delta, and search " +
+      "over build+append equals one-shot build over the union") {
+    import spark.implicits._
+    val cut = emb.count() * 4 / 5
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val appT = "graft_ivf_append_idx"
+    val oneT = "graft_ivf_oneshot_idx"
+    Seq(appT, oneT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+    }
+    try {
+      // "yesterday": index over the dense prefix
+      AnnIndex.ivfIndex(emb.filter($"vec_id" < cut), "vec_id", "embedding",
+        k = 8, indexTable = appT, indexPath = s"$tmp/app", iters = 3)
+      val before = spark.table(appT).count()
+      // "today": the delta appends through the frozen centroids; the job
+      // must never read the assignments table (O(delta) ingest)
+      val delta = emb.filter($"vec_id" >= cut)
+      val assignPlan = AnnIndex.kmeansAssign(delta, "vec_id", "embedding",
+        spark.table(s"${appT}_centroids"))
+        .queryExecution.executedPlan.toString
+      assert(!assignPlan.contains(appT + "["), // scan nodes print table[cols]
+        s"delta assignment must not scan the index:\n${assignPlan.take(2000)}")
+      AnnIndex.appendToIndex(spark, appT, delta, "vec_id", "embedding")
+      assert(spark.table(appT).count() == emb.count())
+      assert(before == cut)
+
+      // reference: ONE-SHOT assignments of the whole corpus against the
+      // same (prefix-trained) centroids — build+append must equal it
+      AnnIndex.ivfIndex(emb.filter($"vec_id" < cut), "vec_id", "embedding",
+        k = 8, indexTable = oneT, indexPath = s"$tmp/one", iters = 3)
+      AnnIndex.kmeansAssign(emb, "vec_id", "embedding",
+        spark.table(s"${oneT}_centroids"))
+        .select($"vec_id", $"embedding".as("v"), $"label")
+        .createOrReplaceTempView("ivf_app_ref")
+      val refRows = spark.table("ivf_app_ref")
+        .select($"vec_id", $"label")
+      val gotRows = spark.table(appT).select($"vec_id", $"label")
+      assert(gotRows.exceptAll(refRows).isEmpty &&
+        refRows.exceptAll(gotRows).isEmpty,
+        "append path's assignments diverge from one-shot assignment")
+
+      // and the search over the appended index must see old + new: full
+      // probe equals brute force over the WHOLE corpus
+      val full = AnnIndex.searchAgainstIndex(spark, appT,
+        emb.filter($"vec_id" === 0L).select($"vec_id", $"embedding"),
+        "vec_id", "embedding", k = 10, nprobe = 8)
+        .orderBy($"rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val bruteOrdered = graft.queries.Corpus.queries("knn_cosine_topk")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == bruteOrdered)
+    } finally {
+      Seq(appT, oneT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("kmeans IVF: full-probe search equals brute force; centroids are stable") {
     val cents = AnnIndex.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
     assert(cents.count() == 8)
