@@ -267,9 +267,75 @@ object CdcAnalog {
           $"schema_version")
         .orderBy($"id")
     }),
+
+    // SCD Type-2 history (cdc.Scd.history): one row per version interval
+    // per aggregate — valid_from/valid_to from lead() over the per-key
+    // change order, deletes closing their predecessor without opening a
+    // version. The state-reconstruction layer the event store implies:
+    // "what did the row look like at T" becomes an interval filter, not
+    // a stream replay. One key shuffle + a narrow lead — no self-join.
+    "cdc_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val changes = Tables(s, dir, "events")
+        .withColumn("op", EventsAsChangeLog.opCol)
+      graft.cdc.Scd.history(changes, Seq("user_id"), "ts", "event_id", "op")
+        .select($"user_id", $"event_id", $"value",
+          unix_micros($"valid_from").as("valid_from_us"),
+          unix_micros($"valid_to").as("valid_to_us"),
+          $"is_current")
+        .orderBy($"user_id", $"valid_from_us", $"event_id")
+    }),
+
+    // Point-in-time snapshot over the SCD2 history (cdc.Scd.asOf): each
+    // aggregate's version whose half-open [from, to) interval covers
+    // 2024-01-15T00:00Z — keys deleted before T correctly absent.
+    "cdc_point_in_time" -> ((s, dir) => {
+      import s.implicits._
+      val changes = Tables(s, dir, "events")
+        .withColumn("op", EventsAsChangeLog.opCol)
+      val hist = graft.cdc.Scd.history(changes, Seq("user_id"), "ts",
+        "event_id", "op")
+      graft.cdc.Scd.asOf(hist,
+          lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select($"user_id", $"event_id", $"value",
+          unix_micros($"valid_from").as("valid_from_us"))
+        .orderBy($"user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_scd2_history" ->
+      """WITH c AS (SELECT user_id, event_id, value, ts,
+        |  CASE WHEN event_type = 'signup' THEN 'c'
+        |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |h AS (SELECT user_id, event_id, value, op,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to_us
+        |  FROM c)
+        |SELECT user_id, event_id, value, valid_from_us, valid_to_us,
+        |  (valid_to_us IS NULL) AS is_current
+        |FROM h WHERE op <> 'd'
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "cdc_point_in_time" ->
+      """WITH c AS (SELECT user_id, event_id, value, ts,
+        |  CASE WHEN event_type = 'signup' THEN 'c'
+        |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |h AS (SELECT user_id, event_id, value, op,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to_us
+        |  FROM c)
+        |SELECT user_id, event_id, value, valid_from_us
+        |FROM h WHERE op <> 'd'
+        |  AND valid_from_us <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+        |  AND (valid_to_us IS NULL
+        |       OR valid_to_us > epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+        |ORDER BY user_id""".stripMargin,
+
     "cdc_schema_evolution" ->
       """SELECT event_id AS id,
         |  CAST(floor(value * 100) AS BIGINT) AS amount,

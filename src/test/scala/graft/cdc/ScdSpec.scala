@@ -1,0 +1,92 @@
+package graft.cdc
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ScdSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** key 1: create, update, update          -> 3 versions, last current
+    * key 2: create, delete, create (rebirth) -> 2 versions, gap between
+    * key 3: create, delete                   -> 1 closed version, nothing
+    *                                            current
+    */
+  private lazy val changes = {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, "c", ts("2024-01-01 00:00:00"), 1.0),
+      (1L, 11L, "u", ts("2024-01-02 00:00:00"), 2.0),
+      (1L, 12L, "u", ts("2024-01-03 00:00:00"), 3.0),
+      (2L, 20L, "c", ts("2024-01-01 00:00:00"), 5.0),
+      (2L, 21L, "d", ts("2024-01-02 00:00:00"), 0.0),
+      (2L, 22L, "c", ts("2024-01-04 00:00:00"), 7.0),
+      (3L, 30L, "c", ts("2024-01-01 00:00:00"), 9.0),
+      (3L, 31L, "d", ts("2024-01-05 00:00:00"), 0.0))
+      .toDF("k", "id", "op", "ts", "v").repartition(4)
+  }
+
+  private lazy val hist = Scd.history(changes, Seq("k"), "ts", "id", "op")
+
+  test("versions carry [from, to) intervals; deletes close but never open") {
+    val rows = hist
+      .select(col("k"), col("id"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy(col("k"), col("valid_from"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4)))
+      .toList
+    assert(rows == List(
+      (1L, 10L, Some("2024-01-02 00:00:00.0"), false),
+      (1L, 11L, Some("2024-01-03 00:00:00.0"), false),
+      (1L, 12L, None, true),
+      (2L, 20L, Some("2024-01-02 00:00:00.0"), false), // closed by delete
+      (2L, 22L, None, true),                            // rebirth
+      (3L, 30L, Some("2024-01-05 00:00:00.0"), false))) // closed, gone
+  }
+
+  test("asOf: half-open boundaries — visible at its own instant, replaced " +
+      "exactly at the successor's; deleted keys absent; gaps are empty") {
+    def at(t: String): Map[Long, Long] =
+      Scd.asOf(hist, lit(t).cast("timestamp"))
+        .select(col("k"), col("id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // at v2's exact change instant key 1 already shows v2, and key 2 —
+    // deleted at that same instant — is already gone (half-open [from,to));
+    // key 3 lives until its Jan 5 delete
+    assert(at("2024-01-02 00:00:00") == Map(1L -> 11L, 3L -> 30L))
+    // key 2 is in its deleted gap on Jan 3, reborn Jan 4
+    assert(at("2024-01-03 12:00:00") == Map(1L -> 12L, 3L -> 30L))
+    assert(at("2024-01-04 00:00:00") ==
+      Map(1L -> 12L, 2L -> 22L, 3L -> 30L))
+    // after key 3's delete, only the survivors remain
+    assert(at("2024-01-06 00:00:00") == Map(1L -> 12L, 2L -> 22L))
+    // before any change: empty world
+    assert(at("2023-12-31 00:00:00") == Map.empty)
+  }
+
+  test("same-timestamp changes order by the tie column deterministically") {
+    import spark.implicits._
+    val tied = Seq(
+      (7L, 1L, "c", ts("2024-01-01 00:00:00"), 1.0),
+      (7L, 2L, "u", ts("2024-01-01 00:00:00"), 2.0))
+      .toDF("k", "id", "op", "ts", "v")
+    val h = Scd.history(tied, Seq("k"), "ts", "id", "op")
+      .orderBy(col("id"))
+      .select(col("id"), col("is_current")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toList
+    assert(h == List((1L, false), (2L, true)))
+  }
+
+  test("plan: one key exchange, a window, no joins") {
+    val plan = hist.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+}
