@@ -220,6 +220,23 @@ object Relational {
       }
     }),
 
+    // One-pass dataset profiler (operators.Profiler): per-column rows,
+    // nulls, lexicographic + typed min/max, HLL cardinality estimate —
+    // every statistic on ONE unpivoted scan and one KB-scale shuffle
+    // (cols x 4 KB of registers), with exact NDV alongside so the
+    // estimate's accuracy is visible inside the gate. The oracle replays
+    // the ENTIRE profile: the unpivot, the per-type NDV keys (value /
+    // micros / md5-52bit), the splitmix64 register chain, and the
+    // estimator.
+    "q15_column_stats" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Profiler.columnStats(Tables(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "l_shipdate"),
+        withExact = true)
+        .orderBy($"col_name")
+    }),
+
     "q9_enrich_broadcast" -> ((s, dir) => {
       import s.implicits._
       val c = Tables(s, dir, "customer")
@@ -286,6 +303,70 @@ object Relational {
         |WHERE l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    // full-profile replay: unpivot with per-type NDV keys, basic stats,
+    // then the evt_hll_users splitmix64/register/estimator chain keyed by
+    // col_name (p=12, m=4096)
+    "q15_column_stats" ->
+      """WITH u AS (
+        |  SELECT 'l_orderkey' AS col_name, l_orderkey::HUGEINT AS k,
+        |         l_orderkey::VARCHAR AS v, true AS ordered FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey::HUGEINT,
+        |         l_partkey::VARCHAR, true FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey::HUGEINT,
+        |         l_suppkey::VARCHAR, true FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', l_linenumber::HUGEINT,
+        |         l_linenumber::VARCHAR, true FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag',
+        |         ('0x' || substring(md5(l_returnflag), 1, 13))::BIGINT::HUGEINT,
+        |         l_returnflag, false FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus',
+        |         ('0x' || substring(md5(l_linestatus), 1, 13))::BIGINT::HUGEINT,
+        |         l_linestatus, false FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate', epoch_us(l_shipdate)::HUGEINT,
+        |         l_shipdate::VARCHAR, true FROM lineitem),
+        |basic AS (SELECT col_name, count(*) AS n_rows,
+        |  count(*) FILTER (WHERE k IS NULL) AS n_null,
+        |  min(v) AS min_str, max(v) AS max_str,
+        |  min(CASE WHEN ordered THEN k END)::BIGINT AS num_min,
+        |  max(CASE WHEN ordered THEN k END)::BIGINT AS num_max,
+        |  count(DISTINCT k) AS ndv_exact
+        |  FROM u GROUP BY col_name),
+        |k0 AS (SELECT col_name, k FROM u WHERE k IS NOT NULL),
+        |x0 AS (SELECT col_name,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM k0),
+        |z1 AS (
+        |  SELECT col_name, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT col_name, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |zf AS (SELECT col_name, xor(z, z >> 31) AS h FROM z2),
+        |br AS (SELECT col_name, (h >> 52)::BIGINT AS bucket,
+        |        least(64 - length(bin(((h::HUGEINT * 4096)
+        |          % 18446744073709551616)::UBIGINT)) + 1, 53)::INT AS rho
+        |       FROM zf),
+        |reg AS (SELECT col_name, bucket, max(rho) AS rho FROM br GROUP BY 1, 2),
+        |agg AS (SELECT col_name, count(*) AS v_present,
+        |         sum(pow(2.0, -rho)) AS hsum FROM reg GROUP BY 1),
+        |est AS (SELECT col_name, (4096.0 - v_present) AS zeros,
+        |         (0.7213 / (1 + 1.079 / 4096) * 4096) * 4096
+        |           / ((4096.0 - v_present) + hsum) AS e_raw
+        |        FROM agg),
+        |fin AS (SELECT col_name,
+        |         CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+        |              THEN 4096.0 * ln(4096.0 / zeros) ELSE e_raw END AS est
+        |        FROM est)
+        |SELECT b.col_name, b.n_rows, b.n_null, b.ndv_exact,
+        |  round(f.est, 4) AS hll_ndv, b.min_str, b.max_str,
+        |  b.num_min, b.num_max
+        |FROM basic b JOIN fin f USING (col_name)
+        |ORDER BY b.col_name""".stripMargin,
 
     // the bucketed path must produce exactly the plain join's answer
     "q14_bucketed_join" ->

@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ProfilerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def profile(cols: Seq[String],
+                      df: org.apache.spark.sql.DataFrame) =
+    Profiler.columnStats(df, cols, withExact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("counts, nulls, typed and lexicographic min/max, exact NDV") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(Timestamp.valueOf("2024-01-02 00:00:00"))),
+      (2L, None, Some(Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (10L, Some("b"), None),
+      (10L, Some("a"), None))
+      .toDF("id", "s", "t")
+    val p = profile(Seq("id", "s", "t"), df)
+
+    val id = p("id")
+    assert(id.getAs[Long]("n_rows") == 4 && id.getAs[Long]("n_null") == 0)
+    assert(id.getAs[Long]("ndv_exact") == 3)
+    // lexicographic over rendered values ("10" < "2"), typed over keys
+    assert(id.getAs[String]("min_str") == "1" &&
+      id.getAs[String]("max_str") == "2")
+    assert(id.getAs[Long]("num_min") == 1L &&
+      id.getAs[Long]("num_max") == 10L)
+
+    val s = p("s")
+    assert(s.getAs[Long]("n_null") == 1 && s.getAs[Long]("ndv_exact") == 2)
+    assert(s.getAs[String]("min_str") == "a" &&
+      s.getAs[String]("max_str") == "b")
+    // md5 keys are not order-preserving: no typed min/max for strings
+    assert(s.isNullAt(s.fieldIndex("num_min")) &&
+      s.isNullAt(s.fieldIndex("num_max")))
+
+    val t = p("t")
+    assert(t.getAs[Long]("n_null") == 2 && t.getAs[Long]("ndv_exact") == 2)
+    assert(t.getAs[Long]("num_min") ==
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000)
+  }
+
+  test("all-null and empty inputs profile to zero, not an error") {
+    import spark.implicits._
+    val allNull = Seq[Option[Long]](None, None).toDF("x")
+    val p = profile(Seq("x"), allNull)("x")
+    assert(p.getAs[Long]("n_rows") == 2 && p.getAs[Long]("n_null") == 2)
+    assert(p.getAs[Long]("ndv_exact") == 0 &&
+      p.getAs[Double]("hll_ndv") == 0.0)
+    val empty = profile(Seq("x"), allNull.filter(lit(false)))
+    assert(empty.isEmpty) // no rows, no profile rows — caller sees zero
+  }
+
+  test("HLL estimate lands within the 1.04/sqrt(m) band on a real column") {
+    val li = graft.Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val p = profile(Seq("l_orderkey", "l_returnflag"), li)
+    for (c <- Seq("l_orderkey", "l_returnflag")) {
+      val exact = p(c).getAs[Long]("ndv_exact").toDouble
+      val est = p(c).getAs[Double]("hll_ndv")
+      assert(math.abs(est - exact) <= math.max(4 * 1.04 / 64 * exact, 1.0),
+        s"$c: est $est vs exact $exact")
+    }
+  }
+
+  test("the profile's two consumers share ONE materialized level-1 — the " +
+      "source is never rescanned") {
+    val li = graft.Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val plan = Profiler.columnStats(li,
+      Seq("l_orderkey", "l_returnflag"), withExact = false)
+      .queryExecution.executedPlan.toString
+    // level 1 (the single unpivoted scan + register aggregation) is
+    // localCheckpoint-materialized at build time; both level-2 consumers
+    // read the checkpointed rows, so the final plan carries NO file scan
+    // at all — the parquet was read exactly once, during the checkpoint
+    assert(!plan.contains("FileScan parquet"), plan.take(2000))
+    assert("Scan ExistingRDD".r.findAllIn(plan).size == 2, plan.take(2000))
+  }
+
+  test("double columns fall back to the xxhash64 key deterministically") {
+    import spark.implicits._
+    val df = Seq(0.5, 0.5, 1.5, Double.NaN).toDF("d")
+    val p1 = profile(Seq("d"), df)("d")
+    val p2 = profile(Seq("d"), df)("d")
+    assert(p1.getAs[Long]("ndv_exact") == 3)
+    assert(p1.getAs[Double]("hll_ndv") == p2.getAs[Double]("hll_ndv"))
+    assert(p1.isNullAt(p1.fieldIndex("num_min"))) // not order-preserving
+  }
+}
