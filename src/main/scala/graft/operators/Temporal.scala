@@ -236,4 +236,51 @@ object Temporal {
         datediff(col("d"), col("cohort_date")).cast("bigint").as("offset_days"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Fixed-interval resampling WITH GAP FILL — the time-series
+    * regularization step (downsample to a uniform grid, materialize the
+    * empty intervals, carry the last observation forward) that feeds
+    * anomaly detection, charting, and feature windows. Spark gives the
+    * binning for free but not the gaps: a groupBy never emits a bin with
+    * no rows, so the carry-forward has nothing to stand on. Here the
+    * per-key grid comes from `sequence(min_bin, max_bin)` (an explode
+    * that is linear in each key's OWN span, never the global one), a left
+    * join re-attaches the observed bins, and the fill is the
+    * count-of-non-nulls trick: a running `count(v)` partitions each key's
+    * timeline into fill groups whose single non-null value is the
+    * carried one — two window passes, both O(1) state per row, no
+    * IGNORE NULLS dependency (identical semantics in any engine).
+    *
+    * `valueCents` aggregates exactly (integer cents, the repo's money
+    * discipline), so resampled series replay bit-for-bit. Scale: one
+    * (key, bin) shuffle for the binning, one key shuffle for spans +
+    * windows — a key's task holds its bin count, not its event count.
+    * Returns (key, bin, cents, n_obs): `n_obs` = 0 marks filled gaps;
+    * `cents` on a gap row is the last observed bin's sum.
+    */
+  def resampleWithFill(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, intervalUs: Long): DataFrame = {
+    require(intervalUs > 0, s"intervalUs must be positive, got $intervalUs")
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val binned = df
+      .select(col(keyCol).as("key"),
+        call_function("div", unix_micros(col(tsCol)), lit(intervalUs))
+          .as("bin"), cents.as("c"))
+      .groupBy(col("key"), col("bin"))
+      .agg(sum(col("c")).as("obs_cents"), count(lit(1)).as("n_obs"))
+    val grid = binned.groupBy(col("key"))
+      .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+      .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bin"))
+    val joined = grid.join(binned, Seq("key", "bin"), "left")
+    val order = Window.partitionBy(col("key")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fillGroup = count(col("obs_cents")).over(order)
+    val filled = joined.withColumn("_fg", fillGroup)
+    filled
+      .withColumn("cents",
+        max(col("obs_cents")).over(
+          Window.partitionBy(col("key"), col("_fg"))))
+      .select(col("key"), col("bin"), col("cents"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+  }
 }

@@ -362,6 +362,23 @@ object Events {
         .filter($"lb_cnt" > 66)
         .orderBy($"user_id")
     }),
+
+    // Fixed-interval resampling with gap fill (operators.Temporal
+    // .resampleWithFill): per-user daily value series on a uniform grid —
+    // empty days materialized from each user's own [first, last] span and
+    // filled by carrying the previous day's sum forward (the
+    // count-of-non-nulls fill-group trick, no IGNORE NULLS). Integer
+    // cents, so the whole series replays exactly; n_obs = 0 marks the
+    // filled gaps inside the gate.
+    "evt_resample_daily" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Temporal.resampleWithFill(
+          Tables(s, dir, "events").filter($"value".isNotNull),
+          "user_id", "ts", "value", intervalUs = 86400000000L)
+        .select($"key".as("user_id"), $"bin".as("day_bin"),
+          $"cents", $"n_obs")
+        .orderBy($"user_id", $"day_bin")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -628,6 +645,28 @@ object Events {
         |  count(*)::BIGINT AS lb_cnt
         |FROM events GROUP BY user_id HAVING count(*) > 66
         |ORDER BY user_id""".stripMargin,
+
+    // resample replay: same binning, per-user range() grid, left join,
+    // and the identical count-of-non-nulls fill-group windows
+    "evt_resample_daily" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_bin,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS obs_cents,
+        |    count(*) AS n_obs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day_bin) AS lo, max(day_bin) AS hi
+        |      FROM b GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day_bin FROM s),
+        |j AS (SELECT g.user_id, g.day_bin, b.obs_cents,
+        |        coalesce(b.n_obs, 0) AS n_obs
+        |      FROM g LEFT JOIN b USING (user_id, day_bin)),
+        |f AS (SELECT user_id, day_bin, obs_cents, n_obs,
+        |        count(obs_cents) OVER (PARTITION BY user_id ORDER BY day_bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fg
+        |      FROM j)
+        |SELECT user_id, day_bin,
+        |  max(obs_cents) OVER (PARTITION BY user_id, fg) AS cents,
+        |  n_obs
+        |FROM f ORDER BY user_id, day_bin""".stripMargin,
 
     "evt_asof_click" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

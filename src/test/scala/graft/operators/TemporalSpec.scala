@@ -271,4 +271,32 @@ class TemporalSpec extends AnyFunSuite {
       .agg(sum($"n_users")).collect()(0).getLong(0)
     assert(total == e.select($"user_id").distinct().count())
   }
+
+  test("resampleWithFill: dense grid per key span, gaps carry the last " +
+      "observed sum with n_obs = 0") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1: days 0, 1, 4 observed (two obs on day 1) -> gaps on 2, 3
+    // key 2: single day -> single-bin grid, no gaps
+    val df = Seq(
+      (1L, ts("1970-01-01 05:00:00"), 1.00),
+      (1L, ts("1970-01-02 01:00:00"), 2.00),
+      (1L, ts("1970-01-02 23:00:00"), 0.50),
+      (1L, ts("1970-01-05 00:00:00"), 4.00),
+      (2L, ts("1970-01-08 12:00:00"), 9.99))
+      .toDF("k", "ts", "v").repartition(4)
+    val got = Temporal.resampleWithFill(df, "k", "ts", "v", 86400000000L)
+      .orderBy($"key", $"bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List(
+      (1L, 0L, 100L, 1L),
+      (1L, 1L, 250L, 2L), // two observations summed (integer cents)
+      (1L, 2L, 250L, 0L), // gap: carried forward
+      (1L, 3L, 250L, 0L), // gap: carried forward
+      (1L, 4L, 400L, 1L),
+      (2L, 7L, 999L, 1L)))
+    // grid size = per-key span, never the global [min, max] product
+    assert(got.size == 6)
+  }
 }
