@@ -139,6 +139,32 @@ object Hll {
     estimateFromRegisters(
       registersFromTable(spark, registersTable, groupCols), groupCols, p)
 
+  /** CUMULATIVE distinct counts along an ordered dimension — "uniques to
+    * date" per day/hour/version, the query that is infeasible exactly at
+    * scale (exact state is O(periods × values): every period must
+    * remember every value ever seen) but costs O(periods × 2^p) through
+    * the register algebra: per-period registers, densified onto the
+    * (period × observed-bucket) grid (bounded by 2^p, never by data),
+    * then a running register-wise max along the period order — a window
+    * over register FRAMES, with the raw data scanned exactly once.
+    * Returns (orderCol, estimate) per period.
+    */
+  def cumulativeEstimate(df: DataFrame, orderCol: String, valueCol: String,
+                         p: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val regs = registers(df, Seq(orderCol), valueCol, p)
+    // dense (period × bucket) grid so a bucket last touched long ago
+    // still reaches every later period's cumulative frame
+    val grid = regs.select(col(orderCol)).distinct()
+      .crossJoin(regs.select(col("bucket")).distinct())
+    val w = Window.partitionBy(col("bucket")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.join(regs, Seq(orderCol, "bucket"), "left")
+      .withColumn("rho", max(col("rho")).over(w))
+      .filter(col("rho").isNotNull)
+    estimateFromRegisters(cum, Seq(orderCol), p)
+  }
+
   /** Fold batches `0..upToBatchId` (plus prior consolidations) into one
     * negative partition, collapsing registers by group-wise max — after
     * compaction the table holds ≤ groups × 2^p rows for the whole

@@ -363,6 +363,29 @@ object Events {
         .orderBy($"user_id")
     }),
 
+    // Cumulative distinct users to date (Hll.cumulativeEstimate) — the
+    // sketch-algebra showcase: exact "uniques to date" needs every day to
+    // remember every user ever seen (O(days × users) state); the register
+    // form is per-day registers + a running register-wise max along the
+    // day order, one raw-data scan total. Exact cumulative distinct sits
+    // beside the estimate in the gate; the oracle replays the whole
+    // chain — hash, per-day registers, the dense (day × bucket) grid, the
+    // cumulative window max, the estimator.
+    "evt_cumulative_uniques" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").withColumn("day", to_date($"ts"))
+      val est = graft.operators.Hll.cumulativeEstimate(ev, "day", "user_id")
+      val days = ev.select($"day").distinct()
+      val exact = days.join(ev.select($"day".as("d"), $"user_id"),
+          $"d" <= $"day")
+        .groupBy($"day")
+        .agg(countDistinct($"user_id").as("exact_cum"))
+      est.join(exact, "day")
+        .select($"day".cast("string").as("day"),
+          round($"estimate", 4).as("est_cum"), $"exact_cum")
+        .orderBy($"day")
+    }),
+
     // Fixed-interval resampling with gap fill (operators.Temporal
     // .resampleWithFill): per-user daily value series on a uniform grid —
     // empty days materialized from each user's own [first, last] span and
@@ -645,6 +668,56 @@ object Events {
         |  count(*)::BIGINT AS lb_cnt
         |FROM events GROUP BY user_id HAVING count(*) > 66
         |ORDER BY user_id""".stripMargin,
+
+    // cumulative-uniques replay: the evt_hll_users splitmix chain keyed
+    // by day, densified onto the day x bucket grid, cumulative window
+    // max, estimator, with exact to-date distinct alongside
+    "evt_cumulative_uniques" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |k0 AS (SELECT day, user_id::HUGEINT AS k FROM e),
+        |x0 AS (SELECT day,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM k0),
+        |z1 AS (
+        |  SELECT day, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT day, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |zf AS (SELECT day, xor(z, z >> 31) AS h FROM z2),
+        |br AS (SELECT day, (h >> 52)::BIGINT AS bucket,
+        |        least(64 - length(bin(((h::HUGEINT * 4096)
+        |          % 18446744073709551616)::UBIGINT)) + 1, 53)::INT AS rho
+        |       FROM zf),
+        |reg AS (SELECT day, bucket, max(rho) AS rho FROM br GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM reg),
+        |bks AS (SELECT DISTINCT bucket FROM reg),
+        |cum AS (SELECT g.day, g.bucket,
+        |  max(r.rho) OVER (PARTITION BY g.bucket ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rho
+        |  FROM (SELECT day, bucket FROM days CROSS JOIN bks) g
+        |  LEFT JOIN reg r USING (day, bucket)),
+        |agg AS (SELECT day, count(*) AS v_present,
+        |         sum(pow(2.0, -rho)) AS hsum
+        |        FROM cum WHERE rho IS NOT NULL GROUP BY 1),
+        |est AS (SELECT day, (4096.0 - v_present) AS zeros,
+        |         (0.7213 / (1 + 1.079 / 4096) * 4096) * 4096
+        |           / ((4096.0 - v_present) + hsum) AS e_raw
+        |        FROM agg),
+        |fin AS (SELECT day,
+        |         CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+        |              THEN 4096.0 * ln(4096.0 / zeros) ELSE e_raw END AS est
+        |        FROM est),
+        |exact AS (SELECT d.day, count(DISTINCT e.user_id) AS exact_cum
+        |          FROM days d JOIN e ON e.day <= d.day GROUP BY 1)
+        |SELECT f.day::VARCHAR AS day, round(f.est, 4) AS est_cum,
+        |  x.exact_cum
+        |FROM fin f JOIN exact x USING (day)
+        |ORDER BY day""".stripMargin,
 
     // resample replay: same binning, per-user range() grid, left join,
     // and the identical count-of-non-nulls fill-group windows

@@ -92,4 +92,24 @@ class HllSpec extends AnyFunSuite {
       Seq("grp"), "v", p = 12).count()
     assert(est == m * math.log(m / v), s"est=$est")
   }
+
+  test("cumulativeEstimate: each period equals the one-shot estimate over " +
+      "its prefix, including periods that add nothing new") {
+    import spark.implicits._
+    // period 1: values 0..49; period 2: no new values (repeats);
+    // period 3: 50 more — the repeat period must HOLD the estimate
+    val rows = (0L until 50L).map((1, _)) ++ (0L until 50L).map((2, _)) ++
+      (0L until 100L).map((3, _))
+    val df = rows.toDF("per", "v").repartition(8)
+    val cum = Hll.cumulativeEstimate(df, "per", "v")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def oneShot(upTo: Int): Double =
+      Hll.estimate(df.filter($"per" <= upTo).withColumn("g", lit("g")),
+        Seq("g"), "v").head.getDouble(1)
+    assert(cum(1) == oneShot(1))
+    assert(cum(2) == oneShot(2))
+    assert(cum(3) == oneShot(3))
+    assert(cum(1) == cum(2)) // nothing new -> identical registers
+    assert(cum(3) > cum(2))
+  }
 }
