@@ -167,4 +167,51 @@ class SketchStreamSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("column profiles maintained per batch equal the one-shot profile; replay never double-counts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("prof_stream").toString
+    val table = "graft_prof_stream_lvl1"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      def mk(ids: Range, tag: String) = {
+        import spark.implicits._
+        ids.map(i => (i.toLong, if (i % 11 == 0) null else s"$tag$i"))
+          .toDF("id", "s")
+      }
+      val b0 = mk(0 until 2000, "a")
+      val b1 = mk(1500 until 5000, "b")
+      val cols = Seq("id", "s")
+      Profiler.mergeBatch(b0, cols, table, s"$tmp/prof", batchId = 0L)
+      Profiler.mergeBatch(b1, cols, table, s"$tmp/prof", batchId = 1L)
+
+      def profile(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+            Option(r.get(5)), Option(r.get(6)), r.getDouble(7))).toMap
+      val oneShot = profile(Profiler.columnStats(
+        b0.unionByName(b1), cols, withExact = false)
+        .select($"col_name", $"n_rows", $"n_null", $"min_str", $"max_str",
+          $"num_min", $"num_max", $"hll_ndv"))
+      def fromTable() = profile(Profiler.profileFromTable(spark, table)
+        .select($"col_name", $"n_rows", $"n_null", $"min_str", $"max_str",
+          $"num_min", $"num_max", $"hll_ndv"))
+      assert(fromTable() == oneShot)
+
+      // replaying batch 1 must overwrite its partition — double-counted
+      // rows/registers are the failure mode (sum half is not idempotent)
+      Profiler.mergeBatch(b1, cols, table, s"$tmp/prof", batchId = 1L)
+      assert(fromTable() == oneShot, "replay must not inflate counts")
+
+      Profiler.compactProfile(spark, table, upToBatchId = 1L)
+      assert(spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-2L))
+      assert(fromTable() == oneShot)
+      // steady state: cols x (m + 1) max rows
+      assert(spark.table(table).count() <= 2L * ((1L << 12) + 1))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }
