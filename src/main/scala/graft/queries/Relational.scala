@@ -309,29 +309,38 @@ object Relational {
     // col_name (p=12, m=4096)
     "q15_column_stats" ->
       """WITH u AS (
-        |  SELECT 'l_orderkey' AS col_name, l_orderkey::HUGEINT AS k,
-        |         l_orderkey::VARCHAR AS v, true AS ordered FROM lineitem
-        |  UNION ALL SELECT 'l_partkey', l_partkey::HUGEINT,
-        |         l_partkey::VARCHAR, true FROM lineitem
-        |  UNION ALL SELECT 'l_suppkey', l_suppkey::HUGEINT,
-        |         l_suppkey::VARCHAR, true FROM lineitem
-        |  UNION ALL SELECT 'l_linenumber', l_linenumber::HUGEINT,
-        |         l_linenumber::VARCHAR, true FROM lineitem
-        |  UNION ALL SELECT 'l_returnflag',
+        |  SELECT 'l_orderkey' AS col_name, 'long' AS vtype,
+        |         l_orderkey::HUGEINT AS k, NULL::VARCHAR AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', 'long', l_partkey::HUGEINT,
+        |         NULL FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', 'long', l_suppkey::HUGEINT,
+        |         NULL FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', 'long', l_linenumber::HUGEINT,
+        |         NULL FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', 'str',
         |         ('0x' || substring(md5(l_returnflag), 1, 13))::BIGINT::HUGEINT,
-        |         l_returnflag, false FROM lineitem
-        |  UNION ALL SELECT 'l_linestatus',
+        |         l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', 'str',
         |         ('0x' || substring(md5(l_linestatus), 1, 13))::BIGINT::HUGEINT,
-        |         l_linestatus, false FROM lineitem
-        |  UNION ALL SELECT 'l_shipdate', epoch_us(l_shipdate)::HUGEINT,
-        |         l_shipdate::VARCHAR, true FROM lineitem),
-        |basic AS (SELECT col_name, count(*) AS n_rows,
+        |         l_linestatus FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate', 'micros',
+        |         epoch_us(l_shipdate)::HUGEINT, NULL FROM lineitem),
+        |basic0 AS (SELECT col_name, vtype, count(*) AS n_rows,
         |  count(*) FILTER (WHERE k IS NULL) AS n_null,
-        |  min(v) AS min_str, max(v) AS max_str,
-        |  min(CASE WHEN ordered THEN k END)::BIGINT AS num_min,
-        |  max(CASE WHEN ordered THEN k END)::BIGINT AS num_max,
+        |  min(v) AS smn, max(v) AS smx,
+        |  min(CASE WHEN vtype IN ('long', 'micros', 'days') THEN k END)::BIGINT AS num_min,
+        |  max(CASE WHEN vtype IN ('long', 'micros', 'days') THEN k END)::BIGINT AS num_max,
         |  count(DISTINCT k) AS ndv_exact
-        |  FROM u GROUP BY col_name),
+        |  FROM u GROUP BY col_name, vtype),
+        |basic AS (SELECT col_name, n_rows, n_null, num_min, num_max,
+        |  ndv_exact,
+        |  CASE vtype WHEN 'long' THEN num_min::VARCHAR
+        |             WHEN 'micros' THEN make_timestamp(num_min)::VARCHAR
+        |             ELSE smn END AS min_str,
+        |  CASE vtype WHEN 'long' THEN num_max::VARCHAR
+        |             WHEN 'micros' THEN make_timestamp(num_max)::VARCHAR
+        |             ELSE smx END AS max_str
+        |  FROM basic0),
         |k0 AS (SELECT col_name, k FROM u WHERE k IS NOT NULL),
         |x0 AS (SELECT col_name,
         |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))

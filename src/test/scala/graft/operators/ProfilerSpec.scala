@@ -27,9 +27,10 @@ class ProfilerSpec extends AnyFunSuite {
     val id = p("id")
     assert(id.getAs[Long]("n_rows") == 4 && id.getAs[Long]("n_null") == 0)
     assert(id.getAs[Long]("ndv_exact") == 3)
-    // lexicographic over rendered values ("10" < "2"), typed over keys
+    // ordered types: min/max_str RENDER the typed min/max (natural order,
+    // not lexicographic — "10" beats "2" here)
     assert(id.getAs[String]("min_str") == "1" &&
-      id.getAs[String]("max_str") == "2")
+      id.getAs[String]("max_str") == "10")
     assert(id.getAs[Long]("num_min") == 1L &&
       id.getAs[Long]("num_max") == 10L)
 
@@ -45,6 +46,8 @@ class ProfilerSpec extends AnyFunSuite {
     assert(t.getAs[Long]("n_null") == 2 && t.getAs[Long]("ndv_exact") == 2)
     assert(t.getAs[Long]("num_min") ==
       Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000)
+    assert(t.getAs[String]("min_str") == "2024-01-01 00:00:00" &&
+      t.getAs[String]("max_str") == "2024-01-02 00:00:00")
   }
 
   test("all-null and empty inputs profile to zero, not an error") {
