@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
@@ -209,6 +210,82 @@ class SketchStreamSpec extends AnyFunSuite {
       assert(fromTable() == oneShot)
       // steady state: cols x (m + 1) max rows
       assert(spark.table(table).count() <= 2L * ((1L << 12) + 1))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("frequent-item summaries maintained per batch keep the SpaceSaving contract; no-eviction is exact") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("fi_stream").toString
+    val table = "graft_fi_stream_summary"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      def zipf(top: Int, card: Int, salt: Int) = {
+        val r = new scala.util.Random(salt)
+        r.shuffle((1 to card).flatMap(i =>
+          Seq.fill(top / i)(i.toLong)).toList).toDF("item")
+      }
+      // ---- exact regime: cardinality << m, summaries never fill ----
+      val a0 = zipf(400, 50, 1)
+      val a1 = zipf(600, 80, 2)
+      FreqItemsState.mergeBatch(a0, "item", m = 256, table, s"$tmp/fi", 0L)
+      FreqItemsState.mergeBatch(a1, "item", m = 256, table, s"$tmp/fi", 1L)
+      def fromTable(m: Int) =
+        FreqItemsState.summaryFromTable(spark, table, m)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val oneShot = a0.unionByName(a1)
+        .agg(graft.functions.FreqItems.freq_items($"item", 256).as("sk"))
+        .select(explode($"sk").as("e"))
+        .select($"e.item", $"e.est", $"e.lb")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(fromTable(256) == oneShot,
+        "no-eviction table summary must equal the one-shot summary exactly")
+      assert(FreqItemsState.totalFromTable(spark, table) ==
+        a0.count() + a1.count())
+
+      // replaying batch 1 must overwrite, not double-count
+      FreqItemsState.mergeBatch(a1, "item", m = 256, table, s"$tmp/fi", 1L)
+      assert(fromTable(256) == oneShot, "replay must not inflate")
+
+      // compaction folds to one partition; summary unchanged
+      FreqItemsState.compactSummary(spark, table, upToBatchId = 1L, m = 256)
+      assert(spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-2L))
+      assert(fromTable(256) == oneShot)
+
+      // ---- eviction regime: bounds + tracking guarantee survive ----
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val b0 = zipf(3000, 700, 3)
+      val b1 = zipf(2500, 900, 4)
+      val m = 64
+      FreqItemsState.mergeBatch(b0, "item", m, table, s"$tmp/fi2", 0L)
+      FreqItemsState.mergeBatch(b1, "item", m, table, s"$tmp/fi2", 1L)
+      val truth = (b0.unionByName(b1)).groupBy($"item").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = truth.values.sum
+      val merged = fromTable(m)
+      assert(merged.size == m)
+      merged.foreach { case (item, (est, lb)) =>
+        val t = truth(item)
+        assert(lb <= t && t <= est, s"item $item: ($lb, $est) miss $t")
+      }
+      val frequent = truth.filter(_._2 > total / m).keySet
+      assert(frequent.subsetOf(merged.keySet),
+        s"missing frequent items: ${frequent -- merged.keySet}")
+      // the guarantee survives compaction too
+      FreqItemsState.compactSummary(spark, table, upToBatchId = 1L, m = m)
+      val afterCompact = fromTable(m)
+      afterCompact.foreach { case (item, (est, lb)) =>
+        val t = truth(item)
+        assert(lb <= t && t <= est,
+          s"post-compaction item $item: ($lb, $est) miss $t")
+      }
+      assert(frequent.subsetOf(afterCompact.keySet))
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
