@@ -157,4 +157,45 @@ class RobustnessSpec extends AnyFunSuite {
     assert(Curation.weightedSample(two, "s", "id", "w", k = 10).count() == 2,
       "k larger than the stratum returns every eligible row")
   }
+
+  test("round-9 second-wave operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    // resampleWithFill: empty frame, all-NULL values
+    val emptyTs = Seq.empty[(Long, java.sql.Timestamp, java.lang.Double)]
+      .toDF("k", "ts", "v")
+    assert(Temporal.resampleWithFill(emptyTs, "k", "ts", "v",
+      86400000000L).count() == 0)
+
+    // Scd: empty change stream; a key whose FIRST event is a delete
+    val emptyCh = Seq.empty[(Long, Long, String, java.sql.Timestamp)]
+      .toDF("k", "id", "op", "ts")
+    assert(graft.cdc.Scd.history(emptyCh, Seq("k"), "ts", "id", "op")
+      .count() == 0)
+    val delFirst = Seq(
+      (1L, 1L, "d", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 2L, "c", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("k", "id", "op", "ts")
+    val h = graft.cdc.Scd.history(delFirst, Seq("k"), "ts", "id", "op")
+      .collect()
+    assert(h.length == 1 && h.head.getAs[Long]("id") == 2L,
+      "an orphan delete contributes no version; the later create does")
+
+    // cumulativeEstimate: empty frame, single period
+    val emptyEv = Seq.empty[(Int, java.lang.Long)].toDF("per", "v")
+    assert(Hll.cumulativeEstimate(emptyEv, "per", "v").count() == 0)
+    val onePer = Seq((1, 7L), (1, 8L)).toDF("per", "v")
+    assert(Hll.cumulativeEstimate(onePer, "per", "v").count() == 1)
+
+    // freq_items on an empty / all-NULL frame: empty summary, no rows
+    val emptyItems = Seq.empty[java.lang.Long].toDF("item")
+    assert(emptyItems
+      .agg(graft.functions.FreqItems.freq_items($"item", 8).as("sk"))
+      .select(explode($"sk")).count() == 0)
+
+    // Profiler on a frame where every requested column is all-NULL is
+    // covered in ProfilerSpec; Bucketing rejects buckets < 1 eagerly
+    intercept[IllegalArgumentException] {
+      Bucketing.bucketTable(emptyTs, "never_created", "/tmp/never", "k", 0)
+    }
+  }
 }
