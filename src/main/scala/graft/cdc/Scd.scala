@@ -54,4 +54,48 @@ object Scd {
   def asOf(history: DataFrame, t: Column): DataFrame =
     history.filter(col("valid_from") <= t &&
       (col("valid_to").isNull || col("valid_to") > t))
+
+  /** CURRENT state materialized straight from a change stream — the
+    * MERGE INTO / latest-wins upsert shape (each key's last change wins;
+    * a key whose last change is a delete is absent). This is `history`
+    * restricted to `is_current`, but expressed as a max_by aggregation
+    * instead of a window: one shuffle, and the per-group state is ONE
+    * row (the current winner), not the key's version list — the right
+    * plan when history is not wanted.
+    */
+  def latest(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+             tieCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "latest needs at least one key column")
+    val payload = struct(changes.columns.map(col): _*)
+    changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("_winner"))
+      .select(col("_winner.*"))
+      .filter(col(opCol) =!= "d")
+  }
+
+  /** Snapshot DIFF between two points in time, derived from ONE history
+    * pass: which keys were added, removed, or changed between `t1` and
+    * `t2` (t1 < t2). A key "changes" when its covering version differs;
+    * version identity = the `tieCol` of the covering row. Returns the
+    * key columns + `change` ∈ {added, removed, changed} + both versions'
+    * tie ids (NULL on the absent side) — the audit shape "what happened
+    * to the table between the two nightly snapshots" without storing
+    * either snapshot.
+    */
+  def snapshotDiff(history: DataFrame, keyCols: Seq[String], tieCol: String,
+                   t1: Column, t2: Column): DataFrame = {
+    val a = asOf(history, t1).select(
+      keyCols.map(col) :+ col(tieCol).as("_v1"): _*)
+    val b = asOf(history, t2).select(
+      keyCols.map(col) :+ col(tieCol).as("_v2"): _*)
+    a.join(b, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_v1").isNull, "added")
+          .when(col("_v2").isNull, "removed")
+          .when(col("_v1") =!= col("_v2"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change") :+
+        col("_v1").as("version_before") :+ col("_v2").as("version_after"): _*)
+  }
 }

@@ -301,6 +301,35 @@ object CdcAnalog {
           unix_micros($"valid_from").as("valid_from_us"))
         .orderBy($"user_id")
     }),
+
+    // Current state straight from the change stream (cdc.Scd.latest) —
+    // the MERGE INTO / latest-wins upsert materialization: one max_by
+    // aggregation (one row of state per key, not the version list), keys
+    // whose last change is a delete absent.
+    "cdc_current_state" -> ((s, dir) => {
+      import s.implicits._
+      val changes = Tables(s, dir, "events")
+        .withColumn("op", EventsAsChangeLog.opCol)
+      graft.cdc.Scd.latest(changes, Seq("user_id"), "ts", "event_id", "op")
+        .select($"user_id", $"event_id", $"value")
+        .orderBy($"user_id")
+    }),
+
+    // Snapshot diff between two points in time (cdc.Scd.snapshotDiff):
+    // added/removed/changed keys between Jan 10 and Jan 20, derived from
+    // ONE history pass — the "what happened between the two nightly
+    // snapshots" audit without storing either snapshot.
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val changes = Tables(s, dir, "events")
+        .withColumn("op", EventsAsChangeLog.opCol)
+      val hist = graft.cdc.Scd.history(changes, Seq("user_id"), "ts",
+        "event_id", "op")
+      graft.cdc.Scd.snapshotDiff(hist, Seq("user_id"), "event_id",
+          lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-20 00:00:00").cast("timestamp"))
+        .orderBy($"user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -334,6 +363,47 @@ object CdcAnalog {
         |  AND valid_from_us <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
         |  AND (valid_to_us IS NULL
         |       OR valid_to_us > epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_current_state" ->
+      """WITH c AS (SELECT user_id, event_id, value, ts,
+        |  CASE WHEN event_type = 'signup' THEN 'c'
+        |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, value, op,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM c)
+        |SELECT user_id, event_id, value FROM w
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_snapshot_diff" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN event_type = 'signup' THEN 'c'
+        |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |h AS (SELECT user_id, event_id, op,
+        |  epoch_us(ts) AS f,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS t
+        |  FROM c),
+        |s1 AS (SELECT user_id, event_id FROM h WHERE op <> 'd'
+        |  AND f <= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+        |  AND (t IS NULL OR t > epoch_us(TIMESTAMP '2024-01-10 00:00:00'))),
+        |s2 AS (SELECT user_id, event_id FROM h WHERE op <> 'd'
+        |  AND f <= epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+        |  AND (t IS NULL OR t > epoch_us(TIMESTAMP '2024-01-20 00:00:00')))
+        |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'added'
+        |       WHEN s2.user_id IS NULL THEN 'removed'
+        |       WHEN s1.event_id <> s2.event_id THEN 'changed' END AS change,
+        |  s1.event_id AS version_before, s2.event_id AS version_after
+        |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE CASE WHEN s1.user_id IS NULL THEN 'added'
+        |           WHEN s2.user_id IS NULL THEN 'removed'
+        |           WHEN s1.event_id <> s2.event_id THEN 'changed' END
+        |      IS NOT NULL
         |ORDER BY user_id""".stripMargin,
 
     "cdc_schema_evolution" ->

@@ -89,4 +89,40 @@ class ScdSpec extends AnyFunSuite {
       plan.take(2000))
     assert(!plan.contains("Join"), plan.take(2000))
   }
+
+  test("latest: last change wins, deleted keys absent — and it equals " +
+      "the history's is_current rows without a window") {
+    val got = Scd.latest(changes, Seq("k"), "ts", "id", "op")
+      .select(col("k"), col("id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 1 -> v12, key 2 -> reborn v22, key 3 -> deleted, absent
+    assert(got == Map(1L -> 12L, 2L -> 22L))
+    val viaHistory = hist.filter(col("is_current"))
+      .select(col("k"), col("id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == viaHistory)
+    val plan = Scd.latest(changes, Seq("k"), "ts", "id", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("snapshotDiff: added / removed / changed between two instants") {
+    def diff(t1: String, t2: String) =
+      Scd.snapshotDiff(hist, Seq("k"), "id",
+        lit(t1).cast("timestamp"), lit(t2).cast("timestamp"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    // Jan 1 -> Jan 6: key 1 changed v10->v12, key 2 changed v20->v22
+    // (delete + rebirth lands as changed), key 3 removed
+    assert(diff("2024-01-01 00:00:00", "2024-01-06 00:00:00") == Map(
+      1L -> ("changed", Some(10L), Some(12L)),
+      2L -> ("changed", Some(20L), Some(22L)),
+      3L -> ("removed", Some(30L), None)))
+    // inside key 2's deleted gap -> it shows as added on the far side;
+    // key 1 is UNCHANGED (v12 both sides) and produces no row at all
+    assert(diff("2024-01-03 00:00:00", "2024-01-06 00:00:00") == Map(
+      2L -> ("added", None, Some(22L)),
+      3L -> ("removed", Some(30L), None)))
+  }
 }
