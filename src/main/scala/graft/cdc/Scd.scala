@@ -74,6 +74,68 @@ object Scd {
       .filter(col(opCol) =!= "d")
   }
 
+  /** STREAMING state maintenance — `latest` under the `BatchTables`
+    * discipline (the changelog → state-table materialization run
+    * incrementally): each batch contributes its per-key winners —
+    * INCLUDING delete tombstones, which must persist so a late-arriving
+    * older change cannot resurrect a deleted key — to its own
+    * `_batch_id` partition (dynamic overwrite → a replayed batch
+    * rewrites exactly its prior rows), and `stateFromTable` re-runs the
+    * same max_by over all partitions before dropping tombstones. The
+    * merge is a per-key MAX over (ts, tie): idempotent under row
+    * duplication (the HLL crash contract — even the compaction crash
+    * window returns correct state), out-of-order batches need no
+    * special casing, and compaction folds history to one winner row per
+    * key (tombstones retained — dropping them is a caller-policy
+    * horizon decision, not the operator's).
+    */
+  def mergeBatchLatest(batch: DataFrame, keyCols: Seq[String], tsCol: String,
+                       tieCol: String, table: String, path: String,
+                       batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val payload = struct(batch.columns.map(col): _*)
+    val winners = batch
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("_winner"))
+      .select(col("_winner.*"))
+      .withColumn("_batch_id", lit(batchId))
+    graft.operators.BatchTables.ensureBatchTable(
+      winners.limit(0), table, path)
+    graft.operators.BatchTables.withDynamicOverwrite(spark) {
+      winners.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** Current state over everything the maintained table has absorbed:
+    * per-key max over all batch partitions, tombstones dropped at read.
+    */
+  def stateFromTable(spark: org.apache.spark.sql.SparkSession,
+                     table: String, keyCols: Seq[String], tsCol: String,
+                     tieCol: String, opCol: String): DataFrame = {
+    val t = spark.table(table).drop("_batch_id")
+    val payload = struct(t.columns.map(col): _*)
+    t.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("_winner"))
+      .select(col("_winner.*"))
+      .filter(col(opCol) =!= "d")
+  }
+
+  /** Fold batches `0..upToBatchId` into one consolidated partition of
+    * per-key winners (tombstones included).
+    */
+  def compactState(spark: org.apache.spark.sql.SparkSession, table: String,
+                   upToBatchId: Long, keyCols: Seq[String], tsCol: String,
+                   tieCol: String): (Int, Int) =
+    graft.operators.BatchTables.compactBatchPartitions(spark, table,
+      upToBatchId, { df =>
+        val payload = struct(df.columns.map(col): _*)
+        df.groupBy(keyCols.map(col): _*)
+          .agg(max_by(payload, struct(col(tsCol), col(tieCol)))
+            .as("_winner"))
+          .select(col("_winner.*"))
+          .select(df.columns.map(col): _*)
+      })
+
   /** Snapshot DIFF between two points in time, derived from ONE history
     * pass: which keys were added, removed, or changed between `t1` and
     * `t2` (t1 < t2). A key "changes" when its covering version differs;

@@ -125,4 +125,59 @@ class ScdSpec extends AnyFunSuite {
       2L -> ("added", None, Some(22L)),
       3L -> ("removed", Some(30L), None)))
   }
+
+  test("state table maintained per batch: tombstones persist, late older " +
+      "changes never resurrect, replay and compaction converge") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scd_state").toString
+    val table = "graft_scd_state"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val b0 = Seq(
+        (1L, 10L, "c", ts("2024-01-01 00:00:00"), 1.0),
+        (2L, 20L, "c", ts("2024-01-01 00:00:00"), 5.0),
+        (2L, 21L, "d", ts("2024-01-02 00:00:00"), 0.0))
+        .toDF("k", "id", "op", "ts", "v")
+      // batch 1 carries an OUT-OF-ORDER update for key 2, older than its
+      // tombstone — it must not resurrect the key
+      val b1 = Seq(
+        (1L, 11L, "u", ts("2024-01-03 00:00:00"), 2.0),
+        (2L, 19L, "u", ts("2024-01-01 12:00:00"), 6.0),
+        (3L, 30L, "c", ts("2024-01-03 00:00:00"), 9.0))
+        .toDF("k", "id", "op", "ts", "v")
+      Scd.mergeBatchLatest(b0, Seq("k"), "ts", "id", table, s"$tmp/st", 0L)
+      Scd.mergeBatchLatest(b1, Seq("k"), "ts", "id", table, s"$tmp/st", 1L)
+
+      def state() = Scd.stateFromTable(spark, table, Seq("k"), "ts", "id",
+        "op").select(col("k"), col("id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = Map(1L -> 11L, 3L -> 30L) // key 2 stays deleted
+      assert(state() == expected)
+      // equals the one-shot latest over the concatenated stream
+      val oneShot = Scd.latest(b0.unionByName(b1), Seq("k"), "ts", "id",
+        "op").select(col("k"), col("id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(state() == oneShot)
+
+      // replay batch 1: contents rewritten, state unchanged
+      Scd.mergeBatchLatest(b1, Seq("k"), "ts", "id", table, s"$tmp/st", 1L)
+      assert(state() == expected)
+
+      // compaction: one consolidated partition, tombstone retained
+      Scd.compactState(spark, table, upToBatchId = 1L, Seq("k"), "ts", "id")
+      assert(spark.table(table).select(col("_batch_id")).distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-2L))
+      assert(state() == expected)
+      assert(spark.table(table).filter(col("op") === "d").count() == 1,
+        "the tombstone must survive compaction")
+      // a post-compaction late OLDER change still cannot resurrect
+      val b2 = Seq((2L, 18L, "u", ts("2024-01-01 06:00:00"), 7.0))
+        .toDF("k", "id", "op", "ts", "v")
+      Scd.mergeBatchLatest(b2, Seq("k"), "ts", "id", table, s"$tmp/st", 2L)
+      assert(state() == expected)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }
