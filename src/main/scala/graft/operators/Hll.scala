@@ -152,7 +152,11 @@ object Hll {
   def cumulativeEstimate(df: DataFrame, orderCol: String, valueCol: String,
                          p: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // bounded (periods × ≤2^p rows) and read by THREE consumers (period
+    // list, bucket list, the grid join) — materialize once so the raw
+    // scan + register aggregation never re-run (round-5 shared-scan rule)
     val regs = registers(df, Seq(orderCol), valueCol, p)
+      .localCheckpoint(true)
     // dense (period × bucket) grid so a bucket last touched long ago
     // still reaches every later period's cumulative frame
     val grid = regs.select(col(orderCol)).distinct()
