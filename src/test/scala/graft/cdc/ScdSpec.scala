@@ -180,4 +180,50 @@ class ScdSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("state table through a REAL AvailableNow stream: foreachBatch " +
+      "maintenance equals the one-shot latest") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("scd_stream").toString
+    val table = "graft_scd_stream_state"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      def runBatchFile(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.coalesce(1).write.mode("append").parquet(s"$tmp/src")
+        val q = spark.readStream
+          .schema("k LONG, id LONG, op STRING, ts TIMESTAMP, v DOUBLE")
+          .parquet(s"$tmp/src")
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            Scd.mergeBatchLatest(b, Seq("k"), "ts", "id", table,
+              s"$tmp/st", id)
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      val b0 = Seq(
+        (1L, 10L, "c", ts("2024-01-01 00:00:00"), 1.0),
+        (2L, 20L, "c", ts("2024-01-01 00:00:00"), 5.0))
+        .toDF("k", "id", "op", "ts", "v")
+      val b1 = Seq(
+        (1L, 11L, "u", ts("2024-01-02 00:00:00"), 2.0),
+        (2L, 21L, "d", ts("2024-01-02 00:00:00"), 0.0),
+        (3L, 30L, "c", ts("2024-01-02 00:00:00"), 9.0))
+        .toDF("k", "id", "op", "ts", "v")
+      runBatchFile(b0)
+      runBatchFile(b1)
+      val got = Scd.stateFromTable(spark, table, Seq("k"), "ts", "id", "op")
+        .select(col("k"), col("id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oneShot = Scd.latest(b0.unionByName(b1), Seq("k"), "ts", "id",
+        "op").select(col("k"), col("id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == oneShot && got == Map(1L -> 11L, 3L -> 30L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }
