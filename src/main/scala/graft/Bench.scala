@@ -115,7 +115,29 @@ object Bench {
       Thread.sleep(5000)
       loadStart = load1()
     }
-    val contaminated = loadStart > maxLoad
+    // Steal-gated pre-wait (round-9 lesson: both r9 artifacts self-flagged
+    // AFTER burning the full 8-minute run — loadavg only sees guest
+    // tasks, so a stealing host passes the gate above and poisons the
+    // measurement anyway). Probe the hypervisor-steal RATE in 10 s
+    // windows; start only once a window comes back quiet (< 0.3 s of
+    // steal per window ≈ 0.03 s/s) or the shared deadline expires. A run
+    // that would have self-flagged now waits instead of measuring.
+    val maxStealRate = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL10S")
+      .map(_.toDouble).getOrElse(0.3)
+    var stealHot = false
+    if (stealSec() >= 0) {
+      var probing = true
+      while (probing) {
+        val s0 = stealSec()
+        Thread.sleep(10000)
+        val d = stealSec() - s0
+        stealHot = d > maxStealRate
+        if (stealHot)
+          System.err.println(f"[bench] steal $d%.2f s/10s > $maxStealRate%.2f — waiting for quiet host")
+        probing = stealHot && System.nanoTime() < deadline
+      }
+    }
+    val contaminated = loadStart > maxLoad || stealHot
     val stealStart = stealSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -30,9 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
+  /** A malformed changelog row with a NULL op must surface as a version,
+    * not vanish: `col =!= "d"` is NULL (filtered out) for NULL input, so
+    * every delete filter in this file spells out the non-delete branch.
+    */
+  private def notDelete(opCol: String): Column =
+    col(opCol).isNull || col(opCol) =!= "d"
+
   /** SCD Type-2 history. `changes` must carry the key, timestamp, op
     * ('c'/'u'/'d') and payload columns; every input column is preserved
     * on the version rows, plus (valid_from, valid_to, is_current).
+    * A NULL op is treated as a non-delete (the row becomes a version).
     */
   def history(changes: DataFrame, keyCols: Seq[String], tsCol: String,
               tieCol: String, opCol: String): DataFrame = {
@@ -44,7 +52,7 @@ object Scd {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       // a delete's own row is not a version — but it has already closed
       // its predecessor via lead() above
-      .filter(col(opCol) =!= "d")
+      .filter(notDelete(opCol))
       .withColumn("is_current", col("valid_to").isNull)
   }
 
@@ -71,7 +79,7 @@ object Scd {
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("_winner"))
       .select(col("_winner.*"))
-      .filter(col(opCol) =!= "d")
+      .filter(notDelete(opCol))
   }
 
   /** STREAMING state maintenance — `latest` under the `BatchTables`
@@ -117,7 +125,7 @@ object Scd {
     t.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("_winner"))
       .select(col("_winner.*"))
-      .filter(col(opCol) =!= "d")
+      .filter(notDelete(opCol))
   }
 
   /** Fold batches `0..upToBatchId` into one consolidated partition of
@@ -133,6 +141,89 @@ object Scd {
           .agg(max_by(payload, struct(col(tsCol), col(tieCol)))
             .as("_winner"))
           .select(col("_winner.*"))
+          .select(df.columns.map(col): _*)
+      })
+
+  /** INCREMENTAL SCD2 history maintenance — `history` under the
+    * `BatchTables` discipline, so a 100 TB dimension never re-windows its
+    * full change stream per refresh. What persists per batch: the batch's
+    * change rows — INCLUDING delete tombstones, which must stay so a
+    * later repair window still sees the closing change — with
+    * (valid_from, valid_to) assigned by the within-batch per-key lead().
+    * Those intervals are CORRECT for any key whose changes all live in
+    * one partition, and are repaired at read time for the others:
+    * `historyFromTable` re-windows ONLY keys present in the
+    * un-consolidated (positive) partitions — everything the last
+    * compaction folded passes through with its stored intervals, no
+    * window — which makes the read cost O(full table scan + touched
+    * keys' versions), never a global re-sort. Out-of-order batches need
+    * no special casing: the repair window re-orders a touched key's
+    * ENTIRE change set by (ts, tie), so a late batch whose changes land
+    * inside an old closed interval splits it correctly. Replay-safe: a
+    * re-run of batch N dynamic-overwrites exactly its own partition.
+    * Like CMS (and unlike the latest-wins max-merge), interval
+    * assignment is NOT duplication-idempotent for untouched keys, so
+    * the compaction crash window (consolidated partition + un-swept
+    * sources both visible) can show duplicate version rows until the
+    * convergence re-run; the repair path dedups by (key, ts, tie) and is
+    * immune.
+    */
+  def mergeBatchHistory(batch: DataFrame, keyCols: Seq[String], tsCol: String,
+                        tieCol: String, table: String, path: String,
+                        batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val rows = batch
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("_batch_id", lit(batchId))
+    graft.operators.BatchTables.ensureBatchTable(rows.limit(0), table, path)
+    graft.operators.BatchTables.withDynamicOverwrite(spark) {
+      rows.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** The maintained table's SCD2 history over every absorbed batch:
+    * stored intervals pass through untouched except for keys present in
+    * un-consolidated partitions, whose change sets re-window (the only
+    * keys whose cross-partition adjacency can be stale). Equals one-shot
+    * `history` over the concatenated changes — the gate's contract.
+    */
+  def historyFromTable(spark: org.apache.spark.sql.SparkSession,
+                       table: String, keyCols: Seq[String], tsCol: String,
+                       tieCol: String, opCol: String): DataFrame = {
+    val t = spark.table(table)
+    val touched = t.filter(col("_batch_id") >= 0)
+      .select(keyCols.map(col): _*).distinct()
+    val untouched = t.join(touched, keyCols, "left_anti")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val repaired = t.join(touched, keyCols, "left_semi")
+      .dropDuplicates(keyCols :+ tsCol :+ tieCol)
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+    untouched.unionByName(repaired)
+      .filter(notDelete(opCol))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_batch_id")
+  }
+
+  /** Fold batches `0..upToBatchId` into one consolidated partition whose
+    * stored intervals are globally correct (one re-window per compaction,
+    * amortized over every window-free read until the next one).
+    * Tombstones retained — a future late change re-windows against them.
+    */
+  def compactHistory(spark: org.apache.spark.sql.SparkSession, table: String,
+                     upToBatchId: Long, keyCols: Seq[String], tsCol: String,
+                     tieCol: String): (Int, Int) =
+    graft.operators.BatchTables.compactBatchPartitions(spark, table,
+      upToBatchId, { df =>
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(tsCol), col(tieCol))
+        df.dropDuplicates(keyCols :+ tsCol :+ tieCol) // crash-leftover copies
+          .withColumn("valid_from", col(tsCol))
+          .withColumn("valid_to", lead(col(tsCol), 1).over(w))
           .select(df.columns.map(col): _*)
       })
 

@@ -35,15 +35,27 @@ import graft.functions.SplitMix64.{leading_zeros64, splitmix64}
   *
   * Per-type NDV keys, chosen so the DuckDB oracle replays the whole
   * profile exactly: integral → the value itself; timestamp → micros;
-  * date → epoch days (all order-preserving, so their min/max double as
-  * the typed `num_min`/`num_max` AND render into `min_str`/`max_str`);
+  * date → epoch days; DECIMAL(p≤18, s) → its unscaled long (value ×
+  * 10^s — exact decimal arithmetic, order-preserving, so money columns
+  * profile inside the gate; p > 18 overflows the long and nulls the
+  * key, so wider decimals are rejected up front); all order-preserving
+  * keys double as the typed `num_min`/`num_max` (decimals report the
+  * UNSCALED value there) AND render into `min_str`/`max_str` (decimals
+  * re-scaled to their canonical "12.34" rendering);
   * string → the first 52 bits of md5 (the repo's engine-identical
   * hash-to-int recipe; not order-preserving, so strings keep
   * lexicographic min/max over the values themselves and report NULL
-  * `num_min`/`num_max`). Floating/decimal/binary fall back to `xxhash64`
-  * — deterministic within Spark, fine for production NDV, but not
-  * SQL-replayable, so the oracle gate covers the replayable types; their
-  * min/max ride the string sentinel path (lexicographic over renders).
+  * `num_min`/`num_max`). Float/double key through `xxhash64` —
+  * deterministic within Spark, fine for production NDV, but not
+  * SQL-replayable (no IEEE-bit path in the oracle), so the gate covers
+  * the replayable types — and carry a TYPED double min/max (a separate
+  * fixed-width pair in the level-1 buffer) rendered into
+  * `min_str`/`max_str`, never the lexicographic trap ("10.5" < "9.5").
+  * Binary alone falls back to xxhash64 keys + lexicographic min/max
+  * over its UTF-8 render. NULLs never reach a hash key (an unguarded
+  * xxhash64 maps NULL to its seed, silently zeroing `n_null` and
+  * inventing a phantom distinct value): every key is null-guarded, so
+  * all vtypes count nulls through the same bucket-IS-NULL path.
   */
 object Profiler {
 
@@ -54,19 +66,27 @@ object Profiler {
     case TimestampType => "micros"
     case DateType => "days"
     case StringType => "str"
+    case d: DecimalType => s"dec:${d.scale}"
+    case FloatType | DoubleType => "dbl"
     case _ => "hash"
   }
 
-  private def ndvKey(c: Column, dt: DataType): Column = vtypeOf(dt) match {
-    case "long" => c.cast("long")
-    case "micros" => unix_micros(c)
-    case "days" => datediff(c, lit("1970-01-01").cast("date")).cast("long")
-    case "str" => conv(substring(md5(c), 1, 13), 16, 10).cast("long")
-    case _ => xxhash64(c)
+  private def ndvKey(c: Column, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+    case TimestampType => unix_micros(c)
+    case DateType => datediff(c, lit("1970-01-01").cast("date")).cast("long")
+    case StringType => conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+    case d: DecimalType =>
+      require(d.precision <= 18,
+        s"decimal unscaled key overflows a long at precision ${d.precision}")
+      // exact decimal multiply, never a double round-trip (10.15 * 100
+      // as doubles is 1014.999...)
+      (c * lit(BigDecimal(10).pow(d.scale))).cast("long")
+    case _ => when(c.isNotNull, xxhash64(c))
   }
 
   private def ordered(vtype: Column): Column =
-    vtype.isin("long", "micros", "days")
+    vtype.isin("long", "micros", "days") || vtype.startsWith("dec:")
 
   private def checkCols(df: DataFrame, cols: Seq[String]): Map[String, DataType] = {
     require(cols.nonEmpty, "columnStats needs at least one column")
@@ -75,17 +95,22 @@ object Profiler {
     byName
   }
 
-  /** The unpivoted (col_name, vtype, k) rows — one scan, fixed-width. */
+  /** The unpivoted (col_name, vtype, k, d) rows — one scan, fixed-width.
+    * `d` carries the typed double value for float/double columns only
+    * (their min/max cannot ride the long key the way ordered keys do).
+    */
   private def unpivot(df: DataFrame, cols: Seq[String]): DataFrame = {
     val byName = checkCols(df, cols)
     val entries = cols.map { name =>
       val dt = byName(name)
+      val d = if (vtypeOf(dt) == "dbl") col(name).cast("double")
+              else lit(null).cast("double")
       struct(lit(name).as("col_name"), lit(vtypeOf(dt)).as("vtype"),
-        ndvKey(col(name), dt).as("k"))
+        ndvKey(col(name), dt).as("k"), d.as("d"))
     }
     df.select(explode(array(entries: _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.vtype").as("vtype"),
-        col("e.k").as("k"))
+        col("e.k").as("k"), col("e.d").as("d"))
   }
 
   /** Level 1: per (column, register) — map-side combines to
@@ -108,18 +133,19 @@ object Profiler {
       least(leading_zeros64(shiftleft(h, P)) + 1, lit(64 - P + 1)))
     val registers = kv
       .select(col("col_name"), col("vtype"), bucket.as("bucket"),
-        rho.as("rho"), col("k"))
+        rho.as("rho"), col("k"), col("d"))
       .groupBy(col("col_name"), col("vtype"), col("bucket"))
       .agg(max(col("rho")).as("rho"),
         count(lit(1)).as("cnt"),
         min(when(ordered(col("vtype")), col("k"))).as("kmn"),
-        max(when(ordered(col("vtype")), col("k"))).as("kmx"))
+        max(when(ordered(col("vtype")), col("k"))).as("kmx"),
+        min(col("d")).as("dmn"), max(col("d")).as("dmx"))
       .withColumn("mn", lit(null).cast("string"))
       .withColumn("mx", lit(null).cast("string"))
       .select("col_name", "vtype", "bucket", "rho", "cnt", "kmn", "kmx",
-        "mn", "mx")
+        "dmn", "dmx", "mn", "mx")
 
-    val strCols = cols.filter(c => !ordersByKey(byName(c)))
+    val strCols = cols.filter(c => Set("str", "hash")(vtypeOf(byName(c))))
     if (strCols.isEmpty) registers
     else {
       // one global-aggregate row over a column-pruned scan; reshaped to
@@ -136,16 +162,13 @@ object Profiler {
             lit(0L).as("cnt"),
             lit(null).cast("long").as("kmn"),
             lit(null).cast("long").as("kmx"),
+            lit(null).cast("double").as("dmn"),
+            lit(null).cast("double").as("dmx"),
             col(s"__mn_$c").as("mn"),
             col(s"__mx_$c").as("mx"))): _*)).as("e"))
         .select(col("e.*"))
       registers.unionByName(sentinels)
     }
-  }
-
-  private def ordersByKey(dt: DataType): Boolean = vtypeOf(dt) match {
-    case "long" | "micros" | "days" => true
-    case _ => false
   }
 
   /** The level-1 merge algebra, keyed by `keys` (adds `_batch_id` during
@@ -155,6 +178,7 @@ object Profiler {
     df.groupBy(keys.map(col): _*)
       .agg(max(col("rho")).as("rho"), sum(col("cnt")).as("cnt"),
         min(col("kmn")).as("kmn"), max(col("kmx")).as("kmx"),
+        min(col("dmn")).as("dmn"), max(col("dmx")).as("dmx"),
         min(col("mn")).as("mn"), max(col("mx")).as("mx"))
 
   /** Level 2: collapse a level-1 frame into the per-column profile —
@@ -162,28 +186,40 @@ object Profiler {
     * here, AFTER aggregation (cols rows, not data rows).
     */
   private def collapse(lvl1: DataFrame): DataFrame = {
+    // canonical decimal rendering from the unscaled long: sign, integral
+    // part (integral `div` — exact at any magnitude, no double round
+    // trip), '.', zero-padded fraction; scale comes off the "dec:<s>"
+    // vtype tag
+    val decScale = split(col("vtype"), ":").getItem(1).cast("int")
+    val decFactor = pow(lit(10.0), decScale).cast("long")
+    def decStr(v: Column): Column = {
+      val av = abs(v)
+      val fr = pmod(av, decFactor)
+      val ip = call_function("div", av, decFactor)
+      when(decScale === 0, v.cast("string")).otherwise(
+        concat(when(v < 0, lit("-")).otherwise(lit("")),
+          ip.cast("string"), lit("."),
+          call_function("lpad", fr.cast("string"), decScale, lit("0"))))
+    }
+    def render(num: Column, dbl: Column, str: Column): Column =
+      when(col("vtype") === "long", num.cast("string"))
+        .when(col("vtype") === "micros",
+          timestamp_micros(num).cast("string"))
+        .when(col("vtype") === "days",
+          date_add(lit("1970-01-01").cast("date"),
+            num.cast("int")).cast("string"))
+        .when(col("vtype").startsWith("dec:"), decStr(num))
+        .when(col("vtype") === "dbl", dbl.cast("string"))
+        .otherwise(str)
     val basic = lvl1.groupBy(col("col_name"), col("vtype"))
       .agg(sum(col("cnt")).as("n_rows"),
         coalesce(sum(when(col("bucket").isNull, col("cnt"))), lit(0L))
           .as("n_null"),
         min(col("kmn")).as("num_min"), max(col("kmx")).as("num_max"),
+        min(col("dmn")).as("dmn"), max(col("dmx")).as("dmx"),
         min(col("mn")).as("smn"), max(col("mx")).as("smx"))
-      .withColumn("min_str",
-        when(col("vtype") === "long", col("num_min").cast("string"))
-          .when(col("vtype") === "micros",
-            timestamp_micros(col("num_min")).cast("string"))
-          .when(col("vtype") === "days",
-            date_add(lit("1970-01-01").cast("date"),
-              col("num_min").cast("int")).cast("string"))
-          .otherwise(col("smn")))
-      .withColumn("max_str",
-        when(col("vtype") === "long", col("num_max").cast("string"))
-          .when(col("vtype") === "micros",
-            timestamp_micros(col("num_max")).cast("string"))
-          .when(col("vtype") === "days",
-            date_add(lit("1970-01-01").cast("date"),
-              col("num_max").cast("int")).cast("string"))
-          .otherwise(col("smx")))
+      .withColumn("min_str", render(col("num_min"), col("dmn"), col("smn")))
+      .withColumn("max_str", render(col("num_max"), col("dmx"), col("smx")))
       .select(col("col_name"), col("n_rows"), col("n_null"),
         col("min_str"), col("max_str"), col("num_min"), col("num_max"))
     val est = Hll.estimateFromRegisters(

@@ -262,10 +262,15 @@ object Temporal {
                        valueCol: String, intervalUs: Long): DataFrame = {
     require(intervalUs > 0, s"intervalUs must be positive, got $intervalUs")
     val cents = floor(col(valueCol) * 100).cast("long")
+    // FLOOR division, not `div` (which truncates toward zero): pre-epoch
+    // micros would otherwise collapse bins -1 and 0 into one double-width
+    // bin and misalign the sequence(lo, hi) grid. pmod keeps the
+    // remainder non-negative, so (us - pmod) is an exact multiple and the
+    // div below is floor semantics for every timestamp.
+    val us = unix_micros(col(tsCol))
+    val bin = call_function("div", us - pmod(us, lit(intervalUs)), lit(intervalUs))
     val binned = df
-      .select(col(keyCol).as("key"),
-        call_function("div", unix_micros(col(tsCol)), lit(intervalUs))
-          .as("bin"), cents.as("c"))
+      .select(col(keyCol).as("key"), bin.as("bin"), cents.as("c"))
       .groupBy(col("key"), col("bin"))
       .agg(sum(col("c")).as("obs_cents"), count(lit(1)).as("n_obs"))
     val grid = binned.groupBy(col("key"))

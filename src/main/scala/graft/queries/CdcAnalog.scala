@@ -286,6 +286,50 @@ object CdcAnalog {
         .orderBy($"user_id", $"valid_from_us", $"event_id")
     }),
 
+    // INCREMENTALLY MAINTAINED SCD2 history (cdc.Scd.mergeBatchHistory /
+    // historyFromTable): two day-parity batches land OUT OF ORDER (odd
+    // days first, so cross-batch adjacency is stale in both directions),
+    // the first is compacted into the consolidated partition, the second
+    // stays un-consolidated — so the read exercises BOTH paths: stored
+    // intervals passing through window-free, and touched keys
+    // re-windowing their full change set (late changes splitting old
+    // closed intervals, delete tombstones still closing). The oracle is
+    // the SAME one-shot window replay as cdc_scd2_history: batch
+    // partitioning must not move the answer.
+    "cdc_scd2_incr" -> ((s, dir) => {
+      import s.implicits._
+      val changes = Tables(s, dir, "events")
+        .withColumn("op", EventsAsChangeLog.opCol)
+        .withColumn("_day", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_scd_hist_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_scd_$salt")
+        .toString
+      try {
+        graft.cdc.Scd.mergeBatchHistory(
+          changes.filter(pmod($"_day", lit(2)) === 1).drop("_day"),
+          Seq("user_id"), "ts", "event_id", table, s"$tmp/hist", batchId = 0L)
+        graft.cdc.Scd.compactHistory(s, table, upToBatchId = 0L,
+          Seq("user_id"), "ts", "event_id")
+        graft.cdc.Scd.mergeBatchHistory(
+          changes.filter(pmod($"_day", lit(2)) === 0).drop("_day"),
+          Seq("user_id"), "ts", "event_id", table, s"$tmp/hist", batchId = 1L)
+        graft.cdc.Scd.historyFromTable(s, table, Seq("user_id"), "ts",
+            "event_id", "op")
+          .select($"user_id", $"event_id", $"value",
+            unix_micros($"valid_from").as("valid_from_us"),
+            unix_micros($"valid_to").as("valid_to_us"),
+            $"is_current")
+          .orderBy($"user_id", $"valid_from_us", $"event_id")
+          // materialized so the returned frame no longer references the
+          // fixture table dropped below
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // Point-in-time snapshot over the SCD2 history (cdc.Scd.asOf): each
     // aggregate's version whose half-open [from, to) interval covers
     // 2024-01-15T00:00Z — keys deleted before T correctly absent.
@@ -334,6 +378,23 @@ object CdcAnalog {
 
   val oracleSql: Map[String, String] = Map(
     "cdc_scd2_history" ->
+      """WITH c AS (SELECT user_id, event_id, value, ts,
+        |  CASE WHEN event_type = 'signup' THEN 'c'
+        |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |h AS (SELECT user_id, event_id, value, op,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to_us
+        |  FROM c)
+        |SELECT user_id, event_id, value, valid_from_us, valid_to_us,
+        |  (valid_to_us IS NULL) AS is_current
+        |FROM h WHERE op <> 'd'
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    // identical replay to cdc_scd2_history: the maintained table's
+    // contents must be indistinguishable from the one-shot window
+    "cdc_scd2_incr" ->
       """WITH c AS (SELECT user_id, event_id, value, ts,
         |  CASE WHEN event_type = 'signup' THEN 'c'
         |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op

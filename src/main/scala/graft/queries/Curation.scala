@@ -471,7 +471,7 @@ object Curation {
         |k AS (SELECT d.source, d.n_tok, q.src_tokens, q.rate_q
         |      FROM d JOIN q ON d.source IS NOT DISTINCT FROM q.source
         |      WHERE substring(md5(coalesce(d.source, chr(1) || 'null') || ':' || d.doc_id::VARCHAR), 1, 4) < q.thr)
-        |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
+        |SELECT source, max(src_tokens) AS src_tokens, max(rate_q)::INT AS rate_q,
         |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
         |FROM k GROUP BY source
         |ORDER BY source NULLS FIRST""".stripMargin,
@@ -514,7 +514,7 @@ object Curation {
         |k AS (SELECT d.source, d.n_tok, q2.src_tokens, q2.rate_q
         |      FROM d JOIN q2 ON d.source IS NOT DISTINCT FROM q2.source
         |      WHERE substring(md5(coalesce(d.source, chr(1) || 'null') || ':' || d.doc_id::VARCHAR), 1, 4) < q2.thr)
-        |SELECT source, max(src_tokens) AS src_tokens, max(rate_q) AS rate_q,
+        |SELECT source, max(src_tokens) AS src_tokens, max(rate_q)::INT AS rate_q,
         |  count(*)::BIGINT AS n_docs_kept, sum(n_tok)::BIGINT AS tokens_kept
         |FROM k GROUP BY source
         |ORDER BY source NULLS FIRST""".stripMargin,

@@ -363,6 +363,46 @@ object Events {
         .orderBy($"user_id")
     }),
 
+    // The MAINTAINED frequent-items table (operators.FreqItemsState):
+    // two day-parity batches land their per-batch summaries + metadata
+    // rows under the BatchTables discipline, compaction folds them into
+    // one consolidated summary, and the read-time n-way combine (grid of
+    // items x batch minimums, mergeable-summaries charging) answers over
+    // everything absorbed. In the no-eviction regime every per-batch
+    // minimum is 0, so the combine is EXACT and the oracle is plain
+    // counting — a wrong batch minimum, a double-counted replay, or a
+    // broken compaction merge all shift the hash.
+    "evt_freq_items_state" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .withColumn("_day", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_fi_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_fi_$salt")
+        .toString
+      try {
+        graft.operators.FreqItemsState.mergeBatch(
+          ev.filter(pmod($"_day", lit(2)) === 0), "user_id", 4096,
+          table, s"$tmp/state", batchId = 0L)
+        graft.operators.FreqItemsState.mergeBatch(
+          ev.filter(pmod($"_day", lit(2)) === 1), "user_id", 4096,
+          table, s"$tmp/state", batchId = 1L)
+        graft.operators.FreqItemsState.compactSummary(s, table,
+          upToBatchId = 1L, m = 4096)
+        graft.operators.FreqItemsState.summaryFromTable(s, table, 4096)
+          .select($"item".as("user_id"), $"est".as("est_cnt"),
+            $"lb".as("lb_cnt"))
+          .filter($"lb_cnt" > 66)
+          .orderBy($"user_id")
+          // materialized so the returned frame no longer references the
+          // fixture table dropped below
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // Cumulative distinct users to date (Hll.cumulativeEstimate) — the
     // sketch-algebra showcase: exact "uniques to date" needs every day to
     // remember every user ever seen (O(days × users) state); the register
@@ -669,6 +709,16 @@ object Events {
         |FROM events GROUP BY user_id HAVING count(*) > 66
         |ORDER BY user_id""".stripMargin,
 
+    // maintained-table combine in the no-eviction regime: per-batch
+    // minimums are all 0, so the n-way merge (sum of per-batch counts,
+    // absent batches charged 0) is exactly the global count — batch
+    // partitioning cannot move the answer, only break it.
+    "evt_freq_items_state" ->
+      """SELECT user_id, count(*)::BIGINT AS est_cnt,
+        |  count(*)::BIGINT AS lb_cnt
+        |FROM events GROUP BY user_id HAVING count(*) > 66
+        |ORDER BY user_id""".stripMargin,
+
     // cumulative-uniques replay: the evt_hll_users splitmix chain keyed
     // by day, densified onto the day x bucket grid, cumulative window
     // max, estimator, with exact to-date distinct alongside
@@ -737,7 +787,7 @@ object Events {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fg
         |      FROM j)
         |SELECT user_id, day_bin,
-        |  max(obs_cents) OVER (PARTITION BY user_id, fg) AS cents,
+        |  CAST(max(obs_cents) OVER (PARTITION BY user_id, fg) AS BIGINT) AS cents,
         |  n_obs
         |FROM f ORDER BY user_id, day_bin""".stripMargin,
 

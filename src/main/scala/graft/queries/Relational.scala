@@ -226,13 +226,19 @@ object Relational {
     // (cols x 4 KB of registers), with exact NDV alongside so the
     // estimate's accuracy is visible inside the gate. The oracle replays
     // the ENTIRE profile: the unpivot, the per-type NDV keys (value /
-    // micros / md5-52bit), the splitmix64 register chain, and the
-    // estimator.
+    // micros / md5-52bit / decimal-unscaled), the splitmix64 register
+    // chain, the estimator, and the decimal's canonical "x.yy" min/max
+    // rendering from its unscaled long. `l_extendedprice` is cast to
+    // DECIMAL(12,2) on the way in — the money-column shape whose NDV key
+    // is the unscaled integer (value x 100), exactly replayable.
     "q15_column_stats" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Profiler.columnStats(Tables(s, dir, "lineitem"),
+      graft.operators.Profiler.columnStats(
+        Tables(s, dir, "lineitem")
+          .withColumn("l_extendedprice",
+            $"l_extendedprice".cast("decimal(12,2)")),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_returnflag", "l_linestatus", "l_shipdate"),
+          "l_returnflag", "l_linestatus", "l_shipdate", "l_extendedprice"),
         withExact = true)
         .orderBy($"col_name")
     }),
@@ -324,21 +330,30 @@ object Relational {
         |         ('0x' || substring(md5(l_linestatus), 1, 13))::BIGINT::HUGEINT,
         |         l_linestatus FROM lineitem
         |  UNION ALL SELECT 'l_shipdate', 'micros',
-        |         epoch_us(l_shipdate)::HUGEINT, NULL FROM lineitem),
+        |         epoch_us(l_shipdate)::HUGEINT, NULL FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'dec',
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)::HUGEINT,
+        |         NULL FROM lineitem),
         |basic0 AS (SELECT col_name, vtype, count(*) AS n_rows,
         |  count(*) FILTER (WHERE k IS NULL) AS n_null,
         |  min(v) AS smn, max(v) AS smx,
-        |  min(CASE WHEN vtype IN ('long', 'micros', 'days') THEN k END)::BIGINT AS num_min,
-        |  max(CASE WHEN vtype IN ('long', 'micros', 'days') THEN k END)::BIGINT AS num_max,
+        |  min(CASE WHEN vtype IN ('long', 'micros', 'days', 'dec') THEN k END)::BIGINT AS num_min,
+        |  max(CASE WHEN vtype IN ('long', 'micros', 'days', 'dec') THEN k END)::BIGINT AS num_max,
         |  count(DISTINCT k) AS ndv_exact
         |  FROM u GROUP BY col_name, vtype),
         |basic AS (SELECT col_name, n_rows, n_null, num_min, num_max,
         |  ndv_exact,
         |  CASE vtype WHEN 'long' THEN num_min::VARCHAR
         |             WHEN 'micros' THEN make_timestamp(num_min)::VARCHAR
+        |             WHEN 'dec' THEN concat(CASE WHEN num_min < 0 THEN '-' ELSE '' END,
+        |               (abs(num_min) // 100)::VARCHAR, '.',
+        |               lpad((abs(num_min) % 100)::VARCHAR, 2, '0'))
         |             ELSE smn END AS min_str,
         |  CASE vtype WHEN 'long' THEN num_max::VARCHAR
         |             WHEN 'micros' THEN make_timestamp(num_max)::VARCHAR
+        |             WHEN 'dec' THEN concat(CASE WHEN num_max < 0 THEN '-' ELSE '' END,
+        |               (abs(num_max) // 100)::VARCHAR, '.',
+        |               lpad((abs(num_max) % 100)::VARCHAR, 2, '0'))
         |             ELSE smx END AS max_str
         |  FROM basic0),
         |k0 AS (SELECT col_name, k FROM u WHERE k IS NOT NULL),

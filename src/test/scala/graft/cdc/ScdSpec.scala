@@ -181,6 +181,140 @@ class ScdSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL op is a version, not a silently dropped row") {
+    import spark.implicits._
+    val withNull = Seq(
+      (9L, 90L, "c", ts("2024-01-01 00:00:00"), 1.0),
+      (9L, 91L, null.asInstanceOf[String], ts("2024-01-02 00:00:00"), 2.0))
+      .toDF("k", "id", "op", "ts", "v")
+    val h = Scd.history(withNull, Seq("k"), "ts", "id", "op")
+      .orderBy(col("id"))
+      .select(col("id"), col("is_current")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toList
+    assert(h == List((90L, false), (91L, true)))
+    val l = Scd.latest(withNull, Seq("k"), "ts", "id", "op")
+      .select(col("id")).collect().map(_.getLong(0)).toList
+    assert(l == List(91L))
+  }
+
+  private def histRows(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("k"), col("id"), col("valid_from"), col("valid_to"),
+      col("is_current"))
+    .orderBy(col("k"), col("valid_from"), col("id"))
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString,
+      Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4)))
+    .toList
+
+  test("history table maintained per batch: out-of-order batches, " +
+      "delete-rebirth, replay and compaction all converge to the " +
+      "one-shot window") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scd_hist").toString
+    val table = "graft_scd_hist_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      // batch 0 is chronologically LATER than batch 1 (out of order):
+      // batch 1's changes must split batch 0's stored intervals at read.
+      // key 2 is the delete-rebirth: c@1, d@2 land in batch 0; the
+      // rebirth c@4 arrives in batch 1 and must NOT reopen [1,2).
+      val b0 = Seq(
+        (1L, 12L, "u", ts("2024-01-03 00:00:00"), 3.0),
+        (2L, 20L, "c", ts("2024-01-01 00:00:00"), 5.0),
+        (2L, 21L, "d", ts("2024-01-02 00:00:00"), 0.0),
+        (3L, 30L, "c", ts("2024-01-01 00:00:00"), 9.0))
+        .toDF("k", "id", "op", "ts", "v")
+      val b1 = Seq(
+        (1L, 10L, "c", ts("2024-01-01 00:00:00"), 1.0), // late: splits [*,3)
+        (1L, 11L, "u", ts("2024-01-02 00:00:00"), 2.0),
+        (2L, 22L, "c", ts("2024-01-04 00:00:00"), 7.0)) // rebirth
+        .toDF("k", "id", "op", "ts", "v")
+      Scd.mergeBatchHistory(b0, Seq("k"), "ts", "id", table, s"$tmp/h", 0L)
+      // compact BEFORE the late batch: the stale consolidated intervals
+      // must still repair once batch 1's keys arrive
+      Scd.compactHistory(spark, table, upToBatchId = 0L, Seq("k"), "ts", "id")
+      Scd.mergeBatchHistory(b1, Seq("k"), "ts", "id", table, s"$tmp/h", 1L)
+
+      def viaTable() = histRows(Scd.historyFromTable(spark, table,
+        Seq("k"), "ts", "id", "op"))
+      val oneShot = histRows(Scd.history(b0.unionByName(b1),
+        Seq("k"), "ts", "id", "op"))
+      assert(viaTable() == oneShot)
+      // key 3 touched by no fresh batch: served from stored intervals
+      assert(oneShot.exists(r => r._1 == 3L && r._4.isEmpty && r._5))
+
+      // replay of batch 1 rewrites its partition; contents unchanged
+      Scd.mergeBatchHistory(b1, Seq("k"), "ts", "id", table, s"$tmp/h", 1L)
+      assert(viaTable() == oneShot)
+
+      // full compaction: one consolidated partition, tombstones retained,
+      // reads now window-free and still the one-shot answer
+      Scd.compactHistory(spark, table, upToBatchId = 1L, Seq("k"), "ts", "id")
+      assert(spark.table(table).select(col("_batch_id")).distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-2L))
+      assert(spark.table(table).filter(col("op") === "d").count() == 1,
+        "the delete tombstone must survive compaction")
+      assert(viaTable() == oneShot)
+
+      // a post-compaction late change still re-windows its key's full
+      // change set (the consolidated closed interval [1,2) of key 2
+      // stays closed; the new change lands in the rebirth era)
+      val b2 = Seq((2L, 23L, "u", ts("2024-01-05 00:00:00"), 8.0))
+        .toDF("k", "id", "op", "ts", "v")
+      Scd.mergeBatchHistory(b2, Seq("k"), "ts", "id", table, s"$tmp/h", 2L)
+      val full = histRows(Scd.history(
+        b0.unionByName(b1).unionByName(b2), Seq("k"), "ts", "id", "op"))
+      assert(viaTable() == full)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("history table through a REAL AvailableNow stream: foreachBatch " +
+      "maintenance equals the one-shot history") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("scd_hstream").toString
+    val table = "graft_scd_stream_hist"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      def runBatchFile(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.coalesce(1).write.mode("append").parquet(s"$tmp/src")
+        val q = spark.readStream
+          .schema("k LONG, id LONG, op STRING, ts TIMESTAMP, v DOUBLE")
+          .parquet(s"$tmp/src")
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            Scd.mergeBatchHistory(b, Seq("k"), "ts", "id", table,
+              s"$tmp/h", id)
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      val b0 = Seq(
+        (1L, 10L, "c", ts("2024-01-01 00:00:00"), 1.0),
+        (2L, 20L, "c", ts("2024-01-01 00:00:00"), 5.0))
+        .toDF("k", "id", "op", "ts", "v")
+      val b1 = Seq(
+        (1L, 11L, "u", ts("2024-01-02 00:00:00"), 2.0),
+        (2L, 21L, "d", ts("2024-01-02 00:00:00"), 0.0),
+        (3L, 30L, "c", ts("2024-01-02 00:00:00"), 9.0))
+        .toDF("k", "id", "op", "ts", "v")
+      runBatchFile(b0)
+      runBatchFile(b1)
+      val got = histRows(Scd.historyFromTable(spark, table, Seq("k"),
+        "ts", "id", "op"))
+      val oneShot = histRows(Scd.history(b0.unionByName(b1), Seq("k"),
+        "ts", "id", "op"))
+      assert(got == oneShot)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("state table through a REAL AvailableNow stream: foreachBatch " +
       "maintenance equals the one-shot latest") {
     import spark.implicits._

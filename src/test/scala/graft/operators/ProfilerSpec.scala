@@ -93,6 +93,47 @@ class ProfilerSpec extends AnyFunSuite {
     val p2 = profile(Seq("d"), df)("d")
     assert(p1.getAs[Long]("ndv_exact") == 3)
     assert(p1.getAs[Double]("hll_ndv") == p2.getAs[Double]("hll_ndv"))
-    assert(p1.isNullAt(p1.fieldIndex("num_min"))) // not order-preserving
+    assert(p1.isNullAt(p1.fieldIndex("num_min"))) // key not order-preserving
+    // but min/max are TYPED doubles, not lexicographic renders ("10.5"
+    // never sorts below "9.5"); Spark's max treats NaN as the greatest
+    assert(p1.getAs[String]("min_str") == "0.5" &&
+      p1.getAs[String]("max_str") == "NaN")
+  }
+
+  test("double min/max is numeric, and NULLs count as nulls, not a " +
+      "phantom distinct value") {
+    import spark.implicits._
+    val df = Seq(Some(10.5), Some(9.5), None).toDF("d")
+    val p = profile(Seq("d"), df)("d")
+    // an unguarded xxhash64 maps NULL to its seed: n_null would read 0
+    // and ndv_exact 3
+    assert(p.getAs[Long]("n_rows") == 3 && p.getAs[Long]("n_null") == 1)
+    assert(p.getAs[Long]("ndv_exact") == 2)
+    assert(p.getAs[String]("min_str") == "9.5" &&
+      p.getAs[String]("max_str") == "10.5")
+  }
+
+  test("decimal columns key through the unscaled long: exact NDV, typed " +
+      "range, canonical rendering") {
+    import spark.implicits._
+    val df = Seq(Some("10.50"), Some("9.75"), Some("-0.05"), None)
+      .toDF("raw")
+      .select(col("raw").cast("decimal(12,2)").as("m"))
+    val p = profile(Seq("m"), df)("m")
+    assert(p.getAs[Long]("n_rows") == 4 && p.getAs[Long]("n_null") == 1)
+    assert(p.getAs[Long]("ndv_exact") == 3)
+    // num_min/num_max carry the UNSCALED value (cents here)
+    assert(p.getAs[Long]("num_min") == -5L &&
+      p.getAs[Long]("num_max") == 1050L)
+    assert(p.getAs[String]("min_str") == "-0.05" &&
+      p.getAs[String]("max_str") == "10.50")
+  }
+
+  test("decimal precision beyond a long's range is rejected up front") {
+    import spark.implicits._
+    val df = Seq("1.0").toDF("raw")
+      .select(col("raw").cast("decimal(38,2)").as("m"))
+    val e = intercept[IllegalArgumentException](profile(Seq("m"), df))
+    assert(e.getMessage.contains("precision"))
   }
 }

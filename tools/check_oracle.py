@@ -17,16 +17,25 @@ for name, sql in sorted(oracle.items()):
     try:
         got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
         gcols = sorted(got.columns)
-        g = con.sql(f"SELECT {', '.join(gcols)} FROM got ORDER BY ALL").fetchall()
+        gsel = con.sql(f"SELECT {', '.join(gcols)} FROM got ORDER BY ALL")
+        gtypes = [str(t) for t in gsel.types]
+        g = gsel.fetchall()
         exp = con.sql(sql)
         ecols = sorted(exp.columns)
-        e = con.sql(f"SELECT {', '.join(ecols)} FROM exp ORDER BY ALL").fetchall()
+        esel = con.sql(f"SELECT {', '.join(ecols)} FROM exp ORDER BY ALL")
+        etypes = [str(t) for t in esel.types]
+        e = esel.fetchall()
     except Exception as ex:
         print(f"FAIL {name}: error {ex}")
         fails += 1
         continue
     if gcols != ecols:
         print(f"FAIL {name}: columns {gcols} vs {ecols}"); fails += 1; continue
+    if gtypes != etypes:
+        # the driver's hash is TYPE-sensitive (round 9: a HUGEINT oracle
+        # column hash-mismatched value-identical BIGINT rows)
+        print(f"FAIL {name}: types {dict(zip(gcols, gtypes))} vs "
+              f"{dict(zip(ecols, etypes))}"); fails += 1; continue
     if len(g) != len(e):
         print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
     bad = None
