@@ -241,12 +241,27 @@ object AnnIndex {
   def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                k: Int, indexTable: String, indexPath: String,
                iters: Int = 5): Unit = {
+    val spark = embeddings.sparkSession
     val cents = kmeansCentroids(embeddings, idCol, vecCol, k, iters)
     kmeansAssign(embeddings, idCol, vecCol, cents)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), col("label"))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        lit(0L).as("_seq"), col("label"))
       .write.mode("overwrite").option("path", indexPath)
       .partitionBy("label").saveAsTable(indexTable)
-    cents.write.mode("overwrite").option("path", s"${indexPath}_centroids")
+    // build-time staleness floor per label: the 5th-percentile cosine of
+    // a member to its own centroid, computed off the just-written table
+    // (one cheap re-read, never a recompute of the assignment lineage).
+    // `indexStaleness` compares live vectors against it — the rebuild
+    // trigger once appends drift away from the frozen centroids.
+    val c = cents.select(col("label"), col("centroid"))
+    val p05 = spark.table(indexTable)
+      .join(broadcast(c), Seq("label"))
+      .select(col("label"),
+        VectorMath.cosine(col("v"), col("centroid")).as("_csim"))
+      .groupBy(col("label"))
+      .agg(percentile(col("_csim"), lit(0.05)).as("csim_p05"))
+    cents.join(p05, Seq("label"))
+      .write.mode("overwrite").option("path", s"${indexPath}_centroids")
       .saveAsTable(s"${indexTable}_centroids")
   }
 
@@ -265,13 +280,78 @@ object AnnIndex {
     */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession,
                     indexTable: String, delta: DataFrame,
-                    idCol: String, vecCol: String): Unit = {
+                    idCol: String, vecCol: String, seq: Long = 1L): Unit = {
     val cents = spark.table(s"${indexTable}_centroids")
     // append-mode insertInto only adds files to the delta's partitions —
-    // no overwrite semantics in play, so no partitionOverwriteMode scope
+    // no overwrite semantics in play, so no partitionOverwriteMode scope.
+    // `seq` is the ingest generation (monotone per caller — a batch id):
+    // a RE-EMBEDDED id must pair its append with `deleteFromIndex` at a
+    // seq at or above the old row's, or the stale vector — possibly in a
+    // different label partition the search never probes — stays live.
     kmeansAssign(delta, idCol, vecCol, cents)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), col("label"))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        lit(seq).as("_seq"), col("label"))
       .write.mode("append").insertInto(indexTable)
+  }
+
+  /** DELETE vectors from a persisted index — the missing half of the
+    * ingest lifecycle (text/Hamming gate indexes already re-admit; a
+    * removed or re-embedded vector here would otherwise stay searchable
+    * forever). Deletes are TOMBSTONE rows in a side log
+    * (`<indexTable>_deletes`: vec_id, _seq), never a partition rewrite
+    * on the ingest path: O(ids) per call, and the search/staleness reads
+    * apply the log as one broadcast join (the log is the small side by
+    * construction — folding it into the label partitions is a rebuild-
+    * cadence decision, same as moving centroids). A tombstone kills
+    * every index row of that id with `_seq` at or below it, so
+    * delete-then-reappend at a higher seq reintroduces the id cleanly.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexTable: String, ids: Seq[Long], seq: Long): Unit = {
+    val s2 = spark
+    import s2.implicits._
+    val rows = ids.map(i => (i, seq)).toDF("vec_id", "_seq")
+    val delT = s"${indexTable}_deletes"
+    if (spark.catalog.tableExists(delT))
+      rows.write.mode("append").insertInto(delT)
+    else rows.write.saveAsTable(delT)
+  }
+
+  /** The index's LIVE rows: tombstoned ids dropped via one broadcast
+    * join against the delete log (absent log = the identity).
+    */
+  private def liveIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexTable: String): DataFrame = {
+    val idx = spark.table(indexTable)
+    val delT = s"${indexTable}_deletes"
+    if (!spark.catalog.tableExists(delT)) idx
+    else {
+      val dels = spark.table(delT).groupBy(col("vec_id"))
+        .agg(max(col("_seq")).as("_del_seq"))
+      idx.join(broadcast(dels), Seq("vec_id"), "left")
+        .filter(col("_del_seq").isNull || col("_del_seq") < col("_seq"))
+        .drop("_del_seq")
+    }
+  }
+
+  /** Staleness of a persisted index under its FROZEN centroids: the
+    * fraction of live vectors whose cosine to their assigned centroid
+    * sits below the build-time 5th-percentile floor (`csim_p05`). At
+    * build time this reads ~0.05 by construction; appends that drift
+    * from the frozen quantizer push it up — the rebuild trigger.
+    * Returns one row: (n_live, n_stale, stale_frac).
+    */
+  def indexStaleness(spark: org.apache.spark.sql.SparkSession,
+                     indexTable: String): DataFrame = {
+    val cents = spark.table(s"${indexTable}_centroids")
+      .select(col("label"), col("centroid"), col("csim_p05"))
+    liveIndex(spark, indexTable)
+      .join(broadcast(cents), Seq("label"))
+      .select(when(VectorMath.cosine(col("v"), col("centroid")) <
+        col("csim_p05"), 1L).otherwise(0L).as("_stale"))
+      .agg(count(lit(1)).as("n_live"), sum(col("_stale")).as("n_stale"))
+      .withColumn("stale_frac",
+        col("n_stale").cast("double") / col("n_live"))
   }
 
   /** Batched top-k against a PERSISTED `ivfIndex`: per query, rank the
@@ -292,7 +372,8 @@ object AnnIndex {
                          qidCol: String, qvecCol: String, k: Int = 10,
                          nprobe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idx = spark.table(indexTable)
+    // tombstoned ids never surface (one broadcast join, no label shuffle)
+    val idx = liveIndex(spark, indexTable)
     val cents = spark.table(s"${indexTable}_centroids")
     val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"))
     val pw = Window.partitionBy("query_id")

@@ -194,6 +194,64 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("index lifecycle: a deleted id never surfaces, a re-embedded id " +
+      "matches only through its new vector, staleness tracks drift") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    val table = "graft_ivf_life_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_deletes")
+    try {
+      AnnIndex.ivfIndex(emb, "vec_id", "embedding", k = 8,
+        indexTable = table, indexPath = s"$tmp/idx", iters = 3)
+      val queries = emb.filter($"vec_id" === 0L)
+        .select($"vec_id", $"embedding")
+      def hits(): Map[Long, Double] =
+        AnnIndex.searchAgainstIndex(spark, table, queries, "vec_id",
+          "embedding", k = 10, nprobe = 8)
+          .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      val base = hits()
+      assert(base.nonEmpty)
+      val victim = base.keys.min // a known top-k member
+
+      // DELETE: the id disappears from search results entirely
+      AnnIndex.deleteFromIndex(spark, table, Seq(victim), seq = 1L)
+      val afterDel = hits()
+      assert(!afterDel.contains(victim), s"deleted $victim still searchable")
+      assert(afterDel.size == 10, "k results still fill from survivors")
+
+      // RE-EMBED: delete already recorded at seq 1; append the id's NEW
+      // vector at seq 2 (the old row stays physically present but dead).
+      // The donor is the best-scoring other member, so the re-embedded id
+      // must resurface AT the donor's similarity — its old score is gone.
+      val donor = base.filter(_._1 != victim).maxBy(_._2)._1
+      val newVec = emb.filter($"vec_id" === donor)
+        .select(lit(victim).as("vec_id"), $"embedding")
+      AnnIndex.appendToIndex(spark, table, newVec, "vec_id", "embedding",
+        seq = 2L)
+      val afterRe = hits()
+      assert(afterRe.get(victim).contains(base(donor)),
+        s"re-embedded $victim must score as its new vector: " +
+          s"${afterRe.get(victim)} vs ${base(donor)}")
+      // both physical rows exist; exactly one is live
+      assert(spark.table(table).filter($"vec_id" === victim).count() == 2)
+
+      // STALENESS: build-time fraction ~0.05 by construction; appending
+      // vectors assigned by the frozen quantizer keeps them inside their
+      // own floor, so the metric moves only with real drift
+      val st = AnnIndex.indexStaleness(spark, table).collect()(0)
+      val frac = st.getAs[Double]("stale_frac")
+      assert(st.getAs[Long]("n_live") == emb.count())
+      assert(frac >= 0.0 && frac <= 0.10, s"stale_frac $frac out of band")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_deletes")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("kmeans IVF: full-probe search equals brute force; centroids are stable") {
     val cents = AnnIndex.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
     assert(cents.count() == 8)
