@@ -31,15 +31,37 @@ object Ingest {
       keys, "left_anti")
   }
 
-  /** AUTO_INCREMENT: assign ids continuing from the existing maximum.
-    * Exact MySQL-style dense assignment needs a global order — fine for
-    * dimension-table ingest; for 100 TB fact loads use the non-contiguous
-    * variant below, which needs no global sort.
+  /** AUTO_INCREMENT: assign dense ids continuing from the existing
+    * maximum, in `orderCol` order. Dense assignment is inherently a
+    * global order, but NEVER a global window (`row_number().over(
+    * Window.orderBy(...))` funnels the whole batch through one task):
+    * the `Pack.packBins` discipline instead — range-partition on the
+    * order key (partitions are globally ordered; equal keys land
+    * together), count rows per partition, exclusive-prefix those counts
+    * (ONE ROW PER PARTITION — a metadata stage, not a data stage), and
+    * add each partition's broadcast offset to its local row_number. The
+    * ranged frame materializes once so the count pass and the assign
+    * pass see the SAME sampled range boundaries. For fact loads where
+    * contiguity is not required, `autoIncrementSparse` below skips even
+    * the range shuffle.
     */
   def autoIncrement(df: DataFrame, idCol: String, startFrom: Long,
-                    orderCol: String): DataFrame =
-    df.withColumn(idCol,
-      (row_number().over(Window.orderBy(col(orderCol))) + startFrom).cast("int"))
+                    orderCol: String): DataFrame = {
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(
+        sum(col("_n")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+    ranged.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(idCol,
+        (row_number().over(w) + col("_offset") + startFrom).cast("int"))
+      .drop("_pid")
+  }
 
   /** Scalable surrogate keys: unique and increasing but non-contiguous
     * (partition-offset + local index), no global sort, no shuffle.

@@ -91,6 +91,36 @@ class IngestSpec extends AnyFunSuite {
     assert(sparse.distinct.length == 2 && sparse.forall(_ > 3))
   }
 
+  test("autoIncrement assigns a dense order-true sequence across many " +
+      "partitions without a data-sized global window") {
+    import spark.implicits._
+    val n = 5000
+    val incoming = spark.range(0, n).select(
+      concat(lit("E"), lpad($"id".cast("string"), 6, "0")).as("employee_number"))
+      .repartition(8)
+    val ids = Ingest.autoIncrement(incoming, "id", startFrom = 100,
+      "employee_number")
+      .orderBy($"employee_number")
+      .collect().map(_.getAs[Int]("id")).toSeq
+    // dense, contiguous, and in the order column's global order
+    assert(ids == (101 to 100 + n).toSeq)
+    // plan: every window over the DATA is partitioned (by _pid); the only
+    // unpartitioned window is the prefix over per-partition COUNTS (one
+    // row per partition — its child is an Aggregate)
+    val plan = Ingest.autoIncrement(incoming, "id", startFrom = 100,
+      "employee_number").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate}
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      if (w.partitionSpec.isEmpty) {
+        val aggBelow = w.child.collectFirst { case a: Aggregate => a }
+        assert(aggBelow.isDefined,
+          s"unpartitioned window must sit on the per-partition counts, got:\n$w")
+      }
+    }
+  }
+
   test("upsert: ON UPDATE CURRENT_TIMESTAMP only on changed rows; inserts get both defaults") {
     import spark.implicits._
     val t0 = Fixtures.T0
