@@ -56,4 +56,47 @@ object Metrics {
       to_date(col("timestamp")).as("day"),
       col("eventCategory"))
       .agg(count(lit(1)).as("n"))
+
+  /** INCREMENTALLY MAINTAINED daily metrics — the materialized-view
+    * aggregation run as a `BatchTables` state family, so the capacity
+    * table is maintained by the stream that writes the event store (one
+    * source scan, same crash discipline) instead of a nightly rescan.
+    * Per batch: the batch's (day, event_type) partial aggregates land in
+    * the batch's own `_batch_id` partition (dynamic overwrite — a
+    * replayed batch rewrites exactly its prior rows); reads sum across
+    * partitions. A SUM-merge family like CMS: the compaction crash
+    * window (consolidated partition + un-swept sources both visible)
+    * shows inflated counts until the convergence re-run.
+    */
+  def mergeBatchDaily(batch: DataFrame, day: org.apache.spark.sql.Column,
+                      eventType: org.apache.spark.sql.Column,
+                      cents: org.apache.spark.sql.Column,
+                      table: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val rows = batch
+      .groupBy(day.as("day"), eventType.as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents).cast("long").as("cents"))
+      .withColumn("_batch_id", lit(batchId))
+    graft.operators.BatchTables.ensureBatchTable(rows.limit(0), table, path)
+    graft.operators.BatchTables.withDynamicOverwrite(spark) {
+      rows.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** The maintained table's daily metrics over every absorbed batch. */
+  def dailyFromTable(spark: org.apache.spark.sql.SparkSession,
+                     table: String): DataFrame =
+    spark.table(table)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).cast("long").as("cents"))
+
+  /** Fold batches `0..upToBatchId` into one consolidated partition. */
+  def compactDaily(spark: org.apache.spark.sql.SparkSession, table: String,
+                   upToBatchId: Long): (Int, Int) =
+    graft.operators.BatchTables.compactBatchPartitions(spark, table,
+      upToBatchId, df => df
+        .groupBy(col("day"), col("event_type"), col("_batch_id"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).cast("long").as("cents"))
+        .select(df.columns.map(col): _*))
 }

@@ -158,6 +158,45 @@ object CdcAnalog {
         .orderBy($"event_month", $"event_type", $"category")
     }),
 
+    // INCREMENTALLY MAINTAINED daily metrics (cdc.Metrics.mergeBatchDaily
+    // — the materialized view the streaming pipeline's maintenance hook
+    // keeps next to the event store): two day-parity batches write their
+    // partial (day, event_type) aggregates under the BatchTables
+    // discipline, compaction folds them, and the read is a sum over the
+    // maintained table — never a rescan of the raw events. The oracle is
+    // the one-shot daily aggregate: partial-aggregate partitioning and
+    // the compaction merge must not move a single count or cent.
+    "cdc_daily_metrics_state" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .withColumn("_day", datediff(to_date($"ts"), to_date(lit("1970-01-01"))))
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_daily_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_dm_$salt")
+        .toString
+      try {
+        def merge(parity: Int, id: Long): Unit =
+          graft.cdc.Metrics.mergeBatchDaily(
+            ev.filter(pmod($"_day", lit(2)) === parity),
+            to_date($"ts"), $"event_type",
+            floor($"value" * 100).cast("long"),
+            table, s"$tmp/daily", id)
+        merge(0, 0L)
+        merge(1, 1L)
+        graft.cdc.Metrics.compactDaily(s, table, upToBatchId = 1L)
+        graft.cdc.Metrics.dailyFromTable(s, table)
+          .select($"day".cast("string").as("day"), $"event_type",
+            $"n", $"cents")
+          .orderBy($"day", $"event_type")
+          // materialized so the returned frame no longer references the
+          // fixture table dropped below
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // TeamCompositionChanged analog (O-25): tumbling-window burst detection —
     // aggregates with >= 3 events inside one 1-hour window. Exercises the
     // real window() operator (same code path as the streaming stateful agg).
@@ -425,6 +464,14 @@ object CdcAnalog {
         |  AND (valid_to_us IS NULL
         |       OR valid_to_us > epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
         |ORDER BY user_id""".stripMargin,
+
+    // one-shot daily aggregate: the maintained table's sum must equal it
+    "cdc_daily_metrics_state" ->
+      """SELECT CAST(ts AS DATE)::VARCHAR AS day, event_type,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "cdc_current_state" ->
       """WITH c AS (SELECT user_id, event_id, value, ts,

@@ -309,6 +309,20 @@ object Pipeline {
   /** Launch the full pipeline as a checkpointed streaming query writing the
     * combined store+publish sink under `sinkRoot`.
     * `failpoint` is a test hook invoked between data commit and marker.
+    *
+    * `maintenance`: state-table hooks run INSIDE each micro-batch on the
+    * deduplicated domain-event frame, before the store+publish commit —
+    * the one-stream-maintains-everything shape: the event store AND its
+    * sketches/state/profile/metrics tables advance together off ONE
+    * source scan (the frame is persisted across the hooks and the sink,
+    * so no hook re-reads the ledger), under the same crash discipline.
+    * Each hook must be a `BatchTables`-style idempotent writer keyed on
+    * the batch id (`Scd.mergeBatchLatest`, `Hll.mergeBatch`,
+    * `Metrics.mergeBatchDaily`, ...): a crash anywhere in the batch
+    * replays the WHOLE batch, and every hook's dynamic overwrite rewrites
+    * its own partition — state tables land exactly-once alongside the
+    * store. Because hooks run before `storeThenPublish`'s marker, a
+    * publish-visible batch's state tables are always already maintained.
     */
   def run(spark: SparkSession, ledgerRoot: String, sinkRoot: String,
           checkpoint: String,
@@ -316,7 +330,8 @@ object Pipeline {
           trigger: Trigger = Trigger.AvailableNow(),
           histories: Map[String, graft.cdc.SchemaHistory.History] = Map.empty,
           failpoint: Long => Unit = _ => (),
-          tuning: Map[String, String] = Map.empty): StreamingQuery = {
+          tuning: Map[String, String] = Map.empty,
+          maintenance: Seq[(DataFrame, Long) => Unit] = Seq.empty): StreamingQuery = {
     // Latency tuning for the micro-batch work: with the defaults, AQE
     // coalesces the dedup exchange of a small batch to ONE partition and
     // the whole dedup+explode+sort+write tail serializes into one task
@@ -369,7 +384,14 @@ object Pipeline {
           // handled by Dedup.withinWatermark or absorbed by replay
           // idempotence.
           val deduped = valid.dropDuplicates("eventId")
-          storeThenPublish(deduped, batchId, sinkRoot, direct, failpoint)
+          // one source scan feeds every consumer: with hooks attached the
+          // deduped frame persists, so N state tables + the sink re-read
+          // memory, never the ledger
+          if (maintenance.nonEmpty) deduped.persist()
+          try {
+            maintenance.foreach(f => f(deduped, batchId))
+            storeThenPublish(deduped, batchId, sinkRoot, direct, failpoint)
+          } finally if (maintenance.nonEmpty) deduped.unpersist()
         } finally if (multi) wire.unpersist()
         ()
       }

@@ -61,6 +61,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(published.select("eventId").distinct().count() == 4)
   }
 
+  test("maintenance hooks: state tables land exactly-once alongside the " +
+      "event store across a crash/replay") {
+    val (ledger, root, ckpt) = (tmp("ledger"), tmp("sink"), tmp("ckpt"))
+    val st = tmp("state")
+    Ledger.writeCrudScenario(ledger)
+    val stateT = "graft_pipe_state"
+    val dailyT = "graft_pipe_daily"
+    Seq(stateT, dailyT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      // two state families ride the stream: latest-wins per aggregate and
+      // the daily-metrics materialized view — both BatchTables-idempotent
+      val hooks: Seq[(org.apache.spark.sql.DataFrame, Long) => Unit] = Seq(
+        (b, id) => graft.cdc.Scd.mergeBatchLatest(b, Seq("aggregateId"),
+          "timestamp", "eventId", stateT, s"$st/latest", id),
+        (b, id) => graft.cdc.Metrics.mergeBatchDaily(b,
+          to_date(col("timestamp")), col("eventType"), lit(0L),
+          dailyT, s"$st/daily", id))
+      // crash AFTER the hooks and the data commit, before the marker: the
+      // replay re-runs every hook — dynamic overwrite must not double
+      val boom = new AtomicInteger(0)
+      val q1 = Pipeline.run(spark, ledger, root, ckpt,
+        failpoint = _ => if (boom.getAndIncrement() == 0)
+          throw new RuntimeException("simulated crash after maintenance"),
+        maintenance = hooks)
+      intercept[Exception] { q1.awaitTermination(120000) }
+      val q2 = Pipeline.run(spark, ledger, root, ckpt, maintenance = hooks)
+      q2.awaitTermination(120000)
+
+      val stored = Pipeline.readEventStore(spark, Pipeline.storeDir(root))
+      assert(stored.count() == 4)
+      // daily metrics FROM THE MAINTAINED TABLE equal a one-shot aggregate
+      // of the final store — a doubled replay would inflate n
+      val got = graft.cdc.Metrics.dailyFromTable(spark, dailyT)
+        .select(col("day").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = stored.groupBy(to_date(col("timestamp")).as("day"),
+          col("eventType").as("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"maintained daily metrics diverge: $got vs $want")
+      assert(got.toSeq.map(_._3).sum == 4)
+      // latest-wins state per aggregate equals the one-shot reduction of
+      // the store ("eventType" as op: no domain event is a tombstone)
+      val state = graft.cdc.Scd.stateFromTable(spark, stateT,
+        Seq("aggregateId"), "timestamp", "eventId", "eventType")
+        .select(col("aggregateId"), col("eventId")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val oneShot = graft.cdc.Scd.latest(stored, Seq("aggregateId"),
+        "timestamp", "eventId", "eventType")
+        .select(col("aggregateId"), col("eventId")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(state == oneShot && state.nonEmpty)
+    } finally {
+      Seq(stateT, dailyT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark suppresses cross-batch duplicate") {
     val ledger = tmp("ledger")
     // same hired envelope in two segments -> same deterministic eventId,
