@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SplitMix64.splitmix64
+import graft.functions.TopK.topk_structs
+
+/** KMV / theta distinct-count sketch (Bar-Yossef et al. 2002; the
+  * bottom-k member of the DataSketches theta family) — the set-ALGEBRA
+  * sketch beside [[Hll]]'s set-UNION sketch.
+  *
+  * Why a second cardinality sketch: HLL registers only merge by max —
+  * union. Its intersection story is inclusion–exclusion (`evt_hll_overlap`),
+  * whose ABSOLUTE error is that of the union estimate, so the RELATIVE
+  * error on a small overlap of two large audiences explodes
+  * (|A∩B| = εN is estimated ± 1.6%·N, i.e. ± 100% of itself at ε ≈ 1.6%).
+  * A KMV sketch keeps the k smallest distinct hash VALUES — a uniform
+  * sample of the hashed universe below a per-sketch threshold θ — so two
+  * sketches intersect directly: count the common values below
+  * θ = min(θ_A, θ_B) and divide by θ. The error then scales with the
+  * intersection's own sample, the standard theta-sketch guarantee.
+  *
+  * State is k longs per group (k=256 → 2 KB), the build is one distinct
+  * + one bounded-heap aggregate ([[graft.functions.TopK.topk_structs]]
+  * — ≤ k structs per group per map task through the shuffle, never a
+  * per-group sort), and merge = union of sketch rows → bottom-k again,
+  * so sketches persist and compose like every other mergeable summary
+  * in this engine.
+  *
+  * Exactness contract (the DuckDB gate): the hash is `splitmix64`
+  * shifted to [0, 2^63) — all-integer and replayed verbatim in SQL; the
+  * only doubles are the final (k−1)·2^63/u_k estimates, deterministic
+  * IEEE division of exactly-representable operands, bounded by
+  * round(,4) in the gate. A sketch with fewer than k values IS its set
+  * (θ = 1, "exact mode"): estimates and intersections degrade to exact
+  * counts, matching the theta-sketch definition.
+  *
+  * Scale: the distinct is the same shuffle class as Hll.registers; the
+  * heap aggregate is map-combined. Sketch frames are k rows per group —
+  * any pairwise overlap matrix over persisted sketches costs joins of
+  * k-row frames, never a raw-data rescan.
+  */
+object Kmv {
+
+  /** 2^63 as an exact double — the normalization denominator. */
+  private val Two63 = 9223372036854775808.0
+
+  /** Exact-mode threshold sentinel: a sketch holding its whole set
+    * compares every candidate true (u ≤ 2^63−1 always).
+    */
+  private val ExactTheta = Long.MaxValue
+
+  /** Per-group bottom-k sketch: `groupCols` + `u` (the k smallest
+    * distinct hash values in [0, 2^63)), ≤ k rows per group. NULL values
+    * don't count (count-distinct semantics). The bounded struct heap
+    * orders by (−u as double, u): the double is order-monotonic in u and
+    * the exact-long tie-break resolves rounding collisions, so the kept
+    * set is exactly the k smallest longs.
+    */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val u = shiftrightunsigned(splitmix64(col(valueCol).cast("long")), 1)
+    val dist = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ u.as("_u"): _*)
+      .distinct()
+    dist.groupBy(groupCols.map(col): _*)
+      .agg(topk_structs(-col("_u").cast("double"), col("_u"), k).as("_top"))
+      .select(groupCols.map(col) :+ explode(col("_top.payload")).as("u"): _*)
+  }
+
+  /** Union of sketch frames built with the same k: dedup values, keep
+    * the bottom k again. The result is another sketch frame, so merges
+    * compose across days/partitions/segments without rescanning data.
+    */
+  def mergeSketches(sk: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    sk.select(groupCols.map(col) :+ col("u"): _*)
+      .distinct()
+      .groupBy(groupCols.map(col): _*)
+      .agg(topk_structs(-col("u").cast("double"), col("u"), k).as("_top"))
+      .select(groupCols.map(col) :+ explode(col("_top.payload")).as("u"): _*)
+
+  /** Collapse a sketch frame to one distinct-count estimate per group:
+    * exact count below k values, else the classic (k−1)/θ with
+    * θ = u_k / 2^63.
+    */
+  def estimateFromSketch(sk: DataFrame, groupCols: Seq[String],
+                         k: Int): DataFrame =
+    sk.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_c"), max(col("u")).as("_uk"))
+      .select(groupCols.map(col) :+
+        when(col("_c") < k, col("_c").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Two63) /
+            col("_uk").cast("double")).as("estimate"): _*)
+
+  /** Intersection estimate of two single-set sketch frames (columns:
+    * just `u`), k shared. θ = min over both sides (exact-mode sides
+    * contribute θ = 1); candidates are the common values below θ;
+    * estimate = |candidates| / θ_norm. Output one row:
+    * (n_cand BIGINT, theta_long BIGINT, est_intersect DOUBLE).
+    * Everything before the final division is exact integer work.
+    */
+  def intersectEstimate(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
+    def thetaOf(sk: DataFrame): DataFrame =
+      sk.agg(count(lit(1)).as("_c"), max(col("u")).as("_uk"))
+        .select(when(col("_c") < k, lit(ExactTheta))
+          .otherwise(col("_uk")).as("_th"))
+    val theta = thetaOf(skA).crossJoin(thetaOf(skB).withColumnRenamed("_th", "_thb"))
+      .select(least(col("_th"), col("_thb")).as("theta_long"))
+    val thetaNorm = when(col("theta_long") === ExactTheta, lit(1.0))
+      .otherwise(col("theta_long").cast("double") / lit(Two63))
+    skA.select(col("u")).join(skB.select(col("u")), "u")
+      .crossJoin(broadcast(theta))
+      .filter(col("u") < col("theta_long"))
+      .groupBy(col("theta_long"))
+      .agg(count(lit(1)).as("n_cand"))
+      // an empty candidate set drops the group entirely — restore the
+      // zero row so callers always see exactly one row
+      .unionByName(theta.select(col("theta_long"), lit(0L).as("n_cand")))
+      .groupBy(col("theta_long"))
+      .agg(max(col("n_cand")).as("n_cand"))
+      .select(col("n_cand"), col("theta_long"),
+        (col("n_cand").cast("double") / thetaNorm).as("est_intersect"))
+  }
+}

@@ -232,6 +232,37 @@ object Events {
           $"exact_overlap")
     }),
 
+    // KMV/theta set algebra — the DIRECT intersection estimate HLL cannot
+    // give (inclusion-exclusion error scales with the UNION, so a small
+    // overlap of large audiences drowns; the theta candidates-below-θ
+    // estimator scales with the intersection's own sample). Sketches are
+    // bottom-256 distinct splitmix hashes of the user-DAY key (the
+    // audience grain with real cardinality here: ~2k active user-days per
+    // stream vs only 150 users), built by the bounded struct heap — never
+    // a per-group sort — and the oracle replays hash, distinct, bottom-k,
+    // θ = min(u_k), candidate filter and both estimates verbatim; n_cand
+    // and theta_long gate the integer core exactly, the two divisions
+    // round(,4).
+    "evt_kmv_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val k = 256
+      val ud = expr("user_id * 100000 + unix_micros(ts) div 86400000000")
+      val clicks = ev.filter($"event_type" === "click").select(ud.as("ud"))
+      val buys = ev.filter($"event_type" === "purchase").select(ud.as("ud"))
+      val ska = graft.operators.Kmv.sketch(clicks, Nil, "ud", k)
+      val skb = graft.operators.Kmv.sketch(buys, Nil, "ud", k)
+      val estA = graft.operators.Kmv.estimateFromSketch(ska, Nil, k)
+        .select(round($"estimate", 4).as("est_click_days"))
+      val estB = graft.operators.Kmv.estimateFromSketch(skb, Nil, k)
+        .select(round($"estimate", 4).as("est_buy_days"))
+      val inter = graft.operators.Kmv.intersectEstimate(ska, skb, k)
+        .select(round($"est_intersect", 4).as("est_overlap_days"), $"n_cand")
+      val exact = clicks.distinct().join(buys.distinct(), "ud")
+        .agg(count(lit(1)).as("exact_overlap"))
+      estA.crossJoin(estB).crossJoin(inter).crossJoin(exact)
+    }),
+
     // Count-Min frequency estimates for the top-20 most active users
     // (operators.CountMin, d=4, w=2^10 → 32 KB of counters) NEXT TO the
     // exact per-user event counts — the heavy-hitter sketch beside Hll's
@@ -529,6 +560,65 @@ object Events {
         |SELECT round(a, 4) AS est_clickers, round(b, 4) AS est_buyers,
         |  round(a + b - u, 4) AS est_overlap, exact_overlap
         |FROM piv, exact""".stripMargin,
+
+    // KMV replay: same splitmix chain on the user-day key, u = h >> 1,
+    // DISTINCT, bottom-256 via row_number, θ = min over sides (exact-mode
+    // side contributes Long.MaxValue), candidates = common u below θ.
+    // n_cand/theta_long integer-exact; the two estimate divisions are
+    // deterministic IEEE over exactly-representable operands, round(,4).
+    "evt_kmv_overlap" ->
+      """WITH s0 AS (
+        |  SELECT 'a' AS t, user_id * 100000 + epoch_us(ts) // 86400000000 AS vc
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'b', user_id * 100000 + epoch_us(ts) // 86400000000
+        |  FROM events WHERE event_type = 'purchase'),
+        |k0 AS (SELECT t, vc::HUGEINT AS k FROM s0),
+        |x0 AS (SELECT t,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM k0),
+        |z1 AS (
+        |  SELECT t, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT t, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |zf AS (SELECT t, xor(z, z >> 31) AS h FROM z2),
+        |ud AS (SELECT DISTINCT t, (h >> 1)::BIGINT AS u FROM zf),
+        |rk AS (SELECT t, u, row_number() OVER (PARTITION BY t ORDER BY u) AS r
+        |       FROM ud),
+        |sk AS (SELECT t, u FROM rk WHERE r <= 256),
+        |st AS (SELECT t, count(*) AS c, max(u) AS uk FROM sk GROUP BY t),
+        |est AS (SELECT t, CASE WHEN c < 256 THEN c::DOUBLE
+        |          ELSE 255.0 * 9223372036854775808.0 / uk::DOUBLE END AS e
+        |        FROM st),
+        |th AS (SELECT least(
+        |    max(CASE WHEN t = 'a' THEN CASE WHEN c < 256
+        |        THEN 9223372036854775807 ELSE uk END END),
+        |    max(CASE WHEN t = 'b' THEN CASE WHEN c < 256
+        |        THEN 9223372036854775807 ELSE uk END END)) AS theta_long
+        |  FROM st),
+        |cand AS (SELECT count(*) AS n_cand FROM
+        |  (SELECT u FROM sk WHERE t = 'a') a
+        |  JOIN (SELECT u FROM sk WHERE t = 'b') b USING (u), th
+        |  WHERE u < theta_long),
+        |ex AS (SELECT count(*) AS exact_overlap FROM
+        |  (SELECT DISTINCT user_id * 100000 + epoch_us(ts) // 86400000000 AS ud
+        |   FROM events WHERE event_type = 'click') ca
+        |  JOIN (SELECT DISTINCT user_id * 100000 + epoch_us(ts) // 86400000000 AS ud
+        |        FROM events WHERE event_type = 'purchase') pb USING (ud)),
+        |piv AS (SELECT max(CASE WHEN t = 'a' THEN e END) AS ea,
+        |               max(CASE WHEN t = 'b' THEN e END) AS eb FROM est)
+        |SELECT round(ea, 4) AS est_click_days, round(eb, 4) AS est_buy_days,
+        |  round(n_cand::DOUBLE / (CASE WHEN theta_long = 9223372036854775807
+        |    THEN 1.0 ELSE theta_long::DOUBLE / 9223372036854775808.0 END), 4)
+        |    AS est_overlap_days,
+        |  n_cand, exact_overlap
+        |FROM piv, cand, th, ex""".stripMargin,
 
     // Count-Min replay, integer-exact (no rounding anywhere): per-event
     // cells from the row-seeded splitmix64 (seed r·GAMMA added under the

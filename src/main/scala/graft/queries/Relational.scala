@@ -243,6 +243,24 @@ object Relational {
         .orderBy($"col_name")
     }),
 
+    // Iterative graph scoring: PageRank over the symmetrized bipartite
+    // customer–supplier trade graph (operators.PageRank — FIXED-POINT
+    // longs, so the three damped iterations are bit-exact under any
+    // parallelism and the oracle unrolls them with integer // division;
+    // no rounding anywhere in the gate). Node ids: 2·custkey / 2·suppkey+1.
+    "q16_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .distinct()
+      val sym = edges.select($"a".as("src"), $"b".as("dst"))
+        .union(edges.select($"b".as("src"), $"a".as("dst")))
+      graft.operators.PageRank.pageRank(sym, "src", "dst", iterations = 3)
+        .orderBy($"node")
+    }),
+
     "q9_enrich_broadcast" -> ((s, dir) => {
       import s.implicits._
       val c = Tables(s, dir, "customer")
@@ -309,6 +327,42 @@ object Relational {
         |WHERE l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    // fixed-point PageRank replay: the three damped rounds unrolled as
+    // CTEs with DuckDB's integer // division — every value BIGINT, no
+    // floating point anywhere, so the hash gates the iteration verbatim
+    "q16_pagerank" ->
+      """WITH ce AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM ce
+        |      UNION ALL SELECT b, a FROM ce),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |c0 AS (SELECT count(*) AS n FROM nodes),
+        |p0 AS (SELECT node, 1000000000000 // (SELECT n FROM c0) AS pr
+        |       FROM nodes),
+        |m1 AS (SELECT e.dst AS node, sum(p0.pr // deg.deg)::BIGINT AS m
+        |       FROM e JOIN p0 ON e.src = p0.node
+        |       JOIN deg ON e.src = deg.src GROUP BY 1),
+        |p1 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // (SELECT n FROM c0)) // 100)
+        |         + (85 * coalesce(m, 0) // 100) AS pr
+        |       FROM nodes LEFT JOIN m1 USING (node)),
+        |m2 AS (SELECT e.dst AS node, sum(p1.pr // deg.deg)::BIGINT AS m
+        |       FROM e JOIN p1 ON e.src = p1.node
+        |       JOIN deg ON e.src = deg.src GROUP BY 1),
+        |p2 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // (SELECT n FROM c0)) // 100)
+        |         + (85 * coalesce(m, 0) // 100) AS pr
+        |       FROM nodes LEFT JOIN m2 USING (node)),
+        |m3 AS (SELECT e.dst AS node, sum(p2.pr // deg.deg)::BIGINT AS m
+        |       FROM e JOIN p2 ON e.src = p2.node
+        |       JOIN deg ON e.src = deg.src GROUP BY 1),
+        |p3 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // (SELECT n FROM c0)) // 100)
+        |         + (85 * coalesce(m, 0) // 100) AS pr
+        |       FROM nodes LEFT JOIN m3 USING (node))
+        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
 
     // full-profile replay: unpivot with per-type NDV keys, basic stats,
     // then the evt_hll_users splitmix64/register/estimator chain keyed by

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class KmvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def bottomK(values: Seq[Long], k: Int): Seq[Long] = {
+    // scalar reference: the k smallest distinct shifted hashes
+    values.map(v => graft.functions.SplitMix64.hash(v) >>> 1)
+      .distinct.sorted.take(k)
+  }
+
+  test("sketch keeps exactly the k smallest distinct hash values") {
+    import spark.implicits._
+    val vals = (0L until 5000L) ++ (0L until 1000L) // duplicates on purpose
+    val got = Kmv.sketch(vals.map(("g", _)).toDF("grp", "v"),
+        Seq("grp"), "v", k = 64)
+      .orderBy($"u").collect().map(_.getAs[Long]("u")).toSeq
+    assert(got == bottomK(0L until 5000L, 64))
+  }
+
+  test("groups below k are kept whole and estimate exactly") {
+    import spark.implicits._
+    val df = (0L until 40L).map(("small", _)).toDF("grp", "v")
+    val sk = Kmv.sketch(df, Seq("grp"), "v", k = 64)
+    assert(sk.count() == 40)
+    val est = Kmv.estimateFromSketch(sk, Seq("grp"), 64).head.getDouble(1)
+    assert(est == 40.0)
+  }
+
+  test("estimate lands within the 1/sqrt(k) band across cardinalities") {
+    import spark.implicits._
+    val groups = Seq(2000L, 20000L, 100000L)
+    val rows = groups.zipWithIndex.flatMap { case (n, g) =>
+      (0L until n).map(i => (s"g$g", g * 1000000000L + i))
+    }
+    val est = Kmv.estimateFromSketch(
+        Kmv.sketch(rows.toDF("grp", "v"), Seq("grp"), "v", k = 256),
+        Seq("grp"), 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    groups.zipWithIndex.foreach { case (n, g) =>
+      val rel = math.abs(est(s"g$g") - n) / n.toDouble
+      // sd ~ 1/sqrt(k-2) = 6.3% at k=256; allow 3 sigma
+      assert(rel < 0.19, s"n=$n est=${est(s"g$g")} rel=$rel")
+    }
+  }
+
+  test("merged sketches equal the one-shot sketch of the union") {
+    import spark.implicits._
+    val a = (0L until 3000L).map(("g", _)).toDF("grp", "v")
+    val b = (1500L until 6000L).map(("g", _)).toDF("grp", "v")
+    val oneShot = Kmv.sketch(a.unionByName(b), Seq("grp"), "v", k = 128)
+      .orderBy($"u").collect().map(_.getAs[Long]("u")).toSeq
+    val merged = Kmv.mergeSketches(
+        Kmv.sketch(a, Seq("grp"), "v", k = 128)
+          .unionByName(Kmv.sketch(b, Seq("grp"), "v", k = 128)),
+        Seq("grp"), k = 128)
+      .orderBy($"u").collect().map(_.getAs[Long]("u")).toSeq
+    assert(merged == oneShot)
+  }
+
+  test("intersection estimate tracks the true overlap, not the union") {
+    import spark.implicits._
+    // |A| = |B| = 20000, true overlap 2000 (10%): inclusion-exclusion over
+    // HLL-grade union error would dwarf this; theta candidates stay tight
+    val a = (0L until 20000L).toDF("v").withColumn("g", lit(1))
+    val b = (18000L until 38000L).toDF("v").withColumn("g", lit(1))
+    val ska = Kmv.sketch(a, Nil, "v", k = 256)
+    val skb = Kmv.sketch(b, Nil, "v", k = 256)
+    val row = Kmv.intersectEstimate(ska, skb, k = 256).head
+    val est = row.getAs[Double]("est_intersect")
+    assert(row.getAs[Long]("n_cand") > 0)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.5,
+      s"est=$est expected ~2000")
+  }
+
+  test("exact-mode sides intersect exactly") {
+    import spark.implicits._
+    val a = (0L until 100L).toDF("v")
+    val b = (60L until 160L).toDF("v")
+    val row = Kmv.intersectEstimate(
+      Kmv.sketch(a, Nil, "v", k = 256),
+      Kmv.sketch(b, Nil, "v", k = 256), k = 256).head
+    assert(row.getAs[Long]("n_cand") == 40L)
+    assert(row.getAs[Double]("est_intersect") == 40.0)
+  }
+
+  test("disjoint sets estimate zero intersection") {
+    import spark.implicits._
+    val a = (0L until 5000L).toDF("v")
+    val b = (1000000L until 1005000L).toDF("v")
+    val row = Kmv.intersectEstimate(
+      Kmv.sketch(a, Nil, "v", k = 64),
+      Kmv.sketch(b, Nil, "v", k = 64), k = 64).head
+    assert(row.getAs[Long]("n_cand") == 0L)
+    assert(row.getAs[Double]("est_intersect") == 0.0)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Scalar fixed-point reference: identical long arithmetic. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val s0 = scale / nodes.size
+    val base = 15L * s0 / 100L
+    var pr = nodes.map(_ -> s0).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / deg(s) }.sum
+      }
+      pr = nodes.map(n => n -> (base + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    pr
+  }
+
+  private val chainStar: Seq[(Long, Long)] = {
+    // a hub (0) pointed at by 1..10, plus a chain 11->12->13, symmetrized
+    val raw = (1L to 10L).map(i => (i, 0L)) ++ Seq((11L, 12L), (12L, 13L))
+    raw ++ raw.map(_.swap)
+  }
+
+  test("matches the scalar fixed-point reference exactly") {
+    import spark.implicits._
+    val got = PageRank.pageRank(chainStar.toDF("s", "d"), "s", "d",
+        iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(chainStar, 3))
+  }
+
+  test("bit-identical under different partition layouts") {
+    import spark.implicits._
+    val edges = (0 until 2000).map { i =>
+      (i.toLong % 97, (i.toLong * 31 + 7) % 89)
+    }.filter { case (a, b) => a != b }
+    val sym = edges ++ edges.map(_.swap)
+    val a = PageRank.pageRank(sym.toDF("s", "d").repartition(3), "s", "d", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = PageRank.pageRank(sym.toDF("s", "d").repartition(17, col("d")),
+        "s", "d", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a == reference(sym, 4).toSeq.sortBy(_._1))
+  }
+
+  test("the hub of a star outranks the leaves; mass is conserved up to floor leakage") {
+    import spark.implicits._
+    val pr = PageRank.pageRank(chainStar.toDF("s", "d"), "s", "d", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(i => pr(0L) > pr(i)), "hub must outrank leaves")
+    val total = pr.values.sum
+    val scale = 1000000000000L
+    // each div leaks < 1 unit per edge per round plus the 15/85 splits
+    assert(total <= scale && total > scale * 97 / 100, s"total=$total")
+  }
+
+  test("rank frames carry only (node, pr) longs") {
+    import spark.implicits._
+    val df = PageRank.pageRank(chainStar.toDF("s", "d"), "s", "d", 1)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("node", "bigint"), ("pr", "bigint")))
+  }
+}
