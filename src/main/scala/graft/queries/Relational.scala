@@ -261,6 +261,36 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // Fuzzy entity resolution: sorted-neighborhood record linkage
+    // (operators.EntityResolution) — rank by (name, id) WITHOUT a global
+    // window (partition-offset idiom), compare each row to its w−1 rank
+    // successors only (n·(w−1) candidates, never n²), verify with exact
+    // codegen Levenshtein. Oracle replays rank, window join and distance.
+    "q17_fuzzy_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.EntityResolution.fuzzyPairs(
+          Tables(s, dir, "customer"), "c_custkey", "c_name",
+          w = 8, maxDist = 1)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Statistical aggregates from EXACT integer moments
+    // (operators.Moments): corr / OLS slope / intercept / R² of order
+    // value (whole dollars) on quantity per return flag. The five moment
+    // sums are BIGINT (commutative — bit-identical under any partition
+    // layout), the statistics a fixed IEEE expression both engines run
+    // verbatim — no rounding anywhere in the gate, unlike the
+    // order-dependent float accumulation of the built-in corr().
+    "q18_regr_corr" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "lineitem").select($"l_returnflag",
+        floor($"l_quantity").cast("long").as("x"),
+        floor($"l_extendedprice".cast("decimal(12,2)")).cast("long").as("y"))
+      graft.operators.Moments.bivariateStats(base, Seq("l_returnflag"),
+          "x", "y")
+        .orderBy($"l_returnflag")
+    }),
+
     "q9_enrich_broadcast" -> ((s, dir) => {
       import s.implicits._
       val c = Tables(s, dir, "customer")
@@ -327,6 +357,46 @@ object Relational {
         |WHERE l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    // exact-moment replay: BIGINT sufficient statistics (DuckDB's HUGEINT
+    // sums cast back), then the identical fixed IEEE expression tree —
+    // raw doubles gate bit-exactly, no rounding
+    "q18_regr_corr" ->
+      """WITH b AS (SELECT l_returnflag, floor(l_quantity)::BIGINT AS x,
+        |    floor(CAST(l_extendedprice AS DECIMAL(12,2)))::BIGINT AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM b WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+        |s AS (SELECT l_returnflag, n,
+        |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) AS num,
+        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS denx,
+        |    (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) AS deny,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |       THEN num / sqrt(denx * deny) END AS corr,
+        |  CASE WHEN denx > 0 THEN num / denx END AS slope,
+        |  CASE WHEN denx > 0
+        |       THEN (syd - (num / denx) * sxd) / nd END AS intercept,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |       THEN (num / sqrt(denx * deny)) * (num / sqrt(denx * deny))
+        |       END AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // sorted-neighborhood replay: the same total order (name, id) as a
+    // window rank, pairs at rank distance 1..w−1, exact levenshtein
+    "q17_fuzzy_pairs" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS key,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rk
+        |  FROM customer),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a,
+        |         b.key AS key_b, levenshtein(a.key, b.key) AS dist
+        |       FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 7)
+        |SELECT id_a, id_b, key_a, key_b, dist
+        |FROM pr WHERE dist <= 1 ORDER BY id_a, id_b""".stripMargin,
 
     // fixed-point PageRank replay: the three damped rounds unrolled as
     // CTEs with DuckDB's integer // division — every value BIGINT, no
