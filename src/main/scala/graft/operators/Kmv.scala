@@ -93,6 +93,45 @@ object Kmv {
           .otherwise(lit((k - 1).toDouble) * lit(Two63) /
             col("_uk").cast("double")).as("estimate"): _*)
 
+  /** Persist one batch's per-group sketch into `table` under the
+    * [[BatchTables]] discipline (replay-safe dynamic overwrite of the
+    * batch's own `_batch_id` partition). Unlike CMS/freq-items' SUM
+    * merges, the KMV combine (distinct + bottom-k) is
+    * duplication-IDEMPOTENT — the favorable max-merge crash asymmetry:
+    * a replayed batch or a crash mid-compaction can never inflate the
+    * estimate, only re-present the same values.
+    */
+  def mergeBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
+                 k: Int, table: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val rows = sketch(batch, groupCols, valueCol, k)
+      .withColumn("_batch_id", lit(batchId))
+    BatchTables.ensureBatchTable(rows.limit(0), table, path)
+    BatchTables.withDynamicOverwrite(spark) {
+      rows.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** The sketch of everything the table has absorbed: the n-way merge
+    * over every persisted per-batch sketch — k rows per group read, no
+    * raw-data rescan.
+    */
+  def sketchFromTable(spark: org.apache.spark.sql.SparkSession,
+                      table: String, groupCols: Seq[String],
+                      k: Int): DataFrame =
+    mergeSketches(spark.table(table), groupCols, k)
+
+  /** Fold batches `0..upToBatchId` into one consolidated partition
+    * holding the merged sketch (convergent AND idempotent — see
+    * `mergeBatch`).
+    */
+  def compactSketch(spark: org.apache.spark.sql.SparkSession,
+                    table: String, upToBatchId: Long, groupCols: Seq[String],
+                    k: Int): (Int, Int) =
+    BatchTables.compactBatchPartitions(spark, table, upToBatchId,
+      df => mergeSketches(df, groupCols :+ "_batch_id", k)
+        .select(df.columns.map(col): _*))
+
   /** Intersection estimate of two single-set sketch frames (columns:
     * just `u`), k shared. θ = min over both sides (exact-mode sides
     * contribute θ = 1); candidates are the common values below θ;

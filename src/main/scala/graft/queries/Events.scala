@@ -263,6 +263,43 @@ object Events {
       estA.crossJoin(estB).crossJoin(inter).crossJoin(exact)
     }),
 
+    // The MAINTAINED KMV sketch table (Kmv.mergeBatch/sketchFromTable —
+    // the BatchTables discipline on the theta family): two day-parity
+    // batches persist their own bottom-256 sketches, compaction folds
+    // them, and the read-time merge answers over everything absorbed.
+    // KMV's combine is duplication-IDEMPOTENT (distinct + bottom-k), so
+    // merged ≡ one-shot EXACTLY — the oracle replays the one-shot
+    // bottom-k over the whole stream and the hash pins the maintained
+    // table's sketch rows (n_sk, u_max integer-exact) and estimate.
+    "evt_kmv_state" -> ((s, dir) => {
+      import s.implicits._
+      val k = 256
+      val ev = Tables(s, dir, "events").filter($"event_type" === "click")
+        .withColumn("ud",
+          expr("user_id * 100000 + unix_micros(ts) div 86400000000"))
+        .withColumn("_day", expr("unix_micros(ts) div 86400000000"))
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_kmv_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_kmv_$salt")
+        .toString
+      try {
+        graft.operators.Kmv.mergeBatch(ev.filter(pmod($"_day", lit(2)) === 0),
+          Nil, "ud", k, table, s"$tmp/state", batchId = 0L)
+        graft.operators.Kmv.mergeBatch(ev.filter(pmod($"_day", lit(2)) === 1),
+          Nil, "ud", k, table, s"$tmp/state", batchId = 1L)
+        graft.operators.Kmv.compactSketch(s, table, upToBatchId = 1L, Nil, k)
+        val sk = graft.operators.Kmv.sketchFromTable(s, table, Nil, k)
+          .localCheckpoint(true)
+        val est = graft.operators.Kmv.estimateFromSketch(sk, Nil, k)
+        sk.agg(count(lit(1)).as("n_sk"), max($"u").as("u_max"))
+          .crossJoin(est.select(round($"estimate", 4).as("est_click_days")))
+          .select($"est_click_days", $"n_sk", $"u_max")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+      }
+    }),
+
     // Count-Min frequency estimates for the top-20 most active users
     // (operators.CountMin, d=4, w=2^10 → 32 KB of counters) NEXT TO the
     // exact per-user event counts — the heavy-hitter sketch beside Hll's
@@ -619,6 +656,38 @@ object Events {
         |    AS est_overlap_days,
         |  n_cand, exact_overlap
         |FROM piv, cand, th, ex""".stripMargin,
+
+    // maintained-KMV replay: one-shot bottom-256 over the whole click
+    // stream — valid as the oracle for the batch-partitioned table
+    // because the KMV combine is exactly merge-invariant
+    "evt_kmv_state" ->
+      """WITH s0 AS (
+        |  SELECT user_id * 100000 + epoch_us(ts) // 86400000000 AS vc
+        |  FROM events WHERE event_type = 'click'),
+        |k0 AS (SELECT vc::HUGEINT AS k FROM s0),
+        |x0 AS (SELECT
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM k0),
+        |z1 AS (
+        |  SELECT ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |zf AS (SELECT xor(z, z >> 31) AS h FROM z2),
+        |ud AS (SELECT DISTINCT (h >> 1)::BIGINT AS u FROM zf),
+        |rk AS (SELECT u, row_number() OVER (ORDER BY u) AS r FROM ud),
+        |sk AS (SELECT u FROM rk WHERE r <= 256),
+        |st AS (SELECT count(*) AS n_sk, max(u) AS u_max FROM sk)
+        |SELECT round(CASE WHEN n_sk < 256 THEN n_sk::DOUBLE
+        |    ELSE 255.0 * 9223372036854775808.0 / u_max::DOUBLE END, 4)
+        |    AS est_click_days,
+        |  n_sk, u_max
+        |FROM st""".stripMargin,
 
     // Count-Min replay, integer-exact (no rounding anywhere): per-event
     // cells from the row-seeded splitmix64 (seed r·GAMMA added under the

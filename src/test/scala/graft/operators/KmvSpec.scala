@@ -62,6 +62,37 @@ class KmvSpec extends AnyFunSuite {
     assert(merged == oneShot)
   }
 
+  test("maintained sketch table: merged == one-shot, replay- and compaction-safe") {
+    import spark.implicits._
+    val a = (0L until 3000L).map(("g", _)).toDF("grp", "v")
+    val b = (1500L until 6000L).map(("g", _)).toDF("grp", "v")
+    val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val table = s"graft_kmv_spec_$salt"
+    val tmp = java.nio.file.Files.createTempDirectory(s"kmv_$salt").toString
+    def read() = Kmv.sketchFromTable(spark, table, Seq("grp"), 128)
+      .orderBy($"u").collect().map(_.getAs[Long]("u")).toSeq
+    try {
+      Kmv.mergeBatch(a, Seq("grp"), "v", 128, table, s"$tmp/t", 0L)
+      Kmv.mergeBatch(b, Seq("grp"), "v", 128, table, s"$tmp/t", 1L)
+      val oneShot = Kmv.sketch(a.unionByName(b), Seq("grp"), "v", 128)
+        .orderBy($"u").collect().map(_.getAs[Long]("u")).toSeq
+      assert(read() == oneShot)
+      // crash replay of an already-landed batch: dynamic overwrite of its
+      // own partition, nothing inflates
+      Kmv.mergeBatch(b, Seq("grp"), "v", 128, table, s"$tmp/t", 1L)
+      assert(read() == oneShot)
+      Kmv.compactSketch(spark, table, upToBatchId = 1L, Seq("grp"), 128)
+      assert(read() == oneShot)
+      // replay AFTER compaction: the idempotent-combine asymmetry — the
+      // re-landed batch coexists with the consolidated partition and the
+      // read-time distinct+bottom-k absorbs it
+      Kmv.mergeBatch(b, Seq("grp"), "v", 128, table, s"$tmp/t", 1L)
+      assert(read() == oneShot)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("intersection estimate tracks the true overlap, not the union") {
     import spark.implicits._
     // |A| = |B| = 20000, true overlap 2000 (10%): inclusion-exclusion over
