@@ -291,6 +291,22 @@ object Relational {
         .orderBy($"l_returnflag")
     }),
 
+    // Graph construction + subgraph counting, composed: the market-basket
+    // co-occurrence projection (parts ordered together ≥2 times, hub
+    // baskets capped — operators.CoOccurrence) feeds degree-ordered
+    // triangle counting (operators.Triangles: each triangle counted once
+    // at its lowest-(degree,id) corner, wedge fan-out O(m^1.5) regardless
+    // of hubs). All integers; the oracle replays projection, orientation,
+    // wedge join and closure verbatim.
+    "q19_basket_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.CoOccurrence.project(
+        Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minShared = 2L, maxBasketSize = 32)
+      graft.operators.Triangles.triangleCounts(edges)
+        .orderBy($"node")
+    }),
+
     "q9_enrich_broadcast" -> ((s, dir) => {
       import s.implicits._
       val c = Tables(s, dir, "customer")
@@ -357,6 +373,35 @@ object Relational {
         |WHERE l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    // projection + orientation + wedge + closure replay, all integer
+    "q19_basket_triangles" ->
+      """WITH bs AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |            FROM lineitem
+        |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT b, count(*) AS bd FROM bs GROUP BY 1),
+        |kept AS (SELECT bs.b, bs.i FROM bs JOIN sz USING (b) WHERE bd <= 32),
+        |pairs AS (SELECT a.i AS x, c.i AS y, count(*) AS shared
+        |          FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+        |          GROUP BY 1, 2),
+        |e AS (SELECT x, y FROM pairs WHERE shared >= 2),
+        |nd AS (SELECT n, count(*) AS d FROM
+        |        (SELECT x AS n FROM e UNION ALL SELECT y FROM e) u GROUP BY 1),
+        |o AS (SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+        |               THEN e.x ELSE e.y END AS s,
+        |             CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+        |               THEN e.y ELSE e.x END AS t,
+        |             CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+        |               THEN dy.d ELSE dx.d END AS dt
+        |      FROM e JOIN nd dx ON dx.n = e.x JOIN nd dy ON dy.n = e.y),
+        |wg AS (SELECT e1.s AS u, e1.t AS v, e2.t AS w
+        |       FROM o e1 JOIN o e2 ON e1.s = e2.s
+        |       WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+        |tri AS (SELECT u, v, w FROM wg JOIN o ON o.s = wg.v AND o.t = wg.w),
+        |corner AS (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        |           UNION ALL SELECT w FROM tri)
+        |SELECT node, count(*)::BIGINT AS triangles
+        |FROM corner GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact-moment replay: BIGINT sufficient statistics (DuckDB's HUGEINT
     // sums cast back), then the identical fixed IEEE expression tree —

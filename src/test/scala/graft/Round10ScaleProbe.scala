@@ -93,6 +93,19 @@ object Round10ScaleProbe {
       println(s"[probe]   groups=${r.length}")
     }
 
+    // co-occurrence projection + triangles on replicated baskets
+    // (disjoint copies: order and part keys both shift)
+    val baskets = (0 until mult).map { i =>
+      li0.select(($"l_orderkey" + lit(i.toLong * 100000000L)).as("b"),
+        ($"l_partkey" + lit(i.toLong * 10000000L)).as("i"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    timed(s"CoOccurrence.project + triangleCounts x$mult") {
+      val edges = graft.operators.CoOccurrence.project(
+        baskets, "b", "i", minShared = 2L, maxBasketSize = 32)
+      val tri = graft.operators.Triangles.triangleCounts(edges)
+      println(s"[probe]   tri_nodes=${tri.count()}")
+    }
+
     spark.stop()
   }
 }
