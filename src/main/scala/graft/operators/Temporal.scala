@@ -105,6 +105,38 @@ object Temporal {
       .select(col("_l.*") +: Seq(coalesce(col("_local"), col("_carry")).as(asCol)): _*)
   }
 
+  /** FORWARD as-of join — the attribution direction: for every left row,
+    * the single EARLIEST right row with the same key and
+    * `rightTs >= leftTs` (inclusive): "the next click after this
+    * impression", "the first error after this deploy". Same union +
+    * running-window construction as [[asofJoinBackward]], mirrored: a
+    * `first(right_payload, ignoreNulls)` over the FOLLOWING frame,
+    * ordered (ts, side, tie) with the LEFT side sorting first at equal
+    * ts so "at or after" stays inclusive; the winner among equal-ts
+    * right rows is the SMALLEST tie value (first in order). One shuffle
+    * on key, O(1) state per row; for hot keys the salted-bucket
+    * treatment of `asofJoinBackwardSalted` applies symmetrically.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String, rightTie: String,
+                      asCol: String = "asof"): DataFrame = {
+    val l = left.select(col(key).as("_k"), col(leftTs).as("_ts"),
+      struct(left.columns.map(col): _*).as("_l"))
+      .withColumn("_side", lit(0))
+      .withColumn("_tie", lit(null).cast(right.schema(rightTie).dataType))
+    val r = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
+      col(rightTie).as("_tie"),
+      struct(right.columns.map(col): _*).as("_r"))
+      .withColumn("_side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("_asof", first(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(col("_l.*") +: Seq(col("_asof").as(asCol)): _*)
+  }
+
   /** Per-key sessionization: adds `_session` (1-based running session index
     * within the key) — a new session starts when the gap to the previous
     * event exceeds `gapMicros`. Order within a key is (ts, tie), so ties

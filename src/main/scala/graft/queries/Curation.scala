@@ -192,6 +192,33 @@ object Curation {
         .orderBy($"split")
     }),
 
+    // Split-leakage audit — the contamination check every train/val/test
+    // partition needs BEFORE training: near-duplicate pairs (exact
+    // shingle-set Jaccard ≥ 0.8, the doc_dedup_jaccard machinery) whose
+    // endpoints landed in DIFFERENT splits (the doc_split_assign
+    // assignment). A leak means the eval set contains a paraphrase of a
+    // training doc; the fix is cluster-level split assignment (assign the
+    // dedup CLUSTER, not the doc). Composes two independently-gated
+    // operators; the oracle replays both and the join.
+    "doc_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val pairs = graft.operators.TextDedup.jaccardNearDuplicates(
+        docs, "doc_id", "text", threshold = 0.8)
+      val splits = graft.operators.Curation.assignSplits(
+        docs.select($"doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      pairs
+        .join(splits.select($"doc_id".as("id_a"), $"split".as("split_a")),
+          "id_a")
+        .join(splits.select($"doc_id".as("id_b"), $"split".as("split_b")),
+          "id_b")
+        .filter($"split_a" =!= $"split_b")
+        .select($"id_a", $"id_b", $"split_a", $"split_b",
+          round($"jaccard", 6).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Temperature-flattened source mixing (operators.Curation
     // .temperatureMix): shares flattened to tokens^0.5 / Σ tokens^0.5,
     // downsampled toward that mixture under a 20k total-token budget —
@@ -490,6 +517,32 @@ object Curation {
         |      FROM d)
         |SELECT split, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
         |FROM l GROUP BY split ORDER BY split""".stripMargin,
+
+    // leakage replay: the doc_dedup_jaccard pair CTE joined to the
+    // doc_split_assign md5-prefix labels, cross-split pairs only
+    "doc_split_leakage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3),
+        |sp AS (SELECT doc_id, CASE
+        |    WHEN pfx < lpad(lower(to_hex(round(0.8 * 65536)::INT)), 4, '0')
+        |      THEN 'train'
+        |    WHEN pfx < lpad(lower(to_hex(round(0.9 * 65536)::INT)), 4, '0')
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          substring(md5('v1:' || coalesce(doc_id::VARCHAR, '')), 1, 4)
+        |            AS pfx FROM documents) q),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        len(list_intersect(a.s, b.s))::DOUBLE /
+        |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b,
+        |  round(j, 6) AS jaccard
+        |FROM pr JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b
+        |WHERE j >= 0.8 AND sa.split <> sb.split
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Temperature-mixing replay: p_i = tokens^0.5 / Σ tokens^0.5 (the
     // total-token denominator cancels, one pow per source; cross-engine

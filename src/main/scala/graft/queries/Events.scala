@@ -232,6 +232,29 @@ object Events {
           $"exact_overlap")
     }),
 
+    // FORWARD as-of: for each purchase, the NEXT click at or after it —
+    // the attribution/"time-to-next-event" direction of evt_asof_click,
+    // same union + running-window construction mirrored (first over the
+    // following frame; equal-ts ties pre-aggregated to min event_id on
+    // both sides so the winner is fixture-stable). Oracle: DuckDB ASOF
+    // LEFT JOIN with p.ts <= c.ts.
+    "evt_asof_next_click" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      val p = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val c = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(min($"event_id").as("event_id"))
+        .select($"event_id", $"user_id", $"ts")
+      Temporal.asofJoinForward(p, c, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightTie = "event_id")
+        .select($"event_id",
+          $"asof.event_id".as("next_click_id"),
+          round((unix_micros($"asof.ts") - unix_micros($"ts")) / 1000000.0, 6)
+            .as("wait_s"))
+        .orderBy($"event_id")
+    }),
+
     // KMV/theta set algebra — the DIRECT intersection estimate HLL cannot
     // give (inclusion-exclusion error scales with the UNION, so a small
     // overlap of large audiences drowns; the theta candidates-below-θ
@@ -597,6 +620,15 @@ object Events {
         |SELECT round(a, 4) AS est_clickers, round(b, 4) AS est_buyers,
         |  round(a + b - u, 4) AS est_overlap, exact_overlap
         |FROM piv, exact""".stripMargin,
+
+    "evt_asof_next_click" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT min(event_id) AS event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, c.event_id AS next_click_id,
+        |  round((epoch_us(c.ts) - epoch_us(p.ts)) / 1000000.0, 6) AS wait_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     // KMV replay: same splitmix chain on the user-day key, u = h >> 1,
     // DISTINCT, bottom-256 via row_number, θ = min over sides (exact-mode

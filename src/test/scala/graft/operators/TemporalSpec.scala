@@ -33,6 +33,62 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(103L) == None)
   }
 
+  test("asof forward: earliest right at-or-after, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, 1000L), // matches right id=11 (ts 1000, inclusive, min id)
+      (101L, 1L, 900L),  // matches right id=11 (earliest >= 900)
+      (102L, 1L, 1500L), // no right row at or after -> null
+      (103L, 2L, 1L))    // key with no right rows -> null
+      .toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val right = Seq(
+      (10L, 1L, 800L),
+      (12L, 1L, 1000L), // same ts as 11 -> SMALLER event_id must win
+      (11L, 1L, 1000L))
+      .toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val got = Temporal.asofJoinForward(left, right, "user_id", "ts", "ts", "event_id")
+      .select($"event_id", $"asof.event_id".as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(100L) == Some(11L)) // inclusive + tie -> smallest event_id
+    assert(got(101L) == Some(11L))
+    assert(got(102L) == None)
+    assert(got(103L) == None)
+  }
+
+  test("asof forward == brute-force model on random data (5 seeds)") {
+    import spark.implicits._
+    val rng0 = 192837465L
+    (1 to 5).foreach { round =>
+      def rows(n: Int, salt: Long): Seq[(Long, Long, Long)] =
+        (1 to n).map { i =>
+          var x = rng0 + round * 1013904223L + salt * 69069L + i * 2654435761L
+          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+          val key = math.floorMod(x, 4).toLong
+          val ts = math.floorMod(x >>> 8, 30).toLong * 1000L
+          (i.toLong + salt, key, ts)
+        }
+      val lRows = rows(40, 0)
+      val rRows = rows(50, 1000)
+      val left = lRows.toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+      val right = rRows.toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+      val got = Temporal.asofJoinForward(left, right, "user_id", "ts", "ts", "event_id")
+        .select($"event_id", $"asof.event_id".as("m"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      // model: earliest right with same key, ts >= left ts; ties -> min event_id
+      val want = lRows.map { case (lid, lk, lts) =>
+        val cands = rRows.filter { case (_, rk, rts) => rk == lk && rts >= lts }
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.minBy(c => (c._3, c._1))._1))
+      }.toMap
+      assert(got == want, s"round=$round diff=${
+        want.keySet.filter(k => got.get(k) != want.get(k)).take(5)}")
+    }
+  }
+
   test("sessionIndex: gap strictly greater than threshold starts a session") {
     import spark.implicits._
     val e = Seq(
