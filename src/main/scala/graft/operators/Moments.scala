@@ -43,14 +43,73 @@ object Moments {
     * zero x-variance also NULLs slope/intercept.
     */
   def bivariateStats(df: DataFrame, groupCols: Seq[String],
-                     xCol: String, yCol: String): DataFrame = {
+                     xCol: String, yCol: String): DataFrame =
+    statsFromMoments(moments(df, groupCols, xCol, yCol), groupCols)
+
+  /** The six sufficient statistics per group — the PERSISTABLE form:
+    * moment vectors are additive, so per-batch moment rows merge by
+    * plain column-wise sum ([[mergeBatch]]) and any union of moment
+    * frames closes back to statistics via [[statsFromMoments]], no
+    * raw-data rescan. The lossless cousin of the sketch families.
+    */
+  def moments(df: DataFrame, groupCols: Seq[String],
+              xCol: String, yCol: String): DataFrame = {
     val x = col(xCol)
     val y = col(yCol)
-    val m = df.filter(x.isNotNull && y.isNotNull)
+    df.filter(x.isNotNull && y.isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+  }
+
+  private val MomentCols = Seq("n", "sx", "sy", "sxy", "sxx", "syy")
+
+  /** Column-wise sum of moment frames (same group columns): the merge. */
+  def mergeMoments(m: DataFrame, groupCols: Seq[String]): DataFrame =
+    m.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+        sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"),
+        sum(col("syy")).as("syy"))
+
+  /** Persist one batch's per-group moment vector into `table` under the
+    * [[BatchTables]] discipline. SUM-merge family (like CMS/freq-items):
+    * replay-safe via dynamic overwrite of the batch's own partition; the
+    * crash window between a compaction insert and its source sweep shows
+    * doubled moments until the convergence re-run — same documented
+    * asymmetry as the other sum families.
+    */
+  def mergeBatch(batch: DataFrame, groupCols: Seq[String], xCol: String,
+                 yCol: String, table: String, path: String,
+                 batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val rows = moments(batch, groupCols, xCol, yCol)
+      .withColumn("_batch_id", lit(batchId))
+    BatchTables.ensureBatchTable(rows.limit(0), table, path)
+    BatchTables.withDynamicOverwrite(spark) {
+      rows.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** Statistics over everything the table has absorbed: sum the stored
+    * per-batch moments, close to corr/slope/intercept/r2 — EXACTLY the
+    * one-shot result (integer sums are associative), never a rescan.
+    */
+  def statsFromTable(spark: org.apache.spark.sql.SparkSession,
+                     table: String, groupCols: Seq[String]): DataFrame =
+    statsFromMoments(mergeMoments(spark.table(table), groupCols), groupCols)
+
+  /** Fold batches `0..upToBatchId` into one consolidated partition. */
+  def compactMoments(spark: org.apache.spark.sql.SparkSession,
+                     table: String, upToBatchId: Long,
+                     groupCols: Seq[String]): (Int, Int) =
+    BatchTables.compactBatchPartitions(spark, table, upToBatchId,
+      df => mergeMoments(df, groupCols :+ "_batch_id")
+        .select(df.columns.map(col): _*))
+
+  /** Close a moment frame to the statistics (see [[bivariateStats]]). */
+  def statsFromMoments(m: DataFrame, groupCols: Seq[String]): DataFrame = {
     val nD = col("n").cast("double")
     val sxD = col("sx").cast("double")
     val syD = col("sy").cast("double")

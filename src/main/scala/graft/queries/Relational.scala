@@ -298,6 +298,37 @@ object Relational {
     // at its lowest-(degree,id) corner, wedge fan-out O(m^1.5) regardless
     // of hubs). All integers; the oracle replays projection, orientation,
     // wedge join and closure verbatim.
+    // The MAINTAINED moment table (Moments.mergeBatch/statsFromTable —
+    // the BatchTables discipline on the lossless SUM-merge family): two
+    // orderkey-parity batches persist their per-group moment vectors,
+    // compaction folds them, and the read-time sum closes to statistics
+    // EXACTLY equal to the one-shot — integer moment sums are
+    // associative, so the oracle is q18's one-shot replay verbatim.
+    "q20_regr_state" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "lineitem").select($"l_returnflag",
+        floor($"l_quantity").cast("long").as("x"),
+        floor($"l_extendedprice".cast("decimal(12,2)")).cast("long").as("y"),
+        pmod($"l_orderkey", lit(2)).as("_par"))
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_mom_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_mom_$salt")
+        .toString
+      try {
+        graft.operators.Moments.mergeBatch(base.filter($"_par" === 0),
+          Seq("l_returnflag"), "x", "y", table, s"$tmp/state", batchId = 0L)
+        graft.operators.Moments.mergeBatch(base.filter($"_par" === 1),
+          Seq("l_returnflag"), "x", "y", table, s"$tmp/state", batchId = 1L)
+        graft.operators.Moments.compactMoments(s, table, upToBatchId = 1L,
+          Seq("l_returnflag"))
+        graft.operators.Moments.statsFromTable(s, table, Seq("l_returnflag"))
+          .orderBy($"l_returnflag")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+      }
+    }),
+
     "q19_basket_triangles" -> ((s, dir) => {
       import s.implicits._
       val edges = graft.operators.CoOccurrence.project(
@@ -407,6 +438,33 @@ object Relational {
     // sums cast back), then the identical fixed IEEE expression tree —
     // raw doubles gate bit-exactly, no rounding
     "q18_regr_corr" ->
+      """WITH b AS (SELECT l_returnflag, floor(l_quantity)::BIGINT AS x,
+        |    floor(CAST(l_extendedprice AS DECIMAL(12,2)))::BIGINT AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM b WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+        |s AS (SELECT l_returnflag, n,
+        |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) AS num,
+        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS denx,
+        |    (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) AS deny,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |       THEN num / sqrt(denx * deny) END AS corr,
+        |  CASE WHEN denx > 0 THEN num / denx END AS slope,
+        |  CASE WHEN denx > 0
+        |       THEN (syd - (num / denx) * sxd) / nd END AS intercept,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |       THEN (num / sqrt(denx * deny)) * (num / sqrt(denx * deny))
+        |       END AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // maintained-moment-table replay: identical to q18 (sum-merge is
+    // exact, so the one-shot oracle gates the batched table verbatim)
+    "q20_regr_state" ->
       """WITH b AS (SELECT l_returnflag, floor(l_quantity)::BIGINT AS x,
         |    floor(CAST(l_extendedprice AS DECIMAL(12,2)))::BIGINT AS y
         |  FROM lineitem),

@@ -45,6 +45,35 @@ class MomentsSpec extends AnyFunSuite {
     assert(run(df.repartition(2)) == run(df.repartition(31, col("y"))))
   }
 
+  test("maintained moment table: stats == one-shot, replay-safe, compaction-convergent") {
+    import spark.implicits._
+    val pts = (0L until 8000L).map(i => (s"g${i % 2}", i % 97, (i * 13) % 1009))
+    val df = pts.toDF("g", "x", "y")
+    val a = df.filter($"x" % 2 === 0)
+    val b = df.filter($"x" % 2 === 1)
+    val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val table = s"graft_mom_spec_$salt"
+    val tmp = java.nio.file.Files.createTempDirectory(s"mom_$salt").toString
+    def read() = Moments.statsFromTable(spark, table, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Double]("corr"), r.getAs[Double]("slope"))).sortBy(_._1).toSeq
+    try {
+      Moments.mergeBatch(a, Seq("g"), "x", "y", table, s"$tmp/t", 0L)
+      Moments.mergeBatch(b, Seq("g"), "x", "y", table, s"$tmp/t", 1L)
+      val oneShot = Moments.bivariateStats(df, Seq("g"), "x", "y")
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getAs[Double]("corr"), r.getAs[Double]("slope"))).sortBy(_._1).toSeq
+      assert(read() == oneShot)
+      // replay of an already-landed batch: dynamic overwrite, no doubling
+      Moments.mergeBatch(b, Seq("g"), "x", "y", table, s"$tmp/t", 1L)
+      assert(read() == oneShot)
+      Moments.compactMoments(spark, table, upToBatchId = 1L, Seq("g"))
+      assert(read() == oneShot)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("degenerate groups yield NULL statistics, not NaN") {
     import spark.implicits._
     val df = Seq(("flat_x", 5L, 1L), ("flat_x", 5L, 9L),
