@@ -46,10 +46,14 @@ object PageRank {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // the deduped edge list is read three times (degrees, the join below,
+    // the node set) and its plan is usually expensive (a whole join
+    // pipeline feeding the graph) — materialize it ONCE
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+      .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // one (src, dst, deg) frame for the whole loop — built and shuffled once
     val eDeg = e.join(deg, "src").localCheckpoint(true)
