@@ -65,6 +65,11 @@ object EntityResolution {
   def neighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
                         w: Int): DataFrame = {
     require(w >= 2, s"window must be >= 2, got $w")
+    // consumed twice (probe side + join side) INSIDE one job: the two
+    // subplans are identical, so ReuseExchange computes the rank once —
+    // an eager localCheckpoint here measured SLOWER (extra
+    // materialization job for no avoided work; checkpoint pays only
+    // across separate actions, as in PageRank's loop)
     val ranked = globalRank(df, idCol, keyCol)
       .select(col(idCol).as("id"), col(keyCol).as("key"), col("_rank"))
     val probes = ranked
