@@ -132,6 +132,42 @@ object Kmv {
       df => mergeSketches(df, groupCols :+ "_batch_id", k)
         .select(df.columns.map(col): _*))
 
+  /** The pairwise overlap MATRIX over a keyed sketch frame
+    * (`segCol` + `u`, one sketch per segment) — the workflow the
+    * persisted-sketch pitch rests on, executed: every unordered segment
+    * pair's intersection estimate from k-row frames alone, never a
+    * raw-data rescan. One self equi-join on `u` (candidates), one
+    * broadcast of the per-segment thetas, and a left join back to the
+    * (segments × segments)/2 grid so empty intersections keep their zero
+    * row. Output per pair (seg_a < seg_b): n_cand, theta_long (integer-
+    * exact core) and est_intersect.
+    */
+  def pairwiseIntersections(sk: DataFrame, segCol: String,
+                            k: Int): DataFrame = {
+    val st = sk.groupBy(col(segCol))
+      .agg(count(lit(1)).as("_c"), max(col("u")).as("_uk"))
+      .select(col(segCol).as("_seg"),
+        when(col("_c") < k, lit(ExactTheta)).otherwise(col("_uk")).as("_th"))
+    val pairs = st.select(col("_seg").as("seg_a"), col("_th").as("_tha"))
+      .crossJoin(st.select(col("_seg").as("seg_b"), col("_th").as("_thb")))
+      .filter(col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        least(col("_tha"), col("_thb")).as("theta_long"))
+    val cand = sk.select(col(segCol).as("seg_a"), col("u"))
+      .join(sk.select(col(segCol).as("seg_b"), col("u")), "u")
+      .filter(col("seg_a") < col("seg_b"))
+      .join(broadcast(pairs), Seq("seg_a", "seg_b"))
+      .filter(col("u") < col("theta_long"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("n_cand"))
+    val thetaNorm = when(col("theta_long") === ExactTheta, lit(1.0))
+      .otherwise(col("theta_long").cast("double") / lit(Two63))
+    pairs.join(cand, Seq("seg_a", "seg_b"), "left")
+      .na.fill(0L, Seq("n_cand"))
+      .select(col("seg_a"), col("seg_b"), col("n_cand"), col("theta_long"),
+        (col("n_cand").cast("double") / thetaNorm).as("est_intersect"))
+  }
+
   /** Intersection estimate of two single-set sketch frames (columns:
     * just `u`), k shared. θ = min over both sides (exact-mode sides
     * contribute θ = 1); candidates are the common values below θ;

@@ -286,6 +286,32 @@ object Events {
       estA.crossJoin(estB).crossJoin(inter).crossJoin(exact)
     }),
 
+    // The pairwise overlap MATRIX (Kmv.pairwiseIntersections): all ten
+    // event-type audience overlaps at once from the five persisted-shape
+    // k-row sketches — the "any pair costs two sketch frames" workflow
+    // executed as one self-join, with the exact overlap beside every
+    // estimate. Zero-intersection pairs keep their zero row via the
+    // theta-grid left join.
+    "evt_kmv_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val k = 256
+      val ev = Tables(s, dir, "events")
+        .select($"event_type",
+          expr("user_id * 100000 + unix_micros(ts) div 86400000000").as("ud"))
+      val sk = graft.operators.Kmv.sketch(ev, Seq("event_type"), "ud", k)
+      val mat = graft.operators.Kmv.pairwiseIntersections(sk, "event_type", k)
+      val dist = ev.distinct()
+      val exact = dist.select($"event_type".as("seg_a"), $"ud")
+        .join(dist.select($"event_type".as("seg_b"), $"ud"), "ud")
+        .filter($"seg_a" < $"seg_b")
+        .groupBy($"seg_a", $"seg_b").agg(count(lit(1)).as("exact_overlap"))
+      mat.join(exact, Seq("seg_a", "seg_b"), "left")
+        .na.fill(0L, Seq("exact_overlap"))
+        .select($"seg_a", $"seg_b", $"n_cand", $"theta_long",
+          round($"est_intersect", 4).as("est_overlap"), $"exact_overlap")
+        .orderBy($"seg_a", $"seg_b")
+    }),
+
     // The MAINTAINED KMV sketch table (Kmv.mergeBatch/sketchFromTable —
     // the BatchTables discipline on the theta family): two day-parity
     // batches persist their own bottom-256 sketches, compaction folds
@@ -692,6 +718,55 @@ object Events {
     // maintained-KMV replay: one-shot bottom-256 over the whole click
     // stream — valid as the oracle for the batch-partitioned table
     // because the KMV combine is exactly merge-invariant
+    // matrix replay: the per-type splitmix chain, bottom-256 per type,
+    // theta grid, candidate self-join, exact overlaps beside
+    "evt_kmv_matrix" ->
+      """WITH s0 AS (
+        |  SELECT event_type AS t,
+        |    user_id * 100000 + epoch_us(ts) // 86400000000 AS vc
+        |  FROM events),
+        |k0 AS (SELECT t, vc::HUGEINT AS k FROM s0),
+        |x0 AS (SELECT t,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM k0),
+        |z1 AS (
+        |  SELECT t, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT t, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |zf AS (SELECT t, xor(z, z >> 31) AS h FROM z2),
+        |ud AS (SELECT DISTINCT t, (h >> 1)::BIGINT AS u FROM zf),
+        |rk AS (SELECT t, u, row_number() OVER (PARTITION BY t ORDER BY u) AS r
+        |       FROM ud),
+        |sk AS (SELECT t, u FROM rk WHERE r <= 256),
+        |st AS (SELECT t, CASE WHEN count(*) < 256 THEN 9223372036854775807
+        |         ELSE max(u) END AS th FROM sk GROUP BY t),
+        |pairs AS (SELECT a.t AS seg_a, b.t AS seg_b,
+        |            least(a.th, b.th) AS theta_long
+        |          FROM st a JOIN st b ON a.t < b.t),
+        |cand AS (SELECT a.t AS seg_a, b.t AS seg_b, count(*) AS n_cand
+        |         FROM sk a JOIN sk b ON a.u = b.u AND a.t < b.t
+        |         JOIN pairs p ON p.seg_a = a.t AND p.seg_b = b.t
+        |         WHERE a.u < p.theta_long GROUP BY 1, 2),
+        |exd AS (SELECT DISTINCT t, vc FROM s0),
+        |ex AS (SELECT a.t AS seg_a, b.t AS seg_b, count(*) AS exact_overlap
+        |       FROM exd a JOIN exd b ON a.vc = b.vc AND a.t < b.t
+        |       GROUP BY 1, 2)
+        |SELECT p.seg_a, p.seg_b, coalesce(n_cand, 0) AS n_cand, p.theta_long,
+        |  round(coalesce(n_cand, 0)::DOUBLE /
+        |    (CASE WHEN p.theta_long = 9223372036854775807 THEN 1.0
+        |     ELSE p.theta_long::DOUBLE / 9223372036854775808.0 END), 4)
+        |    AS est_overlap,
+        |  coalesce(exact_overlap, 0) AS exact_overlap
+        |FROM pairs p LEFT JOIN cand USING (seg_a, seg_b)
+        |LEFT JOIN ex USING (seg_a, seg_b)
+        |ORDER BY seg_a, seg_b""".stripMargin,
+
     "evt_kmv_state" ->
       """WITH s0 AS (
         |  SELECT user_id * 100000 + epoch_us(ts) // 86400000000 AS vc

@@ -108,6 +108,28 @@ class KmvSpec extends AnyFunSuite {
       s"est=$est expected ~2000")
   }
 
+  test("pairwise matrix covers every unordered pair, zero rows kept") {
+    import spark.implicits._
+    // a∩b = 5000, a∩c = 0, b∩c = 2000
+    val rows = (0L until 20000L).map(("a", _)) ++
+      (15000L until 35000L).map(("b", _)) ++
+      (33000L until 50000L).map(("c", _))
+    val sk = Kmv.sketch(rows.toDF("seg", "v"), Seq("seg"), "v", k = 256)
+    val got = Kmv.pairwiseIntersections(sk, "seg", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_cand"), r.getAs[Double]("est_intersect"))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(math.abs(got(("a", "b"))._2 - 5000.0) / 5000.0 < 0.5)
+    assert(got(("a", "c")) == (0L, 0.0))
+    assert(math.abs(got(("b", "c"))._2 - 2000.0) / 2000.0 < 0.6)
+    // matrix pair (a,b) must equal the two-frame intersectEstimate
+    val two = Kmv.intersectEstimate(
+      sk.filter($"seg" === "a").select($"u"),
+      sk.filter($"seg" === "b").select($"u"), k = 256).head
+    assert(got(("a", "b"))._1 == two.getAs[Long]("n_cand"))
+    assert(got(("a", "b"))._2 == two.getAs[Double]("est_intersect"))
+  }
+
   test("exact-mode sides intersect exactly") {
     import spark.implicits._
     val a = (0L until 100L).toDF("v")
