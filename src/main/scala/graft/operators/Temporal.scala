@@ -137,6 +137,48 @@ object Temporal {
       .select(col("_l.*") +: Seq(col("_asof").as(asCol)): _*)
   }
 
+  /** Skew-resistant FORWARD as-of join: identical semantics (and output)
+    * to [[asofJoinForward]], partitioned by (key, time bucket) — the
+    * mirror of [[asofJoinBackwardSalted]]: phase 1 runs the running-first
+    * window within each bucket; phase 2 takes each bucket's FIRST right
+    * row (`min_by` over (ts, tie) — the same winner the running window
+    * picks) and carries the earliest FOLLOWING anchor backward across the
+    * per-key bucket sequence; left rows with no in-bucket match coalesce
+    * to the carry-in from later buckets.
+    */
+  def asofJoinForwardSalted(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String, rightTie: String,
+                            bucketMicros: Long,
+                            asCol: String = "asof"): DataFrame = {
+    require(bucketMicros >= 1, s"bucketMicros must be >= 1, got $bucketMicros")
+    val l = left.select(col(key).as("_k"), col(leftTs).as("_ts"),
+      struct(left.columns.map(col): _*).as("_l"))
+      .withColumn("_side", lit(0))
+      .withColumn("_tie", lit(null).cast(right.schema(rightTie).dataType))
+    val r = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
+      col(rightTie).as("_tie"),
+      struct(right.columns.map(col): _*).as("_r"))
+      .withColumn("_side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_b", floor(unix_micros(col("_ts")) / bucketMicros))
+    val wLocal = Window.partitionBy("_k", "_b")
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val local = u.withColumn("_local",
+      first(col("_r"), ignoreNulls = true).over(wLocal))
+    val anchors = u.groupBy(col("_k"), col("_b"))
+      .agg(min_by(col("_r"), when(col("_side") === 1,
+        struct(col("_ts"), col("_tie")))).as("_anchor"))
+    val wNext = Window.partitionBy("_k").orderBy("_b")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carries = anchors
+      .withColumn("_carry", first(col("_anchor"), ignoreNulls = true).over(wNext))
+      .select(col("_k"), col("_b"), col("_carry"))
+    local.filter(col("_side") === 0)
+      .join(carries, Seq("_k", "_b"))
+      .select(col("_l.*") +: Seq(coalesce(col("_local"), col("_carry")).as(asCol)): _*)
+  }
+
   /** Per-key sessionization: adds `_session` (1-based running session index
     * within the key) — a new session starts when the gap to the previous
     * event exceeds `gapMicros`. Order within a key is (ts, tie), so ties

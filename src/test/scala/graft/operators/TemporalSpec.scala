@@ -246,6 +246,27 @@ class TemporalSpec extends AnyFunSuite {
       s"one bucket still holds most of the hot key: ${units.max} of ${units.sum}")
   }
 
+  test("salted FORWARD asof join == plain forward asof on the hot-key corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def rows(n: Int, base: Long) = (0 until n).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 0L else 1L + rnd.nextInt(5)
+      (base + i, k, rnd.nextInt(100000).toLong)
+    }
+    val left = rows(400, 0).toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val right = rows(300, 10000).toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"asof.event_id".as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val plain = key(Temporal.asofJoinForward(left, right, "user_id",
+      "ts", "ts", "event_id"))
+    val salted = key(Temporal.asofJoinForwardSalted(left, right, "user_id",
+      "ts", "ts", "event_id", bucketMicros = 10000L))
+    assert(salted == plain)
+  }
+
   test("salted sessionIndex == plain sessionIndex on skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
