@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift audit between two snapshots of a dataset — the
+  * monitoring step a training-data pipeline runs between crawl/corpus
+  * versions ("did the value distribution move? did the language mix
+  * shift? did a category appear or vanish?") before committing a new
+  * snapshot to training.
+  *
+  * Shape: both snapshots collapse to per-group count frames first — the
+  * [[Quantiles]] log-bucketed histogram for numeric columns, plain
+  * category counts for categorical ones — and every statistic is then
+  * computed OVER THE COUNT FRAMES (≤ groups × 64·2^m rows, never data
+  * rows). Comparing two 100 TB snapshots costs two histogram scans with
+  * map-side combine plus a sketch-sized join; histograms maintained by
+  * [[Quantiles.mergeBatch]] feed the same comparison without any rescan.
+  *
+  * Statistics, chosen for the repo's exactness discipline (integer
+  * numerators over a common denominator — no order-sensitive float
+  * accumulation in anything gated un-rounded):
+  *
+  *  - Kolmogorov–Smirnov D = max_i |cdfA(i) − cdfB(i)|, computed as the
+  *    exact BIGINT `ks_num` = max |cumA_i·nB − cumB_i·nA| with the single
+  *    IEEE division by nA·nB deferred to the end. Ordered (numeric)
+  *    domains only.
+  *  - Total variation TV = ½ Σ_i |pA_i − pB_i|, as the exact BIGINT
+  *    `tv_num` = Σ |cntA_i·nB − cntB_i·nA| over 2·nA·nB.
+  *  - Population stability index PSI = Σ (pA_i − pB_i)·ln(pA_i/pB_i)
+  *    with half-count Laplace smoothing (pX_i = (cntX_i + ½)/(nX + K/2),
+  *    K = union bucket count) so empty buckets are finite — the industry
+  *    drift score, kept DOUBLE: `ln` is only 1-ulp-bounded (not correctly
+  *    rounded) and the bucket sum is order-sensitive, so gated queries
+  *    round it (the [[Hll]] estimator precedent) instead of hashing raw
+  *    bits.
+  *
+  * Overflow bound: the numerators multiply a per-bucket count by the
+  * other side's total — |d_i| ≤ 2·nA·nB must stay under 2^63, which
+  * holds to ~2·10^9 rows PER GROUP per side. Beyond that (a single
+  * group holding >2B rows), pre-shard the group or lift the products to
+  * DECIMAL(38,0); the statistics themselves remain exact either way.
+  */
+object Drift {
+
+  /** Numeric drift per group: histogram both sides with the same
+    * [[Quantiles.bucketOf]] layout (positive longs — callers pre-scale,
+    * e.g. cents), then KS + TV + PSI over the joined count frames.
+    * Output per group: `n_a, n_b, buckets, ks_num, ks, tv_num, tv, psi`.
+    */
+  def histogramDrift(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                     valueCol: String,
+                     m: Int = Quantiles.DefaultSubBucketBits): DataFrame =
+    driftFromCounts(
+      Quantiles.histogram(a, groupCols, valueCol, m),
+      Quantiles.histogram(b, groupCols, valueCol, m),
+      groupCols, keyCol = "bucket", ordered = true)
+
+  /** Categorical drift per group (language mix, source mix, label
+    * spread): category-count both sides, then TV + PSI plus the census
+    * columns `cats_added` / `cats_removed` (categories seen only in B /
+    * only in A — the "a new language appeared in the crawl" alarm).
+    * No KS: category domains carry no order. NULL categories are
+    * excluded, mirroring `GROUP BY` count semantics on the raw column.
+    */
+  def categoryDrift(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                    catCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .groupBy((groupCols :+ catCol).map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+    driftFromCounts(counts(a), counts(b), groupCols, keyCol = catCol,
+      ordered = false)
+  }
+
+  /** The shared comparison over two per-group count frames (`groupCols`,
+    * `keyCol`, `cnt`): full-outer join on (group, key), zero-fill, then
+    * the drift statistics over the joined sketch-sized frame. Windows
+    * here run over count rows — bounded by the histogram/category
+    * domain, never by data size (the [[Quantiles.quantilesFromHistogram]]
+    * argument). Groups present on only one side yield NULL statistics
+    * (nothing to compare against) rather than a division by zero.
+    */
+  def driftFromCounts(countsA: DataFrame, countsB: DataFrame,
+                      groupCols: Seq[String], keyCol: String,
+                      ordered: Boolean): DataFrame = {
+    require(groupCols.nonEmpty,
+      "need at least one group column (a global audit can group by a literal)")
+    val keyAll = groupCols :+ keyCol
+    val joined = countsA.withColumnRenamed("cnt", "cnt_a")
+      .join(countsB.withColumnRenamed("cnt", "cnt_b"), keyAll, "full_outer")
+      .select(keyAll.map(col) :+
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a") :+
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"): _*)
+
+    val grp = Window.partitionBy(groupCols.map(col): _*)
+    val nA = sum(col("cnt_a")).over(grp)
+    val nB = sum(col("cnt_b")).over(grp)
+    val k = count(lit(1)).over(grp)
+    // exact integer per-bucket deviation: cnt_a·nB − cnt_b·nA
+    val d = col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a")
+    // smoothed probabilities for PSI (K/2 total mass added per side)
+    def p(cnt: Column, n: Column): Column =
+      (cnt.cast("double") * 2d + 1d) / (n.cast("double") * 2d + col("k").cast("double"))
+    val pA = p(col("cnt_a"), col("n_a"))
+    val pB = p(col("cnt_b"), col("n_b"))
+
+    val withTotals = joined
+      .withColumn("n_a", nA).withColumn("n_b", nB).withColumn("k", k)
+      .withColumn("d", d)
+    val withCum =
+      if (ordered)
+        withTotals.withColumn("ks_row",
+          abs(sum(col("d")).over(grp.orderBy(col(keyCol)))))
+      else withTotals.withColumn("ks_row", lit(null).cast("long"))
+
+    val den = col("n_a").cast("double") * col("n_b").cast("double")
+    val bothSides = col("n_a") > 0 && col("n_b") > 0
+    val base = withCum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("buckets"),
+        max(col("ks_row")).as("ks_num"),
+        sum(abs(col("d"))).as("tv_num"),
+        sum((pA - pB) * (log(pA) - log(pB))).as("psi_raw"),
+        sum(when(col("cnt_a") === 0, 1L).otherwise(0L)).as("cats_added"),
+        sum(when(col("cnt_b") === 0, 1L).otherwise(0L)).as("cats_removed"))
+    val ksCols =
+      if (ordered) Seq(col("ks_num"),
+        when(bothSides, col("ks_num").cast("double") / den).as("ks"))
+      else Seq.empty[Column]
+    val censusCols =
+      if (ordered) Seq.empty[Column]
+      else Seq(col("cats_added"), col("cats_removed"))
+    base.select(groupCols.map(col) ++
+      Seq(col("n_a"), col("n_b"), col("buckets")) ++ ksCols ++
+      Seq(col("tv_num"),
+        when(bothSides, col("tv_num").cast("double") / (den * 2d)).as("tv"),
+        when(bothSides, col("psi_raw")).as("psi")) ++ censusCols: _*)
+  }
+}

@@ -197,4 +197,38 @@ object Kmv {
       .select(col("n_cand"), col("theta_long"),
         (col("n_cand").cast("double") / thetaNorm).as("est_intersect"))
   }
+
+  /** A-not-B difference estimate — the third theta-sketch set operation
+    * (union = [[mergeSketches]], intersection = [[intersectEstimate]]):
+    * est |A \ B| from the two sketches alone. Same construction as the
+    * intersection — θ = min(θ_A, θ_B), then count A's retained values
+    * below θ that B does NOT hold (an anti-join of two k-row frames) and
+    * divide by θ_norm. Valid for the same reason the intersection is:
+    * below min-θ BOTH sketches hold their side's complete hashed sample,
+    * so "in A's sample and absent from B's sample" ⇔ "in A \ B and
+    * sampled". Error scales with the difference's own sample. Output one
+    * row: (n_cand BIGINT, theta_long BIGINT, est_diff DOUBLE); exact
+    * mode (both sides under k) degrades to the exact |A \ B|.
+    */
+  def differenceEstimate(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
+    def thetaOf(sk: DataFrame): DataFrame =
+      sk.agg(count(lit(1)).as("_c"), max(col("u")).as("_uk"))
+        .select(when(col("_c") < k, lit(ExactTheta))
+          .otherwise(col("_uk")).as("_th"))
+    val theta = thetaOf(skA).crossJoin(thetaOf(skB).withColumnRenamed("_th", "_thb"))
+      .select(least(col("_th"), col("_thb")).as("theta_long"))
+    val thetaNorm = when(col("theta_long") === ExactTheta, lit(1.0))
+      .otherwise(col("theta_long").cast("double") / lit(Two63))
+    skA.select(col("u"))
+      .join(skB.select(col("u")), Seq("u"), "left_anti")
+      .crossJoin(broadcast(theta))
+      .filter(col("u") < col("theta_long"))
+      .groupBy(col("theta_long"))
+      .agg(count(lit(1)).as("n_cand"))
+      .unionByName(theta.select(col("theta_long"), lit(0L).as("n_cand")))
+      .groupBy(col("theta_long"))
+      .agg(max(col("n_cand")).as("n_cand"))
+      .select(col("n_cand"), col("theta_long"),
+        (col("n_cand").cast("double") / thetaNorm).as("est_diff"))
+  }
 }

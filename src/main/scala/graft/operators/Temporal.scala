@@ -256,6 +256,26 @@ object Temporal {
         col("session.end").as("session_end"),
         col("n_events"), col("first_ts"), col("last_ts"))
 
+  /** Hopping (sliding) event-time windows beside [[sessionAggregate]]'s
+    * gap windows and WindowedRules' tumbling ones: per (key, window
+    * start) count + sum over epoch-aligned windows of `windowLen` every
+    * `slide` — "events and revenue over the trailing hour, refreshed
+    * every 15 minutes". Built on native `window()`, so the IDENTICAL
+    * call runs under Structured Streaming (append mode once the
+    * watermark passes a window's end — tested) and batch; each row
+    * fans out to windowLen/slide windows inside the codegen'd
+    * generator, then one shuffle on (key, window). The fan-out factor
+    * is the overlap count — fixed by the chosen geometry, independent
+    * of data size.
+    */
+  def hoppingAggregate(df: DataFrame, key: String, tsCol: String,
+                       value: Column, windowLen: String,
+                       slide: String): DataFrame =
+    df.groupBy(window(col(tsCol), windowLen, slide), col(key))
+      .agg(count(lit(1)).as("n"), sum(value).as("val_sum"))
+      .select(col(key), col("window.start").as("win_start"),
+        col("n"), col("val_sum"))
+
   /** Range-count: for each left row, how many right rows share the key with
     * `rightTs` in `[leftTs - windowMicros, leftTs)`. The key equality keeps
     * this a hash/sort-merge join (the range is a post-join filter), never a

@@ -325,6 +325,28 @@ object Curation {
         .select($"id_sub", $"id_sup", round($"containment", 6).as("containment"))
         .orderBy($"id_sub", $"id_sup")
     }),
+
+    // Categorical drift audit (operators.Drift.categoryDrift): the
+    // language mix per source between two corpus snapshots (md5-parity
+    // halves as stand-ins — NOT doc-id parity, which in this data is
+    // perfectly correlated with source and leaves every group one-sided)
+    // — TV over exact integer numerators (gated raw), PSI over
+    // half-count-smoothed shares (rounded 6), and the cats_added/
+    // cats_removed census: the "a language appeared in / vanished from
+    // this source's crawl" alarm a mix-rebalancing step (doc_mix_*)
+    // needs before reweighting.
+    "doc_drift_lang" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val half = substring(
+        md5(concat(lit("drift:"), $"doc_id".cast("string"))), 1, 1) < "8"
+      graft.operators.Drift
+        .categoryDrift(docs.filter(half), docs.filter(!half),
+          Seq("source"), "lang")
+        .select($"source", $"n_a", $"n_b", $"buckets", $"tv_num", $"tv",
+          round($"psi", 6).as("psi"), $"cats_added", $"cats_removed")
+        .orderBy($"source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -731,5 +753,44 @@ object Curation {
         |SELECT id_sub, id_sup, round(n_shared::DOUBLE / sz_sub, 6) AS containment
         |FROM p WHERE n_shared::DOUBLE / sz_sub >= 0.8
         |ORDER BY id_sub, id_sup""".stripMargin,
+
+    // Categorical-drift replay: both snapshots pivoted from one scan
+    // (equals Drift's full-outer join + zero-fill), then the identical
+    // integer TV numerator and the identical smoothed-PSI expression
+    // (ln + order-sensitive sum → round 6; tv gated raw — exact BIGINT
+    // operands, one IEEE division chain).
+    "doc_drift_lang" ->
+      """WITH d0 AS (SELECT source, lang,
+        |              CASE WHEN substring(md5('drift:' || doc_id::VARCHAR),
+        |                1, 1) < '8' THEN 0 ELSE 1 END AS side
+        |            FROM documents WHERE lang IS NOT NULL),
+        |h AS (SELECT source, lang,
+        |        sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+        |        sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt_b
+        |      FROM d0 GROUP BY 1, 2),
+        |t AS (SELECT source, lang, cnt_a, cnt_b,
+        |        sum(cnt_a) OVER (PARTITION BY source) AS n_a,
+        |        sum(cnt_b) OVER (PARTITION BY source) AS n_b,
+        |        count(*) OVER (PARTITION BY source) AS k FROM h),
+        |u AS (SELECT *, cnt_a * n_b - cnt_b * n_a AS d,
+        |        (cnt_a::DOUBLE * 2 + 1)
+        |          / (n_a::BIGINT::DOUBLE * 2 + k::DOUBLE) AS pa,
+        |        (cnt_b::DOUBLE * 2 + 1)
+        |          / (n_b::BIGINT::DOUBLE * 2 + k::DOUBLE) AS pb
+        |      FROM t),
+        |g AS (SELECT source,
+        |        max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+        |        count(*)::BIGINT AS buckets,
+        |        sum(abs(d))::BIGINT AS tv_num,
+        |        sum((pa - pb) * (ln(pa) - ln(pb))) AS psi_raw,
+        |        sum(CASE WHEN cnt_a = 0 THEN 1 ELSE 0 END)::BIGINT AS cats_added,
+        |        sum(CASE WHEN cnt_b = 0 THEN 1 ELSE 0 END)::BIGINT AS cats_removed
+        |      FROM u GROUP BY 1)
+        |SELECT source, n_a, n_b, buckets, tv_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    tv_num::DOUBLE / ((n_a::DOUBLE * n_b::DOUBLE) * 2) END AS tv,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(psi_raw, 6) END AS psi,
+        |  cats_added, cats_removed
+        |FROM g ORDER BY source""".stripMargin,
   )
 }

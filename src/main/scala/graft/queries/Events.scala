@@ -286,6 +286,30 @@ object Events {
       estA.crossJoin(estB).crossJoin(inter).crossJoin(exact)
     }),
 
+    // A-not-B set difference (Kmv.differenceEstimate) — click-days with
+    // no purchase that day: the audience-subtraction question
+    // ("engaged but didn't convert") answered from the two persisted
+    // k-row sketches alone, completing the theta set algebra
+    // (union/intersection/difference). Anti-join of two 256-row frames;
+    // exact |A \ B| beside the estimate inside the gate.
+    "evt_kmv_diff" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val k = 256
+      val ud = expr("user_id * 100000 + unix_micros(ts) div 86400000000")
+      val clicks = ev.filter($"event_type" === "click").select(ud.as("ud"))
+      val buys = ev.filter($"event_type" === "purchase").select(ud.as("ud"))
+      val ska = graft.operators.Kmv.sketch(clicks, Nil, "ud", k)
+      val skb = graft.operators.Kmv.sketch(buys, Nil, "ud", k)
+      val diff = graft.operators.Kmv.differenceEstimate(ska, skb, k)
+        .select($"n_cand", $"theta_long",
+          round($"est_diff", 4).as("est_diff_days"))
+      val exact = clicks.distinct()
+        .join(buys.distinct(), Seq("ud"), "left_anti")
+        .agg(count(lit(1)).as("exact_diff"))
+      diff.crossJoin(exact)
+    }),
+
     // The pairwise overlap MATRIX (Kmv.pairwiseIntersections): all ten
     // event-type audience overlaps at once from the five persisted-shape
     // k-row sketches — the "any pair costs two sketch frames" workflow
@@ -559,6 +583,48 @@ object Events {
           $"cents", $"n_obs")
         .orderBy($"user_id", $"day_bin")
     }),
+
+    // Hopping-window volume (operators.Temporal.hoppingAggregate over
+    // native window()): count + cents revenue per event type over
+    // epoch-aligned 1-hour windows sliding every 15 minutes — each event
+    // lands in exactly 4 windows. The oracle replays Spark's window
+    // assignment rule (start = floor(t/slide)·slide − i·slide,
+    // i < len/slide) with a 4-row fan-out join, so the windowing
+    // semantics themselves sit under the hash, and the same call emits
+    // in streaming append mode (TemporalSpec).
+    "evt_hopping_volume" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .withColumn("cents", floor($"value" * 100).cast("long"))
+      graft.operators.Temporal
+        .hoppingAggregate(ev, "event_type", "ts", $"cents",
+          "1 hour", "15 minutes")
+        .withColumnRenamed("val_sum", "cents")
+        .orderBy($"event_type", $"win_start")
+    }),
+
+    // Distribution-drift audit (operators.Drift): the cents-value
+    // distribution per event type, first half of January vs second —
+    // the "did this week's data move?" monitor between corpus/stream
+    // snapshots. KS and TV ride exact BIGINT numerators over the shared
+    // Quantiles bucket layout (one IEEE division each — gated RAW, no
+    // rounding); PSI is the industry drift score over half-count-smoothed
+    // bucket probabilities, rounded to 6 because ln() is only
+    // 1-ulp-bounded across engines and the bucket sum is order-sensitive
+    // (the HLL-estimator precedent).
+    "evt_drift_value" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").filter($"value".isNotNull)
+        .withColumn("v", floor($"value" * 100).cast("long"))
+        .filter($"v" >= 1)
+      val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.operators.Drift
+        .histogramDrift(ev.filter($"ts" < mid), ev.filter($"ts" >= mid),
+          Seq("event_type"), "v")
+        .select($"event_type", $"n_a", $"n_b", $"buckets",
+          $"ks_num", $"ks", $"tv_num", $"tv", round($"psi", 6).as("psi"))
+        .orderBy($"event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -714,6 +780,62 @@ object Events {
         |    AS est_overlap_days,
         |  n_cand, exact_overlap
         |FROM piv, cand, th, ex""".stripMargin,
+
+    // A-not-B replay: identical splitmix chain and bottom-256 sketches,
+    // candidates = A's values below min-theta ANTI-joined against B,
+    // exact |A \ B| from the raw distinct sets beside
+    "evt_kmv_diff" ->
+      """WITH s0 AS (
+        |  SELECT 'a' AS t, user_id * 100000 + epoch_us(ts) // 86400000000 AS vc
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'b', user_id * 100000 + epoch_us(ts) // 86400000000
+        |  FROM events WHERE event_type = 'purchase'),
+        |k0 AS (SELECT t, vc::HUGEINT AS k FROM s0),
+        |x0 AS (SELECT t,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM k0),
+        |z1 AS (
+        |  SELECT t, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT t, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |zf AS (SELECT t, xor(z, z >> 31) AS h FROM z2),
+        |ud AS (SELECT DISTINCT t, (h >> 1)::BIGINT AS u FROM zf),
+        |rk AS (SELECT t, u, row_number() OVER (PARTITION BY t ORDER BY u) AS r
+        |       FROM ud),
+        |sk AS (SELECT t, u FROM rk WHERE r <= 256),
+        |st AS (SELECT t, count(*) AS c, max(u) AS uk FROM sk GROUP BY t),
+        |th AS (SELECT least(
+        |    max(CASE WHEN t = 'a' THEN CASE WHEN c < 256
+        |        THEN 9223372036854775807 ELSE uk END END),
+        |    max(CASE WHEN t = 'b' THEN CASE WHEN c < 256
+        |        THEN 9223372036854775807 ELSE uk END END)) AS theta_long
+        |  FROM st),
+        |cand AS (SELECT count(*) AS n_cand FROM
+        |  (SELECT u FROM sk WHERE t = 'a') a, th
+        |  WHERE u < theta_long
+        |    AND NOT EXISTS (SELECT 1 FROM sk b
+        |                    WHERE b.t = 'b' AND b.u = a.u)),
+        |ex AS (SELECT count(*) AS exact_diff FROM
+        |  (SELECT DISTINCT user_id * 100000 + epoch_us(ts) // 86400000000 AS ud
+        |   FROM events WHERE event_type = 'click') ca
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT DISTINCT user_id * 100000
+        |        + epoch_us(ts) // 86400000000 AS ud
+        |      FROM events WHERE event_type = 'purchase') pb
+        |    WHERE pb.ud = ca.ud))
+        |SELECT n_cand::BIGINT AS n_cand, theta_long,
+        |  round(n_cand::DOUBLE / (CASE WHEN theta_long = 9223372036854775807
+        |    THEN 1.0 ELSE theta_long::DOUBLE / 9223372036854775808.0 END), 4)
+        |    AS est_diff_days,
+        |  exact_diff::BIGINT AS exact_diff
+        |FROM cand, th, ex""".stripMargin,
 
     // maintained-KMV replay: one-shot bottom-256 over the whole click
     // stream — valid as the oracle for the batch-partitioned table
@@ -1155,5 +1277,73 @@ object Events {
         |  count(*)::BIGINT AS n_users
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Hopping-window replay: Spark assigns an event at t to the
+    // len/slide = 4 epoch-aligned starts floor(t/slide)·slide − i·slide;
+    // a VALUES fan-out join states the same rule. sum(cents) cast back
+    // to BIGINT (DuckDB widens to HUGEINT — the round-9 lesson).
+    "evt_hopping_volume" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |w AS (SELECT event_type, cents,
+        |        ((t // 900000000) - i) * 900000000 AS ws
+        |      FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(i))
+        |SELECT event_type, make_timestamp(ws) AS win_start,
+        |  count(*)::BIGINT AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Drift replay: the Quantiles bucket layout (bit length + shifts —
+    // the evt_quantile_sketch CTE), both sides pivoted from one scan
+    // (equals the full-outer join + zero-fill exactly), then the same
+    // integer numerators and the same IEEE expressions. ks/tv are gated
+    // RAW — exact BIGINT operands through one correctly-rounded division
+    // chain each; psi replays the half-count smoothing and rounds to 6
+    // (ln is 1-ulp-bounded, the sum order-sensitive).
+    "evt_drift_value" ->
+      """WITH v0 AS (SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |vv AS (SELECT event_type,
+        |         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |              THEN 0 ELSE 1 END AS side, v
+        |       FROM v0 WHERE v >= 1),
+        |b AS (SELECT event_type, side, v, (length(bin(v)) - 1) AS e FROM vv),
+        |bk AS (SELECT event_type, side,
+        |  (e::BIGINT << 5) + CASE WHEN e >= 5
+        |     THEN (v - (1::BIGINT << e)) // (1::BIGINT << (e - 5))
+        |     ELSE ((v - (1::BIGINT << e)) << 5) // (1::BIGINT << e) END AS bucket
+        |  FROM b),
+        |h AS (SELECT event_type, bucket,
+        |        sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+        |        sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt_b
+        |      FROM bk GROUP BY 1, 2),
+        |t AS (SELECT event_type, bucket, cnt_a, cnt_b,
+        |        sum(cnt_a) OVER (PARTITION BY event_type) AS n_a,
+        |        sum(cnt_b) OVER (PARTITION BY event_type) AS n_b,
+        |        count(*) OVER (PARTITION BY event_type) AS k FROM h),
+        |u AS (SELECT event_type, bucket, cnt_a, cnt_b, n_a, n_b, k,
+        |        cnt_a * n_b - cnt_b * n_a AS d,
+        |        (cnt_a::DOUBLE * 2 + 1)
+        |          / (n_a::BIGINT::DOUBLE * 2 + k::DOUBLE) AS pa,
+        |        (cnt_b::DOUBLE * 2 + 1)
+        |          / (n_b::BIGINT::DOUBLE * 2 + k::DOUBLE) AS pb
+        |      FROM t),
+        |w AS (SELECT *, abs(sum(d) OVER (PARTITION BY event_type
+        |                                 ORDER BY bucket)) AS ks_row FROM u),
+        |g AS (SELECT event_type,
+        |        max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+        |        count(*)::BIGINT AS buckets,
+        |        max(ks_row)::BIGINT AS ks_num,
+        |        sum(abs(d))::BIGINT AS tv_num,
+        |        sum((pa - pb) * (ln(pa) - ln(pb))) AS psi_raw
+        |      FROM w GROUP BY 1)
+        |SELECT event_type, n_a, n_b, buckets, ks_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    ks_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE) END AS ks,
+        |  tv_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    tv_num::DOUBLE / ((n_a::DOUBLE * n_b::DOUBLE) * 2) END AS tv,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(psi_raw, 6) END AS psi
+        |FROM g ORDER BY event_type""".stripMargin,
   )
 }

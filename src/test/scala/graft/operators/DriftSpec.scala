@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Scalar replica of Quantiles.bucketOf for the reference model. */
+  private def bucketOf(v: Long, m: Int = 5): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val p = 1L << e
+    val sub = if (e >= m) (v - p) / (1L << (e - m)) else ((v - p) << m) / p
+    (e.toLong << m) + sub
+  }
+
+  /** Scalar KS/TV reference over two value lists (single group). */
+  private def refStats(a: Seq[Long], b: Seq[Long]): (Long, Long, Long) = {
+    val ca = a.groupBy(bucketOf(_)).view.mapValues(_.size.toLong).toMap
+    val cb = b.groupBy(bucketOf(_)).view.mapValues(_.size.toLong).toMap
+    val keys = (ca.keySet ++ cb.keySet).toSeq.sorted
+    val (nA, nB) = (a.size.toLong, b.size.toLong)
+    var cumA = 0L; var cumB = 0L; var ks = 0L; var tv = 0L
+    keys.foreach { k =>
+      val (xa, xb) = (ca.getOrElse(k, 0L), cb.getOrElse(k, 0L))
+      cumA += xa; cumB += xb
+      ks = math.max(ks, math.abs(cumA * nB - cumB * nA))
+      tv += math.abs(xa * nB - xb * nA)
+    }
+    (ks, tv, keys.size.toLong)
+  }
+
+  test("histogramDrift matches the scalar KS/TV reference exactly") {
+    import spark.implicits._
+    val a = (1L to 4000L).map(i => ("g", (i * 7) % 1000 + 1))
+    val b = (1L to 3000L).map(i => ("g", (i * i) % 1500 + 1))
+    val got = Drift.histogramDrift(a.toDF("g", "v"), b.toDF("g", "v"),
+      Seq("g"), "v").head
+    val (ks, tv, k) = refStats(a.map(_._2), b.map(_._2))
+    assert(got.getAs[Long]("n_a") == 4000L)
+    assert(got.getAs[Long]("n_b") == 3000L)
+    assert(got.getAs[Long]("buckets") == k)
+    assert(got.getAs[Long]("ks_num") == ks)
+    assert(got.getAs[Long]("tv_num") == tv)
+    assert(got.getAs[Double]("ks") == ks.toDouble / (4000d * 3000d))
+    assert(got.getAs[Double]("tv") == tv.toDouble / (4000d * 3000d * 2d))
+    assert(got.getAs[Double]("psi") > 0d)
+  }
+
+  test("identical snapshots drift by exactly zero (psi included)") {
+    import spark.implicits._
+    val x = (1L to 2000L).map(i => (s"g${i % 3}", i % 500 + 1)).toDF("g", "v")
+    val rows = Drift.histogramDrift(x, x, Seq("g"), "v").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ks_num") == 0L)
+      assert(r.getAs[Long]("tv_num") == 0L)
+      // equal counts and totals: every smoothed pA == pB, terms exactly 0
+      assert(r.getAs[Double]("psi") == 0d)
+    }
+  }
+
+  test("disjoint supports saturate: ks = 1, tv = 1") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => ("g", i)).toDF("g", "v")
+    val b = (1L to 200L).map(i => ("g", i + 1000000L)).toDF("g", "v")
+    val r = Drift.histogramDrift(a, b, Seq("g"), "v").head
+    assert(r.getAs[Long]("ks_num") == 100L * 200L)
+    assert(r.getAs[Long]("tv_num") == 2L * 100L * 200L)
+    assert(r.getAs[Double]("ks") == 1d)
+    assert(r.getAs[Double]("tv") == 1d)
+  }
+
+  test("a group present on one side only yields NULL statistics, not a division") {
+    import spark.implicits._
+    val a = Seq(("only_a", 5L), ("both", 9L)).toDF("g", "v")
+    val b = Seq(("both", 9L)).toDF("g", "v")
+    val rows = Drift.histogramDrift(a, b, Seq("g"), "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(rows("only_a").getAs[Long]("n_b") == 0L)
+    assert(rows("only_a").isNullAt(rows("only_a").fieldIndex("ks")))
+    assert(rows("only_a").isNullAt(rows("only_a").fieldIndex("tv")))
+    assert(rows("only_a").isNullAt(rows("only_a").fieldIndex("psi")))
+    assert(rows("both").getAs[Long]("tv_num") == 0L)
+  }
+
+  test("categoryDrift: census columns and NULL-category exclusion") {
+    import spark.implicits._
+    val a = Seq(("s", "en"), ("s", "en"), ("s", "de"), ("s", null)).toDF("g", "c")
+    val b = Seq(("s", "en"), ("s", "fr"), ("s", "fr")).toDF("g", "c")
+    val r = Drift.categoryDrift(a, b, Seq("g"), "c").head
+    assert(r.getAs[Long]("n_a") == 3L) // NULL category excluded
+    assert(r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("buckets") == 3L) // en, de, fr
+    assert(r.getAs[Long]("cats_added") == 1L) // fr
+    assert(r.getAs[Long]("cats_removed") == 1L) // de
+    // tv_num: en |2*3-1*3|=3, de |1*3-0|=3, fr |0-2*3|=6 → 12
+    assert(r.getAs[Long]("tv_num") == 12L)
+    assert(r.getAs[Double]("tv") == 12d / (3d * 3d * 2d))
+    assert(r.getAs[Double]("psi") > 0d && !r.getAs[Double]("psi").isInfinite)
+  }
+
+  test("integer statistics are layout-invariant; psi stable to float-sum order") {
+    import spark.implicits._
+    val a = (0L until 30000L).map(i => (s"g${i % 4}", (i * 13) % 3000 + 1)).toDF("g", "v")
+    val b = (0L until 20000L).map(i => (s"g${i % 4}", (i * 29) % 4000 + 1)).toDF("g", "v")
+    def run(pa: org.apache.spark.sql.DataFrame, pb: org.apache.spark.sql.DataFrame) =
+      Drift.histogramDrift(pa, pb, Seq("g"), "v").collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("ks_num"),
+          r.getAs[Long]("tv_num"), r.getAs[Double]("psi")))
+        .sortBy(_._1).toSeq
+    val r1 = run(a.repartition(2), b.repartition(17, col("v")))
+    val r2 = run(a.repartition(31, col("g")), b.repartition(3))
+    assert(r1.map(t => (t._1, t._2, t._3)) == r2.map(t => (t._1, t._2, t._3)))
+    r1.zip(r2).foreach { case (x, y) =>
+      assert(math.abs(x._4 - y._4) < 1e-12)
+    }
+  }
+}

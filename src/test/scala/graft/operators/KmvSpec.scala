@@ -151,4 +151,41 @@ class KmvSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_cand") == 0L)
     assert(row.getAs[Double]("est_intersect") == 0.0)
   }
+
+  test("difference estimate tracks |A \\ B| and completes the partition of A") {
+    import spark.implicits._
+    // |A| = 20000, |A ∩ B| = 2000 → |A \ B| = 18000
+    val a = (0L until 20000L).toDF("v")
+    val b = (18000L until 38000L).toDF("v")
+    val ska = Kmv.sketch(a, Nil, "v", k = 256)
+    val skb = Kmv.sketch(b, Nil, "v", k = 256)
+    val d = Kmv.differenceEstimate(ska, skb, k = 256).head
+    val i = Kmv.intersectEstimate(ska, skb, k = 256).head
+    val est = d.getAs[Double]("est_diff")
+    assert(math.abs(est - 18000.0) / 18000.0 < 0.25, s"est=$est expected ~18000")
+    // same theta on both ops, and A's below-theta values partition into
+    // (in B) + (not in B): the integer identity holds exactly
+    assert(d.getAs[Long]("theta_long") == i.getAs[Long]("theta_long"))
+    val belowTheta = ska.filter($"u" < d.getAs[Long]("theta_long")).count()
+    assert(d.getAs[Long]("n_cand") + i.getAs[Long]("n_cand") == belowTheta)
+  }
+
+  test("exact-mode difference is the exact |A \\ B|; empty difference keeps its zero row") {
+    import spark.implicits._
+    val a = (0L until 100L).toDF("v")
+    val b = (60L until 160L).toDF("v")
+    val row = Kmv.differenceEstimate(
+      Kmv.sketch(a, Nil, "v", k = 256),
+      Kmv.sketch(b, Nil, "v", k = 256), k = 256).head
+    assert(row.getAs[Long]("n_cand") == 60L)
+    assert(row.getAs[Double]("est_diff") == 60.0)
+    // A ⊆ B → empty difference, but exactly one zero row comes back
+    val sub = Kmv.differenceEstimate(
+      Kmv.sketch((10L until 50L).toDF("v"), Nil, "v", k = 256),
+      Kmv.sketch((0L until 100L).toDF("v"), Nil, "v", k = 256), k = 256)
+    assert(sub.count() == 1)
+    val r = sub.head
+    assert(r.getAs[Long]("n_cand") == 0L)
+    assert(r.getAs[Double]("est_diff") == 0.0)
+  }
 }

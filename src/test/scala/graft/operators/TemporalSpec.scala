@@ -376,4 +376,79 @@ class TemporalSpec extends AnyFunSuite {
     // grid size = per-key span, never the global [min, max] product
     assert(got.size == 6)
   }
+
+  /** Scalar model of Spark's hopping-window assignment: the epoch-aligned
+    * starts ≤ t with start + len > t.
+    */
+  private def hopWindowsOf(tUs: Long, lenUs: Long, slideUs: Long): Seq[Long] = {
+    val last = Math.floorDiv(tUs, slideUs) * slideUs
+    (0 until (lenUs / slideUs).toInt).map(i => last - i * slideUs)
+      .filter(ws => ws + lenUs > tUs)
+  }
+
+  test("hoppingAggregate == scalar window-assignment model") {
+    import spark.implicits._
+    val lenUs = 3600L * 1000000L
+    val slideUs = 900L * 1000000L
+    // awkward offsets on purpose: nothing lands on a slide boundary
+    val events = Seq(
+      ("a", 1704067200000001L, 3L), ("a", 1704067201000000L, 5L),
+      ("a", 1704069900000000L, 7L), // exactly on a slide boundary
+      ("b", 1704067199999999L, 11L), ("b", 1704070800000017L, 13L))
+    val df = events.map { case (k, t, v) => (k, t, v) }
+      .toDF("k", "t_us", "v")
+      .select($"k", timestamp_micros($"t_us").as("ts"), $"v")
+    val got = Temporal.hoppingAggregate(df, "k", "ts", $"v",
+        "1 hour", "15 minutes")
+      .select($"k", unix_micros($"win_start").as("ws"), $"n", $"val_sum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val expected = events
+      .flatMap { case (k, t, v) =>
+        hopWindowsOf(t, lenUs, slideUs).map(ws => (k, ws) -> v) }
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    assert(got == expected)
+    // every event fans out to exactly len/slide = 4 windows
+    assert(expected.values.map(_._1).sum == events.size * 4L)
+  }
+
+  test("hoppingAggregate streaming: windows past the watermark emit in append mode") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val ledger = Files.createTempDirectory("ledger").toString
+    val sec = 1000L
+    val base = graft.cdc.Fixtures.T0
+    graft.sources.Ledger.writeSegment(ledger, "hrdb", "employees", "000001.jsonl", Seq(
+      graft.cdc.Fixtures.env("employees", "c", "null", graft.cdc.Fixtures.emp(id = 1), base),
+      graft.cdc.Fixtures.env("employees", "c", "null", graft.cdc.Fixtures.emp(id = 2), base + 5 * sec),
+      graft.cdc.Fixtures.env("employees", "c", "null", graft.cdc.Fixtures.emp(id = 3), base + 8 * sec),
+      // far-future lone event advances the watermark past the early windows
+      graft.cdc.Fixtures.env("employees", "c", "null", graft.cdc.Fixtures.emp(id = 9), base + 3600 * sec)))
+    val wire = spark.readStream.format("graft-changelog").option("path", ledger).load()
+      .select($"table", timestamp_millis($"ts_ms").as("ts"))
+      .withWatermark("ts", "1 minute")
+    val hops = Temporal.hoppingAggregate(wire, "table", "ts", lit(1L),
+      "30 seconds", "10 seconds")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = hops.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= df.select(unix_micros($"win_start"), $"n").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    // the three early events' windows all closed before the watermark;
+    // the far-future event's windows are still open and must NOT emit
+    val expected = Seq(base, base + 5 * sec, base + 8 * sec)
+      .flatMap(tMs => hopWindowsOf(tMs * 1000L, 30L * 1000000L, 10L * 1000000L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.toMap == expected)
+    assert(out.map(_._2).sum == 9L) // 3 events x 3 windows each
+  }
 }
