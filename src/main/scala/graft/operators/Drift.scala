@@ -115,8 +115,6 @@ object Drift {
           abs(sum(col("d")).over(grp.orderBy(col(keyCol)))))
       else withTotals.withColumn("ks_row", lit(null).cast("long"))
 
-    val den = col("n_a").cast("double") * col("n_b").cast("double")
-    val bothSides = col("n_a") > 0 && col("n_b") > 0
     val base = withCum.groupBy(groupCols.map(col): _*)
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         count(lit(1)).as("buckets"),
@@ -125,6 +123,36 @@ object Drift {
         sum((pA - pB) * (log(pA) - log(pB))).as("psi_raw"),
         sum(when(col("cnt_a") === 0, 1L).otherwise(0L)).as("cats_added"),
         sum(when(col("cnt_b") === 0, 1L).otherwise(0L)).as("cats_removed"))
+    driftSelect(base, groupCols, ordered)
+  }
+
+  /** Drift between two batch ranges of a MAINTAINED histogram table
+    * ([[Quantiles.mergeBatch]]'s `_batch_id`-partitioned layout) — the
+    * production monitoring shape: the stream keeps the histogram table
+    * current, and "did this week move against last week?" is answered
+    * from partition-pruned sketch reads alone, never a raw-data rescan.
+    * Each side is the counter-sum merge of its batches (exactly the
+    * one-shot histogram of that side's data), so the result is
+    * bit-identical in its integer columns to [[histogramDrift]] over the
+    * same rows.
+    */
+  def driftFromTable(spark: org.apache.spark.sql.SparkSession,
+                     histTable: String, groupCols: Seq[String],
+                     batchesA: Seq[Long], batchesB: Seq[Long]): DataFrame = {
+    require(batchesA.intersect(batchesB).isEmpty,
+      "snapshot sides must not share batches")
+    val t = spark.table(histTable)
+    def side(bs: Seq[Long]): DataFrame =
+      Quantiles.mergeHistograms(
+        t.filter(col("_batch_id").isin(bs: _*)).drop("_batch_id"), groupCols)
+    driftFromCounts(side(batchesA), side(batchesB), groupCols,
+      keyCol = "bucket", ordered = true)
+  }
+
+  private def driftSelect(base: DataFrame, groupCols: Seq[String],
+                          ordered: Boolean): DataFrame = {
+    val den = col("n_a").cast("double") * col("n_b").cast("double")
+    val bothSides = col("n_a") > 0 && col("n_b") > 0
     val ksCols =
       if (ordered) Seq(col("ks_num"),
         when(bothSides, col("ks_num").cast("double") / den).as("ks"))

@@ -625,6 +625,40 @@ object Events {
           $"ks_num", $"ks", $"tv_num", $"tv", round($"psi", 6).as("psi"))
         .orderBy($"event_type")
     }),
+
+    // The SAME drift through the MAINTAINED histogram table
+    // (Drift.driftFromTable over Quantiles.mergeBatch partitions): each
+    // half lands as its own `_batch_id` partition, and the comparison
+    // reads partition-pruned sketch rows only — the production shape
+    // where a stream keeps the table current and the monitor never
+    // rescans raw data. Counter-sum merges of disjoint batches equal the
+    // one-shot histograms exactly, so the one-shot oracle gates the
+    // whole maintain-then-compare path bit-for-bit.
+    "evt_drift_state" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").filter($"value".isNotNull)
+        .withColumn("v", floor($"value" * 100).cast("long"))
+        .filter($"v" >= 1)
+      val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_drift_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_drift_$salt")
+        .toString
+      try {
+        graft.operators.Quantiles.mergeBatch(ev.filter($"ts" < mid),
+          Seq("event_type"), "v", table, s"$tmp/hist", batchId = 0L)
+        graft.operators.Quantiles.mergeBatch(ev.filter($"ts" >= mid),
+          Seq("event_type"), "v", table, s"$tmp/hist", batchId = 1L)
+        graft.operators.Drift
+          .driftFromTable(s, table, Seq("event_type"), Seq(0L), Seq(1L))
+          .select($"event_type", $"n_a", $"n_b", $"buckets",
+            $"ks_num", $"ks", $"tv_num", $"tv", round($"psi", 6).as("psi"))
+          .orderBy($"event_type")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+      }
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1300,8 +1334,21 @@ object Events {
     // RAW — exact BIGINT operands through one correctly-rounded division
     // chain each; psi replays the half-count smoothing and rounds to 6
     // (ln is 1-ulp-bounded, the sum order-sensitive).
-    "evt_drift_value" ->
-      """WITH v0 AS (SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v
+    "evt_drift_value" -> DriftValueOracle,
+
+    // maintained-histogram drift: counter-sum merges of disjoint batch
+    // partitions equal the one-shot histograms exactly, so the
+    // one-shot replay IS the oracle for the table-backed comparison
+    "evt_drift_state" -> DriftValueOracle,
+  )
+
+  /** One-shot drift replay, shared by evt_drift_value (direct) and
+    * evt_drift_state (through the maintained histogram table — the
+    * counter-sum batch merge equals the one-shot histogram exactly).
+    * A def, not a val: the oracle map above initializes first.
+    */
+  private def DriftValueOracle: String =
+    """WITH v0 AS (SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v
         |            FROM events WHERE value IS NOT NULL),
         |vv AS (SELECT event_type,
         |         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
@@ -1344,6 +1391,5 @@ object Events {
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
         |    tv_num::DOUBLE / ((n_a::DOUBLE * n_b::DOUBLE) * 2) END AS tv,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(psi_raw, 6) END AS psi
-        |FROM g ORDER BY event_type""".stripMargin,
-  )
+        |FROM g ORDER BY event_type""".stripMargin
 }

@@ -101,6 +101,38 @@ class DriftSpec extends AnyFunSuite {
     assert(r.getAs[Double]("psi") > 0d && !r.getAs[Double]("psi").isInfinite)
   }
 
+  test("driftFromTable == one-shot histogramDrift over the same rows") {
+    import spark.implicits._
+    val a = (0L until 6000L).map(i => (s"g${i % 2}", (i * 7) % 900 + 1)).toDF("g", "v")
+    val b = (0L until 4000L).map(i => (s"g${i % 2}", (i * 11) % 1300 + 1)).toDF("g", "v")
+    val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val table = s"drift_spec_$salt"
+    val tmp = java.nio.file.Files.createTempDirectory("driftspec").toString
+    try {
+      // side A split across two batches, side B one batch — the merge
+      // must re-assemble A exactly before comparing
+      Quantiles.mergeBatch(a.filter($"v" % 2 === 0), Seq("g"), "v",
+        table, s"$tmp/h", batchId = 0L)
+      Quantiles.mergeBatch(a.filter($"v" % 2 === 1), Seq("g"), "v",
+        table, s"$tmp/h", batchId = 1L)
+      Quantiles.mergeBatch(b, Seq("g"), "v", table, s"$tmp/h", batchId = 2L)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("g"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("buckets"), r.getAs[Long]("ks_num"),
+          r.getAs[Long]("tv_num"))
+      val fromTable = Drift.driftFromTable(spark, table, Seq("g"),
+        Seq(0L, 1L), Seq(2L)).collect().map(key).sortBy(_._1).toSeq
+      val oneShot = Drift.histogramDrift(a, b, Seq("g"), "v")
+        .collect().map(key).sortBy(_._1).toSeq
+      assert(fromTable == oneShot)
+      intercept[IllegalArgumentException] {
+        Drift.driftFromTable(spark, table, Seq("g"), Seq(0L, 1L), Seq(1L))
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("integer statistics are layout-invariant; psi stable to float-sum order") {
     import spark.implicits._
     val a = (0L until 30000L).map(i => (s"g${i % 4}", (i * 13) % 3000 + 1)).toDF("g", "v")
