@@ -286,4 +286,56 @@ object Profiler {
     BatchTables.compactBatchPartitions(spark, table, upToBatchId,
       df => mergeLvl1(df, Seq("col_name", "vtype", "bucket", "_batch_id"))
         .select(df.columns.map(col): _*))
+
+  /** Column-level PROFILE DIFF between two profile frames
+    * ([[columnStats]] outputs, or [[profileFromTable]] over two
+    * maintained tables) — the schema/data-quality regression check a
+    * pipeline runs between corpus versions, complementary to
+    * [[Drift]]'s distribution statistics: where Drift asks "did the
+    * DISTRIBUTION move", this asks "did a column appear/vanish, did
+    * its null fraction shift, did its cardinality or range change".
+    * A pure profile-frame join (cols × ~10 metric rows per side — no
+    * data rescan at any scale).
+    *
+    * Per column: `status` (added/removed/common), row and null counts
+    * both sides, `null_shift` (null-fraction delta, B − A — two exact
+    * long-over-long IEEE quotients, one subtraction — deterministic,
+    * gated raw), `ndv_a`/`ndv_b`/`ndv_ratio` (exact NDV when both
+    * frames carry `ndv_exact`, else the HLL estimate), and
+    * `min_changed`/`max_changed` — null-safe comparison of the typed
+    * (num, str) endpoint pairs, so numeric columns compare their exact
+    * integer keys and string columns their lexicographic endpoints.
+    */
+  def profileDiff(profA: DataFrame, profB: DataFrame): DataFrame = {
+    val hasExact = profA.columns.contains("ndv_exact") &&
+      profB.columns.contains("ndv_exact")
+    def side(p: DataFrame, suf: String): DataFrame = {
+      val ndv = if (hasExact) col("ndv_exact").cast("double")
+        else col("hll_ndv")
+      p.select(col("col_name"), col("n_rows").as(s"n_rows$suf"),
+        col("n_null").as(s"n_null$suf"), ndv.as(s"ndv$suf"),
+        col("num_min").as(s"num_min$suf"), col("num_max").as(s"num_max$suf"),
+        col("min_str").as(s"min_str$suf"), col("max_str").as(s"max_str$suf"))
+    }
+    val j = side(profA, "_a").join(side(profB, "_b"), Seq("col_name"),
+      "full_outer")
+    val common = col("n_rows_a").isNotNull && col("n_rows_b").isNotNull
+    def frac(n: Column, d: Column): Column =
+      n.cast("double") / d.cast("double")
+    j.select(col("col_name"),
+      when(col("n_rows_a").isNull, lit("added"))
+        .when(col("n_rows_b").isNull, lit("removed"))
+        .otherwise(lit("common")).as("status"),
+      col("n_rows_a"), col("n_rows_b"), col("n_null_a"), col("n_null_b"),
+      when(common && col("n_rows_a") > 0 && col("n_rows_b") > 0,
+        frac(col("n_null_b"), col("n_rows_b")) -
+          frac(col("n_null_a"), col("n_rows_a"))).as("null_shift"),
+      col("ndv_a"), col("ndv_b"),
+      when(common && col("ndv_a") > 0,
+        col("ndv_b") / col("ndv_a")).as("ndv_ratio"),
+      when(common, !(col("num_min_a") <=> col("num_min_b") &&
+        col("min_str_a") <=> col("min_str_b"))).as("min_changed"),
+      when(common, !(col("num_max_a") <=> col("num_max_b") &&
+        col("max_str_a") <=> col("max_str_b"))).as("max_changed"))
+  }
 }

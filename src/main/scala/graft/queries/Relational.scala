@@ -243,6 +243,30 @@ object Relational {
         .orderBy($"col_name")
     }),
 
+    // Profile DIFF between two snapshots (Profiler.profileDiff over two
+    // columnStats frames): the column-level data-quality regression
+    // check — row/null counts both sides, null-fraction shift (exact
+    // quotient difference, gated raw), exact-NDV ratio, typed
+    // min/max-changed flags, and the added/removed column census (the
+    // sides deliberately profile one non-shared column each). Snapshots
+    // = order-key parity halves.
+    "q21_profile_diff" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("l_extendedprice",
+          $"l_extendedprice".cast("decimal(12,2)"))
+      val shared = Seq("l_orderkey", "l_returnflag", "l_shipdate",
+        "l_extendedprice")
+      val a = li.filter($"l_orderkey" % 2 === 0)
+      val b = li.filter($"l_orderkey" % 2 === 1)
+      graft.operators.Profiler.profileDiff(
+          graft.operators.Profiler.columnStats(a, shared :+ "l_partkey",
+            withExact = true),
+          graft.operators.Profiler.columnStats(b, shared :+ "l_linenumber",
+            withExact = true))
+        .orderBy($"col_name")
+    }),
+
     // Iterative graph scoring: PageRank over the symmetrized bipartite
     // customer–supplier trade graph (operators.PageRank — FIXED-POINT
     // longs, so the three damped iterations are bit-exact under any
@@ -687,5 +711,64 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    // Profile-diff replay: per-side per-column aggregates over the q15
+    // unpivot pattern (typed HUGEINT keys, md5-52bit for strings, the
+    // decimal unscaled long), then one full-outer join. min/max-changed
+    // flags compare the typed integer keys for numerics and the raw
+    // string endpoints for strings — equivalent to Spark's (num, str)
+    // pair comparison because the canonical rendering is injective per
+    // type. null_shift and ndv_ratio gate RAW: exact-operand IEEE
+    // quotient arithmetic, identical in both engines.
+    "q21_profile_diff" ->
+      """WITH s0 AS (SELECT *,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END AS side
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT side, 'l_orderkey' AS col_name, 'num' AS grp,
+        |         l_orderkey::HUGEINT AS k, NULL::VARCHAR AS v FROM s0
+        |  UNION ALL SELECT side, 'l_returnflag', 'str',
+        |         ('0x' || substring(md5(l_returnflag), 1, 13))::BIGINT::HUGEINT,
+        |         l_returnflag FROM s0
+        |  UNION ALL SELECT side, 'l_shipdate', 'num',
+        |         epoch_us(l_shipdate)::HUGEINT, NULL FROM s0
+        |  UNION ALL SELECT side, 'l_extendedprice', 'num',
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)::HUGEINT,
+        |         NULL FROM s0
+        |  UNION ALL SELECT side, 'l_partkey', 'num', l_partkey::HUGEINT,
+        |         NULL FROM s0 WHERE side = 0
+        |  UNION ALL SELECT side, 'l_linenumber', 'num', l_linenumber::HUGEINT,
+        |         NULL FROM s0 WHERE side = 1),
+        |p AS (SELECT side, col_name,
+        |  count(*)::BIGINT AS n_rows,
+        |  (count(*) FILTER (WHERE k IS NULL))::BIGINT AS n_null,
+        |  count(DISTINCT k)::DOUBLE AS ndv,
+        |  min(CASE WHEN grp = 'num' THEN k END)::BIGINT AS num_min,
+        |  max(CASE WHEN grp = 'num' THEN k END)::BIGINT AS num_max,
+        |  min(v) AS smn, max(v) AS smx
+        |  FROM u GROUP BY 1, 2),
+        |a AS (SELECT * FROM p WHERE side = 0),
+        |b AS (SELECT * FROM p WHERE side = 1)
+        |SELECT coalesce(a.col_name, b.col_name) AS col_name,
+        |  CASE WHEN a.col_name IS NULL THEN 'added'
+        |       WHEN b.col_name IS NULL THEN 'removed'
+        |       ELSE 'common' END AS status,
+        |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+        |  a.n_null AS n_null_a, b.n_null AS n_null_b,
+        |  CASE WHEN a.col_name IS NOT NULL AND b.col_name IS NOT NULL
+        |       AND a.n_rows > 0 AND b.n_rows > 0
+        |    THEN b.n_null::DOUBLE / b.n_rows::DOUBLE
+        |       - a.n_null::DOUBLE / a.n_rows::DOUBLE END AS null_shift,
+        |  a.ndv AS ndv_a, b.ndv AS ndv_b,
+        |  CASE WHEN a.col_name IS NOT NULL AND b.col_name IS NOT NULL
+        |       AND a.ndv > 0 THEN b.ndv / a.ndv END AS ndv_ratio,
+        |  CASE WHEN a.col_name IS NOT NULL AND b.col_name IS NOT NULL
+        |    THEN NOT (a.num_min IS NOT DISTINCT FROM b.num_min
+        |              AND a.smn IS NOT DISTINCT FROM b.smn) END AS min_changed,
+        |  CASE WHEN a.col_name IS NOT NULL AND b.col_name IS NOT NULL
+        |    THEN NOT (a.num_max IS NOT DISTINCT FROM b.num_max
+        |              AND a.smx IS NOT DISTINCT FROM b.smx) END AS max_changed
+        |FROM a FULL JOIN b ON a.col_name = b.col_name
+        |ORDER BY col_name""".stripMargin,
   )
 }

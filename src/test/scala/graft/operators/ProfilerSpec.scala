@@ -136,4 +136,37 @@ class ProfilerSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](profile(Seq("m"), df))
     assert(e.getMessage.contains("precision"))
   }
+
+  test("profileDiff: census, null shift, ndv ratio, endpoint flags") {
+    import spark.implicits._
+    // A: id 1..10 (no nulls), label a/b; B: id 1..8 plus two null ids,
+    // label a/b/c, and B alone carries `extra`
+    val a = (1L to 10L).map(i =>
+      (Some(i), if (i % 2 == 0) "a" else "b", i * 2)).toDF("id", "label", "gone")
+    val b = ((1L to 8L).map(i =>
+      (Some(i), Seq("a", "b", "c")(i.toInt % 3), i)) ++
+      Seq((Option.empty[Long], "a", 0L), (Option.empty[Long], "b", 0L)))
+      .toDF("id", "label", "extra")
+    val d = Profiler.profileDiff(
+        Profiler.columnStats(a, Seq("id", "label", "gone"), withExact = true),
+        Profiler.columnStats(b, Seq("id", "label", "extra"), withExact = true))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d.keySet == Set("id", "label", "gone", "extra"))
+    assert(d("gone").getAs[String]("status") == "removed")
+    assert(d("extra").getAs[String]("status") == "added")
+    assert(d("extra").isNullAt(d("extra").fieldIndex("null_shift")))
+    val id = d("id")
+    assert(id.getAs[String]("status") == "common")
+    assert(id.getAs[Long]("n_rows_a") == 10L && id.getAs[Long]("n_rows_b") == 10L)
+    assert(id.getAs[Long]("n_null_a") == 0L && id.getAs[Long]("n_null_b") == 2L)
+    assert(id.getAs[Double]("null_shift") == 2d / 10d - 0d)
+    assert(id.getAs[Double]("ndv_a") == 10d && id.getAs[Double]("ndv_b") == 8d)
+    assert(id.getAs[Double]("ndv_ratio") == 8d / 10d)
+    assert(!id.getAs[Boolean]("min_changed")) // both min at 1
+    assert(id.getAs[Boolean]("max_changed")) // 10 vs 8
+    val lb = d("label")
+    assert(lb.getAs[Double]("ndv_a") == 2d && lb.getAs[Double]("ndv_b") == 3d)
+    assert(!lb.getAs[Boolean]("min_changed")) // both "a"
+    assert(lb.getAs[Boolean]("max_changed")) // "b" vs "c"
+  }
 }
