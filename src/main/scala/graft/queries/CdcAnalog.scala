@@ -413,6 +413,24 @@ object CdcAnalog {
           lit("2024-01-20 00:00:00").cast("timestamp"))
         .orderBy($"user_id")
     }),
+
+    // No-op change suppression (cdc.Suppress): each user's event stream
+    // reduced to its (band, event_type) TRANSITIONS — the CDC noise
+    // filter that drops touch-only writes. Batch form under the hash
+    // (per-key ordered lag on the null-safe value struct); the
+    // streaming flatMapGroupsWithState form is spec-pinned row-equal
+    // across batch splits (SuppressSpec). ~75% of same-band rows
+    // suppress at this granularity, so the filter is exercised hard.
+    "cdc_change_suppress" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").filter($"value".isNotNull)
+        .withColumn("band", floor($"value" / 100).cast("long"))
+      graft.cdc.Suppress.suppressUnchanged(ev, "user_id", "ts",
+          "event_id", Seq("band", "event_type"))
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"band", $"event_type")
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -628,5 +646,22 @@ object CdcAnalog {
         |  user_id, count(*) AS n
         |FROM events GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY window_start, user_id""".stripMargin,
+
+    // suppression replay: per-key ordered lag on each tracked column,
+    // null-safe (IS NOT DISTINCT FROM); the lag(event_id) guard
+    // distinguishes "no previous row" from "previous values were NULL"
+    "cdc_change_suppress" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value / 100) AS BIGINT) AS band, event_type
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT *, lag(band) OVER w AS pb,
+        |    lag(event_type) OVER w AS pt, lag(event_id) OVER w AS pid
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, event_id, ts_us, band, event_type
+        |FROM l
+        |WHERE pid IS NULL
+        |   OR NOT (pb IS NOT DISTINCT FROM band
+        |           AND pt IS NOT DISTINCT FROM event_type)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
   )
 }
