@@ -198,4 +198,65 @@ class RobustnessSpec extends AnyFunSuite {
       Bucketing.bucketTable(emptyTs, "never_created", "/tmp/never", "k", 0)
     }
   }
+
+  test("round-10 third-wave operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("g", "v")
+    val some = Seq(("g", 5L), ("g", 9L)).toDF("g", "v")
+
+    // drift of anything against an empty snapshot: groups survive with
+    // n_b = 0 and NULL statistics; empty-vs-empty is an empty frame
+    val oneSided = Drift.histogramDrift(some, empty, Seq("g"), "v").collect()
+    assert(oneSided.length == 1 && oneSided.head.getAs[Long]("n_b") == 0L)
+    assert(oneSided.head.isNullAt(oneSided.head.fieldIndex("tv")))
+    assert(Drift.histogramDrift(empty, empty, Seq("g"), "v").count() == 0)
+    // all values non-positive: filtered by the histogram contract
+    val nonPos = Seq(("g", 0L), ("g", -3L)).toDF("g", "v")
+    assert(Drift.histogramDrift(nonPos, some, Seq("g"), "v")
+      .head.getAs[Long]("n_a") == 0L)
+    // categorical drift with every category NULL on one side
+    val nullCat = Seq(("g", null: String)).toDF("g", "c")
+    val catSide = Seq(("g", "x")).toDF("g", "c")
+    val cd = Drift.categoryDrift(nullCat, catSide, Seq("g"), "c").collect()
+    assert(cd.length == 1 && cd.head.getAs[Long]("n_a") == 0L)
+
+    // KMV difference: empty minus something, something minus empty
+    val skSome = Kmv.sketch(some.select($"v"), Nil, "v", 64)
+    val skEmpty = Kmv.sketch(empty.select($"v"), Nil, "v", 64)
+    val dEmpty = Kmv.differenceEstimate(skEmpty, skSome, 64).head
+    assert(dEmpty.getAs[Long]("n_cand") == 0L &&
+      dEmpty.getAs[Double]("est_diff") == 0.0)
+    val dAll = Kmv.differenceEstimate(skSome, skEmpty, 64).head
+    assert(dAll.getAs[Double]("est_diff") == 2.0)
+
+    // hopping windows on an empty frame
+    val emptyEvts = Seq.empty[(String, java.sql.Timestamp, Long)]
+      .toDF("k", "ts", "v")
+    assert(Temporal.hoppingAggregate(emptyEvts, "k", "ts", $"v",
+      "1 hour", "15 minutes").count() == 0)
+
+    // profileDiff where one side is an EMPTY PROFILE (zero columns) and
+    // where a column is all-NULL on one side
+    val profSome = Profiler.columnStats(some, Seq("v"), withExact = true)
+    val profEmptyFrame = profSome.limit(0)
+    val pd = Profiler.profileDiff(profSome, profEmptyFrame).collect()
+    assert(pd.length == 1 && pd.head.getAs[String]("status") == "removed")
+    val allNull = Seq.empty[Option[Long]].toDF("v")
+      .unionByName(Seq(Option.empty[Long], Option.empty[Long]).toDF("v"))
+    val pd2 = Profiler.profileDiff(profSome,
+      Profiler.columnStats(allNull, Seq("v"), withExact = true)).head
+    assert(pd2.getAs[String]("status") == "common")
+    assert(pd2.getAs[Double]("null_shift") == 1.0)
+    assert(pd2.getAs[Double]("ndv_ratio") == 0.0)
+
+    // suppression: empty frame; single row per key always emits
+    val emptySup = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("k", "ts", "id", "v")
+    assert(graft.cdc.Suppress.suppressUnchanged(emptySup, "k", "ts", "id",
+      Seq("v")).count() == 0)
+    val single = Seq((1L, new java.sql.Timestamp(0L), 1L, "x"))
+      .toDF("k", "ts", "id", "v")
+    assert(graft.cdc.Suppress.suppressUnchanged(single, "k", "ts", "id",
+      Seq("v")).count() == 1)
+  }
 }
