@@ -64,4 +64,64 @@ object SemDedup {
     clusterPairs(embeddings, idCol, vecCol, k, iters, threshold)
       .groupBy(col("id_b").as("vec_id"))
       .agg(first(col("label")).as("label"), max(col("sim")).as("max_sim"))
+
+  /** Cluster-stratified DIVERSITY sampling (coreset selection): pick
+    * ~`budget` points spread across the embedding space rather than
+    * i.i.d. — the training-data curation draw that keeps rare semantic
+    * modes ("select 1M diverse documents from 1B"), where a uniform
+    * sample would near-drop small clusters entirely. Approximates
+    * facility-location/k-center coverage the way SemDeDup approximates
+    * the pair scan: cluster with the same deterministic k-means, then
+    * give every cluster quota max(1, ⌊budget·|c|/n⌋) — the `max(1, ·)`
+    * IS the coverage guarantee (every discovered mode contributes at
+    * least one exemplar; ≤ k over budget in the worst case).
+    *
+    * Within-cluster selection is the md5-uniform order (the
+    * [[Curation]] sampling discipline — deterministic across engines,
+    * runs and partition layouts) executed through the bounded struct
+    * heap: ≤ budget (score, id) structs per cluster per map task
+    * through the shuffle, never a per-cluster data sort — windowless,
+    * like `weightedSample`. Everything (centroids, assignment, quotas,
+    * draw) replays in SQL, so the whole selection sits under the gate.
+    *
+    * Scale: one broadcast-assign pass over the corpus + a sketch-sized
+    * quota frame + the heap aggregate. Budgets large enough that a
+    * per-task heap of `budget` structs hurts (≫10⁵) should switch the
+    * selection to a per-label window rank — same rows, the oracle
+    * states that form already.
+    */
+  def diversitySample(embeddings: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, budget: Int,
+                      salt: String): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import graft.functions.TopK.topk_structs
+    val cents = AnnIndex.kmeansCentroids(embeddings, idCol, vecCol, k, iters)
+    val labeled = AnnIndex.kmeansAssign(embeddings, idCol, vecCol, cents)
+      .select(col(idCol).as("id"), col("label"))
+      .localCheckpoint(true)
+    val total = labeled.agg(count(lit(1)).as("n"))
+    val quota = labeled.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_n"))
+      .crossJoin(broadcast(total))
+      .select(col("label"), col("cluster_n"),
+        greatest(lit(1L), call_function("div",
+          lit(budget.toLong) * col("cluster_n"), col("n"))).as("quota"))
+    // the Curation md5-52-bit uniform: deterministic, engine-identical
+    val u = conv(substring(md5(concat(lit(salt), col("id").cast("string"))),
+      1, 13), 16, 10).cast("long")
+    // score −u orders ascending-u exactly (u < 2^52 is double-exact);
+    // equal-u ties break on the payload id ascending — so the heap's
+    // emit order IS the (u, id) order the oracle's window states
+    val drawn = labeled.withColumn("u", u)
+      .groupBy(col("label"))
+      .agg(topk_structs(-col("u").cast("double"), col("id"), budget)
+        .as("_top"))
+      .select(col("label"), posexplode(col("_top.payload")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col").as("id"))
+    drawn.join(broadcast(quota), "label")
+      .filter(col("rnk") <= col("quota"))
+      .select(col("label"), col("id"), col("rnk"), col("cluster_n"),
+        col("quota"))
+  }
 }

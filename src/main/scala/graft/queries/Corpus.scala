@@ -652,6 +652,26 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Cluster-stratified diversity sample (SemDedup.diversitySample):
+    // ~50 points spread across the embedding space — every k-means
+    // cluster contributes max(1, floor(budget·|c|/n)) exemplars, so
+    // rare semantic modes survive where a uniform draw would drop them.
+    // Same deterministic k-means as emb_semdedup (k scales with the
+    // corpus), md5-uniform within-cluster order through the bounded
+    // heap (windowless); the oracle replays centroids, assignment,
+    // quotas and the draw, so the WHOLE selection sits under the hash.
+    "emb_diversity_sample" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val k = math.max(8L, e.count() / 250L).toInt
+      graft.operators.SemDedup
+        .diversitySample(e, "vec_id", "embedding",
+          k = k, iters = 1, budget = 50, salt = "div1:")
+        .select($"label", $"id".as("vec_id"), $"rnk", $"cluster_n",
+          $"quota")
+        .orderBy($"label", $"rnk")
+    }),
+
     // Bucketed approximate top-k (random-hyperplane LSH, 32 tables x 6
     // bits): the scale path that searches only bucket collisions.
     // Approximate by construction but fully DETERMINISTIC (splitmix64
@@ -1494,6 +1514,41 @@ object Corpus {
         |FROM a2 a JOIN a2 b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // diversity-sample replay: the emb_semdedup k-means prefix (same k
+    // rule, same strided init, one Lloyd round), then integer quotas
+    // max(1, budget*|c| // n) and the md5-52bit within-cluster order
+    "emb_diversity_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |kk AS (SELECT greatest(8, (SELECT count(*) FROM e) // 250) AS k),
+        |p AS (SELECT greatest((SELECT count(*) FROM e) // kk.k, 1) AS stride, kk.k AS k FROM kk),
+        |c0 AS (SELECT (vec_id // p.stride)::INT AS label, v AS centroid
+        |       FROM e, p WHERE vec_id % p.stride = 0 AND vec_id < p.stride * p.k),
+        |a1 AS (SELECT vec_id, v, label FROM (
+        |  SELECT e.vec_id, e.v, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |c1 AS (SELECT label, list(m ORDER BY i) AS centroid FROM (
+        |  SELECT label, i, avg(v[i]) AS m FROM a1, range(1, 65) t(i)
+        |  GROUP BY label, i) GROUP BY label),
+        |a2 AS (SELECT vec_id, label FROM (
+        |  SELECT e.vec_id, c.label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label ASC) rn
+        |  FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |tot AS (SELECT count(*) AS n FROM a2),
+        |qta AS (SELECT label, count(*)::BIGINT AS cluster_n,
+        |         greatest(1, (50 * count(*)) // (SELECT n FROM tot))::BIGINT AS quota
+        |        FROM a2 GROUP BY label),
+        |rk AS (SELECT label, vec_id,
+        |        row_number() OVER (PARTITION BY label ORDER BY
+        |          ('0x' || substring(md5('div1:' || vec_id::VARCHAR), 1, 13))::BIGINT,
+        |          vec_id)::BIGINT AS rnk
+        |       FROM a2)
+        |SELECT rk.label, rk.vec_id, rk.rnk, q.cluster_n, q.quota
+        |FROM rk JOIN qta q USING (label) WHERE rk.rnk <= q.quota
+        |ORDER BY rk.label, rk.rnk""".stripMargin,
 
     "knn_hard_negatives" ->
       """WITH q AS (SELECT embedding AS query_vec, label AS query_label

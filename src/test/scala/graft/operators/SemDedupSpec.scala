@@ -63,4 +63,47 @@ class SemDedupSpec extends AnyFunSuite {
       assert(math.abs(d(b) - rows.map(_.getDouble(3)).max) < 1e-12)
     }
   }
+
+  test("diversitySample: every cluster covered, quotas honored, near-budget total") {
+    val budget = 50
+    val sel = SemDedup.diversitySample(emb, "vec_id", "embedding",
+      k = 8, iters = 1, budget = budget, salt = "t1:").collect()
+    // coverage: the sample's label set == the full set of non-empty clusters
+    val allLabels = graft.operators.AnnIndex.kmeansAssign(emb, "vec_id",
+        "embedding", graft.operators.AnnIndex.kmeansCentroids(emb, "vec_id",
+          "embedding", 8, 1))
+      .select(col("label")).distinct().collect().map(_.getInt(0)).toSet
+    assert(sel.map(_.getAs[Int]("label")).toSet == allLabels)
+    // per-cluster: rnk <= quota, quota = max(1, floor(budget*n_c/n)), and
+    // exactly min(quota, cluster_n) rows come back
+    val n = sel.map(r => r.getAs[Int]("label") -> r.getAs[Long]("cluster_n")).toMap.values.sum
+    sel.groupBy(_.getAs[Int]("label")).foreach { case (_, rows) =>
+      val q = rows.head.getAs[Long]("quota")
+      val cn = rows.head.getAs[Long]("cluster_n")
+      assert(q == math.max(1L, budget.toLong * cn / n))
+      assert(rows.length == math.min(q, cn))
+      assert(rows.map(_.getAs[Long]("rnk")).toSet == (1L to rows.length).toSet)
+    }
+    // near-budget: within k of the target from the max(1,·) floor and
+    // floor rounding
+    assert(sel.length >= budget - 8 && sel.length <= budget + 8)
+  }
+
+  test("diversitySample is layout-invariant and salt-sensitive") {
+    val a = SemDedup.diversitySample(emb.repartition(3), "vec_id",
+      "embedding", k = 8, iters = 1, budget = 30, salt = "s1:")
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("id"),
+        r.getAs[Long]("rnk"))).sortBy(identity).toSeq
+    val b = SemDedup.diversitySample(emb.repartition(17,
+        col("vec_id")), "vec_id", "embedding", k = 8, iters = 1,
+      budget = 30, salt = "s1:")
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("id"),
+        r.getAs[Long]("rnk"))).sortBy(identity).toSeq
+    assert(a == b)
+    val c = SemDedup.diversitySample(emb, "vec_id", "embedding",
+      k = 8, iters = 1, budget = 30, salt = "s2:")
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("id"),
+        r.getAs[Long]("rnk"))).sortBy(identity).toSeq
+    assert(a != c, "different salts must draw different exemplars")
+  }
 }
