@@ -73,6 +73,41 @@ object Round10DriftProbe {
         f"est=${r.getAs[Double]("est_diff")}%.0f")
     }
 
+    timed(s"Suppress.suppressUnchanged x$mult") {
+      val n = graft.cdc.Suppress.suppressUnchanged(
+          ev.filter($"value".isNotNull)
+            .withColumn("band", floor($"value" / 100).cast("long")),
+          "user_id", "ts", "event_id", Seq("band", "event_type"))
+        .count()
+      println(s"[probe]   kept=$n")
+    }
+
+    // DENSE id stride (kmeansCentroids' strided init needs dense
+    // 0-based ids — the ScaleDataGen discipline)
+    val emb0 = Tables(spark, dir, "embeddings")
+    val embStride = emb0.count()
+    val emb = (0 until mult).map { i =>
+      emb0.select(($"vec_id" + lit(i.toLong * embStride)).as("vec_id"),
+        $"embedding", $"label")
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    println(s"[probe] embeddings x$mult: ${emb.count()} rows")
+
+    timed(s"SemDedup.diversitySample x$mult (k scaling with n)") {
+      val k = math.max(8L, emb.count() / 250L).toInt
+      val n = graft.operators.SemDedup.diversitySample(emb, "vec_id",
+        "embedding", k = k, iters = 1, budget = 1000, salt = "p:").count()
+      println(s"[probe]   selected=$n (k=$k)")
+    }
+
+    // fixed k: the diversity-sampling regime (k = number of semantic
+    // modes, independent of corpus size) — assign cost is n·k, linear
+    // in n; the k∝n rule above is the SemDeDup pair-scan regime
+    timed(s"SemDedup.diversitySample x$mult (fixed k=80)") {
+      val n = graft.operators.SemDedup.diversitySample(emb, "vec_id",
+        "embedding", k = 80, iters = 1, budget = 1000, salt = "p:").count()
+      println(s"[probe]   selected=$n")
+    }
+
     spark.stop()
   }
 }
