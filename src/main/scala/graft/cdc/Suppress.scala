@@ -63,10 +63,23 @@ object Suppress {
 
   /** Streaming form (see object doc). `idCol` must be a LongType
     * column; rows flow through unchanged minus suppressed ones.
+    *
+    * State retention: by default (`stateTtl = None`) state is held
+    * forever — the store grows with LIFETIME key cardinality, which is
+    * only acceptable for bounded key domains. For churning key spaces
+    * (the reference's employees table deletes and re-creates keys) pass
+    * an event-time `stateTtl`: the input must carry a watermark on
+    * `tsCol`, and a key idle past the TTL (watermark − last event time
+    * > ttl) has its state EVICTED. Eviction semantics are documented
+    * at-least-once on transitions, never lossy: an evicted key's next
+    * row always re-emits (the filter has no memory of it), so a
+    * consumer may see a repeated unchanged tuple after a long idle gap
+    * but can never miss a change.
     */
   def suppressUnchangedStream(df: DataFrame, keyCol: String, tsCol: String,
-                              idCol: String,
-                              valueCols: Seq[String]): DataFrame = {
+                              idCol: String, valueCols: Seq[String],
+                              stateTtl: Option[java.time.Duration] = None
+                             ): DataFrame = {
     require(valueCols.nonEmpty, "need at least one tracked value column")
     val spark = df.sparkSession
     import spark.implicits._
@@ -75,22 +88,42 @@ object Suppress {
       .withColumn("_us", unix_micros(col(tsCol)))
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(withT.schema)
+    val ttlMs = stateTtl.map(_.toMillis)
+    val timeout = ttlMs.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.EventTimeTimeout)
     val out = withT
       .groupByKey(r => String.valueOf(r.getAs[Any](keyCol)))
-      .flatMapGroupsWithState[String, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[String, Row](OutputMode.Append(), timeout) {
         (_: String, rows: Iterator[Row], state: GroupState[String]) =>
-          val sorted = rows.toArray.sortBy(r =>
-            (r.getAs[Long]("_us"), r.getAs[Long](idCol)))
-          var last = state.getOption.orNull
-          val kept = sorted.filter { r =>
-            val t = r.getAs[String]("_t")
-            val changed = last == null || last != t
-            last = t
-            changed
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the tuple — the key's next row
+            // re-emits (at-least-once transitions, never a lost change)
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(r =>
+              (r.getAs[Long]("_us"), r.getAs[Long](idCol)))
+            var last = state.getOption.orNull
+            val kept = sorted.filter { r =>
+              val t = r.getAs[String]("_t")
+              val changed = last == null || last != t
+              last = t
+              changed
+            }
+            if (last != null) state.update(last)
+            ttlMs.foreach { ttl =>
+              // timeout anchored at the key's newest event time: fires
+              // once the watermark passes it, i.e. after `ttl` of
+              // event-time idleness. A late batch whose anchor already
+              // trails the watermark clamps forward — Spark rejects a
+              // timeout at/behind the current watermark.
+              if (sorted.nonEmpty)
+                state.setTimeoutTimestamp(math.max(
+                  sorted.last.getAs[Long]("_us") / 1000L + ttl,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            kept.iterator
           }
-          if (last != null) state.update(last)
-          kept.iterator
       }
     out.toDF().drop("_t", "_us")
   }

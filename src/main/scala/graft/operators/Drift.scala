@@ -98,8 +98,23 @@ object Drift {
     val nA = sum(col("cnt_a")).over(grp)
     val nB = sum(col("cnt_b")).over(grp)
     val k = count(lit(1)).over(grp)
-    // exact integer per-bucket deviation: cnt_a·nB − cnt_b·nA
-    val d = col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a")
+    // exact integer per-bucket deviation: cnt_a·nB − cnt_b·nA. The
+    // documented 2^63 bound is CHECKED, not assumed: every numerator
+    // (per-bucket d, the cumulative ks_num, and tv_num = Σ|d|) is
+    // bounded by 2·n_a·n_b, so n_a·n_b < 2^62 keeps all of them exact.
+    // The check multiplies as doubles (the long product would itself
+    // wrap): 2^62 is double-exact and rounding-to-nearest can only move
+    // a boundary product ONTO 2^62 — excluded by the strict < — so no
+    // overflowing group ever passes. Past the bound the group errors
+    // instead of silently wrapping under non-ANSI arithmetic; pre-shard
+    // the group or lift to DECIMAL as the scaladoc prescribes.
+    val inBound = col("n_a").cast("double") * col("n_b").cast("double") <
+      lit(4.611686018427387904e18)
+    val d = when(inBound, col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a"))
+      .otherwise(raise_error(concat(
+        lit("Drift numerator overflow: n_a*n_b >= 2^62 for group ("),
+        concat_ws(",", groupCols.map(c => col(c).cast("string")): _*),
+        lit(") — pre-shard the group or lift the products to DECIMAL(38,0)"))))
     // smoothed probabilities for PSI (K/2 total mass added per side)
     def p(cnt: Column, n: Column): Column =
       (cnt.cast("double") * 2d + 1d) / (n.cast("double") * 2d + col("k").cast("double"))

@@ -41,7 +41,9 @@ object Hll {
   def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 p: Int = 12): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in 4..16, got $p")
-    val h = splitmix64(col(valueCol).cast("long"))
+    // typed key derivation ([[SketchKeys]]): a bare cast("long") nulls
+    // string keys silently and the registers would report 0 distinct
+    val h = splitmix64(SketchKeys.longKey(df, valueCol))
     val bucket = shiftrightunsigned(h, 64 - p)
     // rank over the remaining 64-p bits, shifted to the top; w == 0
     // (all-zero suffix) caps at 64-p+1 via the least()

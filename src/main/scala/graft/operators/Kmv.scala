@@ -60,7 +60,9 @@ object Kmv {
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
              k: Int = 256): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val u = shiftrightunsigned(splitmix64(col(valueCol).cast("long")), 1)
+    // typed key derivation ([[SketchKeys]]): a bare cast("long") nulls
+    // string keys silently and the sketch would report 0 distinct
+    val u = shiftrightunsigned(splitmix64(SketchKeys.longKey(df, valueCol)), 1)
     val dist = df.filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ u.as("_u"): _*)
       .distinct()

@@ -31,11 +31,16 @@ import org.apache.spark.sql.functions._
   * loop otherwise replans from scratch every round). No driver-side
   * state; rank frames are (node, pr) only.
   *
-  * Dangling nodes (out-degree 0) receive the base term only and leak
-  * their mass — callers wanting the redistribute-to-all variant should
-  * symmetrize or self-loop the edge list first (the gate query
-  * symmetrizes its bipartite customer–supplier graph, so every node has
-  * out-edges).
+  * Dangling nodes (out-degree 0): the DEFAULT contract gives them the
+  * base term only and leaks their mass (callers symmetrize or self-loop
+  * when that matters — the q16 gate symmetrizes its bipartite graph).
+  * `redistributeDangling = true` is the standard correction for real
+  * directed link graphs with sinks: each round, the danglers' total
+  * mass D (ONE 1-row aggregate over the rank frame — the same
+  * one-action-per-round discipline as [[Components]]' convergence
+  * count) is shared uniformly as `D div N` into every node's damped
+  * term — still all-integer, still bit-identical under any layout, and
+  * the oracle unrolls it as a per-round scalar subquery.
   */
 object PageRank {
 
@@ -44,7 +49,8 @@ object PageRank {
     * in- or out-edge; pr is in units of 1/`scale` of total mass.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+               iterations: Int = 3, scale: Long = 1000000000000L,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // the deduped edge list is read three times (degrees, the join below,
     // the node set) and its plan is usually expensive (a whole join
@@ -57,24 +63,39 @@ object PageRank {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // one (src, dst, deg) frame for the whole loop — built and shuffled once
     val eDeg = e.join(deg, "src").localCheckpoint(true)
+    // dangling flag attached ONCE: the per-round dangling aggregate then
+    // scans the (already-checkpointed) rank frame — no per-round join
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .join(deg.select(col("src").as("node"), lit(false).as("_dang")),
+        Seq("node"), "left")
+      .withColumn("_dang", coalesce(col("_dang"), lit(true)))
       .localCheckpoint(true)
     val n = nodes.count()
+    require(n > 0,
+      "pageRank: the edge list yields no nodes (empty input) — nothing to rank")
     val s0 = scale / n
     val base = 15L * s0 / 100L
 
     var pr = nodes.withColumn("pr", lit(s0))
     for (_ <- 1 to iterations) {
+      // one 1-row action per round, same discipline as the loop's own
+      // localCheckpoint; 0 when redistribution is off keeps the damped
+      // expression identical in both modes
+      val share =
+        if (!redistributeDangling) 0L
+        else pr.filter(col("_dang"))
+          .agg(coalesce(sum(col("pr")), lit(0L))).first().getLong(0) / n
       val in = eDeg.join(pr, eDeg("src") === pr("node"))
         .select(eDeg("dst").as("node"), expr("pr div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
       pr = nodes.join(in, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("85 * coalesce(m, 0L) div 100")).as("pr"))
+        .select(col("node"), col("_dang"),
+          (lit(base) +
+            expr(s"85 * (coalesce(m, 0L) + ${share}L) div 100")).as("pr"))
         .localCheckpoint(true)
     }
-    pr
+    pr.select(col("node"), col("pr"))
   }
 }

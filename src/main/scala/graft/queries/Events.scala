@@ -370,6 +370,7 @@ object Events {
           .localCheckpoint(true)
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
     }),
 
@@ -657,6 +658,7 @@ object Events {
           .localCheckpoint(true)
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
     }),
   )

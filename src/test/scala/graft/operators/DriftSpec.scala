@@ -149,4 +149,26 @@ class DriftSpec extends AnyFunSuite {
       assert(math.abs(x._4 - y._4) < 1e-12)
     }
   }
+
+  test("the 2^63 numerator bound is checked: over-bound groups error, never wrap") {
+    import spark.implicits._
+    // fabricated COUNT frames put a group over n_a*n_b >= 2^62 with two
+    // rows per side — no data-sized input needed to hit the guard
+    val big = 3_100_000_000L // 3.1e9 per side -> product 9.6e18 > 2^62
+    val a = Seq(("g", 1L, big), ("g", 2L, big)).toDF("g", "bucket", "cnt")
+    val b = Seq(("g", 1L, big), ("g", 2L, big)).toDF("g", "bucket", "cnt")
+    val e = intercept[Exception] {
+      Drift.driftFromCounts(a, b, Seq("g"), "bucket", ordered = true).collect()
+    }
+    val full = org.apache.commons.lang3.exception.ExceptionUtils.getStackTrace(e)
+    assert(full.contains("Drift numerator overflow"), s"got: ${e.getMessage}")
+    // under the bound the same shape still computes exactly
+    val okN = 1_000_000_000L
+    val a2 = Seq(("g", 1L, okN), ("g", 2L, okN)).toDF("g", "bucket", "cnt")
+    val b2 = Seq(("g", 1L, 2L * okN), ("g", 2L, 0L)).toDF("g", "bucket", "cnt")
+    val row = Drift.driftFromCounts(a2, b2, Seq("g"), "bucket", ordered = true)
+      .head
+    // d_1 = n*2n - 2n*2n = -2n^2; ks_num = 2e18 exactly
+    assert(row.getAs[Long]("ks_num") == 2L * okN * okN)
+  }
 }

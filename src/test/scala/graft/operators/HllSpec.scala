@@ -112,4 +112,17 @@ class HllSpec extends AnyFunSuite {
     assert(cum(1) == cum(2)) // nothing new -> identical registers
     assert(cum(3) > cum(2))
   }
+
+  test("string keys estimate through the md5-52-bit surrogate, never zero") {
+    import spark.implicits._
+    // a silent cast-to-NULL would have produced empty registers and a
+    // 0 estimate here (the round-10 latent finding)
+    val df = (0 until 50000).map(i => ("g", s"user_$i")).toDF("grp", "v")
+    val est = Hll.estimate(df, Seq("grp"), "v").head.getDouble(1)
+    assert(math.abs(est - 50000) / 50000.0 < 0.06, s"est=$est")
+    val e = intercept[IllegalArgumentException] {
+      Hll.registers(Seq(("g", 1.5)).toDF("grp", "v"), Seq("grp"), "v")
+    }
+    assert(e.getMessage.contains("no sketch key"))
+  }
 }

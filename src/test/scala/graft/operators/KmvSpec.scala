@@ -188,4 +188,30 @@ class KmvSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_cand") == 0L)
     assert(r.getAs[Double]("est_diff") == 0.0)
   }
+
+  test("string keys sketch through the md5-52-bit surrogate, never empty") {
+    import spark.implicits._
+    // exact mode: below k the sketch IS the set — a silent cast-to-NULL
+    // would have returned estimate 0 here (the round-10 latent finding)
+    val small = (0 until 100).map(i => ("g", s"user_$i")).toDF("grp", "v")
+    val est = Kmv.estimateFromSketch(
+      Kmv.sketch(small, Seq("grp"), "v", k = 256), Seq("grp"), 256)
+      .head.getDouble(1)
+    assert(est == 100.0, s"string-keyed exact-mode estimate was $est")
+    // estimation mode stays inside the k-error band
+    val big = (0 until 20000).map(i => ("g", s"user_$i")).toDF("grp", "v")
+    val estBig = Kmv.estimateFromSketch(
+      Kmv.sketch(big, Seq("grp"), "v", k = 256), Seq("grp"), 256)
+      .head.getDouble(1)
+    assert(math.abs(estBig - 20000) / 20000.0 < 0.19, s"est=$estBig")
+  }
+
+  test("unsupported key types are refused with a typed error, not an empty sketch") {
+    import spark.implicits._
+    val dbl = Seq(("g", 1.5), ("g", 2.5)).toDF("grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      Kmv.sketch(dbl, Seq("grp"), "v", k = 64)
+    }
+    assert(e.getMessage.contains("no sketch key"))
+  }
 }

@@ -71,4 +71,58 @@ class PageRankSpec extends AnyFunSuite {
     assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
       Seq(("node", "bigint"), ("pr", "bigint")))
   }
+
+  test("empty edge list is refused with a clear message, not a division by zero") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      PageRank.pageRank(Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d", 1)
+    }
+    assert(e.getMessage.contains("no nodes"))
+  }
+
+  /** Scalar reference WITH per-round dangling redistribution: D = the
+    * danglers' mass, each node's damped term gains D div n.
+    */
+  private def referenceDangling(edges: Seq[(Long, Long)], iters: Int,
+                                scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val s0 = scale / n
+    val base = 15L * s0 / 100L
+    var pr = nodes.map(_ -> s0).toMap
+    for (_ <- 1 to iters) {
+      val share = nodes.filterNot(deg.contains).map(pr).sum / n
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / deg(s) }.sum
+      }
+      pr = nodes.map(v =>
+        v -> (base + 85L * (in.getOrElse(v, 0L) + share) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("dangling redistribution matches the scalar reference on a sink-heavy " +
+      "directed graph and conserves mass") {
+    import spark.implicits._
+    // UNsymmetrized: 0..9 -> 100 (a pure sink), plus a chain into a sink
+    val directed: Seq[(Long, Long)] =
+      (0L to 9L).map(i => (i, 100L)) ++ Seq((11L, 12L), (12L, 13L))
+    val got = PageRank.pageRank(directed.toDF("s", "d"), "s", "d",
+        iterations = 4, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == referenceDangling(directed, 4))
+    // without redistribution the sinks leak ~their whole received mass
+    // each round; with it the total stays within iters*(E+N) floor units
+    val scale = 1000000000000L
+    val total = got.values.sum
+    assert(total <= scale && total > scale * 99 / 100, s"total=$total")
+    // layout invariance holds for the redistributed variant too
+    val other = PageRank.pageRank(
+        directed.toDF("s", "d").repartition(13, col("d")), "s", "d",
+        iterations = 4, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other == got)
+  }
 }
