@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the clustering step
@@ -64,4 +64,113 @@ object Components {
         "(graph diameter exceeds maxIter) — raise maxIter")
     labels.select(col("id"), col("lbl").as("component"))
   }
+
+  // ---------------------------------------------------------------------
+  // INCREMENTALLY MAINTAINED components — the last full-recompute in the
+  // dedup story closed: the near-dup GATE admits pairs incrementally
+  // (TextDedup.dedupGateBatch), but cluster membership used to need a
+  // full-graph rerun per refresh. Here membership persists as a
+  // [[BatchTables]] table of (id, component, _seq) rows and each delta
+  // batch of edges re-propagates ONLY the touched subgraph:
+  //
+  //   1. the batch's edge endpoints look up their current components
+  //      (one join of the small delta against the membership table);
+  //   2. every member of a touched component is pulled in (a second
+  //      membership join against the — typically broadcast-size — set
+  //      of touched labels);
+  //   3. min-label propagation runs over delta edges ∪ one star edge
+  //      (member → its label) per affected member. Contracting an old
+  //      component to a star is connectivity-exact, so the mini-graph's
+  //      components equal the union graph's on the touched region —
+  //      including the hard case where one late edge MERGES two prior
+  //      components (both end up touched, both star-sets join);
+  //   4. relabeled members land under the batch's own `_batch_id` with
+  //      `_seq = batchId` carried IN the row, so latest-wins survives
+  //      compaction's `_batch_id` normalization (the AnnIndex `_seq`
+  //      discipline).
+  //
+  // Invariant (induction over batches): the latest-per-id view equals
+  // the connected components of ALL edges absorbed so far, labels = min
+  // member id — exactly the one-shot [[connectedComponents]] answer, so
+  // the one-shot recursive-CTE oracle gates every batched arrival order
+  // (`doc_dup_clusters_incr`).
+  //
+  // 100 TB shape: per batch the data-sized work is two hash joins of
+  // the membership table against delta-derived key sets (AQE broadcasts
+  // them when small) plus propagation over the AFFECTED subgraph only —
+  // near-dup clusters are tiny, so the iterative part stays
+  // delta-sized. Nothing rescans the pair-generation pipeline, and a
+  // daily crawl delta no longer pays the full graph.
+  // ---------------------------------------------------------------------
+
+  /** Merge one batch of delta edges into the persisted component table
+    * `table` at `path` ([[BatchTables]] replay discipline: re-running a
+    * batch dynamic-overwrites its own partition, so crash/replay never
+    * duplicates or forks membership).
+    */
+  def mergeBatchEdges(edges: DataFrame, table: String, path: String,
+                      batchId: Long, idA: String = "id_a",
+                      idB: String = "id_b", maxIter: Int = 20): Unit = {
+    val spark = edges.sparkSession
+    // consumed by endpoints + the mini-graph union: materialize the
+    // (usually expensive) delta plan once
+    val delta = edges.select(col(idA).cast("long").as("u"),
+        col(idB).cast("long").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val empty = delta.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_seq",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_batch_id",
+          org.apache.spark.sql.types.LongType))))
+    BatchTables.ensureBatchTable(empty, table, path)
+
+    val membership = componentsFromTable(spark, table)
+    val endpoints = delta.select(col("u").as("id"))
+      .union(delta.select(col("v").as("id"))).distinct()
+    // components the delta touches, then ALL their members — the only
+    // region whose labels can change
+    val touched = membership.join(endpoints, "id")
+      .select(col("component")).distinct()
+    val affected = membership.join(touched, Seq("component"))
+      .select(col("id"), col("component"))
+    // star-contract each touched component onto its label node
+    // (labels are member ids, so connectivity is preserved exactly)
+    val mini = delta.union(
+      affected.select(col("id").as("u"), col("component").as("v")))
+    val relabeled = connectedComponents(mini, "u", "v", maxIter)
+      .select(col("id"), col("component"),
+        lit(batchId).as("_seq"), lit(batchId).as("_batch_id"))
+    BatchTables.withDynamicOverwrite(spark) {
+      relabeled.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** Current membership: latest (`_seq`-wise) component per node across
+    * every batch partition — (id, component).
+    */
+  def componentsFromTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .groupBy(col("id"))
+      .agg(max_by(col("component"), col("_seq")).as("component"))
+
+  /** Fold batch partitions `0..upToBatchId` into one consolidated
+    * partition, keeping each id's newest row — `_seq` lives in the row,
+    * so latest-wins survives the `_batch_id` normalization. Crash
+    * leftovers duplicate identical rows only (same id, same `_seq` ⇒
+    * same component), which the max_by collapse absorbs.
+    */
+  def compactComponents(spark: SparkSession, table: String,
+                        upToBatchId: Long): (Int, Int) =
+    BatchTables.compactBatchPartitions(spark, table, upToBatchId,
+      df => df.groupBy(col("id"), col("_batch_id"))
+        .agg(max(col("_seq")).as("_seq"),
+          max_by(col("component"), col("_seq")).as("component"))
+        .select(col("id"), col("component"), col("_seq"), col("_batch_id")))
 }

@@ -236,6 +236,48 @@ object Corpus {
         .orderBy($"cluster_id", $"doc_id")
     }),
 
+    // INCREMENTALLY MAINTAINED duplicate clusters
+    // (Components.mergeBatchEdges / componentsFromTable — the BatchTables
+    // discipline on cluster membership): the near-dup pair set arrives as
+    // three delta batches, compaction folds mid-stream, and each batch
+    // re-propagates only the touched subgraph — including late edges that
+    // MERGE components formed in earlier batches. The membership read is
+    // latest-per-id over the maintained table; the oracle is the SAME
+    // one-shot recursive-CTE closure as doc_dup_clusters: batched arrival
+    // order must not move a single label.
+    "doc_dup_clusters_incr" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.TextDedup
+        .nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select($"id_a", $"id_b")
+        // three delta filters below must not replay the whole LSH pipeline
+        .localCheckpoint(true)
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_cc_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_cc_$salt")
+        .toString
+      try {
+        (0 to 2).foreach { p =>
+          graft.operators.Components.mergeBatchEdges(
+            pairs.filter(pmod($"id_a" + $"id_b", lit(3)) === p),
+            table, s"$tmp/state", batchId = p.toLong)
+          if (p == 1)
+            graft.operators.Components
+              .compactComponents(s, table, upToBatchId = 1L)
+        }
+        graft.operators.Components.componentsFromTable(s, table)
+          .select($"component".as("cluster_id"), $"id".as("doc_id"))
+          .orderBy($"cluster_id", $"doc_id")
+          // materialized so the returned frame no longer references the
+          // fixture table dropped below
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // Canonical-document selection — the step that completes the dedup
     // story (detect pairs → cluster → KEEP one): per duplicate cluster,
     // keep the longest member (RefinedWeb's keep rule; doc_id breaks
@@ -935,6 +977,29 @@ object Corpus {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
         |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the maintained-table form gates against the IDENTICAL one-shot
+    // closure: incremental arrival must reproduce it exactly. ORACLE
+    // COST: repeats the recursive-CTE closure (the doc_dedup_keep note).
+    "doc_dup_clusters_incr" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT u AS id, v AS reach FROM e
+        |  UNION
+        |  SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u
+        |)
+        |SELECT least(id, min(reach)) AS cluster_id, id AS doc_id
+        |FROM r GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
 
     "doc_dup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

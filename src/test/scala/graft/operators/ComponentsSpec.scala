@@ -47,4 +47,125 @@ class ComponentsSpec extends AnyFunSuite {
       assert(cc(edges) == want, s"round $round")
     }
   }
+
+  private def membership(table: String): Map[Long, Long] =
+    Components.componentsFromTable(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incremental merges equal the one-shot at every step, including a " +
+      "late edge that MERGES two prior components; compaction mid-stream") {
+    import spark.implicits._
+    val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val table = s"graft_cc_$salt"
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_cc_$salt").toString
+    try {
+      val b0 = Seq((1L, 2L))
+      val b1 = Seq((3L, 4L), (10L, 11L))
+      val b2 = Seq((2L, 3L)) // merges {1,2} with {3,4} — the hard case
+      Components.mergeBatchEdges(b0.toDF("id_a", "id_b"), table,
+        s"$tmp/state", batchId = 0L)
+      assert(membership(table) == Map(1L -> 1L, 2L -> 1L))
+      Components.mergeBatchEdges(b1.toDF("id_a", "id_b"), table,
+        s"$tmp/state", batchId = 1L)
+      assert(membership(table) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
+      // compact BEFORE the merging edge arrives: the consolidated
+      // partition must feed the next delta exactly like the raw batches
+      Components.compactComponents(spark, table, upToBatchId = 1L)
+      Components.mergeBatchEdges(b2.toDF("id_a", "id_b"), table,
+        s"$tmp/state", batchId = 2L)
+      assert(membership(table) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L),
+        "the late edge must pull BOTH prior components to the global min label")
+      // equals the one-shot over all edges
+      assert(membership(table) == cc(b0 ++ b1 ++ b2))
+      // steady state after a final compaction: one negative partition
+      Components.compactComponents(spark, table, upToBatchId = 2L)
+      assert(membership(table) == cc(b0 ++ b1 ++ b2))
+      val parts = spark.table(table).select($"_batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(parts == Set(-3L), s"expected one consolidated partition, got $parts")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("random batched arrival orders all converge to the one-shot components") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val n = 80
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val oneShot = cc(edges)
+    val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val table = s"graft_ccr_$salt"
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_ccr_$salt").toString
+    try {
+      val batches = rnd.shuffle(edges).grouped((edges.size + 3) / 4).toSeq
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Components.mergeBatchEdges(b.toDF("id_a", "id_b"), table,
+          s"$tmp/state", batchId = i.toLong)
+        if (i == 1) Components.compactComponents(spark, table, upToBatchId = 1L)
+      }
+      assert(membership(table) == oneShot)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("AvailableNow stream maintains the table; a crash mid-batch replays " +
+      "idempotently and the late merge still lands") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val table = s"graft_ccs_$salt"
+    val tmp = Files.createTempDirectory(s"graft_ccs_$salt").toString
+    val streamDir = Files.createTempDirectory("cc_stream").toString
+    val ckpt = Files.createTempDirectory("cc_ckpt").toString
+    def writeFile(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      val t = Files.createTempDirectory("cc_tmp").toString
+      rows.toDF("id_a", "id_b").coalesce(1).write.mode("overwrite").parquet(t)
+      val part = Files.list(Paths.get(t)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      val dst = Paths.get(streamDir, name)
+      Files.copy(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    writeFile(Seq((1L, 2L)), "0000.parquet", 1718000000000L)
+    writeFile(Seq((3L, 4L)), "0001.parquet", 1718000100000L)
+    writeFile(Seq((2L, 3L)), "0002.parquet", 1718000200000L)
+    val sch = Seq((1L, 2L)).toDF("id_a", "id_b").schema
+    try {
+      val boom = new java.util.concurrent.atomic.AtomicInteger(0)
+      def start() = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          Components.mergeBatchEdges(df, table, s"$tmp/state", id)
+          // crash AFTER the state write, BEFORE the checkpoint commits:
+          // the replay re-runs the batch and must dynamic-overwrite its
+          // own partition, never duplicate or fork membership
+          if (id == 1 && boom.getAndIncrement() == 0)
+            throw new RuntimeException("simulated crash after merge")
+          ()
+        }
+        .start()
+      intercept[Exception] { start().awaitTermination(120000) }
+      start().awaitTermination(120000)
+      assert(membership(table) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      // exactly one row per (id, batch) survived the replay
+      val dupes = spark.table(table).groupBy($"id", $"_batch_id")
+        .count().filter($"count" > 1).count()
+      assert(dupes == 0L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }
