@@ -94,4 +94,39 @@ object EntityResolution {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
         col("dist"))
+
+  /** Multi-pass fuzzy matching: the plain pass unioned with a
+    * REVERSED-key pass. A single sorted neighborhood misses PREFIX
+    * typos — "qidget" sorts nowhere near "widget" — but their reversals
+    * ("tegdiq"/"tegdiw") are suffix-typo neighbors, and edit distance is
+    * reversal-invariant, so the reversed pass verifies with the same
+    * Levenshtein bound and catches exactly that class. Each pass keeps
+    * its own rank machinery (two n·(w−1) candidate sets — still linear);
+    * pairs are normalized to `id_a < id_b` (a pair can surface in either
+    * orientation depending on which pass found it) and deduped on the id
+    * pair. Output: (id_a, id_b, key_a, key_b, dist) with id_a < id_b.
+    */
+  def fuzzyPairsMultiPass(df: DataFrame, idCol: String, keyCol: String,
+                          w: Int, maxDist: Int): DataFrame = {
+    // reversed pass: block on reverse(key), report the ORIGINAL keys —
+    // levenshtein(reverse(a), reverse(b)) == levenshtein(a, b)
+    val rev = fuzzyPairs(
+        df.withColumn("_rkey", reverse(col(keyCol))), idCol, "_rkey",
+        w, maxDist)
+      .select(col("id_a"), col("id_b"),
+        reverse(col("key_a")).as("key_a"), reverse(col("key_b")).as("key_b"),
+        col("dist"))
+    val lo = col("id_a") <= col("id_b")
+    fuzzyPairs(df, idCol, keyCol, w, maxDist)
+      .unionByName(rev)
+      .select(
+        when(lo, col("id_a")).otherwise(col("id_b")).as("id_lo"),
+        when(lo, col("id_b")).otherwise(col("id_a")).as("id_hi"),
+        when(lo, col("key_a")).otherwise(col("key_b")).as("key_lo"),
+        when(lo, col("key_b")).otherwise(col("key_a")).as("key_hi"),
+        col("dist"))
+      .dropDuplicates("id_lo", "id_hi")
+      .select(col("id_lo").as("id_a"), col("id_hi").as("id_b"),
+        col("key_lo").as("key_a"), col("key_hi").as("key_b"), col("dist"))
+  }
 }

@@ -661,6 +661,75 @@ object Events {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
     }),
+
+    // The drift monitor run WHOLE, production-shaped: a real Structured
+    // Streaming query (checkpointed, AvailableNow) maintains the
+    // histogram table via Quantiles.mergeBatch as its per-batch
+    // maintenance hook — first half of January arrives and is absorbed,
+    // the second half arrives on a restart of the SAME checkpoint, and
+    // the first attempt at the second half CRASHES after the state write
+    // (the replay must dynamic-overwrite its own partition, never
+    // double-count). Drift.driftFromTable between the two batch ranges
+    // then answers "did the stream move?" from partition-pruned sketch
+    // rows alone. The one-shot evt_drift_value oracle gates the whole
+    // maintain-crash-replay-compare path bit-for-bit in its integer
+    // columns.
+    "cdc_drift_monitor" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").filter($"value".isNotNull)
+        .withColumn("v", floor($"value" * 100).cast("long"))
+        .filter($"v" >= 1)
+        .select($"event_type", $"v", $"ts")
+      val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_mon_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_mon_$salt")
+        .toString
+      val streamDir = s"$tmp/in"
+      try {
+        val feed = ev.select($"event_type", $"v")
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+        val boom = new java.util.concurrent.atomic.AtomicInteger(0)
+        def runStream(crashOnce: Boolean): Unit = {
+          val q = s.readStream.schema(feed.schema).parquet(streamDir)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (!b.isEmpty) {
+                graft.operators.Quantiles.mergeBatch(b, Seq("event_type"),
+                  "v", table, s"$tmp/hist", id)
+                seen.synchronized { seen += id }
+                if (crashOnce && boom.getAndIncrement() == 0)
+                  throw new RuntimeException(
+                    "simulated crash between maintenance and commit")
+              }
+              ()
+            }
+            .start()
+          try q.awaitTermination(240000)
+          catch { case e: Exception if crashOnce => () }
+        }
+        ev.filter($"ts" < mid).select($"event_type", $"v")
+          .write.parquet(streamDir)
+        runStream(crashOnce = false)
+        val batchesA = seen.toSeq
+        ev.filter($"ts" >= mid).select($"event_type", $"v")
+          .write.mode("append").parquet(streamDir)
+        runStream(crashOnce = true) // crashes after the state write
+        runStream(crashOnce = false) // replay completes the batch
+        val batchesB = seen.toSeq.diff(batchesA)
+        graft.operators.Drift
+          .driftFromTable(s, table, Seq("event_type"), batchesA, batchesB)
+          .select($"event_type", $"n_a", $"n_b", $"buckets",
+            $"ks_num", $"ks", $"tv_num", $"tv", round($"psi", 6).as("psi"))
+          .orderBy($"event_type")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1342,6 +1411,9 @@ object Events {
     // partitions equal the one-shot histograms exactly, so the
     // one-shot replay IS the oracle for the table-backed comparison
     "evt_drift_state" -> DriftValueOracle,
+    // the production monitor (streaming maintenance + crash/replay +
+    // batch-range comparison) must reproduce the identical one-shot drift
+    "cdc_drift_monitor" -> DriftValueOracle,
   )
 
   /** One-shot drift replay, shared by evt_drift_value (direct) and

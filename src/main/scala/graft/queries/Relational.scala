@@ -298,6 +298,38 @@ object Relational {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Multi-pass fuzzy resolution (EntityResolution.fuzzyPairsMultiPass):
+    // the plain sorted-neighborhood pass unioned with a REVERSED-key pass
+    // — prefix typos sort far from their target but their reversals are
+    // suffix neighbors, and Levenshtein is reversal-invariant. Pairs
+    // normalized to id_a < id_b and deduped; the oracle replays BOTH
+    // rank machineries and the same normalize+dedup.
+    "q17_fuzzy_multi" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.EntityResolution.fuzzyPairsMultiPass(
+          Tables(s, dir, "customer"), "c_custkey", "c_name",
+          w = 8, maxDist = 1)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // The dangling-mass variant over the UNsymmetrized bipartite trade
+    // graph (customers point at suppliers, so every supplier is a pure
+    // sink): each round the danglers' mass redistributes uniformly as
+    // D div N inside the damped term — all-integer, so the oracle
+    // unrolls the three rounds with the per-round dangling sum as a
+    // scalar subquery and the hash gates the iteration verbatim.
+    "q16_pagerank_dangling" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.PageRank.pageRank(edges, "src", "dst",
+          iterations = 3, redistributeDangling = true)
+        .orderBy($"node")
+    }),
+
     // Statistical aggregates from EXACT integer moments
     // (operators.Moments): corr / OLS slope / intercept / R² of order
     // value (whole dollars) on quantity per return flag. The five moment
@@ -524,6 +556,73 @@ object Relational {
         |       FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 7)
         |SELECT id_a, id_b, key_a, key_b, dist
         |FROM pr WHERE dist <= 1 ORDER BY id_a, id_b""".stripMargin,
+
+    // both sorted-neighborhood passes replayed (plain + reversed key),
+    // then the same id-order normalization and pair dedup
+    "q17_fuzzy_multi" ->
+      """WITH r1 AS (SELECT c_custkey AS id, c_name AS key,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rk
+        |  FROM customer),
+        |p1 AS (SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a,
+        |         b.key AS key_b, levenshtein(a.key, b.key) AS dist
+        |       FROM r1 a JOIN r1 b ON b.rk - a.rk BETWEEN 1 AND 7),
+        |r2 AS (SELECT c_custkey AS id, c_name AS key,
+        |    row_number() OVER (ORDER BY reverse(c_name), c_custkey) - 1 AS rk
+        |  FROM customer),
+        |p2 AS (SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a,
+        |         b.key AS key_b, levenshtein(a.key, b.key) AS dist
+        |       FROM r2 a JOIN r2 b ON b.rk - a.rk BETWEEN 1 AND 7),
+        |u AS (SELECT * FROM p1 WHERE dist <= 1
+        |      UNION ALL SELECT * FROM p2 WHERE dist <= 1),
+        |n AS (SELECT
+        |  CASE WHEN id_a <= id_b THEN id_a ELSE id_b END AS id_a,
+        |  CASE WHEN id_a <= id_b THEN id_b ELSE id_a END AS id_b,
+        |  CASE WHEN id_a <= id_b THEN key_a ELSE key_b END AS key_a,
+        |  CASE WHEN id_a <= id_b THEN key_b ELSE key_a END AS key_b,
+        |  dist FROM u)
+        |SELECT DISTINCT id_a, id_b, key_a, key_b, dist
+        |FROM n ORDER BY id_a, id_b""".stripMargin,
+
+    // the redistributed variant unrolled: per round, the danglers' mass
+    // (nodes absent from deg) sums to D, D // n joins the damped term —
+    // every value BIGINT (::BIGINT at each sum, the HUGEINT-widening rule)
+    "q16_pagerank_dangling" ->
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node FROM
+        |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |c0 AS (SELECT count(*) AS n FROM nodes),
+        |p0 AS (SELECT node, 1000000000000 // (SELECT n FROM c0) AS pr
+        |       FROM nodes),
+        |d1 AS (SELECT (coalesce(sum(pr), 0) // (SELECT n FROM c0))::BIGINT AS sh
+        |       FROM p0 WHERE node NOT IN (SELECT src FROM deg)),
+        |m1 AS (SELECT e.dst AS node, sum(p0.pr // deg.deg)::BIGINT AS m
+        |       FROM e JOIN p0 ON e.src = p0.node
+        |       JOIN deg ON e.src = deg.src GROUP BY 1),
+        |p1 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // (SELECT n FROM c0)) // 100)
+        |         + (85 * (coalesce(m, 0) + (SELECT sh FROM d1)) // 100) AS pr
+        |       FROM nodes LEFT JOIN m1 USING (node)),
+        |d2 AS (SELECT (coalesce(sum(pr), 0) // (SELECT n FROM c0))::BIGINT AS sh
+        |       FROM p1 WHERE node NOT IN (SELECT src FROM deg)),
+        |m2 AS (SELECT e.dst AS node, sum(p1.pr // deg.deg)::BIGINT AS m
+        |       FROM e JOIN p1 ON e.src = p1.node
+        |       JOIN deg ON e.src = deg.src GROUP BY 1),
+        |p2 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // (SELECT n FROM c0)) // 100)
+        |         + (85 * (coalesce(m, 0) + (SELECT sh FROM d2)) // 100) AS pr
+        |       FROM nodes LEFT JOIN m2 USING (node)),
+        |d3 AS (SELECT (coalesce(sum(pr), 0) // (SELECT n FROM c0))::BIGINT AS sh
+        |       FROM p2 WHERE node NOT IN (SELECT src FROM deg)),
+        |m3 AS (SELECT e.dst AS node, sum(p2.pr // deg.deg)::BIGINT AS m
+        |       FROM e JOIN p2 ON e.src = p2.node
+        |       JOIN deg ON e.src = deg.src GROUP BY 1),
+        |p3 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // (SELECT n FROM c0)) // 100)
+        |         + (85 * (coalesce(m, 0) + (SELECT sh FROM d3)) // 100) AS pr
+        |       FROM nodes LEFT JOIN m3 USING (node))
+        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
 
     // fixed-point PageRank replay: the three damped rounds unrolled as
     // CTEs with DuckDB's integer // division — every value BIGINT, no

@@ -83,4 +83,35 @@ class EntityResolutionSpec extends AnyFunSuite {
       .select(levenshtein($"a", $"b")).as[Int].collect().toSeq
     assert(got == Seq(3, 2, 3, 0))
   }
+
+  test("multi-pass catches the first-character typo the single pass " +
+      "provably misses") {
+    import spark.implicits._
+    // "qidget" is one edit from "widget" but sorts far away (q vs w):
+    // a forest of r*/t* names fills the w=3 neighborhood BETWEEN them.
+    // Reversed, both become "tegdi?" — adjacent in the second pass
+    // (reversed fillers start with digits, sorting before both).
+    val rows = (Seq((1L, "widget"), (2L, "qidget")) ++
+      (10L to 40L).map(i => (i, f"r_filler_$i%03d")) ++
+      (50L to 80L).map(i => (i, f"t_filler_$i%03d"))).toDF("id", "name")
+    val single = EntityResolution.fuzzyPairs(rows, "id", "name",
+        w = 3, maxDist = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(!single.contains((2L, 1L)) && !single.contains((1L, 2L)),
+      "fixture broken: the single pass was supposed to miss the prefix typo")
+    val multi = EntityResolution.fuzzyPairsMultiPass(rows, "id", "name",
+        w = 3, maxDist = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(multi.contains((1L, 2L)), s"multi-pass missed the typo: $multi")
+    // normalization: every pair is id_a < id_b exactly once
+    val multiRows = EntityResolution.fuzzyPairsMultiPass(rows, "id", "name",
+      w = 3, maxDist = 1).collect()
+    assert(multiRows.forall(r =>
+      r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(multiRows.map(r => (r.getAs[Long]("id_a"),
+      r.getAs[Long]("id_b"))).distinct.length == multiRows.length)
+    // the single pass's own pairs all survive into the union
+    assert(single.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .subsetOf(multi))
+  }
 }

@@ -121,6 +121,70 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("drift monitor rides the pipeline: a Quantiles maintenance hook keeps " +
+      "the histogram table, and driftFromTable across batch ranges equals the " +
+      "one-shot drift — through a crash/replay") {
+    val (ledger, root, ckpt) = (tmp("ledger"), tmp("sink"), tmp("ckpt"))
+    val st = tmp("state")
+    Ledger.writeCrudScenario(ledger)
+    val histT = "graft_pipe_hist"
+    spark.sql(s"DROP TABLE IF EXISTS $histT")
+    try {
+      // per-batch capture of exactly what the hook histogrammed, so the
+      // one-shot reference below is built from the same rows; a replayed
+      // batch overwrites its entry with identical content (rules pure)
+      val perBatch = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(String, Long)]]
+      val hook: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) => {
+        val withV = b.withColumn("v",
+          pmod(unix_millis(col("timestamp")), lit(86400000L)) + 1L)
+        graft.operators.Quantiles.mergeBatch(withV, Seq("eventType"), "v",
+          histT, s"$st/hist", id)
+        perBatch(id) = withV.select(col("eventType"), col("v")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+      val boom = new AtomicInteger(0)
+      val q1 = Pipeline.run(spark, ledger, root, ckpt,
+        maxFilesPerTrigger = Some(1),
+        failpoint = _ => if (boom.getAndIncrement() == 0)
+          throw new RuntimeException("simulated crash after maintenance"),
+        maintenance = Seq(hook))
+      intercept[Exception] { q1.awaitTermination(120000) }
+      val q2 = Pipeline.run(spark, ledger, root, ckpt,
+        maxFilesPerTrigger = Some(1), maintenance = Seq(hook))
+      q2.awaitTermination(120000)
+
+      val ids = perBatch.keySet.toSeq.sorted
+      assert(ids.size >= 2, s"need 2+ batches to compare, got $ids")
+      val (aIds, bIds) = (Seq(ids.head), ids.tail)
+      import spark.implicits._
+      def oneShot(sel: Seq[Long]) =
+        sel.flatMap(perBatch).toDF("eventType", "v")
+      // integer statistics must be bit-identical to the one-shot drift
+      // over the same rows (ks is one division of those integers)
+      def ints(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("eventType"), col("n_a"), col("n_b"), col("buckets"),
+            col("ks_num"), col("tv_num"))
+          .collect().map(_.toString).sorted.toSeq
+      val got = ints(graft.operators.Drift.driftFromTable(
+        spark, histT, Seq("eventType"), aIds, bIds))
+      val want = ints(graft.operators.Drift.histogramDrift(
+        oneShot(aIds), oneShot(bIds), Seq("eventType"), "v"))
+      assert(got == want && got.nonEmpty,
+        s"maintained-table drift diverged:\n$got\nvs\n$want")
+      // the maintained histogram equals the one-shot histogram of ALL rows
+      val histGot = graft.operators.Quantiles
+        .histogramFromTable(spark, histT, Seq("eventType"))
+        .collect().map(_.toString).sorted.toSeq
+      val histWant = graft.operators.Quantiles
+        .histogram(oneShot(ids), Seq("eventType"), "v")
+        .collect().map(_.toString).sorted.toSeq
+      assert(histGot == histWant)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $histT")
+    }
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark suppresses cross-batch duplicate") {
     val ledger = tmp("ledger")
     // same hired envelope in two segments -> same deterministic eventId,
