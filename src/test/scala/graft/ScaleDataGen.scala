@@ -74,6 +74,69 @@ object ScaleDataGen {
         col("event_type"), col("value"), col("props"))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // Relational star schema (round 11, for the sf1 certification sweep):
+    // each copy is a disjoint sub-database — every surrogate key offsets
+    // by its own dense stride, and the foreign keys offset by the
+    // REFERENCED table's stride so joins stay copy-local (join
+    // selectivity, orphan rates and group sizes keep the source
+    // distribution; nothing joins across copies). nation/region are
+    // fixed-size shared dimensions and copy through verbatim, so
+    // nationkey references stay valid. c_name gets the documents-style
+    // per-copy suffix: the sorted-neighborhood ER queries would
+    // otherwise see 10 identical copies of every name as dist-0 pairs —
+    // a different (quadratic-in-copies) workload than the source's.
+    val cust = Tables(spark, src, "customer")
+    val custStride = stride(cust, "c_custkey")
+    union { c =>
+      cust.select(
+        (col("c_custkey") + lit(c * custStride)).as("c_custkey"),
+        concat(col("c_name"), lit(s"_$c")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    val supp = Tables(spark, src, "supplier")
+    val suppStride = stride(supp, "s_suppkey")
+    union { c =>
+      supp.select(
+        (col("s_suppkey") + lit(c * suppStride)).as("s_suppkey"),
+        concat(col("s_name"), lit(s"_$c")).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    val part = Tables(spark, src, "part")
+    val partStride = stride(part, "p_partkey")
+    union { c =>
+      part.select(
+        (col("p_partkey") + lit(c * partStride)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    val ord = Tables(spark, src, "orders")
+    val ordStride = stride(ord, "o_orderkey")
+    union { c =>
+      ord.select(
+        (col("o_orderkey") + lit(c * ordStride)).as("o_orderkey"),
+        (col("o_custkey") + lit(c * custStride)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = Tables(spark, src, "lineitem")
+    union { c =>
+      li.select(
+        (col("l_orderkey") + lit(c * ordStride)).as("l_orderkey"),
+        (col("l_partkey") + lit(c * partStride)).as("l_partkey"),
+        (col("l_suppkey") + lit(c * suppStride)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    Seq("nation", "region").foreach { t =>
+      Tables(spark, src, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
     println(s"[scale] wrote ${copies}x of $src to $out")
     spark.stop()
   }
