@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust (median/MAD-based) outlier scoring — the monitor that survives
+  * the anomaly it is looking for. The z-score monitor (`evt_anomaly_daily`)
+  * scores against the MEAN and the STANDARD DEVIATION, and a single
+  * extreme day inflates both: a 100× traffic spike drags the mean up and
+  * the σ out until the spike itself scores modest — masking (the
+  * textbook breakdown of moment statistics, 0% breakdown point). The
+  * median and the median-absolute-deviation both have the 50% breakdown
+  * point: up to half the observations can be arbitrarily corrupted
+  * before the score moves, so bursts and outages stay visible no matter
+  * how extreme.
+  *
+  * Exactness discipline (the repo's integer-numerator rule): medians of
+  * BIGINT observations interpolate to halves at worst, so everything is
+  * carried in DOUBLED units where it is integral again —
+  *
+  *   - `med2 = percentile(2x, 0.5)` — 2·median, an exact BIGINT (the
+  *     midpoint of two even integers is an integer; exact below 2^52);
+  *   - `d2 = |2x − med2|` — 2·|x − med|, BIGINT per row;
+  *   - `mad4 = percentile(2·d2, 0.5)` — 4·MAD, again an exact BIGINT.
+  *
+  * The outlier test |x − med| > (k/2)·MAD (the conventional cutoff 3.5
+  * is k=7) becomes the ALL-INTEGER comparison `4·d2 > k·mad4` — no
+  * float ever decides a flag. The reported score is the robust z
+  * `(x − med)/MAD = sign · 2·d2/mad4`: ONE correctly-rounded IEEE
+  * division of two BIGINTs, gated raw (the Drift KS/TV discipline).
+  *
+  * 100 TB shape: the input here is already an aggregate (daily counts —
+  * one (key, day) row per group per day), so both percentile passes run
+  * over sketch-sized frames, grouped by key across a data-independent
+  * number of rows/group (the day count). Spark's `percentile` is the
+  * exact sort-based aggregate; at this row count that is the right tool
+  * (the approximate-quantile path is [[Quantiles]], for when the frame
+  * IS data-sized).
+  *
+  * MAD = 0 (more than half the days identical to the median) is the
+  * documented degenerate regime: the score is NULL — division by zero
+  * has no robust meaning — and the flag degrades to `d2 > 0` (any
+  * deviation from the median at all), which is the k·mad4 comparison
+  * itself at mad4 = 0. Groups with a single observation flag nothing.
+  */
+object Robust {
+
+  /** Per-row MAD outlier scores over `df`, grouped by `keys`: emits every
+    * input row plus `med2` (2·median), `mad4` (4·MAD), `mad_z` (signed
+    * robust z, NULL when MAD = 0) and `is_outlier`
+    * (|x − med| > (k/2)·MAD, all-integer). `valueCol` must be integral.
+    *
+    * `k` is in HALF-MAD units: the conventional 3.5·MAD cutoff is k = 7.
+    */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                  k: Int = 7): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"madOutliers scores integral observations; `$valueCol` is " +
+        s"${dt.simpleString} — pre-aggregate to counts/integer units first")
+    val x = col(valueCol).cast("long")
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(percentile(x * 2, lit(0.5)).cast("long").as("med2"))
+    val d2 = df.join(med, keys)
+      .withColumn("_d2", abs(x * 2 - col("med2")))
+    val mad = d2.groupBy(keys.map(col): _*)
+      .agg(percentile(col("_d2") * 2, lit(0.5)).cast("long").as("mad4"))
+    d2.join(mad, keys)
+      .withColumn("mad_z",
+        when(col("mad4") > 0,
+          signum(x * 2 - col("med2")) * (col("_d2") * 2) / col("mad4")))
+      .withColumn("is_outlier", col("_d2") * 4 > col("mad4") * k)
+      .drop("_d2")
+  }
+}

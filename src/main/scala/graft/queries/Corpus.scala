@@ -302,6 +302,56 @@ object Corpus {
         .orderBy($"cluster_id")
     }),
 
+    // Canonical selection riding the DELTA path end to end: the keep
+    // rule reads the incrementally MAINTAINED component table (the
+    // doc_dup_clusters_incr flow — three delta batches, mid-stream
+    // compaction, a late component-merging edge) instead of a full
+    // connectedComponents rerun, then applies the identical
+    // (length DESC, doc_id ASC) argmax. With membership maintained, a
+    // daily crawl delta re-derives canonical docs from cluster-count-
+    // sized frames: the length join touches only clustered ids and the
+    // argmax shuffles one struct per cluster. Oracle = doc_dedup_keep's
+    // one-shot closure + argmax VERBATIM — batched arrival must not move
+    // a single keep choice.
+    "doc_dedup_keep_incr" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val pairs = graft.operators.TextDedup
+        .nearDuplicates(docs, "doc_id", "text", threshold = 0.8)
+        .select($"id_a", $"id_b")
+        .localCheckpoint(true)
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_ck_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ck_$salt")
+        .toString
+      try {
+        (0 to 2).foreach { p =>
+          graft.operators.Components.mergeBatchEdges(
+            pairs.filter(pmod($"id_a" + $"id_b", lit(3)) === p),
+            table, s"$tmp/state", batchId = p.toLong)
+          if (p == 1)
+            graft.operators.Components
+              .compactComponents(s, table, upToBatchId = 1L)
+        }
+        val clusters = graft.operators.Components.componentsFromTable(s, table)
+        val withLen = clusters
+          .join(docs.select($"doc_id".as("id"), length($"text").as("len")),
+            "id")
+        withLen
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"component").orderBy($"len".desc, $"id")))
+          .groupBy($"component".as("cluster_id"))
+          .agg(max(when($"rk" === 1, $"id")).as("keep_id"),
+            count(lit(1)).as("n_members"))
+          .orderBy($"cluster_id")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // Corpus-level resemblance sketch (operators.CorpusSketch): pairwise
     // shingle-set Jaccard estimates between the document SOURCES from
     // one-permutation MinHash signatures — 256 slot minima per corpus,
@@ -493,7 +543,7 @@ object Corpus {
           (Multimodal.splitmix64(id * 4096L + p + 1L) & 255L).toInt))
       }
       val copies = ids.filter(_ % 10 == 0).map { id =>
-        (id + 100000L, Multimodal.encodeBmp24Gray(64, 64, { p =>
+        (id + 1000000000L, Multimodal.encodeBmp24Gray(64, 64, { p =>
           val v = (Multimodal.splitmix64(id * 4096L + p + 1L) & 255L).toInt
           val cell = (p / 64 / 8) * 8 + (p % 64) / 8
           if (cell == 0 || cell == 9 || cell == 18) (v + 64) % 256 else v
@@ -532,7 +582,7 @@ object Corpus {
       val base = ids.map(id =>
         (id, Multimodal.encodeWavPcm16Samples(pcm(id, half = false), 16000)))
       val copies = ids.filter(_ % 10 == 0).map(id =>
-        (id + 200000L,
+        (id + 1000000000L,
           Multimodal.encodeWavPcm16Samples(pcm(id, half = true), 16000)))
       Multimodal.audioDedup(
           base.union(copies).toDF("asset_id", "content"),
@@ -1055,6 +1105,38 @@ object Corpus {
         |FROM k JOIN n USING (cluster_id) WHERE rk = 1
         |ORDER BY cluster_id""".stripMargin,
 
+    // the incrementally maintained membership must reproduce the one-shot
+    // keep choices exactly — IDENTICAL oracle to doc_dedup_keep (same
+    // ORACLE COST note: the recursive closure dominates).
+    "doc_dedup_keep_incr" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT u AS id, v AS reach FROM e
+        |  UNION
+        |  SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u
+        |),
+        |c AS (SELECT least(id, min(reach)) AS cluster_id, id AS doc_id
+        |      FROM r GROUP BY id),
+        |l AS (SELECT c.cluster_id, c.doc_id, length(d.text) AS len
+        |      FROM c JOIN documents d USING (doc_id)),
+        |k AS (SELECT cluster_id, doc_id AS keep_id,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY len DESC, doc_id) AS rk FROM l),
+        |n AS (SELECT cluster_id, count(*) AS n_members FROM l GROUP BY 1)
+        |SELECT k.cluster_id, k.keep_id, n.n_members
+        |FROM k JOIN n USING (cluster_id) WHERE rk = 1
+        |ORDER BY cluster_id""".stripMargin,
+
     // Full one-permutation-MinHash replay: the standard word-3-gram
     // shingle fragment, md5'd (the doc_fingerprint parity primitive),
     // slot = 2-hex-char prefix, slot minimum per source, then the
@@ -1290,7 +1372,7 @@ object Corpus {
       """WITH ids AS (
         |  SELECT doc_id AS img_id, doc_id AS src_id, false AS pert FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, doc_id, true FROM documents WHERE doc_id % 10 = 0),
+        |  SELECT doc_id + 1000000000, doc_id, true FROM documents WHERE doc_id % 10 = 0),
         |px AS (
         |  SELECT img_id, pert, p,
         |    ((p // 64) // 8) * 8 + (p % 64) // 8 AS cell,
@@ -1336,7 +1418,7 @@ object Corpus {
       """WITH ids AS (
         |  SELECT doc_id AS clip_id, doc_id AS src_id, false AS pert FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 200000, doc_id, true FROM documents WHERE doc_id % 10 = 0),
+        |  SELECT doc_id + 1000000000, doc_id, true FROM documents WHERE doc_id % 10 = 0),
         |keys AS (
         |  SELECT clip_id, pert, 0 AS kind, f AS idx,
         |    (src_id * 64 + f + 911)::HUGEINT AS k

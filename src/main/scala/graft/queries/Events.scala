@@ -148,6 +148,24 @@ object Events {
         .orderBy($"event_type", $"d")
     }),
 
+    // Robust daily-volume outliers (operators.Robust.madOutliers): the
+    // median/MAD sibling of evt_anomaly_daily's z-score — 50% breakdown
+    // point, so one extreme day can't mask itself by inflating the mean
+    // and σ it is scored against. All decisions are integer (doubled-
+    // units medians: med2 = 2·median, mad4 = 4·MAD, flag = 4·d2 > 7·mad4)
+    // and the robust z is ONE IEEE division of BIGINTs, gated RAW.
+    "evt_anomaly_mad" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Robust
+        .madOutliers(daily, Seq("event_type"), "n")
+        .select($"event_type", $"d", $"n", $"med2", $"mad4", $"mad_z",
+          $"is_outlier")
+        .orderBy($"event_type", $"d")
+    }),
+
     // Cohort retention matrix (operators.Temporal.cohortRetention): users
     // grouped by first-event date, counted per days-since-cohort active
     // day. The event stream compacts to distinct (user, day) before any
@@ -1373,6 +1391,31 @@ object Events {
         |         sqrt((s2 - s1 * (s1 / CAST(nd AS DOUBLE))) / (nd - 1)), 4)
         |       END AS z
         |FROM daily JOIN stats USING (event_type)
+        |ORDER BY event_type, d""".stripMargin,
+
+    // whole estimator replayed in integer space: doubled-unit medians via
+    // quantile_cont (exact midpoints of even integers), the all-integer
+    // flag, and the single raw-gated IEEE division for the robust z.
+    "evt_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, CAST(quantile_cont(2 * n, 0.5) AS BIGINT) AS med2
+        |  FROM daily GROUP BY 1),
+        |d2 AS (
+        |  SELECT daily.event_type, daily.d, daily.n, med.med2,
+        |    abs(2 * daily.n - med.med2)::BIGINT AS dd
+        |  FROM daily JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, CAST(quantile_cont(2 * dd, 0.5) AS BIGINT) AS mad4
+        |  FROM d2 GROUP BY 1)
+        |SELECT d2.event_type, d2.d, d2.n, d2.med2, mad.mad4,
+        |  CASE WHEN mad.mad4 > 0 THEN
+        |    CAST(sign(2 * d2.n - d2.med2) AS BIGINT) * (d2.dd * 2) / mad.mad4
+        |  END AS mad_z,
+        |  (d2.dd * 4 > mad.mad4 * 7) AS is_outlier
+        |FROM d2 JOIN mad USING (event_type)
         |ORDER BY event_type, d""".stripMargin,
 
     "evt_cohort_retention" ->

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RobustSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Scalar reference: (med2, mad4, mad_z, is_outlier) per value. */
+  private def ref(xs: Seq[Long], k: Int = 7)
+      : Seq[(Long, Long, Long, Option[Double], Boolean)] = {
+    def median2(vs: Seq[Long]): Long = {
+      // 2*median of integer observations — exact midpoint arithmetic
+      val s = vs.sorted
+      val n = s.size
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val med2 = median2(xs)
+    val d2s = xs.map(x => math.abs(2 * x - med2))
+    val mad4 = median2(d2s)
+    xs.map { x =>
+      val d2 = math.abs(2 * x - med2)
+      val z = if (mad4 > 0)
+        Some(math.signum((2 * x - med2).toDouble) * (d2 * 2) / mad4)
+      else None
+      (x, med2, mad4, z, d2 * 4 > mad4.toLong * k)
+    }
+  }
+
+  private def run(xs: Seq[Long], group: String = "g")
+      : Seq[(Long, Long, Long, Option[Double], Boolean)] = {
+    import spark.implicits._
+    val df = xs.zipWithIndex.map { case (x, i) => (group, i, x) }
+      .toDF("g", "i", "n")
+    Robust.madOutliers(df, Seq("g"), "n")
+      .select($"n", $"med2", $"mad4", $"mad_z", $"is_outlier")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._4.getOrElse(0.0)))
+  }
+
+  test("matches the scalar reference (odd count, mixed deviations)") {
+    val xs = Seq(10L, 12L, 11L, 9L, 50L, 10L, 8L)
+    assert(run(xs).toSet === ref(xs).toSet)
+  }
+
+  test("matches the scalar reference (even count, half-integer median)") {
+    val xs = Seq(3L, 8L, 15L, 4L, 100L, 6L)
+    assert(run(xs).toSet === ref(xs).toSet)
+    // sorted middles are 6 and 8: median 7, carried exactly as med2 = 14
+    assert(ref(xs).head._2 === 14L)
+  }
+
+  test("masking: one extreme day flags under MAD where z-score hides it") {
+    // a single huge outlier among n points caps its own z at ~sqrt(n-1)
+    // (it inflates the σ it is scored against): 12 quiet days + 1 spike
+    // give z ≈ sqrt(12) ≈ 3.46 < 3.5 no matter HOW large the spike —
+    // the moment monitor is blind by construction. MAD (50% breakdown)
+    // flags it unambiguously.
+    val xs = (1L to 12L).map(i => 95L + (i % 11)) :+ 1000000L
+    val n = xs.size
+    val mean = xs.sum.toDouble / n
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    assert((xs.max - mean) / sd < 3.5, "fixture must exhibit z-masking")
+    val got = run(xs)
+    val spike = got.find(_._1 == 1000000L).get
+    assert(spike._5, "MAD must flag the masked spike")
+    assert(spike._4.get > 100.0)
+    // quiet days unflagged
+    assert(got.filter(_._1 < 1000L).forall(!_._5))
+  }
+
+  test("MAD = 0 degenerate regime: NULL score, any-deviation flag") {
+    val xs = Seq(5L, 5L, 5L, 5L, 9L)
+    val got = run(xs)
+    assert(got.forall(_._3 == 0L)) // mad4 = 0
+    assert(got.forall(_._4.isEmpty))
+    assert(got.count(_._5) === 1) // only the 9 deviates
+    assert(got.find(_._1 == 9L).get._5)
+  }
+
+  test("single observation flags nothing") {
+    val got = run(Seq(42L))
+    assert(got === Seq((42L, 84L, 0L, None, false)))
+  }
+
+  test("partition-layout invariance (bit-identical scores)") {
+    import spark.implicits._
+    val xs = (1L to 500L).map(i => (i * i * 31) % 400)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "i", "n")
+    def dump(d: org.apache.spark.sql.DataFrame) =
+      Robust.madOutliers(d, Seq("g"), "n")
+        .select($"i", $"mad_z", $"is_outlier").collect()
+        .map(r => (r.getInt(0),
+          if (r.isNullAt(1)) null else java.lang.Double
+            .doubleToLongBits(r.getDouble(1)), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    assert(dump(df.repartition(1)) === dump(df.repartition(17, $"n")))
+  }
+
+  test("non-integral value column is refused") {
+    import spark.implicits._
+    val df = Seq(("g", 1.5)).toDF("g", "n")
+    val e = intercept[IllegalArgumentException] {
+      Robust.madOutliers(df, Seq("g"), "n")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("multiple groups score independently") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L, 100L).map(("a", _))
+    val b = Seq(50L, 51L, 52L, 53L).map(("b", _))
+    val df = (a ++ b).zipWithIndex
+      .map { case ((g, x), i) => (g, i, x) }.toDF("g", "i", "n")
+    val got = Robust.madOutliers(df, Seq("g"), "n")
+      .select($"g", $"n", $"is_outlier").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got.contains(("a", 100L, true)))
+    assert(got.filter(_._1 == "b").forall(!_._3))
+  }
+}

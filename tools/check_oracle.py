@@ -3,13 +3,17 @@
 parquet against DuckDB running oracle_sql.json on the same sf tables.
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, json, duckdb, math
+import sys, json, duckdb, math, os
 
 sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # driver testdata is flat files; ScaleDataGen corpora are Spark dirs
+    p = f"{sf}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
