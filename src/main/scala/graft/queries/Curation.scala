@@ -219,6 +219,32 @@ object Curation {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Cluster-granular split assignment — doc_split_leakage's DOCUMENTED
+    // FIX, implemented: the split key is the near-dup CLUSTER id
+    // (connected components over the LSH pairs; singleton docs key on
+    // themselves), so every cluster lands wholly in one split and
+    // cross-split near-dup leakage is zero BY CONSTRUCTION (CurationSpec
+    // asserts it on the same planted pairs that leak under per-doc
+    // assignment). The md5 wall rule is assignSplits' own — growth-
+    // stable, salt-isolated — just keyed one level up.
+    "doc_split_by_cluster" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val pairs = graft.operators.TextDedup
+        .nearDuplicates(docs, "doc_id", "text", threshold = 0.8)
+      val clusters = graft.operators.Components.connectedComponents(pairs)
+      val keyed = docs.select($"doc_id")
+        .join(clusters.select($"id".as("doc_id"), $"component"),
+          Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce($"component", $"doc_id"))
+        .select($"doc_id", $"split_key")
+      graft.operators.Curation
+        .assignSplits(keyed, "split_key",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+        .select($"doc_id", $"split_key", $"split")
+        .orderBy($"doc_id")
+    }),
+
     // Temperature-flattened source mixing (operators.Curation
     // .temperatureMix): shares flattened to tokens^0.5 / Σ tokens^0.5,
     // downsampled toward that mixture under a 20k total-token budget —
@@ -565,6 +591,40 @@ object Curation {
         |FROM pr JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b
         |WHERE j >= 0.8 AND sa.split <> sb.split
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // cluster-keyed split replay: the doc_dup_clusters recursive closure
+    // for the cluster key (singletons key on themselves), then the
+    // doc_split_assign md5 wall rule keyed on it. ORACLE COST: repeats
+    // the recursive closure (the doc_dedup_keep note).
+    "doc_split_by_cluster" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT u AS id, v AS reach FROM e
+        |  UNION
+        |  SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u
+        |),
+        |c AS (SELECT least(id, min(reach)) AS component, id AS doc_id
+        |      FROM r GROUP BY id),
+        |k AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+        |      FROM documents d LEFT JOIN c USING (doc_id)),
+        |l AS (SELECT doc_id, split_key,
+        |        substring(md5('v1:' || coalesce(split_key::VARCHAR, '')), 1, 4)
+        |          AS pfx FROM k)
+        |SELECT doc_id, split_key, CASE
+        |  WHEN pfx < lpad(lower(to_hex(round(0.8 * 65536)::INT)), 4, '0') THEN 'train'
+        |  WHEN pfx < lpad(lower(to_hex(round(0.9 * 65536)::INT)), 4, '0') THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     // Temperature-mixing replay: p_i = tokens^0.5 / Σ tokens^0.5 (the
     // total-token denominator cancels, one pow per source; cross-engine

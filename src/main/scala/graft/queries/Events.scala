@@ -166,6 +166,21 @@ object Events {
         .orderBy($"event_type", $"d")
     }),
 
+    // Group-wise winsorization (operators.Robust.winsorize): event
+    // values clamped into their own type's exact [p01, p99] band — the
+    // cap-don't-drop numeric cleaner. Bounds via exact percentile
+    // (bit-identical to quantile_cont), clamp = min/max on RAW doubles,
+    // no arithmetic — the whole frame gates raw with no rounding.
+    "evt_winsorize_value" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Robust
+        .winsorize(Tables(s, dir, "events")
+            .select($"event_id", $"event_type", $"value"),
+          Seq("event_type"), "value", 0.01, 0.99)
+        .select($"event_id", $"event_type", $"p_lo", $"p_hi", $"value_w")
+        .orderBy($"event_id")
+    }),
+
     // Cohort retention matrix (operators.Temporal.cohortRetention): users
     // grouped by first-event date, counted per days-since-cohort active
     // day. The event stream compacts to distinct (user, day) before any
@@ -1417,6 +1432,21 @@ object Events {
         |  (d2.dd * 4 > mad.mad4 * 7) AS is_outlier
         |FROM d2 JOIN mad USING (event_type)
         |ORDER BY event_type, d""".stripMargin,
+
+    // exact-percentile bounds + raw min/max clamp — quantile_cont is
+    // bit-identical to Spark's exact percentile (the doc_quality_bins
+    // revalidation), so the whole frame compares raw.
+    "evt_winsorize_value" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.01) AS p_lo,
+        |    quantile_cont(value, 0.99) AS p_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, b.p_lo, b.p_hi,
+        |  CASE WHEN e.value IS NOT NULL
+        |       THEN greatest(b.p_lo, least(b.p_hi, e.value)) END AS value_w
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "evt_cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -517,4 +517,40 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window found in plan:\n$plan")
     assert(plan.contains("ObjectHashAggregate"), s"expected heap aggregate:\n$plan")
   }
+
+  test("cluster-keyed splits: zero near-dup leakage by construction") {
+    import spark.implicits._
+    // 40 planted identical pairs (per-pair vocabularies, so each pair is
+    // its own cluster) + 20 singletons
+    val docs = (0 until 40).flatMap { p =>
+      val text = (0 until 12).map(w => s"p${p}w$w").mkString(" ")
+      Seq((p * 2L, text), (p * 2L + 1L, text))
+    } ++ (0 until 20).map(i =>
+      (1000L + i, (0 until 12).map(w => s"s${i}w$w").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val pairs = TextDedup.nearDuplicates(df, "doc_id", "text",
+      threshold = 0.8).select($"id_a", $"id_b").localCheckpoint(true)
+    assert(pairs.count() === 40)
+    val clusters = graft.operators.Components.connectedComponents(pairs)
+    val keyed = df.select($"doc_id")
+      .join(clusters.select($"id".as("doc_id"), $"component"),
+        Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce($"component", $"doc_id"))
+    def leaks(sp: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(sp.select($"doc_id".as("id_a"), $"split".as("sa")), "id_a")
+      .join(sp.select($"doc_id".as("id_b"), $"split".as("sb")), "id_b")
+      .filter($"sa" =!= $"sb").count()
+    // per-doc assignment provably leaks on this fixture...
+    val perDoc = Curation.assignSplits(df.select($"doc_id"), "doc_id",
+      splits, salt = "v1")
+    assert(leaks(perDoc) > 0, "fixture must leak under per-doc assignment")
+    // ...cluster-keyed assignment cannot: one key per cluster
+    val byCluster = Curation.assignSplits(keyed, "split_key", splits,
+      salt = "v1")
+    assert(leaks(byCluster) === 0)
+    // still a total partition: every doc labeled exactly once
+    assert(byCluster.select($"doc_id").distinct().count() === docs.size)
+    assert(byCluster.count() === docs.size)
+  }
 }

@@ -110,6 +110,52 @@ class RobustSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("winsorize matches the exact-percentile scalar reference") {
+    import spark.implicits._
+    // the (n-1)-index interpolation rule both engines implement
+    def pct(sorted: Seq[Double], p: Double): Double = {
+      val idx = p * (sorted.size - 1)
+      val lo = math.floor(idx).toInt; val hi = math.ceil(idx).toInt
+      sorted(lo) + (sorted(hi) - sorted(lo)) * (idx - lo)
+    }
+    val xs = (1 to 200).map(i => ((i * 37) % 199 + 1).toDouble)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "i", "v")
+    val got = Robust.winsorize(df, Seq("g"), "v", 0.05, 0.95)
+      .select($"i", $"p_lo", $"p_hi", $"value_w").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    val s = xs.sorted
+    val (lo, hi) = (pct(s, 0.05), pct(s, 0.95))
+    got.foreach { case (i, pl, ph, w) =>
+      assert(pl === lo && ph === hi)
+      assert(w === math.max(lo, math.min(hi, xs(i))))
+    }
+    // tails actually clamp, interior untouched
+    assert(got.exists { case (i, _, _, w) => w != xs(i) })
+    assert(got.count { case (i, _, _, w) => w == xs(i) } > 150)
+  }
+
+  test("winsorize: NULLs stay NULL (explicit guard); bad bounds refused") {
+    import spark.implicits._
+    val df = Seq(("a", 0, Some(1.0)), ("a", 1, None), ("a", 2, Some(100.0)),
+      ("a", 3, Some(50.0)), ("b", 4, None), ("b", 5, None))
+      .toDF("g", "i", "v")
+    val got = Robust.winsorize(df, Seq("g"), "v", 0.25, 0.75)
+      .select($"i", $"value_w").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(got(1) === None)
+    assert(got(4) === None && got(5) === None)
+    // group a non-null values (1, 50, 100): p25 = 25.5, p75 = 75 — the
+    // tails clamp to the band
+    assert(got(0) === Some(25.5) && got(2) === Some(75.0))
+    assert(got(3) === Some(50.0))
+    intercept[IllegalArgumentException] {
+      Robust.winsorize(df, Seq("g"), "v", 0.9, 0.1)
+    }
+  }
+
   test("multiple groups score independently") {
     import spark.implicits._
     val a = Seq(1L, 2L, 3L, 100L).map(("a", _))
