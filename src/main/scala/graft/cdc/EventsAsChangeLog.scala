@@ -26,6 +26,30 @@ object EventsAsChangeLog {
       col("event_id"), col("user_id"), col("event_type"),
       col("value"), col("props"))
 
+  /** events table -> a changelog with TRUE before images (what Debezium
+    * emits in full-row mode), for the retraction operators: each event's
+    * `before` is the key's PREVIOUS live image (null for the key's first
+    * event or when the prior op was a delete — a dead row is never
+    * retracted twice), `after` is the event's own image unless it is a
+    * delete. The per-key `lag` window exists only in this fixture adapter
+    * — a real binlog delivers before images natively; `Retract` itself
+    * never re-orders or rescans.
+    */
+  def retractable(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("op", opCol)
+      .withColumn("_prev", lag(rowImage, 1).over(w))
+      .withColumn("_prev_op", lag(col("op"), 1).over(w))
+      .select(
+        when(col("_prev").isNotNull && col("_prev_op") =!= "d", col("_prev"))
+          .as("before"),
+        when(col("op") =!= "d", rowImage).as("after"),
+        col("op"),
+        unix_millis(col("ts")).as("ts_ms"))
+  }
+
   /** events table -> envelope DataFrame
     * (before, after, source, op, ts_ms, subject, event_key).
     */

@@ -50,4 +50,28 @@ object Validate {
       deadLetter = tagged.filter(col("_invalid_reason").isNotNull)
         .withColumnRenamed("_invalid_reason", "reason"))
   }
+
+  /** Sequence-continuity audit: per partition key, report every hole in
+    * a sequence column that the upstream contract says is contiguous —
+    * the binlog-integrity monitor ("did we lose offsets between
+    * position N and M?" — the reference's at-least-once delivery and
+    * consumer-lag concern, docs/design.md:589-595). Emits
+    * `(…partition…, gap_after, gap_before, missing)` per hole, where
+    * `missing = gap_before − gap_after − 1 > 0`.
+    *
+    * One shuffle on the partition key (per-key lag window, never
+    * global); output is bounded by the number of HOLES, not rows — on a
+    * healthy 100 TB log it is empty.
+    */
+  def sequenceGaps(df: DataFrame, partitionCols: Seq[String],
+                   seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*).orderBy(col("_s"))
+    df.select(partitionCols.map(col) :+ col(seqCol).as("_s"): _*)
+      .withColumn("_prev", lag(col("_s"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_s") > col("_prev") + 1L)
+      .select(partitionCols.map(col) :+ col("_prev").as("gap_after") :+
+        col("_s").as("gap_before") :+
+        (col("_s") - col("_prev") - 1L).as("missing"): _*)
+  }
 }

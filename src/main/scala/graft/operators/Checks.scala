@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite — the batch-audit sibling of
+  * `cdc/Validate` (which gates ROWS in flight; reference
+  * `docs/design.md:574-579` validation rules). Here the unit is the
+  * TABLE: a set of declared constraints compiles into aggregate
+  * violation counts and one report frame, the contract-monitoring shape
+  * (Deequ / dbt-test style) a 100 TB ingest runs nightly.
+  *
+  * Scale posture: every scalar constraint (null, range, regex, custom
+  * predicate) compiles to ONE conditional count inside ONE aggregation —
+  * checking 50 constraints on a 100 TB table costs a single scan with a
+  * one-row result, not 50 jobs (plan-asserted in ChecksSpec). Key
+  * uniqueness adds one map-side-combined groupBy on the key; referential
+  * integrity adds one join against the (usually broadcast-able) parent
+  * key set. Nothing ever collects rows: violations are COUNTED
+  * distributively, and offending-row samples are a separate bounded
+  * query the caller opts into.
+  *
+  * All metrics are exact BIGINT counts, so the whole report is
+  * oracle-replayable (`q22_dq_suite`).
+  */
+object Checks {
+
+  /** One scalar constraint: `violated` is the per-row violation
+    * predicate; rows where it is NULL (e.g. a comparison on a NULL
+    * value) count as violations only if `nullViolates`.
+    */
+  final case class Scalar(check: String, target: String, violated: Column,
+                          nullViolates: Boolean = false) {
+    private[Checks] def violationCount: Column = {
+      val v = if (nullViolates) coalesce(violated, lit(true)) else violated
+      sum(when(v, 1L).otherwise(0L))
+    }
+  }
+
+  /** `column` must be non-null. */
+  def notNull(column: String): Scalar =
+    Scalar("not_null", column, col(column).isNull)
+
+  /** `column` must lie in `[lo, hi]`; NULLs are not range violations
+    * (declare `notNull` separately — one failure, one finding).
+    */
+  def inRange(column: String, lo: Column, hi: Column): Scalar =
+    Scalar("in_range", column, col(column) < lo || col(column) > hi)
+
+  /** `column` must match `regex` (NULLs violate: an absent value cannot
+    * match a required shape — mirrors `Validate`'s required-field rule).
+    */
+  def matches(column: String, regex: String): Scalar =
+    Scalar("matches", column, !col(column).rlike(regex), nullViolates = true)
+
+  /** All scalar constraints in ONE pass: a single aggregation computes
+    * every violation count plus the row total, then explodes into the
+    * report rows `(check, target, total, violations, passed)`.
+    */
+  def scalarReport(df: DataFrame, checks: Seq[Scalar]): DataFrame = {
+    require(checks.nonEmpty, "no scalar checks declared")
+    val counts = checks.zipWithIndex.map { case (c, i) =>
+      c.violationCount.as(s"_v$i")
+    }
+    val one = df.agg(count(lit(1)).as("_n"), counts: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.check).as("check_name"), lit(c.target).as("target"),
+        col("_n").as("total"),
+        // sum over an empty frame is NULL — an empty table violates nothing
+        coalesce(col(s"_v$i"), lit(0L)).as("violations"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.check_name"), col("r.target"), col("r.total"),
+        col("r.violations"), (col("r.violations") === 0L).as("passed"))
+  }
+
+  /** Key-uniqueness report row: `violations` counts the ROWS beyond the
+    * first of each duplicated key (0 ⇔ `keyCols` is a candidate key).
+    */
+  def uniquenessReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c")).as("total"), sum(col("_c") - 1L).as("violations"))
+      .select(lit("unique").as("check_name"),
+        lit(keyCols.mkString(",")).as("target"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("violations"), lit(0L)).as("violations"),
+        (coalesce(col("violations"), lit(0L)) === 0L).as("passed"))
+  }
+
+  /** Referential-integrity report row: every non-null `fkCol` value must
+    * exist in `parent.pkCol` (orphans counted via one left-anti join; the
+    * parent key set is distinct-reduced first, so a dimension parent
+    * broadcasts).
+    */
+  def referentialReport(df: DataFrame, fkCol: String,
+                        parent: DataFrame, pkCol: String): DataFrame = {
+    val child = df.filter(col(fkCol).isNotNull)
+    val orphans = child
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    child.agg(count(lit(1)).as("total")).crossJoin(orphans)
+      .select(lit("referential").as("check_name"),
+        lit(s"$fkCol->$pkCol").as("target"),
+        col("total"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+  }
+
+  /** The assembled suite: one scalar pass + the declared key/FK checks,
+    * unioned into a single deterministic report.
+    */
+  def suite(df: DataFrame, scalars: Seq[Scalar],
+            uniqueKeys: Seq[Seq[String]] = Nil,
+            references: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    val parts =
+      (if (scalars.nonEmpty) Seq(scalarReport(df, scalars)) else Nil) ++
+        uniqueKeys.map(uniquenessReport(df, _)) ++
+        references.map { case (fk, parent, pk) =>
+          referentialReport(df, fk, parent, pk)
+        }
+    require(parts.nonEmpty, "empty check suite")
+    parts.reduce(_ unionByName _)
+  }
+}

@@ -84,6 +84,43 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** AMS-style join-size estimate from two CMS sketches built with the
+    * SAME (depth, widthLog2) over the join key: min over the d hash rows
+    * of the counter inner product Σ_col A[r,col]·B[r,col] (Alon, Matias &
+    * Szegedy 1996 for the inner-product view; Cormode & Muthukrishnan
+    * 2005 §4.2 for the CMS form). One-sided like the point estimate:
+    * every row's inner product equals the TRUE equi-join cardinality
+    * Σ_v fA(v)·fB(v) plus nonnegative collision cross-terms, so the
+    * estimate overcounts or is exact, never undercounts — spec-pinned.
+    *
+    * This is the planner primitive at 100 TB: join cardinality between
+    * two tables estimated from two 32 KB maintained sketches (the
+    * `mergeBatch` family keeps them current per micro-batch), no scan of
+    * either side at decision time. Products and row sums are computed in
+    * DECIMAL(38,0) — exact far past the ~n_a·n_b/2^widthLog2 magnitudes
+    * involved; the returned BIGINT is NULL (non-ANSI cast) in the
+    * astronomically-over-2^63 regime instead of silently wrong. Size the
+    * width so n_a·n_b/2^widthLog2 < 2^63 (w=2^20 covers 10^12-row sides).
+    *
+    * Both sketch frames are ≤ d·2^widthLog2 rows; the join is
+    * broadcast by construction. Rows with no colliding cells at all
+    * contribute inner product 0 (the `spark.range(depth)` left join), so
+    * disjoint key sets estimate 0, not "min over nothing".
+    */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame,
+                       depth: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val prods = skA.select(col("row"), col("col"), col("cnt").as("_ca"))
+      .join(broadcast(skB.select(col("row"), col("col"), col("cnt").as("_cb"))),
+        Seq("row", "col"))
+      .groupBy(col("row"))
+      .agg(sum(col("_ca").cast(dec) * col("_cb").cast(dec)).as("ip"))
+    skA.sparkSession.range(depth).toDF("row")
+      .join(broadcast(prods), Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0).cast(dec)))
+        .cast("long").as("cms_join_est"))
+  }
+
   /** STREAMING counter maintenance — `Hll.mergeBatch`'s discipline for the
     * frequency sketch: each micro-batch's (row, col, cnt) frame lands in
     * its own `_batch_id` partition via dynamic partition overwrite

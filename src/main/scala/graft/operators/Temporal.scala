@@ -382,4 +382,32 @@ object Temporal {
       .select(col("key"), col("bin"), col("cents"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"))
   }
+
+  /** First-order Markov transition matrix over per-key ordered event
+    * sequences: `(from_state, to_state, n, p)` where `n` counts adjacent
+    * pairs and `p = n / Σ_to n` is the empirical transition probability —
+    * the session-model / synthetic-data estimator (and the CDC shape
+    * "which state moves to which": the aggregate view of
+    * `Suppress`'s transitions).
+    *
+    * One shuffle on the key for the `lead` window (per-key partitions,
+    * never a global window), then a map-side-combined count over at most
+    * |states|² groups. The normalizing totals join is |states| rows —
+    * broadcast by construction. `p` is ONE IEEE division of two exact
+    * BIGINTs (the Drift discipline: raw-gated, no rounding).
+    */
+  def transitionMatrix(df: DataFrame, key: String, tsCol: String,
+                       tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("_to", lead(col(stateCol), 1).over(w))
+      .filter(col("_to").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("_to").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("p"))
+  }
 }

@@ -431,6 +431,83 @@ object CdcAnalog {
           $"band", $"event_type")
         .orderBy($"user_id", $"ts_us", $"event_id")
     }),
+
+    // Sequence-continuity audit (Validate.sequenceGaps): the binlog
+    // offset-hole monitor. event_id is the dense 0..n-1 log sequence;
+    // ids ≡ 5 (mod 97) are dropped to simulate lost messages, the audit
+    // runs per 1000-id block (the partitioned form — never a global
+    // window) and must report exactly the planted holes. The residue is
+    // chosen so no hole lands on a block boundary (a boundary hole is
+    // invisible to within-block lag — the documented two-level caveat).
+    "cdc_seq_gaps" -> ((s, dir) => {
+      import s.implicits._
+      val damaged = Tables(s, dir, "events")
+        .filter(pmod($"event_id", lit(97L)) =!= 5L)
+        .withColumn("block", floor($"event_id" / 1000L).cast("long"))
+      graft.cdc.Validate.sequenceGaps(damaged, Seq("block"), "event_id")
+        .orderBy($"block", $"gap_after")
+    }),
+
+    // Retraction-based materialized view (cdc.Retract): live users and
+    // total cents per (event_type, value band) of each user's CURRENT
+    // row, maintained purely from ± image contributions — updates that
+    // move a user between groups retract the old image and add the new,
+    // deletes retract. The telescoped delta sum must equal the view
+    // recomputed over current state (the oracle's latest-live-per-user
+    // aggregation) — the streaming-MV correctness property.
+    "cdc_mv_retract" -> ((s, dir) => {
+      import s.implicits._
+      val log = graft.cdc.EventsAsChangeLog.retractable(
+        Tables(s, dir, "events"))
+      val deltas = graft.cdc.Retract.mvDeltas(log,
+        img => struct(img.getField("event_type").as("event_type"),
+          floor(img.getField("value") / 50).cast("long").as("band")),
+        img => floor(img.getField("value") * 100))
+      deltas.groupBy($"event_type", $"band")
+        .agg(sum($"d_n").as("n_live"), sum($"d_sum").cast("long").as("cents"))
+        .filter($"n_live" > 0)
+        .orderBy($"event_type", $"band")
+    }),
+
+    // Same view maintained as a BatchTables state table across three
+    // ts-range delta batches (binlog arrival order) with a mid-stream
+    // compaction — additive deltas commute, so batching and compaction
+    // provably move nothing (identical oracle to cdc_mv_retract).
+    "cdc_mv_retract_state" -> ((s, dir) => {
+      import s.implicits._
+      val log = graft.cdc.EventsAsChangeLog.retractable(
+          Tables(s, dir, "events"))
+        .localCheckpoint(true) // fixture lag window computed once, as a
+                               // binlog would deliver befores natively
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_mv_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_mv_$salt")
+        .toString
+      try {
+        val groupOf = (img: org.apache.spark.sql.Column) =>
+          struct(img.getField("event_type").as("event_type"),
+            floor(img.getField("value") / 50).cast("long").as("band"))
+        val measureOf = (img: org.apache.spark.sql.Column) =>
+          floor(img.getField("value") * 100)
+        val cuts = Seq(
+          $"ts_ms" < 1705000000000L,
+          $"ts_ms" >= 1705000000000L && $"ts_ms" < 1706000000000L,
+          $"ts_ms" >= 1706000000000L)
+        cuts.zipWithIndex.foreach { case (pred, i) =>
+          graft.cdc.Retract.mergeBatchMv(log.filter(pred), groupOf,
+            measureOf, table, s"$tmp/mv", i.toLong)
+          if (i == 1) graft.cdc.Retract.compactMv(s, table, upToBatchId = 1L)
+        }
+        graft.cdc.Retract.mvFromTable(s, table)
+          .select($"event_type", $"band", $"n".as("n_live"),
+            $"total".as("cents"))
+          .orderBy($"event_type", $"band")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -663,5 +740,49 @@ object CdcAnalog {
         |   OR NOT (pb IS NOT DISTINCT FROM band
         |           AND pt IS NOT DISTINCT FROM event_type)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "cdc_seq_gaps" ->
+      """WITH d AS (SELECT event_id,
+        |    CAST(floor(event_id / 1000) AS BIGINT) AS block
+        |  FROM events WHERE event_id % 97 <> 5),
+        |l AS (SELECT block, event_id,
+        |    lag(event_id) OVER (PARTITION BY block ORDER BY event_id) AS prev
+        |  FROM d)
+        |SELECT block, prev AS gap_after, event_id AS gap_before,
+        |  (event_id - prev - 1)::BIGINT AS missing
+        |FROM l WHERE prev IS NOT NULL AND event_id > prev + 1
+        |ORDER BY block, gap_after""".stripMargin,
+
+    // the retraction-maintained view must equal the view recomputed over
+    // CURRENT state (latest live row per user) — the oracle never sees
+    // the delta algebra, only its telescoped fixed point
+    "cdc_mv_retract" ->
+      """WITH c AS (SELECT user_id, event_id, event_type, value, ts,
+        |  CASE WHEN event_type = 'signup' THEN 'c'
+        |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+        |SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS band,
+        |  count(*)::BIGINT AS n_live,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM w WHERE rn = 1 AND op <> 'd'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // identical replay: batching + compaction must move nothing
+    "cdc_mv_retract_state" ->
+      """WITH c AS (SELECT user_id, event_id, event_type, value, ts,
+        |  CASE WHEN event_type = 'signup' THEN 'c'
+        |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+        |SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS band,
+        |  count(*)::BIGINT AS n_live,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM w WHERE rn = 1 AND op <> 'd'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

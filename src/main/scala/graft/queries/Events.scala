@@ -53,6 +53,17 @@ object Events {
     // DECLARED UNSALTED (same decision and threshold as evt_asof_click):
     // `sessionIndexSalted` is row-identical but 3.5x on uniform keys
     // (measured at sf0.1: 0.34 s vs 1.17 s).
+    // First-order Markov transitions (Temporal.transitionMatrix): which
+    // event type follows which, per user timeline — n exact BIGINT,
+    // p one raw-gated IEEE division (the Drift discipline).
+    "evt_transitions" -> ((s, dir) => {
+      import s.implicits._
+      Temporal.transitionMatrix(Tables(s, dir, "events"),
+          key = "user_id", tsCol = "ts", tieCol = "event_id",
+          stateCol = "event_type")
+        .orderBy($"from_state", $"to_state")
+    }),
+
     "evt_sessions" -> ((s, dir) => {
       import s.implicits._
       val e = Tables(s, dir, "events")
@@ -459,6 +470,30 @@ object Events {
         .join(exact, "user_id")
         .select($"user_id", $"exact_cnt", $"cms_merged", $"cms_oneshot")
         .orderBy($"exact_cnt".desc, $"user_id")
+    }),
+
+    // CMS join-size estimation (CountMin.joinSizeEstimate): the
+    // cardinality of clicks ⋈ purchases on user_id, estimated from two
+    // 32 KB sketches via the AMS counter inner product — the planner
+    // statistic that needs NO scan of either side at decision time. The
+    // exact size rides along; the oracle replays the whole splitmix
+    // chain, both sketches, the per-row inner products and the min, so
+    // the estimate itself is gated bit-exactly (and the one-sided
+    // est >= exact property is visible in the emitted row).
+    "evt_join_size" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val est = graft.operators.CountMin.joinSizeEstimate(
+        graft.operators.CountMin.sketch(
+          ev.filter($"event_type" === "click"), "user_id"),
+        graft.operators.CountMin.sketch(
+          ev.filter($"event_type" === "purchase"), "user_id"))
+      val exact = ev.groupBy($"user_id")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("cb"))
+        .agg(sum($"ca" * $"cb").cast("long").as("exact_join_size"))
+      // both sides are one-row frames
+      est.crossJoin(exact).select($"cms_join_est", $"exact_join_size")
     }),
 
     // HDR-histogram quantile sketch (operators.Quantiles, m=5 → ≤3.1%
@@ -1135,6 +1170,42 @@ object Events {
         |FROM ex e JOIN estm m USING (user_id) JOIN esto o USING (user_id)
         |ORDER BY exact_cnt DESC, user_id""".stripMargin,
 
+    // join-size replay: same splitmix chain over DISTINCT users (the
+    // hash depends only on the key), per-(row,col) counter sums weighted
+    // by each side's key frequency, inner product per row, min across
+    // the 4 rows — bit-identical to CountMin.joinSizeEstimate
+    "evt_join_size" ->
+      """WITH u AS (SELECT user_id,
+        |    sum((event_type = 'click')::INT)::BIGINT AS ca,
+        |    sum((event_type = 'purchase')::INT)::BIGINT AS cb
+        |  FROM events GROUP BY 1),
+        |cc AS (SELECT user_id, r FROM u, range(0, 4) t(r)),
+        |kk AS (SELECT user_id, r,
+        |  ((user_id::HUGEINT + r * 11400714819323198485) % 18446744073709551616) AS k
+        |  FROM cc),
+        |x0 AS (SELECT user_id, r,
+        |  ((k * 2135587861 + (((k * 2654435769) % 4294967296) << 32))
+        |    % 18446744073709551616)::UBIGINT AS x FROM kk),
+        |z1 AS (
+        |  SELECT user_id, r, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+        |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+        |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+        |z2 AS (
+        |  SELECT user_id, r, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+        |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+        |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+        |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+        |cell AS (SELECT user_id, r, ((xor(z, z >> 31)) >> 54)::BIGINT AS col FROM z2),
+        |grid AS (SELECT c.r, c.col, u.ca, u.cb
+        |         FROM cell c JOIN u USING (user_id)),
+        |sk AS (SELECT r, col, sum(ca)::HUGEINT AS a, sum(cb)::HUGEINT AS b
+        |       FROM grid GROUP BY 1, 2),
+        |ip AS (SELECT r, sum(a * b)::HUGEINT AS ip FROM sk GROUP BY 1)
+        |SELECT min(ip)::BIGINT AS cms_join_est,
+        |  (SELECT sum(ca * cb)::BIGINT FROM u) AS exact_join_size
+        |FROM ip""".stripMargin,
+
     // Full quantile-sketch replay — HDR bucket math in integer SQL:
     // exponent via length(bin(v))-1, sub-bucket by shift-free division
     // (the e>=m branch divides by 2^(e-m), mirroring Quantiles.bucketOf's
@@ -1325,6 +1396,20 @@ object Events {
         |  round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS gap_s
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "evt_transitions" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_state, next_type AS to_state,
+        |    count(*)::BIGINT AS n
+        |  FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, sum(n)::BIGINT AS tn FROM t GROUP BY 1)
+        |SELECT t.from_state, t.to_state, t.n,
+        |  (t.n::DOUBLE / tot.tn::DOUBLE) AS p
+        |FROM t JOIN tot USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
 
     "evt_sessions" ->
       """WITH d AS (

@@ -267,6 +267,30 @@ object Relational {
         .orderBy($"col_name")
     }),
 
+    // Declarative data-quality suite (operators.Checks): four scalar
+    // constraints in ONE aggregation pass, two key-uniqueness checks and
+    // two referential checks, assembled into one exact-count report —
+    // the nightly table-contract audit. Deliberately mixed verdicts: the
+    // discount bound, the single-column "key" and the nonsense FK fail,
+    // everything else passes.
+    "q22_dq_suite" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Checks
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      Checks.suite(li,
+        scalars = Seq(
+          Checks.notNull("l_shipdate"),
+          Checks.inRange("l_quantity", lit(1.0), lit(50.0)),
+          Checks.inRange("l_discount", lit(0.0), lit(0.05)),
+          Checks.matches("l_returnflag", "^[ANR]$")),
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey")),
+        references = Seq(("l_orderkey", ord, "o_orderkey"),
+          ("l_partkey", ord, "o_orderkey")))
+        .orderBy($"check_name", $"target")
+    }),
+
     // Iterative graph scoring: PageRank over the symmetrized bipartite
     // customer–supplier trade graph (operators.PageRank — FIXED-POINT
     // longs, so the three damped iterations are bit-exact under any
@@ -810,6 +834,43 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    // dq-suite replay: one scalar-aggregate row fanned into report rows,
+    // count-distinct for uniqueness, NOT EXISTS for orphans — every
+    // metric an exact BIGINT
+    "q22_dq_suite" ->
+      """WITH s AS (SELECT count(*)::BIGINT AS n,
+        |  sum((l_shipdate IS NULL)::INT)::BIGINT AS v_ship,
+        |  sum((l_quantity < 1.0 OR l_quantity > 50.0)::INT)::BIGINT AS v_qty,
+        |  sum((l_discount < 0.0 OR l_discount > 0.05)::INT)::BIGINT AS v_disc,
+        |  sum((l_returnflag IS NULL
+        |       OR NOT regexp_matches(l_returnflag, '^[ANR]$'))::INT)::BIGINT AS v_flag
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT 'not_null' AS check_name, 'l_shipdate' AS target,
+        |    n AS total, v_ship AS violations FROM s
+        |  UNION ALL SELECT 'in_range', 'l_quantity', n, v_qty FROM s
+        |  UNION ALL SELECT 'in_range', 'l_discount', n, v_disc FROM s
+        |  UNION ALL SELECT 'matches', 'l_returnflag', n, v_flag FROM s
+        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber',
+        |    count(*)::BIGINT,
+        |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+        |    FROM lineitem
+        |  UNION ALL SELECT 'unique', 'l_orderkey', count(*)::BIGINT,
+        |    (count(*) - count(DISTINCT l_orderkey))::BIGINT FROM lineitem
+        |  UNION ALL SELECT 'referential', 'l_orderkey->o_orderkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)::BIGINT,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+        |  UNION ALL SELECT 'referential', 'l_partkey->o_orderkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL)::BIGINT,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l_partkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_partkey))::BIGINT)
+        |SELECT check_name, target, total, violations,
+        |  (violations = 0) AS passed
+        |FROM r ORDER BY check_name, target""".stripMargin,
 
     // Profile-diff replay: per-side per-column aggregates over the q15
     // unpivot pattern (typed HUGEINT keys, md5-52bit for strings, the

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ChecksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // (id, name, score, dept) — nulls, range breakers, pattern breakers,
+  // a duplicated key and an orphan FK
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, Some("AA-1"), Some(10.0), Some(100L)),
+      (2L, Some("AB-2"), Some(99.0), Some(101L)),
+      (3L, None, Some(-5.0), Some(100L)),      // null name, score below lo
+      (4L, Some("zz"), None, Some(999L)),       // bad pattern, null score, orphan
+      (4L, Some("AC-4"), Some(50.0), None))     // duplicate id, null fk
+      .toDF("id", "name", "score", "dept")
+  }
+
+  private def parents = {
+    import spark.implicits._
+    Seq(100L, 101L).toDF("dept_id")
+  }
+
+  test("scalar report: hand-counted violations, null semantics per check") {
+    val rep = Checks.scalarReport(fixture, Seq(
+      Checks.notNull("name"),
+      Checks.inRange("score", lit(0.0), lit(100.0)),
+      Checks.matches("name", "^[A-Z]{2}-[0-9]$")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(rep === Set(
+      ("not_null", "name", 5L, 1L, false),
+      // NULL score is NOT a range violation (declare notNull separately)
+      ("in_range", "score", 5L, 1L, false),
+      // NULL name IS a pattern violation, plus the literal "zz"
+      ("matches", "name", 5L, 2L, false)))
+  }
+
+  test("uniqueness: counts rows beyond the first per duplicated key") {
+    val rep = Checks.uniquenessReport(fixture, Seq("id")).collect().head
+    assert(rep.getString(0) === "unique" && rep.getLong(2) === 5L &&
+      rep.getLong(3) === 1L && !rep.getBoolean(4))
+    val ok = Checks.uniquenessReport(fixture.filter(col("id") =!= 4L),
+      Seq("id")).collect().head
+    assert(ok.getLong(3) === 0L && ok.getBoolean(4))
+  }
+
+  test("referential: null FKs skipped, orphans counted") {
+    val rep = Checks.referentialReport(fixture, "dept", parents, "dept_id")
+      .collect().head
+    // 4 non-null FK rows, one (999) orphaned
+    assert(rep.getLong(2) === 4L && rep.getLong(3) === 1L &&
+      !rep.getBoolean(4))
+  }
+
+  test("suite unions every declared check deterministically") {
+    val rep = Checks.suite(fixture,
+      scalars = Seq(Checks.notNull("id")),
+      uniqueKeys = Seq(Seq("id")),
+      references = Seq(("dept", parents, "dept_id")))
+    assert(rep.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("not_null", "referential", "unique"))
+  }
+
+  test("all scalar checks run in ONE scan of the input") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("checks_scan").toString
+    try {
+      fixture.write.mode("overwrite").parquet(s"$tmp/t")
+      val df = spark.read.parquet(s"$tmp/t")
+      val rep = Checks.scalarReport(df, Seq(
+        Checks.notNull("name"),
+        Checks.inRange("score", lit(0.0), lit(100.0)),
+        Checks.matches("name", "^[A-Z]{2}-[0-9]$"),
+        Checks.notNull("dept"),
+        Checks.inRange("id", lit(0L), lit(10L))))
+      rep.collect() // force execution so the AQE plan is final
+      // AQE's toString prints the final AND the initial plan — count
+      // scans in the final section only
+      val plan = rep.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 1,
+        s"expected ONE scan for 5 scalar checks, got $scans in:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("empty frame: totals zero, everything passes") {
+    val empty = fixture.filter(col("id") < 0L)
+    val rep = Checks.suite(empty,
+      scalars = Seq(Checks.notNull("name")),
+      uniqueKeys = Seq(Seq("id")),
+      references = Seq(("dept", parents, "dept_id")))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(rep === Set(("not_null", 0L, 0L, true), ("unique", 0L, 0L, true),
+      ("referential", 0L, 0L, true)))
+  }
+}

@@ -77,4 +77,34 @@ class CountMinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(est.length == 1 && est.head._2 >= 0L)
   }
+
+  test("join-size estimate: one-sided, exact when collision-free") {
+    import spark.implicits._
+    // fA = {1:3, 2:2, 3:1}, fB = {2:4, 3:2, 9:5} -> true join size
+    // 2*4 + 1*2 = 10
+    val a = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L)).toDF("v")
+    val b = (Seq.fill(4)(2L) ++ Seq.fill(2)(3L) ++ Seq.fill(5)(9L)).toDF("v")
+    // wide sketch over 4 distinct keys: collision-free with overwhelming
+    // probability -> the estimate is EXACT, and it can never undercount
+    val wide = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, "v", 4, 20), CountMin.sketch(b, "v", 4, 20),
+      depth = 4).collect().head.getLong(0)
+    assert(wide === 10L)
+    // tight sketch: collisions may inflate, never deflate
+    val tight = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, "v", 4, 2), CountMin.sketch(b, "v", 4, 2),
+      depth = 4).collect().head.getLong(0)
+    assert(tight >= 10L)
+  }
+
+  test("join-size estimate: disjoint key sets estimate toward zero") {
+    import spark.implicits._
+    val a = (1L to 50L).toDF("v")
+    val b = (1000L to 1050L).toDF("v")
+    val est = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, "v", 4, 16), CountMin.sketch(b, "v", 4, 16),
+      depth = 4).collect().head.getLong(0)
+    // true join size 0; wide rows make a zero-overlap row near-certain
+    assert(est === 0L)
+  }
 }

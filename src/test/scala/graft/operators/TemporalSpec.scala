@@ -451,4 +451,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.toMap == expected)
     assert(out.map(_._2).sum == 9L) // 3 events x 3 windows each
   }
+
+  test("transitionMatrix: counts adjacent pairs per key, p sums to 1") {
+    import spark.implicits._
+    // user 1: a->b->a->a   user 2: b->a   user 3: a (no transition)
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "a"),
+      (2L, 1L, "b"), (2L, 2L, "a"),
+      (3L, 1L, "a"))
+      .map { case (u, i, st) => (u, i, 1000L * i, st) }
+      .toDF("user_id", "event_id", "us", "state")
+      .withColumn("t", timestamp_micros($"us"))
+    val got = Temporal.transitionMatrix(df, "user_id", "t", "event_id",
+        "state")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(
+      ("a", "b") -> (1L, 0.5), ("a", "a") -> (1L, 0.5),
+      ("b", "a") -> (2L, 1.0)))
+  }
+
+  test("transitionMatrix: ties break on the tie column, single-row keys drop") {
+    import spark.implicits._
+    // same timestamp: order must follow event_id => x->y, not y->x
+    val df = Seq((1L, 1L, 5L, "x"), (1L, 2L, 5L, "y"))
+      .toDF("user_id", "event_id", "us", "state")
+      .withColumn("t", timestamp_micros($"us"))
+    val got = Temporal.transitionMatrix(df, "user_id", "t", "event_id",
+        "state")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("x", "y", 1L)))
+  }
 }

@@ -1,0 +1,40 @@
+#!/usr/bin/env python3
+"""Assemble the chunked sf1 certification bench into one artifact.
+
+Each chunk is an independent graft.Bench run that stamped
+contaminated:false under the rate-aware run-steal gate; the merge is a
+plain union of their per-query stats (chunks are disjoint by
+construction) with provenance per chunk. Refuses any contaminated or
+missing chunk.
+"""
+import json
+import sys
+
+chunks = sys.argv[1:-1]
+out = sys.argv[-1]
+merged = {"metric": "total", "value": 0.0, "unit": "sec", "sf": None,
+          "queries": {}, "query_stats": {}, "chunks": [], "flagged": [],
+          "contaminated": False}
+for path in chunks:
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("contaminated") is not False:
+        sys.exit(f"chunk {path} is not clean")
+    if merged["sf"] is None:
+        merged["sf"] = d["sf"]
+    assert d["sf"] == merged["sf"], f"sf mismatch in {path}"
+    overlap = set(d["query_stats"]) & set(merged["query_stats"])
+    assert not overlap, f"duplicate queries {overlap} in {path}"
+    merged["query_stats"].update(d["query_stats"])
+    for q, st in d["query_stats"].items():
+        merged["queries"][q] = st["med"]
+    merged["value"] += d["value"]
+    merged["flagged"] += d.get("flagged", [])
+    merged["chunks"].append({
+        "path": path, "value": d["value"], "run_wall": d.get("run_wall"),
+        "steal_sec": d.get("steal_sec"),
+        "queries": sorted(d["query_stats"])})
+with open(out, "w") as f:
+    json.dump(merged, f, indent=1)
+print(f"merged {len(chunks)} chunks, {len(merged['queries'])} queries, "
+      f"total {merged['value']:.1f}s -> {out}")
