@@ -251,4 +251,57 @@ object Scd {
       .select(keyCols.map(col) :+ col("change") :+
         col("_v1").as("version_before") :+ col("_v2").as("version_after"): _*)
   }
+
+  /** SCD Type-3: current state plus, per tracked attribute, the most
+    * recent PRIOR value that differs from the current one
+    * (`<attr>_prev`, NULL when the attribute never changed) — the
+    * "current + previous" reporting shape between Type-1's overwrite and
+    * Type-2's full history. Keys whose last change is a delete are
+    * absent (the `latest` contract); delete rows contribute no previous
+    * values (they are not versions — the `history` contract).
+    *
+    * Differing is null-safe (`IS DISTINCT FROM`): a NULL-valued version
+    * before a non-NULL current IS a change, and its NULL is then
+    * indistinguishable from never-changed in `<attr>_prev` — callers
+    * needing that distinction want Type-2 history, not Type-3.
+    *
+    * Plan: one window pass pins each row against its key's final change
+    * (ONE key shuffle; the groupBy that follows reuses the window's
+    * hash partitioning), then per attribute a conditional `max` over
+    * (ts, tie, value) structs picks the newest differing prior version.
+    * Output is one row per live key — state-shaped, not history-shaped.
+    */
+  def scd3(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+           tieCol: String, opCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "scd3 needs at least one key column")
+    require(attrCols.nonEmpty, "scd3 needs at least one tracked attribute")
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pinned = changes
+      .withColumn("_cur_op", last(col(opCol)).over(wAll))
+      .withColumn("_cur_ts", last(col(tsCol)).over(wAll))
+      .withColumn("_cur_tie", last(col(tieCol)).over(wAll))
+      .withColumns(attrCols.map(a =>
+        s"_cur_$a" -> last(col(a)).over(wAll)).toMap)
+    val isPriorVersion = notDelete(opCol) &&
+      struct(col(tsCol), col(tieCol)) <
+        struct(col("_cur_ts"), col("_cur_tie"))
+    val payload = struct(changes.columns.map(col): _*)
+    val prevAggs = attrCols.map { a =>
+      max(when(isPriorVersion && !(col(a) <=> col(s"_cur_$a")),
+        struct(col(tsCol), col(tieCol), col(a).as("v"))))
+        .getField("v").as(s"${a}_prev")
+    }
+    pinned
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("_cur"),
+        prevAggs: _*)
+      .filter(col("_cur." + opCol).isNull || col("_cur." + opCol) =!= "d")
+      .select(keyCols.map(col) ++
+        attrCols.map(a => col(s"_cur.$a").as(a)) ++
+        Seq(col(s"_cur.$tieCol").as(tieCol), col(s"_cur.$tsCol").as(tsCol)) ++
+        attrCols.map(a => col(s"${a}_prev")): _*)
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** k-anonymity / l-diversity audit and enforcement over quasi-identifier
+  * columns — the privacy gate a training-data pipeline runs before a
+  * table with person-adjacent attributes (zip, age band, segment …) may
+  * ship (Sweeney's k-anonymity; Machanavajjhala's l-diversity).
+  *
+  * A row is k-anonymous when at least k rows share its full
+  * quasi-identifier (QI) combination — an attacker matching on the QIs
+  * cannot narrow below k candidates. l-diversity additionally requires
+  * the sensitive attribute to take >= l distinct values within the
+  * group, or the whole group leaks the sensitive value even at high k.
+  *
+  * Everything is ONE hash aggregation over the QI combination (map-side
+  * combined; the QI key space is its own bound — census-style QIs give
+  * thousands of groups off any table size), and every metric is an exact
+  * BIGINT: group size, distinct sensitive values, flags by integer
+  * comparison. NULL QI values form their own group (SQL GROUP BY
+  * semantics, identical in the DuckDB oracle); a NULL sensitive value
+  * counts as zero diversity contribution (count_distinct skips NULLs) —
+  * a group of all-NULL sensitives has l = 0 and fails any l >= 1
+  * requirement, the conservative reading.
+  *
+  * Enforcement (`enforceKAnonymity`) keeps exactly the rows whose QI
+  * group clears k — suppression, the non-destructive baseline (no value
+  * generalization, no synthetic rows). The group census rides back onto
+  * rows via a broadcast-friendly join on the QI key (|groups| rows, not
+  * |data|), never a data-sized window.
+  */
+object Privacy {
+
+  /** Per-QI-group census: one row per distinct QI combination with
+    * `group_n` (its size), `l_diversity` (distinct non-NULL sensitive
+    * values), and the two verdict flags under the supplied thresholds.
+    */
+  def privacyAudit(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                   k: Long, l: Long = 1L): DataFrame = {
+    require(qiCols.nonEmpty, "privacyAudit needs at least one QI column")
+    require(k >= 1 && l >= 1, s"thresholds must be >= 1, got k=$k l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("group_n"),
+        count_distinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("k_anonymous", col("group_n") >= k)
+      .withColumn("l_diverse", col("l_diversity") >= l)
+  }
+
+  /** One-row summary: the k the table actually achieves (its smallest
+    * QI group), the l it achieves, group count, and how many ROWS sit in
+    * groups below the requested k (the re-identification surface).
+    */
+  def privacySummary(df: DataFrame, qiCols: Seq[String],
+                     sensitiveCol: String, k: Long): DataFrame =
+    privacyAudit(df, qiCols, sensitiveCol, k)
+      .agg(
+        min(col("group_n")).as("k_achieved"),
+        min(col("l_diversity")).as("l_achieved"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("group_n") < k, col("group_n")).otherwise(lit(0L)))
+          .as("rows_at_risk"))
+
+  /** Suppression enforcement: the input rows whose QI group has >= k
+    * members. The census join key is the QI tuple — |groups| rows on the
+    * build side, broadcast at any realistic QI cardinality.
+    */
+  def enforceKAnonymity(df: DataFrame, qiCols: Seq[String],
+                        k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "enforceKAnonymity needs a QI column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val safe = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_gn"))
+      .filter(col("_gn") >= k)
+      .drop("_gn")
+    // null-safe equi-join: NULL QI groups must match themselves, exactly
+    // as GROUP BY grouped them
+    val cond = qiCols.map(c => df(c) <=> safe(c)).reduce(_ && _)
+    df.join(broadcast(safe), cond, "leftsemi")
+  }
+}

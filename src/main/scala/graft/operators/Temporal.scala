@@ -383,6 +383,61 @@ object Temporal {
         coalesce(col("n_obs"), lit(0L)).as("n_obs"))
   }
 
+  /** Fixed-interval resampling with LINEAR INTERPOLATION over gaps — the
+    * sibling of `resampleWithFill` for signals where carrying the last
+    * observation misstates the trend (sensor readings, account balances
+    * between statements). Same floor-division binning and per-key
+    * `sequence()` grid; each empty bin takes the straight line between
+    * its nearest observed bins on either side. The grid spans exactly
+    * [min observed bin, max observed bin] per key, so every gap has BOTH
+    * neighbors — no extrapolation, by construction.
+    *
+    * Exactness discipline: observed bins carry integer cents (exactly
+    * representable as doubles far past any money scale); an interpolated
+    * bin is `prev + (next − prev) · (bin − prev_bin) / (next_bin −
+    * prev_bin)` with the three differences exact BIGINTs and ONE IEEE
+    * multiply-divide-add chain both engines execute verbatim — the
+    * raw-gated Drift discipline, no rounding anywhere.
+    *
+    * Plan shape: one key shuffle; the previous neighbor is a running
+    * `last(ignoreNulls)` (O(1) state), the next neighbor the mirrored
+    * `first(ignoreNulls)` over the following frame — two window passes
+    * over one partitioning, never a self-join.
+    */
+  def resampleInterpolate(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, intervalUs: Long): DataFrame = {
+    require(intervalUs > 0, s"intervalUs must be positive, got $intervalUs")
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val us = unix_micros(col(tsCol))
+    val bin = call_function("div", us - pmod(us, lit(intervalUs)), lit(intervalUs))
+    val binned = df
+      .select(col(keyCol).as("key"), bin.as("bin"), cents.as("c"))
+      .groupBy(col("key"), col("bin"))
+      .agg(sum(col("c")).as("obs_cents"), count(lit(1)).as("n_obs"))
+    val grid = binned.groupBy(col("key"))
+      .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+      .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bin"))
+    val joined = grid.join(binned, Seq("key", "bin"), "left")
+    val byBin = Window.partitionBy(col("key")).orderBy(col("bin"))
+    val past = byBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = byBin.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBin = when(col("obs_cents").isNotNull, col("bin"))
+    val interpolated = joined
+      .withColumn("_pc", last(col("obs_cents"), ignoreNulls = true).over(past))
+      .withColumn("_pb", last(obsBin, ignoreNulls = true).over(past))
+      .withColumn("_nc", first(col("obs_cents"), ignoreNulls = true).over(future))
+      .withColumn("_nb", first(obsBin, ignoreNulls = true).over(future))
+    interpolated
+      .withColumn("cents",
+        when(col("obs_cents").isNotNull, col("obs_cents").cast("double"))
+          .otherwise(col("_pc").cast("double") +
+            (col("_nc") - col("_pc")).cast("double") *
+              (col("bin") - col("_pb")).cast("double") /
+              (col("_nb") - col("_pb")).cast("double")))
+      .select(col("key"), col("bin"), col("cents"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+  }
+
   /** First-order Markov transition matrix over per-key ordered event
     * sequences: `(from_state, to_state, n, p)` where `n` counts adjacent
     * pairs and `p = n / Σ_to n` is the empirical transition probability —

@@ -398,6 +398,23 @@ object CdcAnalog {
         .orderBy($"user_id")
     }),
 
+    // SCD Type-3 (cdc.Scd.scd3): current state + the most recent PRIOR
+    // differing value per tracked attribute (NULL if never changed) —
+    // the "current + previous" reporting shape between Type-1 overwrite
+    // and Type-2 history. Keys whose last change is a delete absent;
+    // delete rows are not versions and contribute no previous values.
+    "cdc_scd3" -> ((s, dir) => {
+      import s.implicits._
+      val changes = Tables(s, dir, "events")
+        .withColumn("op", EventsAsChangeLog.opCol)
+      graft.cdc.Scd.scd3(changes, Seq("user_id"), "ts", "event_id", "op",
+          attrCols = Seq("value", "event_type"))
+        .select($"user_id", $"value", $"event_type", $"event_id",
+          unix_micros($"ts").as("ts_us"),
+          $"value_prev", $"event_type_prev")
+        .orderBy($"user_id")
+    }),
+
     // Snapshot diff between two points in time (cdc.Scd.snapshotDiff):
     // added/removed/changed keys between Jan 10 and Jan 20, derived from
     // ONE history pass — the "what happened between the two nightly
@@ -580,6 +597,37 @@ object CdcAnalog {
         |SELECT user_id, event_id, value FROM w
         |WHERE rn = 1 AND op <> 'd'
         |ORDER BY user_id""".stripMargin,
+
+    "cdc_scd3" ->
+      """WITH c AS (SELECT user_id, event_id, value, event_type, ts,
+        |  CASE WHEN event_type = 'signup' THEN 'c'
+        |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM c),
+        |cur AS (SELECT user_id, event_id, value, event_type, ts
+        |  FROM r WHERE rn = 1 AND op <> 'd'),
+        |hist AS (SELECT c.*, cur.value AS cv, cur.event_type AS ct
+        |  FROM c JOIN cur USING (user_id)
+        |  WHERE c.op <> 'd'
+        |    AND (epoch_us(c.ts) < epoch_us(cur.ts)
+        |      OR (c.ts = cur.ts AND c.event_id < cur.event_id))),
+        |pvv AS (SELECT user_id, value AS value_prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM hist WHERE value IS DISTINCT FROM cv),
+        |pvt AS (SELECT user_id, event_type AS event_type_prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM hist WHERE event_type IS DISTINCT FROM ct)
+        |SELECT cur.user_id, cur.value, cur.event_type, cur.event_id,
+        |  epoch_us(cur.ts) AS ts_us, pvv.value_prev, pvt.event_type_prev
+        |FROM cur
+        |LEFT JOIN (SELECT user_id, value_prev FROM pvv WHERE rn = 1) pvv
+        |  USING (user_id)
+        |LEFT JOIN (SELECT user_id, event_type_prev FROM pvt WHERE rn = 1) pvt
+        |  USING (user_id)
+        |ORDER BY cur.user_id""".stripMargin,
 
     "cdc_snapshot_diff" ->
       """WITH c AS (SELECT user_id, event_id, ts,

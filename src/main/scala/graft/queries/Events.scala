@@ -653,6 +653,46 @@ object Events {
         .orderBy($"user_id", $"day_bin")
     }),
 
+    // Fixed-interval resampling with LINEAR INTERPOLATION
+    // (operators.Temporal.resampleInterpolate): same grid as
+    // evt_resample_daily, but each empty day takes the straight line
+    // between its nearest observed days — prev/next located by running
+    // last/first(IGNORE NULLS) windows, never a self-join. Observed days
+    // are exact integer cents as doubles; an interpolated day is ONE
+    // IEEE multiply-divide-add over three exact BIGINT differences that
+    // both engines execute verbatim (raw-gated, no rounding).
+    "evt_resample_interp" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Temporal.resampleInterpolate(
+          Tables(s, dir, "events").filter($"value".isNotNull),
+          "user_id", "ts", "value", intervalUs = 86400000000L)
+        .select($"key".as("user_id"), $"bin".as("day_bin"),
+          $"cents", $"n_obs")
+        .orderBy($"user_id", $"day_bin")
+    }),
+
+    // PIVOT / crosstab surface (RelationalGroupedDataset.pivot with an
+    // EXPLICIT value list — no values-discovery scan, deterministic
+    // column order): daily event counts fanned to one column per event
+    // type. The oracle is the portable FILTERed-count form; absent
+    // cells are 0 on both sides.
+    "evt_pivot_daily" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select($"day".cast("string").as("day"),
+          coalesce($"click", lit(0L)).as("n_click"),
+          coalesce($"view", lit(0L)).as("n_view"),
+          coalesce($"purchase", lit(0L)).as("n_purchase"),
+          coalesce($"signup", lit(0L)).as("n_signup"),
+          coalesce($"error", lit(0L)).as("n_error"))
+        .orderBy($"day")
+    }),
+
     // Hopping-window volume (operators.Temporal.hoppingAggregate over
     // native window()): count + cents revenue per event type over
     // epoch-aligned 1-hour windows sliding every 15 minutes — each event
@@ -1387,6 +1427,51 @@ object Events {
         |  CAST(max(obs_cents) OVER (PARTITION BY user_id, fg) AS BIGINT) AS cents,
         |  n_obs
         |FROM f ORDER BY user_id, day_bin""".stripMargin,
+
+    // interpolation replay: same binning + grid, prev/next neighbors via
+    // IGNORE NULLS windows, then the identical IEEE expression
+    "evt_resample_interp" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_bin,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS obs_cents,
+        |    count(*) AS n_obs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day_bin) AS lo, max(day_bin) AS hi
+        |      FROM b GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day_bin FROM s),
+        |j AS (SELECT g.user_id, g.day_bin, b.obs_cents,
+        |        coalesce(b.n_obs, 0) AS n_obs
+        |      FROM g LEFT JOIN b USING (user_id, day_bin)),
+        |n AS (SELECT *,
+        |        last_value(obs_cents IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY day_bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        |        last_value(CASE WHEN obs_cents IS NOT NULL THEN day_bin END
+        |            IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY day_bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |        first_value(obs_cents IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY day_bin
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+        |        first_value(CASE WHEN obs_cents IS NOT NULL THEN day_bin END
+        |            IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY day_bin
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |      FROM j)
+        |SELECT user_id, day_bin,
+        |  CASE WHEN obs_cents IS NOT NULL THEN obs_cents::DOUBLE
+        |       ELSE pc::DOUBLE + (nc - pc)::DOUBLE * (day_bin - pb)::DOUBLE
+        |            / (nb - pb)::DOUBLE END AS cents,
+        |  n_obs
+        |FROM n ORDER BY user_id, day_bin""".stripMargin,
+
+    "evt_pivot_daily" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "evt_asof_click" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -291,6 +291,54 @@ object Relational {
         .orderBy($"check_name", $"target")
     }),
 
+    // Bloom-prefiltered selective join (operators.JoinPrune): urgent
+    // orders (~20% of keys) against the full lineitem fact — the dim
+    // keys aggregate into one Bloom literal applied to the fact side
+    // BEFORE its shuffle, so ~80% of fact rows never enter the
+    // exchange. The filter is transparent at any fpp (false positives
+    // die in the exact join), which is exactly what the plain-SQL-join
+    // oracle checks. Revenue by order month over the joined rows.
+    "q23_bloom_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val urgent = Tables(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderdate")
+      graft.operators.JoinPrune.bloomPrefilteredJoin(
+          li, urgent, factKey = "l_orderkey", dimKey = "o_orderkey")
+        .groupBy(date_trunc("month", $"o_orderdate").as("order_month"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .orderBy($"order_month")
+    }),
+
+    // k-anonymity / l-diversity census (operators.Privacy): per
+    // (nation, segment) quasi-identifier group — size, distinct
+    // sensitive account-balance values, verdicts at k=12 / l=3. One
+    // hash aggregation, every metric an exact BIGINT.
+    "q24_privacy_audit" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Privacy.privacyAudit(
+          Tables(s, dir, "customer"),
+          qiCols = Seq("c_nationkey", "c_mktsegment"),
+          sensitiveCol = "c_acctbal", k = 12L, l = 3L)
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    }),
+
+    // k-anonymity ENFORCEMENT by suppression (operators.Privacy): only
+    // customers whose (nation, segment) group has >= 12 members survive
+    // — the census joins back as a broadcast semi-join on the QI tuple,
+    // never a data-sized window.
+    "q25_k_anon_enforce" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Privacy.enforceKAnonymity(
+          Tables(s, dir, "customer"),
+          qiCols = Seq("c_nationkey", "c_mktsegment"), k = 12L)
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
     // Iterative graph scoring: PageRank over the symmetrized bipartite
     // customer–supplier trade graph (operators.PageRank — FIXED-POINT
     // longs, so the three damped iterations are bit-exact under any
@@ -434,6 +482,29 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q23_bloom_join" ->
+      """SELECT date_trunc('month', o.o_orderdate)::TIMESTAMP AS order_month,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_privacy_audit" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS group_n,
+        |  count(DISTINCT c_acctbal) AS l_diversity,
+        |  count(*) >= 12 AS k_anonymous,
+        |  count(DISTINCT c_acctbal) >= 3 AS l_diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q25_k_anon_enforce" ->
+      """WITH g AS (SELECT *, count(*) OVER
+        |    (PARTITION BY c_nationkey, c_mktsegment) AS gn FROM customer)
+        |SELECT c_custkey, c_nationkey, c_mktsegment
+        |FROM g WHERE gn >= 12 ORDER BY c_custkey""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -360,4 +360,57 @@ class ScdSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("scd3: current + newest differing prior value; deleted keys absent") {
+    val got = Scd.scd3(changes, Seq("k"), "ts", "id", "op", Seq("v"))
+      .select(col("k"), col("v"), col("id"), col("v_prev"))
+      .orderBy(col("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toList
+    assert(got == List(
+      (1L, 3.0, 12L, Some(2.0)), // newest differing prior, not the oldest
+      (2L, 7.0, 22L, Some(5.0)), // the delete row itself is not a version
+      // key 3 absent: last change is a delete
+    ))
+  }
+
+  test("scd3: never-changed attribute yields NULL prev; attrs independent") {
+    import spark.implicits._
+    val df = Seq(
+      // v never changes; s changes twice (x -> y -> z)
+      (1L, 10L, "c", ts("2024-01-01 00:00:00"), 5.0, "x"),
+      (1L, 11L, "u", ts("2024-01-02 00:00:00"), 5.0, "y"),
+      (1L, 12L, "u", ts("2024-01-03 00:00:00"), 5.0, "z"))
+      .toDF("k", "id", "op", "ts", "v", "s").repartition(3)
+    val r = Scd.scd3(df, Seq("k"), "ts", "id", "op", Seq("v", "s")).head()
+    assert(r.getAs[Double]("v") === 5.0)
+    assert(r.getAs[String]("s") === "z")
+    assert(r.isNullAt(r.fieldIndex("v_prev"))) // never changed
+    assert(r.getAs[String]("s_prev") === "y")  // newest differing, not "x"
+  }
+
+  test("scd3: a NULL-valued prior version that differs IS the prev " +
+    "(documented ambiguity with never-changed)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "c", ts("2024-01-01 00:00:00"), Some(1.0)),
+      (1L, 11L, "u", ts("2024-01-02 00:00:00"), Option.empty[Double]),
+      (1L, 12L, "u", ts("2024-01-03 00:00:00"), Some(2.0)))
+      .toDF("k", "id", "op", "ts", "v").repartition(3)
+    val r = Scd.scd3(df, Seq("k"), "ts", "id", "op", Seq("v")).head()
+    assert(r.getAs[Double]("v") === 2.0)
+    // the newest differing prior version carries NULL — v_prev is NULL
+    // by contract (callers needing the distinction use Type-2 history)
+    assert(r.isNullAt(r.fieldIndex("v_prev")))
+  }
+
+  test("scd3 is partition-layout invariant") {
+    val a = Scd.scd3(changes, Seq("k"), "ts", "id", "op", Seq("v"))
+      .collect().toSet
+    val b = Scd.scd3(changes.repartition(1), Seq("k"), "ts", "id", "op",
+      Seq("v")).collect().toSet
+    assert(a === b)
+  }
 }

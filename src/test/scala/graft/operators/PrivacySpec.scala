@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class PrivacySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // (zip, age_band, disease) — the classic k-anonymity shape
+  private def table = {
+    import spark.implicits._
+    Seq(
+      ("02139", "20-30", "flu"),
+      ("02139", "20-30", "flu"),
+      ("02139", "20-30", "cold"),
+      ("02139", "30-40", "cancer"), // singleton group
+      ("94305", "20-30", "flu"),
+      ("94305", "20-30", "flu"),    // l = 1: 2 rows, same disease
+      ("94305", "30-40", "cold"),
+      ("94305", "30-40", "asthma"),
+      ("94305", "30-40", "flu")
+    ).toDF("zip", "age_band", "disease")
+  }
+
+  test("audit census: sizes, diversity, verdicts") {
+    val got = Privacy.privacyAudit(table, Seq("zip", "age_band"),
+        "disease", k = 2, l = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+      .toSet
+    assert(got === Set(
+      ("02139", "20-30", 3L, 2L, true, true),
+      ("02139", "30-40", 1L, 1L, false, false),
+      ("94305", "20-30", 2L, 1L, true, false),
+      ("94305", "30-40", 3L, 3L, true, true)))
+  }
+
+  test("summary: achieved k/l, group count, rows at risk") {
+    val r = Privacy.privacySummary(table, Seq("zip", "age_band"),
+      "disease", k = 3).head()
+    assert(r.getLong(0) === 1L) // k_achieved = smallest group
+    assert(r.getLong(1) === 1L) // l_achieved
+    assert(r.getLong(2) === 4L) // n_groups
+    assert(r.getLong(3) === 3L) // rows in groups < 3: 1 + 2
+  }
+
+  test("enforcement keeps exactly the rows of groups >= k") {
+    val kept = Privacy.enforceKAnonymity(table, Seq("zip", "age_band"), 3)
+    assert(kept.count() === 6) // the two 3-row groups
+    assert(kept.filter(col("zip") === "02139" &&
+      col("age_band") === "30-40").count() === 0)
+    // enforcement never edits surviving rows
+    assert(kept.columns.toSeq === table.columns.toSeq)
+  }
+
+  test("NULL QIs form their own group and can satisfy k") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("z1"), "s1"), (None, "s2"), (None, "s3"), (None, "s2")
+    ).toDF("zip", "disease")
+    val audit = Privacy.privacyAudit(df, Seq("zip"), "disease", k = 2)
+      .collect().map(r =>
+        (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(audit === Set(
+      (Some("z1"), 1L, 1L),
+      (None, 3L, 2L)))
+    val kept = Privacy.enforceKAnonymity(df, Seq("zip"), 2)
+    assert(kept.count() === 3) // the NULL group survives k=2
+    assert(kept.filter(col("zip").isNull).count() === 3)
+  }
+
+  test("all-NULL sensitive yields l = 0 (conservative)") {
+    import spark.implicits._
+    val df = Seq(("g", Option.empty[String]), ("g", Option.empty[String]))
+      .toDF("qi", "s")
+    val r = Privacy.privacyAudit(df, Seq("qi"), "s", k = 1, l = 1).head()
+    assert(r.getLong(1) === 2L) // group_n
+    assert(r.getLong(2) === 0L) // l_diversity
+    assert(!r.getBoolean(4))    // fails even l = 1
+  }
+
+  test("enforcement census joins broadcast, never a data-sized window") {
+    val kept = Privacy.enforceKAnonymity(table, Seq("zip", "age_band"), 2)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"),
+      s"enforcement must not use a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast semi-join:\n$plan")
+  }
+}

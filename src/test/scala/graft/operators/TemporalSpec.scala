@@ -377,6 +377,74 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("resampleInterpolate: gaps take the straight line between " +
+      "observed neighbors; observed bins exact") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1: days 0 (100c), 1 (250c), 4 (400c) -> days 2, 3 interpolated
+    //   over the 1 -> 4 segment: 250 + (400-250) * i/3
+    // key 2: single day -> single-bin grid, nothing to interpolate
+    val df = Seq(
+      (1L, ts("1970-01-01 05:00:00"), 1.00),
+      (1L, ts("1970-01-02 01:00:00"), 2.00),
+      (1L, ts("1970-01-02 23:00:00"), 0.50),
+      (1L, ts("1970-01-05 00:00:00"), 4.00),
+      (2L, ts("1970-01-08 12:00:00"), 9.99))
+      .toDF("k", "ts", "v").repartition(4)
+    val got = Temporal.resampleInterpolate(df, "k", "ts", "v", 86400000000L)
+      .orderBy($"key", $"bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toList
+    val seg = (i: Long) => 250.0 + (400.0 - 250.0) * i.toDouble / 3.0
+    assert(got == List(
+      (1L, 0L, 100.0, 1L),
+      (1L, 1L, 250.0, 2L),
+      (1L, 2L, seg(1), 0L), // 300.0
+      (1L, 3L, seg(2), 0L), // 350.0
+      (1L, 4L, 400.0, 1L),
+      (2L, 7L, 999.0, 1L)))
+  }
+
+  test("resampleInterpolate: consecutive gaps across several segments " +
+      "each use their own neighbors") {
+    import spark.implicits._
+    def day(i: Long) = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plusSeconds(i * 86400 + 3600))
+    // observed days 0 (0c), 2 (200c), 3 (50c), 6 (350c)
+    val df = Seq(
+      (1L, day(0), 0.00), (1L, day(2), 2.00),
+      (1L, day(3), 0.50), (1L, day(6), 3.50))
+      .toDF("k", "ts", "v")
+    val got = Temporal.resampleInterpolate(df, "k", "ts", "v", 86400000000L)
+      .orderBy($"bin").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toList
+    assert(got == List(
+      (0L, 0.0),
+      (1L, 100.0),            // midpoint of 0 -> 200
+      (2L, 200.0),
+      (3L, 50.0),
+      (4L, 50.0 + 300.0 / 3), // 3 -> 6 segment, step 100
+      (5L, 50.0 + 600.0 / 3),
+      (6L, 350.0)))
+  }
+
+  test("resampleInterpolate is partition-layout invariant") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("1970-01-01 05:00:00"), 1.37),
+      (1L, ts("1970-01-04 01:00:00"), 8.02),
+      (2L, ts("1970-01-02 00:00:00"), 3.14),
+      (2L, ts("1970-01-07 12:00:00"), 0.01))
+    val a = Temporal.resampleInterpolate(
+      rows.toDF("k", "ts", "v").repartition(7), "k", "ts", "v",
+      86400000000L).collect().toSet
+    val b = Temporal.resampleInterpolate(
+      rows.toDF("k", "ts", "v").coalesce(1), "k", "ts", "v",
+      86400000000L).collect().toSet
+    assert(a === b)
+  }
+
   /** Scalar model of Spark's hopping-window assignment: the epoch-aligned
     * starts ≤ t with start + len > t.
     */
