@@ -133,6 +133,19 @@ object Events {
         steps = Seq("signup", "view", "click", "purchase"))
     }),
 
+    // Time-BOUNDED funnel (Funnel.funnelCounts(maxGapUs)): the same
+    // chain but each transition must convert within 48 hours of the
+    // previous step — the product "conversion window" semantics. Still
+    // first-completion greedy (documented in the operator); the bound
+    // is an exact integer micros comparison, so the oracle replays the
+    // chain with the extra predicate verbatim.
+    "evt_funnel_windowed" -> ((s, dir) => {
+      graft.operators.Funnel.funnelCounts(Tables(s, dir, "events"),
+        userCol = "user_id", typeCol = "event_type", tsCol = "ts",
+        steps = Seq("signup", "view", "click", "purchase"),
+        maxGapUs = Some(172800000000L))
+    }),
+
     // Daily volume anomaly detection: per-type z-scores of daily event
     // counts — the burst/outage monitor over the event stream. Mean and
     // variance come from EXACT integer sums (n, Σc, Σc²), so the double
@@ -669,6 +682,40 @@ object Events {
         .select($"key".as("user_id"), $"bin".as("day_bin"),
           $"cents", $"n_obs")
         .orderBy($"user_id", $"day_bin")
+    }),
+
+    // Interval OVERLAP join (operators.Intervals.overlapJoin): user
+    // sessions (closed [first, last] intervals from the 30-min-gap
+    // sessionization) × hour-long incident windows anchored at a
+    // deterministic 2% sample of error events. The overlap predicate has
+    // no equality component — the naive join is a BroadcastNestedLoopJoin
+    // Θ(|L|·|R|) matrix — so the operator quantizes time into hour bins,
+    // joins EQUI on the bin, filters true overlap inside each bin, and
+    // emits each pair only in its canonical bin (the one holding
+    // greatest(starts)) so the output is exact with zero post-dedup.
+    // overlap_us is an exact BIGINT difference.
+    "evt_interval_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      val sessions = graft.operators.Temporal.sessionIndex(e,
+          key = "user_id", tsCol = "ts", tieCol = "event_id",
+          gapMicros = GAP_30M_US)
+        .groupBy($"user_id", $"_session")
+        .agg(min($"event_id").as("session_id"),
+          min(unix_micros($"ts")).as("s_start"),
+          max(unix_micros($"ts")).as("s_end"))
+        .select($"user_id", $"session_id", $"s_start", $"s_end")
+      val incidents = e.filter($"event_type" === "error" &&
+          pmod($"event_id", lit(50L)) === 0L)
+        .select($"event_id".as("incident_id"),
+          unix_micros($"ts").as("i_start"),
+          (unix_micros($"ts") + lit(3600000000L)).as("i_end"))
+      graft.operators.Intervals.overlapJoin(sessions, incidents,
+          "s_start", "s_end", "i_start", "i_end", binUs = 3600000000L)
+        .select($"user_id", $"session_id", $"incident_id",
+          (least($"s_end", $"i_end") -
+            greatest($"s_start", $"i_start")).as("overlap_us"))
+        .orderBy($"user_id", $"session_id", $"incident_id")
     }),
 
     // PIVOT / crosstab surface (RelationalGroupedDataset.pivot with an
@@ -1464,6 +1511,37 @@ object Events {
         |  n_obs
         |FROM n ORDER BY user_id, day_bin""".stripMargin,
 
+    // interval replay: sessionization CTE + the plain (IEJoin-able)
+    // overlap join — the bucketized Spark plan must be row-identical
+    "evt_interval_overlap" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |), sx AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM d
+        |), s AS (
+        |  SELECT user_id, min(event_id) AS session_id,
+        |    min(epoch_us(ts))::BIGINT AS s_start,
+        |    max(epoch_us(ts))::BIGINT AS s_end
+        |  FROM sx GROUP BY user_id, sess
+        |), i AS (
+        |  SELECT event_id AS incident_id,
+        |    epoch_us(ts)::BIGINT AS i_start,
+        |    (epoch_us(ts) + 3600000000)::BIGINT AS i_end
+        |  FROM events WHERE event_type = 'error' AND event_id % 50 = 0
+        |)
+        |SELECT s.user_id, s.session_id, i.incident_id,
+        |  (least(s.s_end, i.i_end) -
+        |   greatest(s.s_start, i.i_start))::BIGINT AS overlap_us
+        |FROM s JOIN i ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+        |ORDER BY s.user_id, s.session_id, i.incident_id""".stripMargin,
+
     "evt_pivot_daily" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -1556,6 +1634,24 @@ object Events {
         |       WHERE event_type = 'click' AND us > s2.t GROUP BY 1),
         |s4 AS (SELECT e.user_id, min(us) t FROM e JOIN s3 USING (user_id)
         |       WHERE event_type = 'purchase' AND us > s3.t GROUP BY 1)
+        |SELECT 1 AS step, 'signup' AS step_name, count(*)::BIGINT AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*)::BIGINT FROM s2
+        |UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*)::BIGINT FROM s4
+        |ORDER BY step""".stripMargin,
+
+    "evt_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) us FROM events),
+        |s1 AS (SELECT user_id, min(us) t FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) t FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND us > s1.t
+        |         AND us - s1.t <= 172800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) t FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND us > s2.t
+        |         AND us - s2.t <= 172800000000 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(us) t FROM e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > s3.t
+        |         AND us - s3.t <= 172800000000 GROUP BY 1)
         |SELECT 1 AS step, 'signup' AS step_name, count(*)::BIGINT AS n_users FROM s1
         |UNION ALL SELECT 2, 'view', count(*)::BIGINT FROM s2
         |UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM s3

@@ -357,6 +357,45 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // Analytic-window surface: rank / dense_rank / percent_rank /
+    // cume_dist / ntile over per-nation account-balance order with a
+    // deterministic (acctbal DESC, custkey) tiebreak. percent_rank and
+    // cume_dist are exact small-integer ratios — one IEEE division both
+    // engines run identically, gated raw.
+    "q27_window_ranks" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Community detection: synchronous label propagation
+    // (operators.Communities) over the symmetrized customer–supplier
+    // trade graph — two deterministic rounds (most-frequent neighbor
+    // label, ties to the smallest), all integer, so the oracle unrolls
+    // both rounds with window row_number and the gate is exact.
+    "q26_communities" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .distinct()
+      val sym = edges.select($"a".as("src"), $"b".as("dst"))
+        .union(edges.select($"b".as("src"), $"a".as("dst")))
+      graft.operators.Communities.labelPropagation(sym, "src", "dst",
+          rounds = 2)
+        .orderBy($"node")
+    }),
+
     // Fuzzy entity resolution: sorted-neighborhood record linkage
     // (operators.EntityResolution) — rank by (name, id) WITHOUT a global
     // window (partition-offset idiom), compare each row to its w−1 rank
@@ -482,6 +521,44 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q27_window_ranks" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  rank() OVER w::INTEGER AS rnk,
+        |  dense_rank() OVER w::INTEGER AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  ntile(4) OVER w::INTEGER AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q26_communities" ->
+      """WITH ce AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM ce
+        |      UNION ALL SELECT b AS src, a AS dst FROM ce),
+        |n AS (SELECT DISTINCT src AS node FROM e
+        |      UNION SELECT DISTINCT dst AS node FROM e),
+        |l0 AS (SELECT node, node AS label FROM n),
+        |v1 AS (SELECT e.dst AS node, l0.label, count(*)::BIGINT AS c
+        |       FROM e JOIN l0 ON e.src = l0.node GROUP BY 1, 2),
+        |w1 AS (SELECT node, label, row_number() OVER
+        |         (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |       FROM v1),
+        |l1 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+        |       FROM n LEFT JOIN (SELECT node, label FROM w1 WHERE rn = 1) w
+        |       USING (node)),
+        |v2 AS (SELECT e.dst AS node, l1.label, count(*)::BIGINT AS c
+        |       FROM e JOIN l1 ON e.src = l1.node GROUP BY 1, 2),
+        |w2 AS (SELECT node, label, row_number() OVER
+        |         (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |       FROM v2),
+        |l2 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+        |       FROM n LEFT JOIN (SELECT node, label FROM w2 WHERE rn = 1) w
+        |       USING (node))
+        |SELECT node, label AS community FROM l2 ORDER BY node""".stripMargin,
+
     "q23_bloom_join" ->
       """SELECT date_trunc('month', o.o_orderdate)::TIMESTAMP AS order_month,
         |  count(*) AS n_lines,

@@ -39,4 +39,36 @@ class FunnelSpec extends AnyFunSuite {
     assert(counts == List(
       (1, "signup", 3L), (2, "view", 2L), (3, "click", 1L), (4, "purchase", 1L)))
   }
+
+  test("maxGapUs bounds each transition; the greedy anchor is pinned") {
+    import spark.implicits._
+    val events = Seq(
+      // u1 converts inside every 15-unit window
+      (1L, "signup", 10L), (1L, "view", 20L), (1L, "click", 30L),
+      // u2's view comes 16 units after signup: outside the window,
+      // funnel stops at step 1 even though the view exists
+      (2L, "signup", 10L), (2L, "view", 26L), (2L, "click", 27L),
+      // u3: GREEDY contract — the first view (t=20, in window) anchors
+      // step 2; the click at 40 is outside view@20's window and the
+      // later view@30 is NOT re-explored, so u3 stops at step 2
+      (3L, "signup", 10L), (3L, "view", 20L), (3L, "view", 30L),
+      (3L, "click", 40L))
+      .toDF("user_id", "event_type", "ts")
+    val steps = Seq("signup", "view", "click")
+    val times = Funnel.stepTimes(events, "user_id", "event_type", "ts",
+        steps, maxGapUs = Some(15L))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0),
+        (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))))
+      .toMap
+    assert(times(1L) == Seq(Some(10L), Some(20L), Some(30L)))
+    assert(times(2L) == Seq(Some(10L), None, None))
+    assert(times(3L) == Seq(Some(10L), Some(20L), None))
+    // unbounded run still converts u2 and u3 fully (the bound did it)
+    val unbounded = Funnel.stepTimes(events, "user_id", "event_type", "ts",
+        steps)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(3))).toMap
+    assert(!unbounded(2L) && !unbounded(3L))
+  }
 }
