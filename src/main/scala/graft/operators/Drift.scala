@@ -164,6 +164,91 @@ object Drift {
       keyCol = "bucket", ordered = true)
   }
 
+  /** EMBEDDING drift between two snapshots — the semantic sibling of the
+    * value/category statistics above: per group (e.g. label, source,
+    * model version), how far did the MEAN EMBEDDING move (centroid L2
+    * shift) and how far did it rotate (centroid cosine)? The
+    * model-version-skew / re-embedding monitor: a re-embedded corpus
+    * whose centroids rotate is incompatible with the old ANN index
+    * (compose with `AnnIndex.indexStaleness` for the rebuild trigger).
+    *
+    * Exactness discipline (floats can't sum order-independently, so the
+    * operator NEVER sums floats): each component quantizes to
+    * `floor(x · 2^24)` — float→double is exact, the scaled floor is one
+    * deterministic op — then per-dim BIGINT sums are exact and
+    * order-free. The statistics close over exact integers: with
+    * centroids μ = s/(n·2^24), the shift numerator Σ_d (sa_d·n_b −
+    * sb_d·n_a)² and the cosine's dot/norm sums are DECIMAL(38,0)
+    * products of those BIGINTs (the CMS join-size discipline — a 64-dim
+    * quantized sum squares past 2^63), and each output is ONE IEEE
+    * chain over the exact numerators, gated raw. Quantization bias is
+    * bounded by 2^-24 per component — two orders below any drift worth
+    * alerting on — and identical in both engines, so the gate is exact
+    * even though the measurement is approximate.
+    *
+    * Plan: one posexplode scan per side → (group, dim) BIGINT sums
+    * (map-side combined, |groups|·dims rows), one equi-join of two
+    * sketch-sized frames, one aggregation over dims. Two 100 TB
+    * snapshots compare via frames the size of groups × dims.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                     vecCol: String): DataFrame = {
+    val Q = 16777216L // 2^24
+    def sums(df: DataFrame, n: String, s: String): DataFrame =
+      df.select(groupCols.map(col) :+
+          posexplode(col(vecCol)).as(Seq("_dim", "_e")): _*)
+        .withColumn("_q", floor(col("_e").cast("double") * Q).cast("long"))
+        .groupBy(groupCols.map(col) :+ col("_dim"): _*)
+        .agg(count(lit(1)).as(n), sum(col("_q")).as(s))
+    val d38 = "decimal(38,0)"
+    val joined = sums(a, "n_a", "s_a")
+      .join(sums(b, "n_b", "s_b"), groupCols :+ "_dim")
+      .localCheckpoint(true) // reused by the bound check and the agg
+    // CHECKED DECIMAL(38,0) bound (the histogram-drift lesson: enforce,
+    // don't document): the shift numerator sums dims * diff^2 with
+    // |diff| <= msa*mnb + msb*mna; refuse inputs whose worst case
+    // overflows 38 digits instead of nulling silently under non-ANSI
+    // decimal arithmetic.
+    val lim = joined.agg(
+      max(abs(col("s_a"))).as("msa"), max(abs(col("s_b"))).as("msb"),
+      max(col("n_a")).as("mna"), max(col("n_b")).as("mnb"),
+      count(lit(1)).as("cells")).head()
+    if (lim.getLong(4) > 0) {
+      val msa = BigInt(lim.getLong(0)); val msb = BigInt(lim.getLong(1))
+      val mna = BigInt(lim.getLong(2)); val mnb = BigInt(lim.getLong(3))
+      val cells = BigInt(lim.getLong(4))
+      val maxDiff = msa * mnb + msb * mna
+      val bound = BigInt(10).pow(38)
+      require(maxDiff * maxDiff * cells < bound &&
+        msa * msb * cells < bound && msa * msa * cells < bound &&
+        msb * msb * cells < bound,
+        s"embeddingDrift numerators can exceed DECIMAL(38,0): " +
+          s"max|s|=($msa, $msb), max n=($mna, $mnb), cells=$cells — " +
+          "pre-aggregate per shard or reduce group sizes")
+    }
+    val diff = col("s_a").cast(d38) * col("n_b").cast(d38) -
+      col("s_b").cast(d38) * col("n_a").cast(d38)
+    val agg = joined.groupBy(groupCols.map(col): _*)
+      .agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum((diff * diff).cast(d38)).cast(d38).as("shift_num"),
+        sum((col("s_a").cast(d38) * col("s_b").cast(d38)).cast(d38))
+          .cast(d38).as("dot"),
+        sum((col("s_a").cast(d38) * col("s_a").cast(d38)).cast(d38))
+          .cast(d38).as("aa"),
+        sum((col("s_b").cast(d38) * col("s_b").cast(d38)).cast(d38))
+          .cast(d38).as("bb"))
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      (sqrt(col("shift_num").cast("double")) /
+        (col("n_a").cast("double") * col("n_b").cast("double") *
+          lit(Q.toDouble))).as("l2_shift"),
+      when(col("aa") > 0 && col("bb") > 0,
+        col("dot").cast("double") /
+          sqrt(col("aa").cast("double") * col("bb").cast("double")))
+        .as("centroid_cos")): _*)
+  }
+
   private def driftSelect(base: DataFrame, groupCols: Seq[String],
                           ordered: Boolean): DataFrame = {
     val den = col("n_a").cast("double") * col("n_b").cast("double")

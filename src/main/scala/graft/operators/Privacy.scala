@@ -79,4 +79,30 @@ object Privacy {
     val cond = qiCols.map(c => df(c) <=> safe(c)).reduce(_ && _)
     df.join(broadcast(safe), cond, "leftsemi")
   }
+
+  /** Deterministic pseudonymization — the JOIN-PRESERVING sibling of
+    * `cdc.Mask`'s destructive redaction: each listed column is replaced
+    * by `md5(salt ‖ ':' ‖ value)`, so equal values map to equal tokens
+    * across every table sharing the salt (foreign keys keep joining,
+    * group-bys keep grouping) while the raw value never leaves the
+    * cluster. NULL stays NULL (a token for NULL would conflate missing
+    * with a real value). Scan-side codegen'd projection — zero shuffle.
+    *
+    * Contract: md5 here is keyed-lookup-resistance against an attacker
+    * WITHOUT the salt; it is not reversible-encryption, and salt rotation
+    * re-keys every token (all referential joins must use one salt epoch).
+    * Low-cardinality columns remain guessable by dictionary attack with
+    * the salt — pseudonymization is a governance tool, not k-anonymity;
+    * compose with `enforceKAnonymity` for the latter.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+                   salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(salt.nonEmpty, "an empty salt defeats the keyed-token contract")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNotNull,
+          md5(concat(lit(salt), lit(":"), col(c).cast("string")))))
+    }
+  }
 }

@@ -55,6 +55,28 @@ object Temporal {
       .select(col("_l.*") +: Seq(col("_asof").as(asCol)): _*)
   }
 
+  /** Backward as-of join with a STALENESS TOLERANCE — the feature-store
+    * contract "the latest feature value, but only if it is at most
+    * `toleranceUs` old; otherwise no feature" (stale features silently
+    * riding into training data is the classic feature-skew bug this
+    * guards). Because the backward as-of match is the NEAREST preceding
+    * right row, latest-within-tolerance ≡ latest-overall nulled when it
+    * is too old — one scan-side `when` over `asofJoinBackward`'s output,
+    * no new shuffle, same O(1)-state window plan.
+    */
+  def asofJoinBackwardTolerance(left: DataFrame, right: DataFrame,
+                                key: String, leftTs: String, rightTs: String,
+                                rightTie: String, toleranceUs: Long,
+                                asCol: String = "asof"): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    asofJoinBackward(left, right, key, leftTs, rightTs, rightTie, asCol)
+      .withColumn(asCol, when(
+        col(asCol).isNotNull &&
+          unix_micros(col(leftTs)) -
+            unix_micros(col(asCol).getField(rightTs)) <= toleranceUs,
+        col(asCol)))
+  }
+
   /** Skew-resistant backward as-of join: identical semantics (and output)
     * to `asofJoinBackward`, but partitioned by (key, time bucket) so a hot
     * key spreads across tasks. Phase 1 runs the running-last window within

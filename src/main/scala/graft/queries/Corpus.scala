@@ -764,6 +764,30 @@ object Corpus {
         .orderBy($"label", $"rnk")
     }),
 
+    // EMBEDDING drift between snapshots (operators.Drift.embeddingDrift):
+    // per label, the centroid L2 shift and centroid cosine between two
+    // md5-parity halves of the corpus — the model-version-skew /
+    // re-embedding monitor. Components quantize to floor(x * 2^24)
+    // BIGINTs (exact, order-free sums — floats are never summed), the
+    // numerators are DECIMAL(38,0) products under a CHECKED bound, and
+    // both statistics are one IEEE chain over exact integers, gated raw.
+    "emb_drift_centroid" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val half = substring(
+        md5(concat(lit("edrift:"), $"vec_id".cast("string"))), 1, 1) < "8"
+      graft.operators.Drift
+        .embeddingDrift(e.filter(half), e.filter(!half),
+          Seq("label"), "embedding")
+        // round(,6): past ~2^53 the exact integer numerators convert to
+        // double with engine-specific last-ulp rounding (measured: 1 ulp
+        // on centroid_cos at sf0.1) — the ln/order-sensitive discipline
+        .select($"label", $"n_a", $"n_b",
+          round($"l2_shift", 6).as("l2_shift"),
+          round($"centroid_cos", 6).as("centroid_cos"))
+        .orderBy($"label")
+    }),
+
     // Bucketed approximate top-k (random-hyperplane LSH, 32 tables x 6
     // bits): the scale path that searches only bucket collisions.
     // Approximate by construction but fully DETERMINISTIC (splitmix64
@@ -811,6 +835,42 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // embedding drift replay: identical 2^24 quantization, HUGEINT exact
+    // sums/products (== Spark's DECIMAL(38,0)), one IEEE chain per stat
+    "emb_drift_centroid" ->
+      """WITH e AS (SELECT label, vec_id, embedding,
+        |    CASE WHEN substring(md5('edrift:' || vec_id::VARCHAR), 1, 1) < '8'
+        |         THEN 0 ELSE 1 END AS side FROM embeddings),
+        |x AS (SELECT label, side,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding) AS comp
+        |  FROM e),
+        |q AS (SELECT label, side, dim,
+        |    floor(CAST(comp AS DOUBLE) * 16777216)::BIGINT AS qv FROM x),
+        |sa AS (SELECT label, dim, count(*)::BIGINT AS n_a,
+        |         sum(qv)::HUGEINT AS s_a
+        |       FROM q WHERE side = 0 GROUP BY 1, 2),
+        |sb AS (SELECT label, dim, count(*)::BIGINT AS n_b,
+        |         sum(qv)::HUGEINT AS s_b
+        |       FROM q WHERE side = 1 GROUP BY 1, 2),
+        |j AS (SELECT sa.label, sa.dim, n_a, n_b, s_a, s_b
+        |      FROM sa JOIN sb ON sa.label = sb.label AND sa.dim = sb.dim),
+        |agg AS (SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    sum((s_a * n_b - s_b * n_a) * (s_a * n_b - s_b * n_a))
+        |      AS shift_num,
+        |    sum(s_a * s_b) AS dot,
+        |    sum(s_a * s_a) AS aa, sum(s_b * s_b) AS bb
+        |  FROM j GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |  round(sqrt(CAST(shift_num AS DOUBLE)) /
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 16777216.0), 6)
+        |    AS l2_shift,
+        |  CASE WHEN aa > 0 AND bb > 0
+        |       THEN round(CAST(dot AS DOUBLE) /
+        |            sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE)), 6)
+        |  END AS centroid_cos
+        |FROM agg ORDER BY label""".stripMargin,
+
     "doc_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,

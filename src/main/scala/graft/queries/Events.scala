@@ -48,6 +48,30 @@ object Events {
         .orderBy($"event_id")
     }),
 
+    // As-of join with STALENESS TOLERANCE (Temporal
+    // .asofJoinBackwardTolerance): the same purchase ← latest-click
+    // match, but a click older than 15 minutes is NO match (NULL) — the
+    // feature-store "max feature age" contract. Latest-within-tolerance
+    // ≡ latest-overall nulled when stale (the nearest-match property),
+    // so the oracle is the ASOF join plus one CASE.
+    "evt_asof_tolerance" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      val p = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val c = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"event_id").as("event_id"))
+        .select($"event_id", $"user_id", $"ts")
+      Temporal.asofJoinBackwardTolerance(p, c, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightTie = "event_id",
+        toleranceUs = 900000000L)
+        .select($"event_id",
+          $"asof.event_id".as("click_id"),
+          round((unix_micros($"ts") - unix_micros($"asof.ts")) / 1000000.0, 6)
+            .as("gap_s"))
+        .orderBy($"event_id")
+    }),
+
     // 30-minute-gap sessionization per user: session identified by its
     // first event_id; money-style DECIMAL sum for oracle-stable totals.
     // DECLARED UNSALTED (same decision and threshold as evt_asof_click):
@@ -1559,6 +1583,20 @@ object Events {
         |  round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS gap_s
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "evt_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts),
+        |j AS (SELECT p.event_id, c.event_id AS click_id,
+        |        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT event_id,
+        |  CASE WHEN gap_us <= 900000000 THEN click_id END AS click_id,
+        |  CASE WHEN gap_us <= 900000000
+        |       THEN round(gap_us / 1000000.0, 6) END AS gap_s
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "evt_transitions" ->
       """WITH l AS (SELECT user_id, event_type,

@@ -357,6 +357,18 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // Deterministic pseudonymization (operators.Privacy.pseudonymize):
+    // customer names replaced by salted md5 tokens — join-preserving
+    // (equal values ⇒ equal tokens under one salt), NULL-preserving,
+    // scan-side, zero shuffle. The oracle replays the token recipe.
+    "q28_pseudonymize" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Privacy.pseudonymize(
+          Tables(s, dir, "customer"), Seq("c_name"), salt = "epoch-7")
+        .select($"c_custkey", $"c_name".as("name_token"), $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
     // Analytic-window surface: rank / dense_rank / percent_rank /
     // cume_dist / ntile over per-nation account-balance order with a
     // deterministic (acctbal DESC, custkey) tiebreak. percent_rank and
@@ -521,6 +533,13 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q28_pseudonymize" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_name IS NOT NULL
+        |       THEN md5('epoch-7' || ':' || c_name) END AS name_token,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q27_window_ranks" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  rank() OVER w::INTEGER AS rnk,

@@ -81,6 +81,31 @@ class PrivacySpec extends AnyFunSuite {
     assert(!r.getBoolean(4))    // fails even l = 1
   }
 
+  test("pseudonymize: deterministic, join-preserving, NULL-preserving") {
+    import spark.implicits._
+    val a = Seq((1L, Some("alice")), (2L, Some("bob")), (3L, None))
+      .toDF("id", "name")
+    val b = Seq((10L, Some("alice")), (11L, Some("carol")))
+      .toDF("oid", "name2").withColumnRenamed("name2", "name")
+    val ta = Privacy.pseudonymize(a, Seq("name"), "s1")
+    val tb = Privacy.pseudonymize(b, Seq("name"), "s1")
+    // equal values map to equal tokens across frames (join preserved)
+    val joined = ta.join(tb.withColumnRenamed("name", "name_b"),
+      col("name") === col("name_b"))
+    assert(joined.select("id", "oid").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet === Set((1L, 10L)))
+    // NULL stays NULL; no raw value survives
+    assert(ta.filter(col("id") === 3).head().isNullAt(1))
+    assert(ta.filter(col("name") === "alice").count() === 0)
+    // a different salt re-keys every token
+    val tc = Privacy.pseudonymize(a, Seq("name"), "s2")
+    assert(ta.filter(col("id") === 1).head().getString(1) !==
+      tc.filter(col("id") === 1).head().getString(1))
+    // and the recipe is the documented md5
+    assert(ta.filter(col("id") === 1).head().getString(1) ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("s1:alice"))
+  }
+
   test("enforcement census joins broadcast, never a data-sized window") {
     val kept = Privacy.enforceKAnonymity(table, Seq("zip", "age_band"), 2)
     val plan = kept.queryExecution.executedPlan.toString

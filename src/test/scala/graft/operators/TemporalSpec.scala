@@ -428,6 +428,32 @@ class TemporalSpec extends AnyFunSuite {
       (6L, 350.0)))
   }
 
+  test("asofJoinBackwardTolerance: stale matches become NULL, fresh " +
+      "matches identical to the unbounded join") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1718000000000L + min * 60000L)
+    val left = Seq((1L, 10L, ts(20)), (1L, 11L, ts(60)), (2L, 20L, ts(5)))
+      .toDF("k", "lid", "ts")
+    val right = Seq((1L, 90L, ts(15)), (1L, 91L, ts(30)), (2L, 92L, ts(4)))
+      .toDF("k", "rid", "rts")
+    val got = Temporal.asofJoinBackwardTolerance(left, right, "k",
+        "ts", "rts", "rid", toleranceUs = 10L * 60000000L)
+      .select($"lid",
+        when($"asof".isNotNull, $"asof.rid").as("rid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(
+      10L -> Some(90L), // 5 min old: within tolerance
+      11L -> None,      // nearest (91 @30) is 30 min old: stale -> NULL
+      20L -> Some(92L)))
+    // the unbounded join would have matched lid 11 to rid 91
+    val unbounded = Temporal.asofJoinBackward(left, right, "k",
+        "ts", "rts", "rid")
+      .filter($"lid" === 11L).head()
+    assert(unbounded.getStruct(unbounded.fieldIndex("asof"))
+      .getAs[Long]("rid") === 91L)
+  }
+
   test("resampleInterpolate is partition-layout invariant") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

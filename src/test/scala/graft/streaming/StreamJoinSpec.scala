@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class StreamJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Long) =
+    new java.sql.Timestamp(1718000000000L + min * 60000L)
+
+  // purchases (left) and clicks (right): a click within [-10 min, 0]
+  // of the purchase matches
+  private val purchases = Seq(
+    (1L, 100L, t(20)), (1L, 101L, t(60)), (2L, 200L, t(25)), (3L, 300L, t(5)))
+  private val clicks = Seq(
+    (1L, 900L, t(12)),  // 8 min before purchase 100: match
+    (1L, 901L, t(21)),  // AFTER purchase 100: no match (before-only window)
+    (1L, 902L, t(55)),  // 5 min before purchase 101: match
+    (2L, 903L, t(10)),  // 15 min before purchase 200: outside window
+    (2L, 904L, t(24)),  // 1 min before purchase 200: match
+    (4L, 905L, t(5)))   // key with no purchases
+
+  private def expected = Set((100L, 900L), (101L, 902L), (200L, 904L))
+
+  private def leftDf = purchases.toDF("user_id", "purchase_id", "p_ts")
+  private def rightDf = clicks.toDF("click_user", "click_id", "c_ts")
+
+  test("batch semantics: key-equi + interval window, inner") {
+    val got = StreamJoin.intervalJoinStreams(leftDf, rightDf,
+        "user_id", "click_user", "p_ts", "c_ts",
+        beforeUs = 600000000L, afterUs = 0L)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("streaming ≡ batch, with match pairs straddling micro-batches") {
+    def writeFiles(dir: String, frames: Seq[Seq[(Long, Long, java.sql.Timestamp)]],
+                   cols: (String, String, String)): Unit =
+      frames.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = Files.createTempDirectory("sj_tmp").toString
+        rows.toDF(cols._1, cols._2, cols._3).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+        val dst = Paths.get(dir, f"$i%04d.parquet")
+        Files.copy(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1718000000000L + i * 100000L)
+        ()
+      }
+    // split so every matching pair arrives in DIFFERENT micro-batches:
+    // purchases land first (files 0-1), their clicks later (file 2 on
+    // the other stream) — only buffered join state can pair them
+    val lDir = Files.createTempDirectory("sj_left").toString
+    val rDir = Files.createTempDirectory("sj_right").toString
+    writeFiles(lDir, Seq(purchases.take(2), purchases.drop(2)),
+      ("user_id", "purchase_id", "p_ts"))
+    writeFiles(rDir, Seq(clicks.take(1), clicks.drop(1)),
+      ("click_user", "click_id", "c_ts"))
+    val lSch = leftDf.schema
+    val rSch = rightDf.schema
+    val lStream = spark.readStream.schema(lSch)
+      .option("maxFilesPerTrigger", 1).parquet(lDir)
+    val rStream = spark.readStream.schema(rSch)
+      .option("maxFilesPerTrigger", 1).parquet(rDir)
+    val out = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = StreamJoin.intervalJoinStreams(lStream, rStream,
+        "user_id", "click_user", "p_ts", "c_ts",
+        beforeUs = 600000000L, afterUs = 0L)
+      .select($"purchase_id", $"click_id")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("sj_ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        out.synchronized { out ++= rows }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(out.toSet === expected)
+  }
+
+  test("overlapping column names are refused") {
+    val bad = clicks.toDF("user_id", "click_id", "c_ts") // shares user_id
+    val e = intercept[IllegalArgumentException] {
+      StreamJoin.intervalJoinStreams(leftDf, bad, "user_id", "user_id",
+        "p_ts", "c_ts", 1L, 1L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+}
