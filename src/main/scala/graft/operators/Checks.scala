@@ -107,17 +107,43 @@ object Checks {
         (col("violations") === 0L).as("passed"))
   }
 
-  /** The assembled suite: one scalar pass + the declared key/FK checks,
-    * unioned into a single deterministic report.
+  /** TIMELINESS report row — the fourth classic DQ dimension beside
+    * validity (scalar), uniqueness, and referential integrity: the
+    * table is fresh when its newest event time is within `maxLagUs` of
+    * `asOfUs` (an EXPLICIT reference instant — never wall-clock `now()`,
+    * which would make the check unreplayable; callers pass the batch/run
+    * timestamp). `violations` = 1 when stale or empty (an empty table
+    * cannot be fresh), `total` carries the observed lag in micros
+    * (−1 when empty) so the report is actionable, not just boolean.
+    * One 1-row max aggregation.
+    */
+  def freshnessReport(df: DataFrame, tsCol: String, asOfUs: Long,
+                      maxLagUs: Long): DataFrame = {
+    require(maxLagUs >= 0, s"maxLagUs must be >= 0, got $maxLagUs")
+    df.agg(max(unix_micros(col(tsCol))).as("_maxTs"))
+      .select(lit("fresh").as("check_name"), lit(tsCol).as("target"),
+        coalesce(lit(asOfUs) - col("_maxTs"), lit(-1L)).as("total"),
+        when(col("_maxTs").isNotNull &&
+          lit(asOfUs) - col("_maxTs") <= maxLagUs, 0L)
+          .otherwise(1L).as("violations"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** The assembled suite: one scalar pass + the declared key/FK checks +
+    * optional freshness, unioned into a single deterministic report.
     */
   def suite(df: DataFrame, scalars: Seq[Scalar],
             uniqueKeys: Seq[Seq[String]] = Nil,
-            references: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+            references: Seq[(String, DataFrame, String)] = Nil,
+            freshness: Option[(String, Long, Long)] = None): DataFrame = {
     val parts =
       (if (scalars.nonEmpty) Seq(scalarReport(df, scalars)) else Nil) ++
         uniqueKeys.map(uniquenessReport(df, _)) ++
         references.map { case (fk, parent, pk) =>
           referentialReport(df, fk, parent, pk)
+        } ++
+        freshness.map { case (ts, asOf, lag) =>
+          freshnessReport(df, ts, asOf, lag)
         }
     require(parts.nonEmpty, "empty check suite")
     parts.reduce(_ unionByName _)

@@ -357,6 +357,42 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // Period-over-period growth: weekly revenue with lag() percent
+    // change. Sums through DECIMAL (exact cents, well under 2^53 as
+    // doubles), growth = ONE IEEE subtract-divide chain both engines
+    // run verbatim — gated raw.
+    "q29_wow_growth" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"week")
+      Tables(s, dir, "orders")
+        .groupBy(date_trunc("week", $"o_orderdate").as("week"))
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+        .withColumn("prev_revenue", lag($"revenue", 1).over(w))
+        .withColumn("wow_growth",
+          ($"revenue" - $"prev_revenue") / $"prev_revenue")
+        .orderBy($"week")
+    }),
+
+    // DQ TIMELINESS (operators.Checks.freshnessReport): the fourth
+    // classic dimension beside validity/uniqueness/referential — two
+    // explicit reference instants gate BOTH verdicts (fresh within 7
+    // days of the corpus end; stale against a year later). Explicit
+    // asOf, never wall-clock now(): the check must replay.
+    "q30_dq_freshness" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      graft.operators.Checks
+        .freshnessReport(e, "ts", asOfUs = 1706745600000000L, // 2024-02-01
+          maxLagUs = 7L * 86400000000L)
+        .withColumn("as_of", lit("2024-02-01"))
+        .unionByName(graft.operators.Checks
+          .freshnessReport(e, "ts", asOfUs = 1717200000000000L, // 2024-06-01
+            maxLagUs = 7L * 86400000000L)
+          .withColumn("as_of", lit("2024-06-01")))
+        .orderBy($"as_of")
+    }),
+
     // Deterministic pseudonymization (operators.Privacy.pseudonymize):
     // customer names replaced by salted md5 tokens — join-preserving
     // (equal values ⇒ equal tokens under one salt), NULL-preserving,
@@ -533,6 +569,39 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q29_wow_growth" ->
+      """WITH w AS (SELECT date_trunc('week', o_orderdate)::TIMESTAMP AS week,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT week, revenue,
+        |  lag(revenue) OVER (ORDER BY week) AS prev_revenue,
+        |  (revenue - lag(revenue) OVER (ORDER BY week)) /
+        |    lag(revenue) OVER (ORDER BY week) AS wow_growth
+        |FROM w ORDER BY week""".stripMargin,
+
+    "q30_dq_freshness" ->
+      """WITH m AS (SELECT max(epoch_us(ts))::BIGINT AS mx FROM events),
+        |r AS (
+        |  SELECT 'fresh' AS check_name, 'ts' AS target,
+        |    coalesce(1706745600000000 - mx, -1)::BIGINT AS total,
+        |    CASE WHEN mx IS NOT NULL
+        |           AND 1706745600000000 - mx <= 604800000000
+        |         THEN 0 ELSE 1 END::BIGINT AS violations,
+        |    '2024-02-01' AS as_of
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'fresh', 'ts',
+        |    coalesce(1717200000000000 - mx, -1)::BIGINT,
+        |    CASE WHEN mx IS NOT NULL
+        |           AND 1717200000000000 - mx <= 604800000000
+        |         THEN 0 ELSE 1 END::BIGINT,
+        |    '2024-06-01'
+        |  FROM m)
+        |SELECT check_name, target, total, violations,
+        |  violations = 0 AS passed, as_of
+        |FROM r ORDER BY as_of""".stripMargin,
+
     "q28_pseudonymize" ->
       """SELECT c_custkey,
         |  CASE WHEN c_name IS NOT NULL

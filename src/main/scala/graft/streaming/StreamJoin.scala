@@ -26,10 +26,15 @@ import org.apache.spark.sql.functions._
   * silent aliasing of ambiguous columns).
   *
   * Delivery: inner-join rows emit as soon as both sides have arrived
-  * (append mode); there is no "no match" row in a pure inner stream
-  * join — left rows whose window closes unmatched simply never emit
-  * (outer stream-stream joins emit NULLs only after the watermark
-  * closes the window; the inner form is the latency-safe default).
+  * (append mode). `joinType = "leftOuter"` adds the "no match" rows —
+  * a left row whose window the watermark has CLOSED with no partner
+  * emits once with NULL right columns; until the watermark passes, the
+  * engine cannot know no partner is coming, so outer rows are
+  * inherently watermark-delayed (the spec pins both the emission and
+  * the delay: an unmatched row at the stream TAIL, whose window no
+  * watermark ever closes, does NOT emit under AvailableNow — push the
+  * watermark to flush, the documented Spark contract). The inner form
+  * stays the latency-safe default.
   */
 object StreamJoin {
 
@@ -37,9 +42,12 @@ object StreamJoin {
                           leftKey: String, rightKey: String,
                           leftTs: String, rightTs: String,
                           beforeUs: Long, afterUs: Long,
-                          watermark: String = "10 minutes"): DataFrame = {
+                          watermark: String = "10 minutes",
+                          joinType: String = "inner"): DataFrame = {
     require(beforeUs >= 0 && afterUs >= 0,
       s"window bounds must be >= 0, got before=$beforeUs after=$afterUs")
+    require(Set("inner", "leftOuter").contains(joinType),
+      s"joinType must be inner or leftOuter, got $joinType")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"left and right must have disjoint column names, both carry: " +
@@ -52,6 +60,6 @@ object StreamJoin {
           expr(s"INTERVAL $beforeUs MICROSECOND") &&
         col(rightTs) <= col(leftTs) +
           expr(s"INTERVAL $afterUs MICROSECOND"),
-      "inner")
+      joinType)
   }
 }

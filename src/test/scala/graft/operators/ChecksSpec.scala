@@ -102,4 +102,29 @@ class ChecksSpec extends AnyFunSuite {
     assert(rep === Set(("not_null", 0L, 0L, true), ("unique", 0L, 0L, true),
       ("referential", 0L, 0L, true)))
   }
+
+  test("freshness: within lag passes, stale fails, empty fails with -1") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val df = Seq((1L, t(1000000000L)), (2L, t(5000000000L)))
+      .toDF("id", "ts")
+    // newest = 5e9 us; asOf 6e9: lag 1e9 <= 2e9 -> fresh
+    val fresh = Checks.freshnessReport(df, "ts", asOfUs = 6000000000L,
+      maxLagUs = 2000000000L).head()
+    assert(fresh.getLong(2) === 1000000000L) // observed lag
+    assert(fresh.getLong(3) === 0L && fresh.getBoolean(4))
+    // asOf 9e9: lag 4e9 > 2e9 -> stale
+    val stale = Checks.freshnessReport(df, "ts", asOfUs = 9000000000L,
+      maxLagUs = 2000000000L).head()
+    assert(stale.getLong(3) === 1L && !stale.getBoolean(4))
+    // empty table: lag -1, cannot be fresh
+    val empty = Checks.freshnessReport(df.filter(col("id") < 0), "ts",
+      asOfUs = 1L, maxLagUs = Long.MaxValue).head()
+    assert(empty.getLong(2) === -1L && empty.getLong(3) === 1L)
+    // suite integration: the freshness row rides the union
+    val suite = Checks.suite(df, Seq(Checks.notNull("ts")),
+      freshness = Some(("ts", 6000000000L, 2000000000L)))
+      .collect().map(_.getString(0)).toSet
+    assert(suite === Set("not_null", "fresh"))
+  }
 }

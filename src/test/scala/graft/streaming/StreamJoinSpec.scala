@@ -86,6 +86,63 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(out.toSet === expected)
   }
 
+  test("leftOuter: watermark-closed unmatched rows emit with NULLs; " +
+      "tail rows the watermark never passes stay held") {
+    def writeFiles(dir: String,
+                   frames: Seq[Seq[(Long, Long, java.sql.Timestamp)]],
+                   cols: (String, String, String)): Unit =
+      frames.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = Files.createTempDirectory("sjo_tmp").toString
+        rows.toDF(cols._1, cols._2, cols._3).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+        val dst = Paths.get(dir, f"$i%04d.parquet")
+        Files.copy(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1718000000000L + i * 100000L)
+        ()
+      }
+    val lDir = Files.createTempDirectory("sjo_left").toString
+    val rDir = Files.createTempDirectory("sjo_right").toString
+    // purchase 200 (t=25) has no click in [-10m, 0]; the watermark
+    // pushers at t=500 on BOTH streams close its window, so its outer
+    // row MUST emit. Pusher 301 itself is unmatched but sits at the
+    // stream tail — no later watermark closes it, so it must NOT emit.
+    writeFiles(lDir, Seq(
+      Seq((1L, 100L, t(20)), (2L, 200L, t(25))),
+      Seq((9L, 301L, t(500)))), ("user_id", "purchase_id", "p_ts"))
+    writeFiles(rDir, Seq(
+      Seq((1L, 900L, t(12))),
+      Seq((9L, 999L, t(480)))), ("click_user", "click_id", "c_ts"))
+    val lStream = spark.readStream.schema(leftDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(lDir)
+    val rStream = spark.readStream.schema(rightDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(rDir)
+    val out = scala.collection.mutable.Set.empty[(Long, Option[Long])]
+    val q = StreamJoin.intervalJoinStreams(lStream, rStream,
+        "user_id", "click_user", "p_ts", "c_ts",
+        beforeUs = 600000000L, afterUs = 0L, watermark = "1 minute",
+        joinType = "leftOuter")
+      .select($"purchase_id", $"click_id")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("sjo_ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        out.synchronized { out ++= rows }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(out.contains((100L, Some(900L)))) // matched pair
+    assert(out.contains((200L, None)),       // watermark-closed unmatched
+      s"expected the outer NULL row for purchase 200, got $out")
+    assert(!out.exists(_._1 == 301L),        // tail row: held, not emitted
+      s"tail row 301 must stay held (no watermark closes it), got $out")
+  }
+
   test("overlapping column names are refused") {
     val bad = clicks.toDF("user_id", "click_id", "c_ts") // shares user_id
     val e = intercept[IllegalArgumentException] {
