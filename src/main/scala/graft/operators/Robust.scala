@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust (median/MAD-based) outlier scoring — the monitor that survives
@@ -109,5 +110,48 @@ object Robust {
     df.join(broadcast(bounds), keys)
       .withColumn("value_w",
         when(v.isNotNull, greatest(col("p_lo"), least(col("p_hi"), v))))
+  }
+
+  /** One-sided CUSUM change-point detection (Page 1954) over each key's
+    * ordered series — the SUSTAINED-shift monitor beside `madOutliers`'
+    * single-point flags and `evt_anomaly_daily`'s z-scores: a level
+    * shift of twice the slack triggers after a few points even when no
+    * single point is extreme, which is exactly the regime both
+    * point-wise monitors are blind to (RobustSpec pins it).
+    *
+    * The recursion `S_t = max(0, S_{t−1} + (x_t − target − slack))`
+    * looks inherently sequential, but expands to the closed form
+    * `S_t = P_t − min(0, min_{i≤t} P_i)` with `P` the running sum of
+    * deviations — TWO O(1)-state running windows over one key shuffle,
+    * no recursion, no mapGroups, layout-invariant.
+    *
+    * Exactness: `valueCol` must be integral (counts); `target` defaults
+    * to the key's own mean lifted to numerators — every quantity is
+    * carried ×n (n = points in the key): dev_t = n·x_t − Σx − n·slack,
+    * so S stays an exact BIGINT and the alarm `S > n·threshold` is an
+    * integer comparison. Output: the input row plus `cusum` (the ×n
+    * statistic), `n`, and `alarm`.
+    *
+    * 2^63 audit: |n·x| ≤ n·max|x| — at 10⁶ daily points of count ~10⁹
+    * the numerators sit at ~10¹⁵, five orders under the bound; series
+    * long enough to threaten it should window the monitor anyway.
+    */
+  def cusumShift(df: DataFrame, keys: Seq[String], orderCol: String,
+                 valueCol: String, slack: Long,
+                 threshold: Long): DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"need slack >= 0 and threshold > 0, got slack=$slack threshold=$threshold")
+    val x = col(valueCol).cast("long")
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"))
+    val run = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = col("n") * x - col("sx") - col("n") * lit(slack)
+    df.join(broadcast(stats), keys)
+      .withColumn("_p", sum(dev).over(run))
+      .withColumn("_m", least(lit(0L), min(col("_p")).over(run)))
+      .withColumn("cusum", col("_p") - col("_m"))
+      .withColumn("alarm", col("cusum") > col("n") * lit(threshold))
+      .drop("_p", "_m", "sx")
   }
 }

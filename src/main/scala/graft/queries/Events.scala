@@ -170,6 +170,24 @@ object Events {
         maxGapUs = Some(172800000000L))
     }),
 
+    // CUSUM change-point monitor (operators.Robust.cusumShift): the
+    // sustained-shift detector beside the point-wise z/MAD monitors —
+    // S_t = max(0, S_{t-1} + dev_t) computed via the closed form
+    // P_t − min(0, min prefix) as TWO O(1)-state running windows, all
+    // quantities carried ×n so every value under the hash is an exact
+    // BIGINT and the alarm is an integer comparison.
+    "evt_cusum_shift" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Robust.cusumShift(daily, Seq("event_type"), "d",
+          "n_events", slack = 2L, threshold = 20L)
+        .select($"event_type", $"d".cast("string").as("day"),
+          $"n_events", $"n", $"cusum", $"alarm")
+        .orderBy($"event_type", $"day")
+    }),
+
     // Daily volume anomaly detection: per-type z-scores of daily event
     // counts — the burst/outage monitor over the event stream. Mean and
     // variance come from EXACT integer sums (n, Σc, Σc²), so the double
@@ -1695,6 +1713,29 @@ object Events {
         |UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM s3
         |UNION ALL SELECT 4, 'purchase', count(*)::BIGINT FROM s4
         |ORDER BY step""".stripMargin,
+
+    "evt_cusum_shift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n,
+        |        sum(n_events)::BIGINT AS sx
+        |      FROM daily GROUP BY 1),
+        |p AS (SELECT daily.event_type, d, n_events, n,
+        |        sum(n * n_events - sx - n * 2) OVER
+        |          (PARTITION BY daily.event_type ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |          AS pp
+        |      FROM daily JOIN s USING (event_type)),
+        |c AS (SELECT event_type, d, n_events, n,
+        |        (pp - least(0, min(pp) OVER
+        |          (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+        |          AS cusum
+        |      FROM p)
+        |SELECT event_type, d::VARCHAR AS day, n_events, n, cusum,
+        |  cusum > n * 20 AS alarm
+        |FROM c ORDER BY event_type, day""".stripMargin,
 
     "evt_anomaly_daily" ->
       """WITH daily AS (

@@ -77,6 +77,13 @@ object Round11WaveEProbe {
         ev, Seq("event_type", "value"), "probe-salt").count()}")
     }
 
+    timed(s"cusumShift over daily pre-agg x$mult") {
+      val daily = ev.groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      println(s"[probe]   rows=${graft.operators.Robust.cusumShift(daily,
+        Seq("event_type"), "d", "n_events", 2L, 20L).count()}")
+    }
+
     spark.stop()
   }
 }

@@ -168,4 +168,70 @@ class RobustSpec extends AnyFunSuite {
     assert(got.contains(("a", 100L, true)))
     assert(got.filter(_._1 == "b").forall(!_._3))
   }
+
+  /** Scalar CUSUM reference: the literal Page recursion in ×n units. */
+  private def cusumRef(xs: Seq[Long], slack: Long): Seq[Long] = {
+    val n = xs.size.toLong
+    val sx = xs.sum
+    xs.scanLeft(0L) { (s, x) =>
+      math.max(0L, s + (n * x - sx - n * slack))
+    }.tail
+  }
+
+  test("cusumShift == the literal Page recursion, any layout") {
+    import spark.implicits._
+    val xs = Seq(10L, 12L, 9L, 11L, 30L, 31L, 29L, 32L, 10L, 11L)
+    for (parts <- Seq(1, 7)) {
+      val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+        .toDF("g", "i", "x").repartition(parts)
+      val got = Robust.cusumShift(df, Seq("g"), "i", "x",
+          slack = 1L, threshold = 5L)
+        .orderBy($"i").select($"cusum").as[Long].collect().toSeq
+      assert(got === cusumRef(xs, slack = 1L), s"parts=$parts")
+    }
+  }
+
+  test("a sustained small shift alarms CUSUM while staying invisible " +
+      "to the point-wise MAD monitor") {
+    import spark.implicits._
+    // 20 noisy-quiet days around 100 (±6 spread keeps the MAD wide),
+    // then 10 days shifted +13: each shifted day sits ~2 MAD from the
+    // median (cutoff 3.5 — invisible point-wise), but the shift
+    // SUSTAINS, so CUSUM accumulates it and alarms
+    def noise(i: Int) = ((i * 3) % 13) - 6
+    val xs = (0 until 20).map(i => 100L + noise(i)) ++
+      (0 until 10).map(i => 113L + noise(i))
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "i", "x").repartition(4)
+    val mad = Robust.madOutliers(df, Seq("g"), "x")
+      .select(col("is_outlier")).collect().map(_.getBoolean(0))
+    assert(!mad.exists(identity), "no single day is a MAD outlier")
+    val cu = Robust.cusumShift(df, Seq("g"), "i", "x",
+        slack = 5L, threshold = 25L)
+      .orderBy(col("i")).select(col("alarm")).collect()
+      .map(_.getBoolean(0))
+    // alarms must equal the scalar model's verdicts exactly...
+    val ref = cusumRef(xs, 5L).map(_ > xs.size.toLong * 25L)
+    assert(cu.toSeq === ref)
+    // ...and the model's shape is the story: quiet prefix silent,
+    // sustained shift alarming by the tail
+    assert(cu.takeRight(3).forall(identity),
+      "the sustained shift must alarm by its tail")
+    assert(!cu.take(20).exists(identity),
+      "the quiet prefix must not alarm")
+  }
+
+  test("cusum resets after the series returns to target") {
+    import spark.implicits._
+    // symmetric: high burst then equally low stretch — prefix-min
+    // resets S to 0 afterward
+    val xs = Seq(10L, 10L, 20L, 20L, 0L, 0L, 10L, 10L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "i", "x")
+    val got = Robust.cusumShift(df, Seq("g"), "i", "x",
+        slack = 0L, threshold = 100L)
+      .orderBy(col("i")).select(col("cusum")).collect().map(_.getLong(0))
+    assert(got === cusumRef(xs, 0L).toArray)
+    assert(got.last === 0L, "a balanced tail must decay back to zero")
+  }
 }
