@@ -112,6 +112,77 @@ object Robust {
         when(v.isNotNull, greatest(col("p_lo"), least(col("p_hi"), v))))
   }
 
+  /** CUSUM against an EXPLICIT target — the production-monitor form
+    * (the baseline comes from history/SLO, not from the series under
+    * test, so deviations are plain `x − target − slack` longs; no ×n
+    * lift needed). Same closed-form two-window plan as [[cusumShift]];
+    * [[cusumShiftStream]] is the streaming twin, spec-pinned equal.
+    */
+  def cusumAgainst(df: DataFrame, keys: Seq[String], orderCol: String,
+                   valueCol: String, target: Long, slack: Long,
+                   threshold: Long): DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"need slack >= 0 and threshold > 0, got slack=$slack threshold=$threshold")
+    val run = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = col(valueCol).cast("long") - lit(target) - lit(slack)
+    df.withColumn("_p", sum(dev).over(run))
+      .withColumn("_m", least(lit(0L), min(col("_p")).over(run)))
+      .withColumn("cusum", col("_p") - col("_m"))
+      .withColumn("alarm", col("cusum") > lit(threshold))
+      .drop("_p", "_m")
+  }
+
+  /** STREAMING CUSUM — `cusumAgainst` as the continuous monitor: per-key
+    * state is ONE long (the running S), updated in event-time order
+    * within each micro-batch ((ts, tie) — the Suppress in-batch
+    * discipline) and carried across batches, so a sustained shift that
+    * builds over many micro-batches alarms exactly like the batch run
+    * (CusumStreamSpec pins streaming ≡ batch with the shift straddling
+    * the boundary). Append mode: every observation emits with its
+    * statistic — the monitor is a scorer, not a filter.
+    *
+    * Late/out-of-order data across batches moves the answer exactly as
+    * it would any running-state monitor — rows are scored in ARRIVAL
+    * batch order (in-batch event-time sorted); callers needing total
+    * event-time order under lateness should run the batch closed form
+    * over a watermarked window instead. 8 bytes of state per key,
+    * no TTL needed.
+    */
+  def cusumShiftStream(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, valueCol: String, target: Long,
+                       slack: Long, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(slack >= 0 && threshold > 0,
+      s"need slack >= 0 and threshold > 0, got slack=$slack threshold=$threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withT = df.withColumn("_us", unix_micros(col(tsCol)))
+    val outSchema = withT.schema
+      .add("cusum", org.apache.spark.sql.types.LongType)
+      .add("alarm", org.apache.spark.sql.types.BooleanType)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    withT
+      .groupByKey(r => String.valueOf(r.getAs[Any](keyCol)))
+      .flatMapGroupsWithState[Long, Row](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(r =>
+            (r.getAs[Long]("_us"), r.getAs[Long](tieCol)))
+          var s = state.getOption.getOrElse(0L)
+          val out = sorted.map { r =>
+            s = math.max(0L,
+              s + r.getAs[Number](valueCol).longValue() - target - slack)
+            Row.fromSeq(r.toSeq :+ s :+ (s > threshold))
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF().drop("_us")
+  }
+
   /** One-sided CUSUM change-point detection (Page 1954) over each key's
     * ordered series — the SUSTAINED-shift monitor beside `madOutliers`'
     * single-point flags and `evt_anomaly_daily`'s z-scores: a level

@@ -221,6 +221,74 @@ class RobustSpec extends AnyFunSuite {
       "the quiet prefix must not alarm")
   }
 
+  test("cusumAgainst == the explicit-target recursion") {
+    import spark.implicits._
+    val xs = Seq(10L, 12L, 9L, 30L, 31L, 8L, 9L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("g", "i", "x").repartition(3)
+    val got = Robust.cusumAgainst(df, Seq("g"), "i", "x",
+        target = 10L, slack = 1L, threshold = 15L)
+      .orderBy($"i").select($"cusum", $"alarm").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val ref = xs.scanLeft(0L)((s, x) => math.max(0L, s + x - 10L - 1L)).tail
+    assert(got === ref.map(s => (s, s > 15L)))
+  }
+
+  test("cusumShiftStream ≡ cusumAgainst with the shift straddling " +
+      "micro-batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1718000000000L + i * 60000L)
+    // quiet first file, sustained shift split across both files: the
+    // alarm only fires if S carries across the batch boundary
+    val rows = (0 until 8).map(i => (1L, t(i), i.toLong, 10L)) ++
+      (8 until 12).map(i => (1L, t(i), i.toLong, 18L)) ++ // shift starts
+      (12 until 16).map(i => (1L, t(i), i.toLong, 18L))   // second file
+    val streamDir = Files.createTempDirectory("cusum_stream").toString
+    def writeFile(part: Seq[(Long, java.sql.Timestamp, Long, Long)],
+                  name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("cusum_tmp").toString
+      part.toDF("k", "ts", "id", "x").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val p = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(s => s.endsWith(".parquet") && s.contains("part-")).head
+      val dst = Paths.get(streamDir, name)
+      Files.copy(Paths.get(p), dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    writeFile(rows.take(12), "0000.parquet", 1718000000000L)
+    writeFile(rows.drop(12), "0001.parquet", 1718000100000L)
+    val batch = Robust.cusumAgainst(
+        rows.toDF("k", "ts", "id", "x"), Seq("k"), "id", "x",
+        target = 10L, slack = 2L, threshold = 30L)
+      .select($"id", $"cusum", $"alarm").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    val sch = rows.toDF("k", "ts", "id", "x").schema
+    val src = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val out = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+    val q = Robust.cusumShiftStream(src, "k", "ts", "id", "x",
+        target = 10L, slack = 2L, threshold = 30L)
+      .select($"id", $"cusum", $"alarm")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("cusum_ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rs = df.collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+        out.synchronized { out ++= rs }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(out.toMap === batch)
+    // and the alarm genuinely fires in the SECOND file's rows only
+    assert(batch(15L)._2 && !batch(11L)._2,
+      "the shift must alarm after the boundary, proving carried state")
+  }
+
   test("cusum resets after the series returns to target") {
     import spark.implicits._
     // symmetric: high burst then equally low stretch — prefix-min
