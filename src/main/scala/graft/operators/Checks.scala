@@ -129,6 +129,50 @@ object Checks {
       .withColumn("passed", col("violations") === 0L)
   }
 
+  /** Benford first-digit audit — the fabricated-numbers detector for
+    * money-like columns (naturally-grown multiplicative quantities
+    * follow Benford's law, P(d) = log10(1 + 1/d); hand-typed or
+    * synthesized ones usually don't). Per digit 1–9: the exact count,
+    * the observed share (one IEEE division of exact BIGINTs — gated
+    * raw), the expected share, and the deviation flag.
+    *
+    * Exactness: the value keys through integer CENTS and the first
+    * digit through the BIGINT's decimal rendering (identical in every
+    * engine — no float log10, whose power-of-ten boundaries flip across
+    * engines). The expected shares are ln-derived CONSTANTS, so they
+    * and the deviation carry the ln discipline: round(,6), with the
+    * flag comparing rounded values (deterministic). Zero/NULL values
+    * are excluded — they have no first significant digit.
+    *
+    * One scan → 9 count rows; the total joins back by broadcast.
+    */
+  def benfordReport(df: DataFrame, valueCol: String,
+                    tol: Double = 0.02): DataFrame = {
+    require(tol > 0, s"tol must be positive, got $tol")
+    val cents = floor(abs(col(valueCol)) * 100).cast("long")
+    val digits = df
+      .select(cents.as("_c"))
+      .filter(col("_c") > 0)
+      .select(substring(col("_c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val expected = spark.createDataFrame(
+      (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d))))
+      .toDF("digit", "_exp")
+    val total = digits.agg(sum(col("n")).as("_total"))
+    expected.join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)).cast("double") /
+          col("_total").cast("double")).as("share"),
+        round(col("_exp"), 6).as("expected"),
+        round(abs(coalesce(col("n"), lit(0L)).cast("double") /
+          col("_total").cast("double") - col("_exp")), 6).as("dev"))
+      .withColumn("flagged", col("dev") > tol)
+  }
+
   /** The assembled suite: one scalar pass + the declared key/FK checks +
     * optional freshness, unioned into a single deterministic report.
     */

@@ -357,6 +357,18 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // Benford first-digit audit (operators.Checks.benfordReport): the
+    // fabricated-numbers detector over order totals — digits through
+    // integer cents' DECIMAL RENDERING (no float log10, whose
+    // power-of-ten boundaries flip across engines), counts and shares
+    // exact, the ln-derived expectations and deviations round-6.
+    "q31_benford" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Checks
+        .benfordReport(Tables(s, dir, "orders"), "o_totalprice")
+        .orderBy($"digit")
+    }),
+
     // Period-over-period growth: weekly revenue with lag() percent
     // change. Sums through DECIMAL (exact cents, well under 2^53 as
     // doubles), growth = ONE IEEE subtract-divide chain both engines
@@ -569,6 +581,23 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q31_benford" ->
+      """WITH c AS (SELECT CAST(floor(abs(o_totalprice) * 100) AS BIGINT) AS c
+        |           FROM orders),
+        |d AS (SELECT CAST(substring(c::VARCHAR, 1, 1) AS INTEGER) AS digit,
+        |        count(*)::BIGINT AS n
+        |      FROM c WHERE c > 0 GROUP BY 1),
+        |e AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+        |t AS (SELECT sum(n)::BIGINT AS total FROM d),
+        |r AS (SELECT e.digit, coalesce(d.n, 0)::BIGINT AS n,
+        |        coalesce(d.n, 0)::DOUBLE / t.total::DOUBLE AS share,
+        |        round(ln(1.0 + 1.0 / e.digit) / ln(10.0), 6) AS expected,
+        |        round(abs(coalesce(d.n, 0)::DOUBLE / t.total::DOUBLE
+        |          - ln(1.0 + 1.0 / e.digit) / ln(10.0)), 6) AS dev
+        |      FROM e LEFT JOIN d USING (digit) CROSS JOIN t)
+        |SELECT digit, n, share, expected, dev, dev > 0.02 AS flagged
+        |FROM r ORDER BY digit""".stripMargin,
+
     "q29_wow_growth" ->
       """WITH w AS (SELECT date_trunc('week', o_orderdate)::TIMESTAMP AS week,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

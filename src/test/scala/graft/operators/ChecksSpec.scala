@@ -127,4 +127,26 @@ class ChecksSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(suite === Set("not_null", "fresh"))
   }
+
+  test("benford: exact digit census; log-uniform passes, uniform flags") {
+    import spark.implicits._
+    // hand census: cents 123|4 -> 1, 250|0 -> 2, 19|99 -> 1, 0 dropped,
+    // NULL dropped, -3.5 -> |.|350 -> 3
+    val df = Seq(Some(1.234), Some(2.5), Some(0.1999), Some(0.0),
+      Option.empty[Double], Some(-3.5)).toDF("v")
+    val got = Checks.benfordReport(df, "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got(1) === 2L && got(2) === 1L && got(3) === 1L)
+    assert((4 to 9).forall(got(_) === 0L))
+    assert(got.values.sum === 4L)
+
+    // log-uniform magnitudes follow Benford; uniform ones do not
+    val logUni = (1 to 4000).map(i =>
+      math.pow(10.0, (i * 37 % 4000) / 1000.0)).toDF("v")
+    assert(Checks.benfordReport(logUni, "v").filter(col("flagged"))
+      .count() === 0L, "log-uniform data must pass")
+    val uniform = (1 to 4000).map(i => 1000.0 + (i * 37 % 4000)).toDF("v")
+    assert(Checks.benfordReport(uniform, "v").filter(col("flagged"))
+      .count() > 0L, "uniform data must flag")
+  }
 }
