@@ -43,18 +43,27 @@ object Retract {
 
   /** Per-group delta vector `(…group fields…, d_n, d_sum)` from one
     * changelog batch. `groupOf` / `measureOf` map an IMAGE struct column
-    * (`before` or `after`) to the view's group key (a struct for composite
-    * keys) and its additive BIGINT measure.
+    * (`before` or `after`) to the view's group key and its additive
+    * BIGINT measure. A struct-typed group expands into its fields
+    * (composite keys); a scalar group is wrapped automatically into a
+    * single `group` column — the final star-expansion needs a struct, so
+    * the wrap happens here instead of surfacing as an opaque
+    * AnalysisException at the caller.
     */
   def mvDeltas(changelog: DataFrame,
                groupOf: Column => Column,
                measureOf: Column => Column): DataFrame = {
+    val gType = changelog.select(groupOf(col("after")).as("_g"))
+      .schema("_g").dataType
+    val group: Column => Column =
+      if (gType.isInstanceOf[org.apache.spark.sql.types.StructType]) groupOf
+      else img => struct(groupOf(img).as("group"))
     val contribs = array(
       when(col("after").isNotNull,
-        struct(groupOf(col("after")).as("g"),
+        struct(group(col("after")).as("g"),
           measureOf(col("after")).cast("long").as("m"), lit(1L).as("c"))),
       when(col("before").isNotNull,
-        struct(groupOf(col("before")).as("g"),
+        struct(group(col("before")).as("g"),
           (-measureOf(col("before")).cast("long")).as("m"), lit(-1L).as("c"))))
     changelog
       .select(explode(contribs).as("x"))

@@ -145,6 +145,10 @@ object Checks {
     * are excluded — they have no first significant digit.
     *
     * One scan → 9 count rows; the total joins back by broadcast.
+    *
+    * Degenerate input (empty table / no value >= 0.01) yields a defined
+    * verdict: n=0, share=0, dev=expected, flagged=TRUE for all nine
+    * digits — zero observations cannot pass the audit silently.
     */
   def benfordReport(df: DataFrame, valueCol: String,
                     tol: Double = 0.02): DataFrame = {
@@ -160,17 +164,28 @@ object Checks {
     val expected = spark.createDataFrame(
       (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d))))
       .toDF("digit", "_exp")
-    val total = digits.agg(sum(col("n")).as("_total"))
+    // the degenerate input (empty table, or no value >= 0.01) is DEFINED,
+    // never NULL: share 0, dev = the full expected share, flagged = true
+    // for every digit — an audit with zero observations fails loudly
+    // instead of reading as "nothing flagged" through NULL propagation
+    val total = digits.agg(coalesce(sum(col("n")), lit(0L)).as("_total"))
     expected.join(digits, Seq("digit"), "left")
       .crossJoin(broadcast(total))
       .select(col("digit"),
         coalesce(col("n"), lit(0L)).as("n"),
-        (coalesce(col("n"), lit(0L)).cast("double") /
-          col("_total").cast("double")).as("share"),
+        when(col("_total") > 0,
+          coalesce(col("n"), lit(0L)).cast("double") /
+            col("_total").cast("double"))
+          .otherwise(lit(0d)).as("share"),
         round(col("_exp"), 6).as("expected"),
-        round(abs(coalesce(col("n"), lit(0L)).cast("double") /
-          col("_total").cast("double") - col("_exp")), 6).as("dev"))
-      .withColumn("flagged", col("dev") > tol)
+        when(col("_total") > 0,
+          round(abs(coalesce(col("n"), lit(0L)).cast("double") /
+            col("_total").cast("double") - col("_exp")), 6))
+          .otherwise(round(col("_exp"), 6)).as("dev"),
+        col("_total"))
+      .withColumn("flagged",
+        when(col("_total") > 0, col("dev") > tol).otherwise(lit(true)))
+      .drop("_total")
   }
 
   /** The assembled suite: one scalar pass + the declared key/FK checks +

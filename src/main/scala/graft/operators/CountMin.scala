@@ -98,8 +98,10 @@ object CountMin {
     * `mergeBatch` family keeps them current per micro-batch), no scan of
     * either side at decision time. Products and row sums are computed in
     * DECIMAL(38,0) — exact far past the ~n_a·n_b/2^widthLog2 magnitudes
-    * involved; the returned BIGINT is NULL (non-ANSI cast) in the
-    * astronomically-over-2^63 regime instead of silently wrong. Size the
+    * involved; the returned BIGINT is NULL in the astronomically-over-2^63
+    * regime instead of silently wrong (an explicit range guard — an ANSI
+    * session would otherwise turn the narrowing cast into a runtime
+    * error, which is the wrong failure for a planner STATISTIC). Size the
     * width so n_a·n_b/2^widthLog2 < 2^63 (w=2^20 covers 10^12-row sides).
     *
     * Both sketch frames are ≤ d·2^widthLog2 rows; the join is
@@ -115,10 +117,11 @@ object CountMin {
         Seq("row", "col"))
       .groupBy(col("row"))
       .agg(sum(col("_ca").cast(dec) * col("_cb").cast(dec)).as("ip"))
+    val m = min(coalesce(col("ip"), lit(0).cast(dec)))
     skA.sparkSession.range(depth).toDF("row")
       .join(broadcast(prods), Seq("row"), "left")
-      .agg(min(coalesce(col("ip"), lit(0).cast(dec)))
-        .cast("long").as("cms_join_est"))
+      .agg(when(m <= lit(Long.MaxValue).cast(dec), m.cast("long"))
+        .otherwise(lit(null).cast("long")).as("cms_join_est"))
   }
 
   /** STREAMING counter maintenance — `Hll.mergeBatch`'s discipline for the

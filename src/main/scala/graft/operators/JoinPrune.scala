@@ -105,4 +105,98 @@ object JoinPrune {
       .join(dim, prefiltered(factKey) === dim(dimKey), "inner")
       .drop(dim(dimKey))
   }
+
+  /** The strategy the sketch-driven chooser picked. */
+  sealed trait JoinChoice
+  /** Dim fits the broadcast budget → broadcast hash join, no fact shuffle. */
+  case object BroadcastDim extends JoinChoice
+  /** Dim too big to broadcast but the join is selective on the fact side →
+    * Bloom-prefilter the fact scan before its exchange. */
+  case object BloomPrefiltered extends JoinChoice
+  /** Most fact rows match anyway → the prefilter would scan-and-keep;
+    * plain shuffle join. */
+  case object PlainShuffle extends JoinChoice
+
+  /** Exact row count from a CMS sketch frame: every hash row's counters
+    * sum to N (each value lands in exactly one cell per row), so
+    * Σcnt / depth is the count of non-NULL key rows — a statistic read
+    * from 32 KB, no scan. Empty sketch → 0.
+    */
+  def sketchRowCount(sk: DataFrame, depth: Int = 4): Long = {
+    val r = sk.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    r / depth
+  }
+
+  /** Pick the join strategy for `fact ⋈ dim` from the two sides'
+    * MAINTAINED CMS sketches over the join key — the planner decision at
+    * 100 TB costs two 32 KB aggregates and one broadcast sketch join,
+    * never a scan of either table (`CountMin.mergeBatch` keeps the
+    * sketches current per micro-batch; `CountMin.joinSizeEstimate` is the
+    * cardinality statistic).
+    *
+    * The ladder, with every error one-sided toward the SAFE plan:
+    *  - dim rows (exact from its sketch) ≤ `broadcastMaxRows` →
+    *    [[BroadcastDim]];
+    *  - else if est(join)/fact rows ≤ `bloomMaxMatchFraction` →
+    *    [[BloomPrefiltered]] (the estimate only OVERcounts — collision
+    *    cross-terms are nonnegative — so a join that looks selective IS
+    *    selective; one that is selective may merely miss the prefilter
+    *    upside, never pay a wrong-plan cliff);
+    *  - else [[PlainShuffle]] (including the NULL-estimate overflow
+    *    regime — an unbounded-looking join never routes through a
+    *    prefilter built on its own flood).
+    *
+    * `bloomMaxMatchFraction` compares the JOIN OUTPUT estimate to fact
+    * rows: for the key-unique dim of the TPC-H star shape the join output
+    * equals the matched fact rows, making the ratio exactly the
+    * prefilter's keep fraction; a many-to-many dim inflates it, which
+    * again errs toward the plain join.
+    */
+  def chooseJoin(skFact: DataFrame, skDim: DataFrame, depth: Int = 4,
+                 broadcastMaxRows: Long = 1000000L,
+                 bloomMaxMatchFraction: Double = 0.5): JoinChoice = {
+    require(broadcastMaxRows >= 0 && bloomMaxMatchFraction >= 0.0 &&
+      bloomMaxMatchFraction <= 1.0,
+      s"bad thresholds: broadcastMaxRows=$broadcastMaxRows " +
+        s"bloomMaxMatchFraction=$bloomMaxMatchFraction")
+    val nDim = sketchRowCount(skDim, depth)
+    if (nDim <= broadcastMaxRows) BroadcastDim
+    else {
+      val nFact = sketchRowCount(skFact, depth)
+      val est = CountMin.joinSizeEstimate(skFact, skDim, depth)
+        .head().getAs[java.lang.Long](0)
+      if (est != null && nFact > 0 &&
+        est.toDouble <= bloomMaxMatchFraction * nFact.toDouble)
+        BloomPrefiltered
+      else PlainShuffle
+    }
+  }
+
+  /** `fact ⋈ dim ON fact(factKey) = dim(dimKey)` through the strategy the
+    * sketches pick — identical rows on every path (broadcast/bloom/plain
+    * are all the same exact inner join; only the physical plan moves),
+    * which is what the `q32_adaptive_join` plain-join oracle checks.
+    * Output columns: fact.* then dim.* minus `dimKey`, on every path.
+    *
+    * The dim row count already read from the sketch sizes the Bloom
+    * filter (`expectedKeys`), so the bloom path adds no dim count job.
+    */
+  def adaptiveJoin(fact: DataFrame, dim: DataFrame,
+                   factKey: String, dimKey: String,
+                   skFact: DataFrame, skDim: DataFrame, depth: Int = 4,
+                   broadcastMaxRows: Long = 1000000L,
+                   bloomMaxMatchFraction: Double = 0.5,
+                   fpp: Double = 0.01): DataFrame =
+    chooseJoin(skFact, skDim, depth, broadcastMaxRows,
+      bloomMaxMatchFraction) match {
+      case BroadcastDim =>
+        fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "inner")
+          .drop(dim(dimKey))
+      case BloomPrefiltered =>
+        bloomPrefilteredJoin(fact, dim, factKey, dimKey, fpp,
+          expectedKeys = sketchRowCount(skDim, depth))
+      case PlainShuffle =>
+        fact.join(dim, fact(factKey) === dim(dimKey), "inner")
+          .drop(dim(dimKey))
+    }
 }

@@ -348,6 +348,40 @@ object Multimodal {
       .toDF("asset_id", "ahash")
   }
 
+  /** The corpus-size-driven (pieces, maxDistance) schedule for the
+    * perceptual-hash dedups — `SimHash.autoParams` capped at the
+    * historical mm banding (9, 8): the pigeonhole candidate volume within
+    * a (piece, segment) bucket is quadratic in bucket occupancy
+    * (≈ p·n²/2^(64/p+1)), so a FIXED pieces=9 is n²-shaped at scale
+    * (measured: mm_audio_dedup sf0.1→sf1 was ~10.5× for 10× data). The
+    * schedule holds (9, 8) to ~34k assets — every gate scale — then
+    * widens segments exponentially: (8, 7) to ~70k, (7, 6) to ~178k,
+    * (6, 5) to ~597k, floor (4, 3) good to tens of millions. Tightening
+    * maxDistance trades recall on far-apart near-dups for the linear
+    * plan — the same explicit LSH contract as the text path
+    * (`SimHash.autoParams`); callers needing a FIXED threshold at bulk
+    * scale should run `SimHash.segmentIndex` + `hammingAgainstIndex`
+    * delta batches instead of one giant self-join.
+    */
+  def autoHammingParams(n: Long): (Int, Int) =
+    graft.operators.SimHash.autoParams(n, maxPieces = 9)
+
+  /** (pieces, maxDistance) from the caller's explicit pin or the
+    * auto-schedule. Explicit means BOTH given (> 0) — the pair is one
+    * contract (pigeonhole needs pieces > maxDistance); half-pinning is a
+    * typed error, not a silent fill.
+    */
+  private def resolveHammingParams(maxDistance: Int, pieces: Int,
+                                   n: => Long): (Int, Int) = {
+    if (maxDistance > 0 && pieces > 0) (pieces, maxDistance)
+    else {
+      require(maxDistance <= 0 && pieces <= 0,
+        s"pin BOTH maxDistance and pieces or NEITHER (auto-scaled), got " +
+          s"maxDistance=$maxDistance pieces=$pieces")
+      autoHammingParams(n)
+    }
+  }
+
   /** Perceptual image near-dedup: aHash per image, then the pigeonhole
     * Hamming join shared with the SimHash text path
     * (`SimHash.hammingPairs`) — pairs at Hamming ≤ `maxDistance` over the
@@ -355,12 +389,21 @@ object Multimodal {
     * maxDistance), candidates bounded by segment buckets, never an
     * all-pairs product. The training-data use: collapse re-encoded /
     * lightly-edited duplicate images before captioning or embedding.
+    *
+    * By DEFAULT the (pieces, maxDistance) banding is size-adaptive
+    * (`autoHammingParams` — one metadata-cheap count of `images` picks
+    * it, `nHint` skips even that); pass both explicitly to pin a fixed
+    * threshold (the gate fixtures pin (8, 9), which the auto schedule
+    * reproduces at every gate scale).
     */
   def imageDedup(images: DataFrame, idCol: String, contentCol: String,
-                 maxDistance: Int = 8, pieces: Int = 9): DataFrame =
+                 maxDistance: Int = -1, pieces: Int = -1,
+                 nHint: Long = -1L): DataFrame = {
+    val (p, d) = resolveHammingParams(maxDistance, pieces,
+      if (nHint > 0) nHint else images.count())
     graft.operators.SimHash.hammingPairs(
-      imageHashes(images, idCol, contentCol), "asset_id", "ahash",
-      maxDistance, pieces)
+      imageHashes(images, idCol, contentCol), "asset_id", "ahash", d, p)
+  }
 
   /** Energy-profile audio fingerprint (an echoprint-style sign
     * fingerprint, simplified to one band): the first 64·F samples
@@ -423,13 +466,17 @@ object Multimodal {
   /** Perceptual audio near-dedup: energy fingerprint per clip, then the
     * shared pigeonhole Hamming join — collapse re-encoded / re-leveled
     * duplicate audio before transcription or embedding, the audio leg of
-    * the text/image/audio dedup family.
+    * the text/image/audio dedup family. Banding is size-adaptive by
+    * default, pinnable — see [[imageDedup]].
     */
   def audioDedup(clips: DataFrame, idCol: String, contentCol: String,
-                 maxDistance: Int = 8, pieces: Int = 9): DataFrame =
+                 maxDistance: Int = -1, pieces: Int = -1,
+                 nHint: Long = -1L): DataFrame = {
+    val (p, d) = resolveHammingParams(maxDistance, pieces,
+      if (nHint > 0) nHint else clips.count())
     graft.operators.SimHash.hammingPairs(
-      audioHashes(clips, idCol, contentCol), "asset_id", "ahash",
-      maxDistance, pieces)
+      audioHashes(clips, idCol, contentCol), "asset_id", "ahash", d, p)
+  }
 
   /** A decoded audio clip: PCM bytes + the format sidecar. */
   final case class DecodedAudio(sampleRate: Int, channels: Int,

@@ -203,9 +203,15 @@ object Robust {
     * integer comparison. Output: the input row plus `cusum` (the ×n
     * statistic), `n`, and `alarm`.
     *
-    * 2^63 audit: |n·x| ≤ n·max|x| — at 10⁶ daily points of count ~10⁹
-    * the numerators sit at ~10¹⁵, five orders under the bound; series
-    * long enough to threaten it should window the monitor anyway.
+    * 2^63 audit — CHECKED, not assumed (the histogramDrift discipline):
+    * every prefix sum P_t = n·Σ_{i≤t}x − t·Σx − t·n·slack is bounded by
+    * n·(2·Σ|x| + n·slack), so the group errors when that bound reaches
+    * 2^61 (a 2-bit margin absorbs the double-arithmetic rounding of the
+    * check itself) instead of silently wrapping under non-ANSI long
+    * arithmetic. At 10⁶ daily points of count ~10⁹ the numerators sit at
+    * ~10¹⁵, five orders under the bound; series long enough to trip it
+    * should window the monitor (or use `cusumAgainst`, whose deviations
+    * are un-lifted).
     */
   def cusumShift(df: DataFrame, keys: Seq[String], orderCol: String,
                  valueCol: String, slack: Long,
@@ -214,15 +220,25 @@ object Robust {
       s"need slack >= 0 and threshold > 0, got slack=$slack threshold=$threshold")
     val x = col(valueCol).cast("long")
     val stats = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(abs(x)).as("sax"))
     val run = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val dev = col("n") * x - col("sx") - col("n") * lit(slack)
+    val inBound = col("n").cast("double") *
+      (lit(2d) * col("sax").cast("double") +
+        col("n").cast("double") * lit(slack.toDouble)) <
+      lit(2.305843009213694e18) // 2^61
+    val dev = when(inBound, col("n") * x - col("sx") - col("n") * lit(slack))
+      .otherwise(raise_error(concat(
+        lit("cusumShift numerator overflow: n*(2*sum|x| + n*slack) >= 2^61 " +
+          "for group ("),
+        concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+        lit(") — window the series or use cusumAgainst with an explicit " +
+          "target"))))
     df.join(broadcast(stats), keys)
       .withColumn("_p", sum(dev).over(run))
       .withColumn("_m", least(lit(0L), min(col("_p")).over(run)))
       .withColumn("cusum", col("_p") - col("_m"))
       .withColumn("alarm", col("cusum") > col("n") * lit(threshold))
-      .drop("_p", "_m", "sx")
+      .drop("_p", "_m", "sx", "sax")
   }
 }

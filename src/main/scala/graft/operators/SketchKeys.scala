@@ -25,6 +25,16 @@ import org.apache.spark.sql.types._
   *  - anything else — float/double (equality on them is not a distinct
   *    count), binary, arrays — is REFUSED with a typed error instead of
   *    the silent empty sketch.
+  *
+  * MIGRATION NOTE (round 11 → 12): this object changed timestamp keys
+  * from the old `cast("long")` (epoch SECONDS) to `unix_micros`, and
+  * date/string/decimal keys from a silent NULL to real derivations. Any
+  * PERSISTED HLL/KMV sketch state (BatchTables sketch tables) built
+  * before that change and keyed on a timestamp/date/string/decimal
+  * column hashes the same element differently across the epochs —
+  * merging old partitions with new batches inflates estimates. Rebuild
+  * such sketch tables from source once; integral-keyed sketches are
+  * unaffected (`cast("long")` and the typed key agree).
   */
 private[operators] object SketchKeys {
 

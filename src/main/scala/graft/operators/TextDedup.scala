@@ -701,8 +701,10 @@ object SimHash {
     * scale — exactness at a FIXED threshold belongs to the MinHash-banded
     * and prefix-filter paths.
     */
-  def autoParams(n: Long, budget: Double = 1100.0): (Int, Int) = {
-    val ladder = Seq(13, 11, 9, 8, 7, 6, 5, 4)
+  def autoParams(n: Long, budget: Double = 1100.0,
+                 maxPieces: Int = 13): (Int, Int) = {
+    val ladder = Seq(13, 11, 9, 8, 7, 6, 5, 4).filter(_ <= maxPieces)
+    require(ladder.nonEmpty, s"maxPieces must be >= 4, got $maxPieces")
     val p = ladder
       .find(p => p * n.toDouble / math.pow(2.0, 64.0 / p + 1.0) <= budget)
       .getOrElse(4)

@@ -313,6 +313,36 @@ object Relational {
         .orderBy($"order_month")
     }),
 
+    // Sketch-driven ADAPTIVE join (operators.JoinPrune.adaptiveJoin):
+    // the broadcast/bloom/plain decision reads two maintained CMS
+    // sketches (exact row counts + the AMS join-size estimate) — never a
+    // scan of either table. Here the BUILDING-segment customer dim sits
+    // over the broadcast budget and matches ~20% of orders, so the
+    // chooser lands on the Bloom prefilter at both gate scales; the
+    // result is choice-independent (all three paths are the same exact
+    // inner join), which is what the plain-join oracle checks. Spend by
+    // nation over the joined rows.
+    "q32_adaptive_join" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables(s, dir, "orders")
+      val dim = Tables(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey", $"c_nationkey")
+      val skFact = graft.operators.CountMin.sketch(ord, "o_custkey",
+        widthLog2 = 18)
+      val skDim = graft.operators.CountMin.sketch(dim, "c_custkey",
+        widthLog2 = 18)
+      graft.operators.JoinPrune.adaptiveJoin(ord, dim,
+          factKey = "o_custkey", dimKey = "c_custkey",
+          skFact = skFact, skDim = skDim,
+          broadcastMaxRows = 100L, bloomMaxMatchFraction = 0.5)
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(28,2)")).cast("double")
+            .as("total_spend"))
+        .orderBy($"c_nationkey")
+    }),
+
     // k-anonymity / l-diversity census (operators.Privacy): per
     // (nation, segment) quasi-identifier group — size, distinct
     // sensitive account-balance values, verdicts at k=12 / l=3. One
@@ -683,6 +713,14 @@ object Relational {
         |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_adaptive_join" ->
+      """SELECT c.c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS total_spend
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q24_privacy_audit" ->

@@ -79,6 +79,18 @@ class RetractSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == "click"))
   }
 
+  test("a scalar group column auto-wraps into a single `group` field") {
+    val cl = EventsAsChangeLog.retractable(events)
+    val scalar = Retract.mvDeltas(cl,
+      img => img.getField("event_type"), measureOf)
+    assert(scalar.columns.toSeq === Seq("group", "d_n", "d_sum"))
+    val viaStruct = Retract.mvDeltas(cl,
+      img => struct(img.getField("event_type").as("group")), measureOf)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(scalar) === rows(viaStruct))
+  }
+
   test("any batching of the changelog sums to the same view") {
     val cl = EventsAsChangeLog.retractable(events).localCheckpoint(true)
     // three arbitrary splits, including one that separates a retraction

@@ -149,4 +149,21 @@ class ChecksSpec extends AnyFunSuite {
     assert(Checks.benfordReport(uniform, "v").filter(col("flagged"))
       .count() > 0L, "uniform data must flag")
   }
+
+  test("benford: zero observations cannot pass the audit silently") {
+    import spark.implicits._
+    // an empty table AND a non-empty one with no value >= 0.01 both hit
+    // the degenerate path: defined zeros, every digit flagged — never
+    // NULLs a downstream filter(flagged) would silently drop
+    for (df <- Seq(Seq.empty[Double].toDF("v"),
+                   Seq(0.0, 0.004, -0.009).toDF("v"))) {
+      val got = Checks.benfordReport(df, "v").collect()
+      assert(got.length === 9)
+      assert(got.forall(r => r.getLong(1) === 0L), "n must be 0")
+      assert(got.forall(r => r.getDouble(2) === 0.0), "share must be 0")
+      assert(got.forall(r => r.getDouble(4) === r.getDouble(3)),
+        "dev must equal the expected share")
+      assert(got.forall(r => r.getBoolean(5)), "every digit must flag")
+    }
+  }
 }

@@ -137,4 +137,106 @@ class JoinPruneSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  // ---- the sketch-driven adaptive chooser ----
+
+  /** 10k fact rows over 1000 distinct keys (f(v)=10 each). widthLog2=16
+    * keeps the CMS cross-term mass (ΣfA·ΣfB/2^16 ≈ 153) far under the
+    * fact count so the match-fraction signal is real at test scale.
+    */
+  private def chooserFixtures = {
+    import spark.implicits._
+    val fact = (0L until 10000L).map(i => (i, i % 1000, s"f$i"))
+      .toDF("row_id", "fk", "payload")
+    val dimDisjoint = (2000L until 3000L).map(k => (k, s"d$k"))
+      .toDF("dk", "attr") // 1000 keys, none in the fact
+    val dimAll = (0L until 1000L).map(k => (k, s"d$k"))
+      .toDF("dk", "attr") // every fact row matches
+    val skFact = CountMin.sketch(fact, "fk", widthLog2 = 16)
+      .localCheckpoint(true)
+    val skDisjoint = CountMin.sketch(dimDisjoint, "dk", widthLog2 = 16)
+      .localCheckpoint(true)
+    val skAll = CountMin.sketch(dimAll, "dk", widthLog2 = 16)
+      .localCheckpoint(true)
+    (fact, dimDisjoint, dimAll, skFact, skDisjoint, skAll)
+  }
+
+  test("sketchRowCount reads the exact row count from the sketch") {
+    val (_, _, _, skFact, skDim, _) = chooserFixtures
+    assert(JoinPrune.sketchRowCount(skFact) === 10000L)
+    assert(JoinPrune.sketchRowCount(skDim) === 1000L)
+    assert(JoinPrune.sketchRowCount(skFact.filter(lit(false))) === 0L)
+  }
+
+  test("chooseJoin picks the strategy per estimated size class") {
+    val (_, _, _, skFact, skDisjoint, skAll) = chooserFixtures
+    // dim under the broadcast budget -> broadcast, regardless of match rate
+    assert(JoinPrune.chooseJoin(skFact, skAll,
+      broadcastMaxRows = 1000L) === JoinPrune.BroadcastDim)
+    // dim over budget + selective join (disjoint keys, est ~ collision
+    // mass only) -> bloom prefilter
+    assert(JoinPrune.chooseJoin(skFact, skDisjoint,
+      broadcastMaxRows = 500L) === JoinPrune.BloomPrefiltered)
+    // dim over budget + every fact row matches (est ~ nFact) -> plain
+    assert(JoinPrune.chooseJoin(skFact, skAll,
+      broadcastMaxRows = 500L) === JoinPrune.PlainShuffle)
+  }
+
+  test("adaptiveJoin: identical rows on every path; plan follows the choice") {
+    import spark.implicits._
+    val (factMem, _, _, skFact, _, _) = chooserFixtures
+    // a 10%-match dim: matched fact mass (1000 rows) sits well under the
+    // 0.5 fraction, so the bloom branch is REACHABLE (the all-match dim's
+    // estimate can never be, by the one-sided overcount)
+    val dimMem = (0L until 100L).map(k => (k, s"d$k")).toDF("dk", "attr")
+    val skDim = CountMin.sketch(dimMem, "dk", widthLog2 = 16)
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("adaptivejoin").toString
+    factMem.write.parquet(s"$tmp/fact")
+    dimMem.write.parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // the CHOOSER must pick broadcast, not AQE
+      val expected = fact.join(dim, fact("fk") === dim("dk")).drop(dim("dk"))
+        .collect().map(_.toSeq).toSet
+      assert(expected.size === 1000)
+      def run(broadcastMax: Long, bloomFrac: Double) =
+        JoinPrune.adaptiveJoin(fact, dim, "fk", "dk", skFact, skDim,
+          broadcastMaxRows = broadcastMax, bloomMaxMatchFraction = bloomFrac)
+      // force each branch by thresholds; rows identical on every path
+      val viaBroadcast = run(100000L, 0.5)
+      val viaBloom = run(0L, 0.5)
+      val viaPlain = run(0L, 0.0)
+      assert(viaBroadcast.collect().map(_.toSeq).toSet === expected)
+      assert(viaBloom.collect().map(_.toSeq).toSet === expected)
+      assert(viaPlain.collect().map(_.toSeq).toSet === expected)
+      // and the physical plan is the one the choice names
+      assert(viaBroadcast.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(viaBloom.queryExecution.executedPlan.toString
+        .contains("might_contain"))
+      val plainPlan = viaPlain.queryExecution.executedPlan.toString
+      assert(!plainPlan.contains("might_contain") &&
+        !plainPlan.contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.set(key, old)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("overflow-NULL join estimate routes to the plain join, never bloom") {
+    import spark.implicits._
+    // fabricated sketch frames whose inner product overflows DECIMAL->
+    // BIGINT: joinSizeEstimate yields NULL; the chooser must land on
+    // PlainShuffle (and not crash)
+    val huge = 4000000000L
+    val sk = (0 until 4).flatMap(r => Seq((r, 0L, huge), (r, 1L, huge)))
+      .toDF("row", "col", "cnt")
+    assert(CountMin.joinSizeEstimate(sk, sk).head().isNullAt(0))
+    assert(JoinPrune.chooseJoin(sk, sk, broadcastMaxRows = 0L)
+      === JoinPrune.PlainShuffle)
+  }
 }

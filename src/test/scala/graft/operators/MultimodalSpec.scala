@@ -355,4 +355,73 @@ class MultimodalSpec extends AnyFunSuite {
     // amplitude-scale robustness: only exact-boundary bits may move
     assert(got.head._3 <= 4)
   }
+
+  test("autoHammingParams: gate scales keep (9,8), larger corpora tighten") {
+    // every gate scale reproduces the historical pinned banding
+    assert(Multimodal.autoHammingParams(9) == (9, 8))       // unit fixtures
+    assert(Multimodal.autoHammingParams(6600) == (9, 8))    // sf0.01 corpus
+    assert(Multimodal.autoHammingParams(33000) == (9, 8))
+    // 10x the sf0.01 corpus crosses the first ladder step
+    assert(Multimodal.autoHammingParams(66600) == (8, 7))
+    // the sf1 corpus (660k assets) lands at (5,4) — the n'-shaped default
+    // this schedule replaces ran (9,8) there
+    assert(Multimodal.autoHammingParams(660000) == (5, 4))
+    // the floor: tens of millions stay (4,3), never looser
+    assert(Multimodal.autoHammingParams(50000000L) == (4, 3))
+    // the schedule is monotone: pieces never widen as n grows
+    val ns = Seq(1L, 1000L, 10000L, 50000L, 100000L, 500000L, 1000000L,
+      5000000L, 20000000L, 100000000L)
+    val ps = ns.map(Multimodal.autoHammingParams(_)._1)
+    assert(ps == ps.sorted.reverse, s"non-monotone schedule: $ps")
+    // half-pinning is a typed error, not a silent fill
+    import spark.implicits._
+    val one = Seq((1L, Array[Byte](1))).toDF("asset_id", "content")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDedup(one, "asset_id", "content", maxDistance = 8)
+    }
+  }
+
+  test("auto-scaled banding keeps full recall on a 10x-gate-scale corpus") {
+    import spark.implicits._
+    // 66,600 fingerprints — 10x the sf0.01 gate corpus — with a planted
+    // near-dup at Hamming distance EXACTLY equal to the auto maxDistance
+    // for every 100th id (7 distinct bit flips: stride-9 positions are
+    // distinct for j < 8). The pigeonhole join is exact for the hash, so
+    // full recall at the auto banding is an equality, not a probability.
+    val nBase = 66000L
+    val n = nBase + nBase / 100
+    val (p, d) = Multimodal.autoHammingParams(n)
+    assert((p, d) == (8, 7), "10x corpus must tighten to (8,7)")
+    val base = spark.range(nBase).as[Long]
+      .map(id => (id, Multimodal.splitmix64(id + 1L))).toDF("doc_id", "fp")
+    val copies = spark.range(0, nBase, 100).as[Long].map { id =>
+      var h = Multimodal.splitmix64(id + 1L)
+      val off = (id / 100 % 64).toInt
+      (0 until d).foreach(j => h ^= 1L << ((off + j * 9) % 64))
+      (id + 10000000L, h)
+    }.toDF("doc_id", "fp")
+    val planted = graft.operators.SimHash
+      .hammingPairs(base.union(copies), "doc_id", "fp", d, p)
+      .filter($"id_b" >= 10000000L && $"id_a" === $"id_b" - 10000000L)
+    assert(planted.count() == nBase / 100,
+      "every planted pair at distance == auto maxDistance must be found")
+  }
+
+  test("default (auto) imageDedup equals the pinned path at gate scale") {
+    import spark.implicits._
+    def mk(id: Long, pert: Boolean): (Long, Array[Byte]) = {
+      val srcId = if (pert) id - 1000L else id
+      (id, Multimodal.encodeBmp24Gray(64, 64, { p =>
+        val v = (Multimodal.splitmix64(srcId * 4096L + p + 1L) & 255L).toInt
+        val cell = (p / 64 / 8) * 8 + (p % 64) / 8
+        if (pert && (cell == 0 || cell == 9)) (v + 64) % 256 else v
+      }))
+    }
+    val images = (Seq.tabulate(8)(i => mk(i.toLong, pert = false)) :+
+      mk(1003L, pert = true)).toDF("asset_id", "content")
+    // n=9 -> auto (9,8): the default invocation reproduces the pinned gate
+    val auto = Multimodal.imageDedup(images, "asset_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(auto == List((3L, 1003L)))
+  }
 }

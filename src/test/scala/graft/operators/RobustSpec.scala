@@ -221,6 +221,31 @@ class RobustSpec extends AnyFunSuite {
       "the quiet prefix must not alarm")
   }
 
+  test("cusumShift's 2^61 numerator bound is checked: over-bound groups " +
+      "error, never wrap") {
+    import spark.implicits._
+    // three huge counts put n*(2*sum|x| + n*slack) over 2^61 with three
+    // rows — no data-sized input needed to hit the guard
+    val big = Long.MaxValue / 4
+    val df = Seq(("g", 1, big), ("g", 2, big), ("g", 3, big))
+      .toDF("g", "i", "x")
+    val e = intercept[Exception] {
+      Robust.cusumShift(df, Seq("g"), "i", "x", slack = 0L,
+        threshold = 1L).collect()
+    }
+    val full = org.apache.commons.lang3.exception.ExceptionUtils.getStackTrace(e)
+    assert(full.contains("cusumShift numerator overflow"),
+      s"got: ${e.getMessage}")
+    // under the bound the same shape still computes (and the alarm math
+    // is the scalar model's)
+    val ok = Seq(("g", 1, 1000000000L), ("g", 2, 1000000000L),
+      ("g", 3, 3000000000L)).toDF("g", "i", "x")
+    val got = Robust.cusumShift(ok, Seq("g"), "i", "x", slack = 0L,
+        threshold = 1L).orderBy($"i").select($"cusum").as[Long]
+      .collect().toSeq
+    assert(got === cusumRef(Seq(1000000000L, 1000000000L, 3000000000L), 0L))
+  }
+
   test("cusumAgainst == the explicit-target recursion") {
     import spark.implicits._
     val xs = Seq(10L, 12L, 9L, 30L, 31L, 8L, 9L)

@@ -10,8 +10,16 @@ missing chunk.
 import json
 import sys
 
-chunks = sys.argv[1:-1]
-out = sys.argv[-1]
+args = sys.argv[1:]
+expect = None
+if args and args[0].startswith("--expect="):
+    expect = int(args[0].split("=", 1)[1])
+    args = args[1:]
+if len(args) < 2:
+    sys.exit("usage: merge_bench_chunks.py [--expect=NQUERIES] "
+             "chunk1.json [chunk2.json ...] out.json")
+chunks = args[:-1]
+out = args[-1]
 merged = {"metric": "total", "value": 0.0, "unit": "sec", "sf": None,
           "queries": {}, "query_stats": {}, "chunks": [], "flagged": [],
           "contaminated": False}
@@ -34,6 +42,11 @@ for path in chunks:
         "path": path, "value": d["value"], "run_wall": d.get("run_wall"),
         "steal_sec": d.get("steal_sec"),
         "queries": sorted(d["query_stats"])})
+if not merged["queries"]:
+    sys.exit("refusing to write an empty merged artifact (no queries)")
+if expect is not None and len(merged["queries"]) != expect:
+    sys.exit(f"expected {expect} queries, merged {len(merged['queries'])} "
+             "— a chunk is missing")
 with open(out, "w") as f:
     json.dump(merged, f, indent=1)
 print(f"merged {len(chunks)} chunks, {len(merged['queries'])} queries, "
