@@ -34,13 +34,9 @@ import org.apache.spark.sql.functions._
   */
 object Communities {
 
-  /** Labels after `rounds` synchronous votes over the DIRECTED edge
-    * list (src votes into dst). Output: (node BIGINT, community BIGINT)
-    * for every node with at least one edge in either direction.
-    */
-  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+  /** The materialized (edges, nodes) pair both entry points vote over. */
+  private def graphFrames(edges: DataFrame, srcCol: String,
+                          dstCol: String): (DataFrame, DataFrame) = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -50,7 +46,17 @@ object Communities {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
-    var labels = nodes.withColumn("label", col("node"))
+    (e, nodes)
+  }
+
+  /** The synchronous vote rounds, a pure function of the start labels —
+    * shared by the cold start and [[labelPropagationResume]] (which is
+    * what makes persist-and-resume ≡ one-shot provable: CommunitiesSpec
+    * pins `resume(lpa(G, r1), G, r2) == lpa(G, r1 + r2)` bit-exact).
+    */
+  private def vote(e: DataFrame, nodes: DataFrame, start: DataFrame,
+                   rounds: Int): DataFrame = {
+    var labels = start
     for (_ <- 1 to rounds) {
       val winners = e.join(labels, e("src") === labels("node"))
         .groupBy(e("dst").as("node"), col("label"))
@@ -65,5 +71,40 @@ object Communities {
         .localCheckpoint(true)
     }
     labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** Labels after `rounds` synchronous votes over the DIRECTED edge
+    * list (src votes into dst). Output: (node BIGINT, community BIGINT)
+    * for every node with at least one edge in either direction.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val (e, nodes) = graphFrames(edges, srcCol, dstCol)
+    vote(e, nodes, nodes.withColumn("label", col("node")), rounds)
+  }
+
+  /** WARM-START maintenance — [[graft.operators.PageRank.pageRankResume]]'s
+    * discipline for LPA: resume the synchronous votes over the CURRENT
+    * edge list from a PERSISTED (node, community) table instead of from
+    * the identity labeling. Nodes new to the graph start as their own
+    * label (exactly the cold start's rule for them); departed nodes
+    * drop. At 100 TB with daily crawl deltas the periodic refresh is
+    * then one or two votes from yesterday's labels — the delta'd
+    * region re-converges locally while settled communities just
+    * re-confirm — instead of `rounds` from identity. Same exact integer
+    * argmax, so the whole two-phase workflow replays in SQL
+    * (`q26_communities_incr`).
+    */
+  def labelPropagationResume(edges: DataFrame, srcCol: String,
+                             dstCol: String, priorLabels: DataFrame,
+                             rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val (e, nodes) = graphFrames(edges, srcCol, dstCol)
+    val prior = priorLabels.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("_prior"))
+    val start = nodes.join(prior, Seq("node"), "left")
+      .select(col("node"), coalesce(col("_prior"), col("node")).as("label"))
+    vote(e, nodes, start, rounds)
   }
 }

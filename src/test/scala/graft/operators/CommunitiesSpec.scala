@@ -80,4 +80,45 @@ class CommunitiesSpec extends AnyFunSuite {
       Communities.labelPropagation(df, "src", "dst", 0)
     }
   }
+
+  /** Scalar reference for the warm start: prior labels where known,
+    * identity where not.
+    */
+  private def refResume(edges: Seq[(Long, Long)], prior: Map[Long, Long],
+                        rounds: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var labels = nodes.map(n => n -> prior.getOrElse(n, n)).toMap
+    for (_ <- 1 to rounds) {
+      labels = nodes.map { n =>
+        val votes = edges.filter(_._2 == n).map(e => labels(e._1))
+        if (votes.isEmpty) n -> labels(n)
+        else n -> votes.groupBy(identity).view.mapValues(_.size)
+          .toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    labels
+  }
+
+  test("persist-and-resume telescopes: resume(lpa(G,r1), G, r2) == " +
+      "lpa(G, r1+r2); warm start on a delta'd graph matches the scalar " +
+      "reference") {
+    import spark.implicits._
+    val e = sym((0 until 60).map(i =>
+      ((i * 17L) % 20, (i * 31L + 7) % 20)).filter(p => p._1 != p._2))
+    val prior = Communities.labelPropagation(
+      e.toDF("src", "dst"), "src", "dst", rounds = 2)
+    val resumed = Communities.labelPropagationResume(
+        e.toDF("src", "dst"), "src", "dst", prior, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed === ref(e, 3), "resume on an unchanged graph must " +
+      "equal the one-shot run")
+    // delta: a new clique {30,31,32} bridged into the old graph at 0
+    val delta = sym(Seq((30L, 31L), (30L, 32L), (31L, 32L), (0L, 30L)))
+    val union = e ++ delta
+    val priorMap = prior.as[(Long, Long)].collect().toMap
+    val got = Communities.labelPropagationResume(
+        union.toDF("src", "dst"), "src", "dst", prior, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === refResume(union, priorMap, 2))
+  }
 }
