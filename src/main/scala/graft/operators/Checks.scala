@@ -188,6 +188,82 @@ object Checks {
       .drop("_total")
   }
 
+  /** STREAMING suite maintenance — the `Quantiles.mergeBatch` discipline
+    * for the DQ scalars + timeliness: each micro-batch lands its
+    * SUFFICIENT STATISTICS (per-check row count + violation count, plus
+    * the batch's max event time) in its own `_batch_id` partition via
+    * dynamic overwrite, so a crash-replayed batch rewrites exactly its
+    * prior rows. Counts SUM-merge and the freshness watermark MAX-merges
+    * across disjoint batches, so [[suiteFromTable]] equals the one-shot
+    * [[scalarReport]]+[[freshnessReport]] over the concatenated data
+    * EXACTLY — the nightly 100 TB audit then reads a few KB of state,
+    * never the raw table (`cdc_dq_runbook` gates the loop whole,
+    * crash/replay included). Uniqueness/referential checks are NOT
+    * count-mergeable and stay on the one-shot path (or ride their own
+    * key-level state tables).
+    */
+  def mergeBatchSuite(batch: DataFrame, scalars: Seq[Scalar], tsCol: String,
+                      table: String, path: String, batchId: Long): Unit = {
+    require(scalars.nonEmpty, "no scalar checks declared")
+    val counts = scalars.zipWithIndex.map { case (c, i) =>
+      c.violationCount.as(s"_v$i")
+    } :+ max(unix_micros(col(tsCol))).as("_maxTs")
+    val one = batch.agg(count(lit(1)).as("_n"), counts: _*)
+    val rows = scalars.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.check).as("check_name"), lit(c.target).as("target"),
+        col("_n").as("n"), coalesce(col(s"_v$i"), lit(0L)).as("viol"),
+        lit(null).cast("long").as("max_us"))
+    } :+ struct(lit("fresh").as("check_name"), lit(tsCol).as("target"),
+      col("_n").as("n"), lit(0L).as("viol"), col("_maxTs").as("max_us"))
+    val state = one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .withColumn("_batch_id", lit(batchId))
+    BatchTables.ensureBatchTable(state.limit(0), table, path)
+    BatchTables.withDynamicOverwrite(batch.sparkSession) {
+      state.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** The composed report from the MAINTAINED state table — schema equals
+    * [[suite]]'s `(check_name, target, total, violations, passed)`;
+    * freshness carries the observed lag against the EXPLICIT `asOfUs` in
+    * `total` exactly like [[freshnessReport]]. `batchIds` restricts to a
+    * partition-pruned subset (an epoch audit); None reads all batches.
+    */
+  def suiteFromTable(spark: org.apache.spark.sql.SparkSession,
+                     table: String, asOfUs: Long, maxLagUs: Long,
+                     batchIds: Option[Seq[Long]] = None): DataFrame = {
+    require(maxLagUs >= 0, s"maxLagUs must be >= 0, got $maxLagUs")
+    val t0 = spark.table(table)
+    val t = batchIds.map(ids => t0.filter(col("_batch_id").isin(ids: _*)))
+      .getOrElse(t0)
+    t.groupBy(col("check_name"), col("target"))
+      .agg(sum(col("n")).as("_n"), sum(col("viol")).as("_viol"),
+        max(col("max_us")).as("_max"))
+      .select(col("check_name"), col("target"),
+        when(col("check_name") === "fresh",
+          coalesce(lit(asOfUs) - col("_max"), lit(-1L)))
+          .otherwise(col("_n")).as("total"),
+        when(col("check_name") === "fresh",
+          when(col("_max").isNotNull &&
+            lit(asOfUs) - col("_max") <= maxLagUs, 0L).otherwise(1L))
+          .otherwise(col("_viol")).as("violations"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Fold batches `0..upToBatchId` into one consolidated partition — the
+    * SUM/MAX merge; same crash-window contract as `CountMin.compactSketch`
+    * (duplicates visible between insert and sweep can only OVERCOUNT
+    * violations / totals, never hide one; re-running converges).
+    */
+  def compactSuite(spark: org.apache.spark.sql.SparkSession,
+                   table: String, upToBatchId: Long): (Int, Int) =
+    BatchTables.compactBatchPartitions(spark, table, upToBatchId,
+      df => df.groupBy(col("check_name"), col("target"), col("_batch_id"))
+        .agg(sum(col("n")).as("n"), sum(col("viol")).as("viol"),
+          max(col("max_us")).as("max_us"))
+        .select(df.columns.map(col).toIndexedSeq: _*))
+
   /** The assembled suite: one scalar pass + the declared key/FK checks +
     * optional freshness, unioned into a single deterministic report.
     */

@@ -927,6 +927,89 @@ object Events {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
     }),
+
+    // The DATA-QUALITY RUNBOOK run whole, production-shaped (the
+    // cdc_drift_monitor pattern widened to the full DQ surface): ONE
+    // checkpointed stream maintains BOTH state tables per micro-batch —
+    // the scalar-suite sufficient statistics + freshness watermark
+    // (Checks.mergeBatchSuite) and the value histograms
+    // (Quantiles.mergeBatch) — with a crash after the state writes whose
+    // replay must dynamic-overwrite its own partitions. The composed
+    // nightly report then reads ONLY maintained state: the suite +
+    // timeliness from the suite table (Checks.suiteFromTable, explicit
+    // asOf) and a distribution-drift verdict between the two batch
+    // epochs (Drift.driftFromTable), the verdict an exact integer
+    // comparison (tv > 0.2 ⇔ 5·tv_num > 2·n_a·n_b). No raw rescan
+    // anywhere; the one-shot oracle gates the whole loop.
+    "cdc_dq_runbook" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Checks, Drift, Quantiles}
+      val ev = Tables(s, dir, "events").filter($"value".isNotNull)
+        .withColumn("v", floor($"value" * 100).cast("long"))
+        .filter($"v" >= 1)
+        .select($"event_type", $"v", $"ts")
+      val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val suiteTable = s"graft_dq_suite_$salt"
+      val histTable = s"graft_dq_hist_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_dq_$salt")
+        .toString
+      val streamDir = s"$tmp/in"
+      val scalars = Seq(
+        Checks.notNull("event_type"),
+        Checks.inRange("v", lit(1L), lit(2000L)),
+        Checks.matches("event_type", "^[a-z_]+$"))
+      try {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+        val boom = new java.util.concurrent.atomic.AtomicInteger(0)
+        def runStream(crashOnce: Boolean): Unit = {
+          val q = s.readStream.schema(ev.schema).parquet(streamDir)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (!b.isEmpty) {
+                Checks.mergeBatchSuite(b, scalars, "ts", suiteTable,
+                  s"$tmp/suite", id)
+                Quantiles.mergeBatch(b.select($"event_type", $"v"),
+                  Seq("event_type"), "v", histTable, s"$tmp/hist", id)
+                seen.synchronized { seen += id }
+                if (crashOnce && boom.getAndIncrement() == 0)
+                  throw new RuntimeException(
+                    "simulated crash between maintenance and commit")
+              }
+              ()
+            }
+            .start()
+          try q.awaitTermination(240000)
+          catch { case e: Exception if crashOnce => () }
+        }
+        ev.filter($"ts" < mid).write.parquet(streamDir)
+        runStream(crashOnce = false)
+        val batchesA = seen.toSeq
+        ev.filter($"ts" >= mid).write.mode("append").parquet(streamDir)
+        runStream(crashOnce = true) // crashes after BOTH state writes
+        runStream(crashOnce = false) // replay completes the batch
+        val batchesB = seen.toSeq.diff(batchesA)
+        val suite = Checks.suiteFromTable(s, suiteTable,
+          asOfUs = 1706745600000000L, // 2024-02-01, the q30 idiom
+          maxLagUs = 7L * 86400000000L)
+        val drift = Drift
+          .driftFromTable(s, histTable, Seq("event_type"), batchesA, batchesB)
+          .select(lit("drift").as("check_name"),
+            $"event_type".as("target"), $"n_b".as("total"),
+            when(lit(5L) * $"tv_num" > lit(2L) * $"n_a" * $"n_b", 1L)
+              .otherwise(0L).as("violations"))
+          .withColumn("passed", $"violations" === 0L)
+        suite.unionByName(drift)
+          .orderBy($"check_name", $"target")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $suiteTable")
+        s.sql(s"DROP TABLE IF EXISTS $histTable")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1832,6 +1915,65 @@ object Events {
     // the production monitor (streaming maintenance + crash/replay +
     // batch-range comparison) must reproduce the identical one-shot drift
     "cdc_drift_monitor" -> DriftValueOracle,
+
+    // the one-shot replay of the composed runbook: scalar counts +
+    // freshness from one aggregate over the feed, the drift verdict from
+    // the DriftValueOracle machinery reduced to its exact-integer
+    // comparison (tv > 0.2 ⇔ 5·tv_num > 2·n_a·n_b)
+    "cdc_dq_runbook" ->
+      """WITH feed AS (SELECT event_type,
+        |                CAST(floor(value * 100) AS BIGINT) AS v, ts
+        |              FROM events WHERE value IS NOT NULL
+        |                AND CAST(floor(value * 100) AS BIGINT) >= 1),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |  sum((event_type IS NULL)::INT)::BIGINT AS v_null,
+        |  sum((v < 1 OR v > 2000)::INT)::BIGINT AS v_range,
+        |  sum((event_type IS NULL
+        |       OR NOT regexp_matches(event_type, '^[a-z_]+$'))::INT)::BIGINT
+        |    AS v_re,
+        |  max(epoch_us(ts))::BIGINT AS mx
+        |  FROM feed),
+        |scal AS (
+        |  SELECT 'not_null' AS check_name, 'event_type' AS target,
+        |    n AS total, v_null AS violations FROM s
+        |  UNION ALL SELECT 'in_range', 'v', n, v_range FROM s
+        |  UNION ALL SELECT 'matches', 'event_type', n, v_re FROM s
+        |  UNION ALL SELECT 'fresh', 'ts',
+        |    coalesce(1706745600000000 - mx, -1)::BIGINT,
+        |    CASE WHEN mx IS NOT NULL
+        |           AND 1706745600000000 - mx <= 604800000000
+        |         THEN 0 ELSE 1 END::BIGINT FROM s),
+        |vv AS (SELECT event_type,
+        |         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |              THEN 0 ELSE 1 END AS side, v
+        |       FROM feed),
+        |b AS (SELECT event_type, side, v, (length(bin(v)) - 1) AS e FROM vv),
+        |bk AS (SELECT event_type, side,
+        |  (e::BIGINT << 5) + CASE WHEN e >= 5
+        |     THEN (v - (1::BIGINT << e)) // (1::BIGINT << (e - 5))
+        |     ELSE ((v - (1::BIGINT << e)) << 5) // (1::BIGINT << e) END AS bucket
+        |  FROM b),
+        |h AS (SELECT event_type, bucket,
+        |        sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+        |        sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt_b
+        |      FROM bk GROUP BY 1, 2),
+        |t AS (SELECT event_type, cnt_a, cnt_b,
+        |        sum(cnt_a) OVER (PARTITION BY event_type) AS n_a,
+        |        sum(cnt_b) OVER (PARTITION BY event_type) AS n_b FROM h),
+        |u AS (SELECT event_type, n_a, n_b,
+        |        cnt_a * n_b - cnt_b * n_a AS d FROM t),
+        |g AS (SELECT event_type,
+        |        max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+        |        sum(abs(d))::BIGINT AS tv_num
+        |      FROM u GROUP BY 1),
+        |dr AS (SELECT 'drift' AS check_name, event_type AS target,
+        |         n_b AS total,
+        |         CASE WHEN 5 * tv_num > 2 * n_a * n_b
+        |              THEN 1 ELSE 0 END::BIGINT AS violations FROM g),
+        |r AS (SELECT * FROM scal UNION ALL SELECT * FROM dr)
+        |SELECT check_name, target, total, violations,
+        |  violations = 0 AS passed
+        |FROM r ORDER BY check_name, target""".stripMargin,
   )
 
   /** One-shot drift replay, shared by evt_drift_value (direct) and

@@ -150,6 +150,49 @@ class ChecksSpec extends AnyFunSuite {
       .count() > 0L, "uniform data must flag")
   }
 
+  test("maintained suite state: batches merge to the one-shot report; " +
+      "replay and compaction move nothing") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1718000000000L + s * 1000L)
+    val rows = Seq(
+      (1L, "alpha", ts(10)), (2L, null, ts(20)), (3L, "Bad!", ts(30)),
+      (60L, "beta", ts(40)), (5L, "gamma", ts(500)), (7L, "delta", ts(60)))
+    val df = rows.toDF("v", "name", "ts").localCheckpoint(true)
+    val scalars = Seq(Checks.notNull("name"),
+      Checks.inRange("v", lit(1L), lit(50L)),
+      Checks.matches("name", "^[a-z]+$"))
+    val asOf = 1718000000000000L + 600L * 1000000L
+    val oneShot = Checks.scalarReport(df, scalars)
+      .unionByName(Checks.freshnessReport(df, "ts", asOf, 120L * 1000000L))
+      .collect().map(_.toSeq).toSet
+    val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    val table = s"graft_dq_suite_spec_$salt"
+    val tmp = java.nio.file.Files.createTempDirectory(s"dqsuite_$salt")
+      .toString
+    try {
+      def report() = Checks
+        .suiteFromTable(spark, table, asOf, 120L * 1000000L)
+        .collect().map(_.toSeq).toSet
+      Checks.mergeBatchSuite(df.filter($"v" % 2 === 0), scalars, "ts",
+        table, s"$tmp/suite", batchId = 0L)
+      Checks.mergeBatchSuite(df.filter($"v" % 2 === 1), scalars, "ts",
+        table, s"$tmp/suite", batchId = 1L)
+      assert(report() === oneShot,
+        "merged batches must equal the one-shot suite exactly")
+      // crash replay: the same batch rewrites its own partition
+      Checks.mergeBatchSuite(df.filter($"v" % 2 === 1), scalars, "ts",
+        table, s"$tmp/suite", batchId = 1L)
+      assert(report() === oneShot, "a replayed batch must move nothing")
+      // compaction folds partitions without changing the report
+      val (before, after) = Checks.compactSuite(spark, table, 1L)
+      assert(before > 0 && after > 0)
+      assert(report() === oneShot, "compaction must move nothing")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("benford: zero observations cannot pass the audit silently") {
     import spark.implicits._
     // an empty table AND a non-empty one with no value >= 0.01 both hit
