@@ -32,14 +32,22 @@ private[graft] object BatchTables {
     */
   private val overwriteModeLock = new Object
 
-  private[graft] def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T =
-    overwriteModeLock.synchronized {
-      val key = "spark.sql.sources.partitionOverwriteMode"
+  private[graft] def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    // fast path: a session ALREADY in dynamic mode needs no set/restore
+    // window, hence no lock — which is what lets `streaming.Pipeline.run`
+    // execute N maintenance writers CONCURRENTLY on its own cloned
+    // session (it pins the mode once at start; without this, five state
+    // tables serialize on the library lock and per-batch latency grows
+    // by the sum of the hooks instead of their max)
+    if (spark.conf.getOption(key).exists(_.equalsIgnoreCase("dynamic"))) body
+    else overwriteModeLock.synchronized {
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")
       try body
       finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
+  }
 
   /** Create `table` at `path`, partitioned by `_batch_id`, from an empty
     * frame with the state's schema (`configure` adds creation-only write

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 re-measure of the perceptual Hamming dedup at sf1 with the
+  * size-adaptive banding (VERDICT r11's one `weak`): the r11 sf1 leg
+  * measured mm_audio_dedup at ~10.5× for 10× data under the then-fixed
+  * pieces=9 (quadratic bucket occupancy). The auto schedule
+  * (`Multimodal.autoHammingParams`) tightens to (5, 4) at the sf1 corpus;
+  * this probe times the full decode+hash+join query at sf0.1 and sf1
+  * under BOTH the pinned gate banding (8, 9) and the auto default, and
+  * reports the 10× ratios. Writes `bench/mm_auto_r12.json`.
+  *
+  * Usage: Test/runMain graft.Round12MmScaleProbe [sf01Dir] [sf1Dir]
+  */
+object Round12MmScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf1 = args.lift(1).getOrElse("/root/repo/bench_scale/sf1")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.Multimodal
+
+    def clips(dir: String) = {
+      def pcm(id: Long, half: Boolean): Array[Short] =
+        Array.tabulate(2048) { i =>
+          val amp = (Multimodal.splitmix64(id * 64L + i / 32 + 911L)
+            & 32767L).toInt
+          val v = java.lang.Long.remainderUnsigned(
+            Multimodal.splitmix64(id * 2048L + i + 1L), amp + 1L).toInt
+          (if (half) v / 2 else v).toShort
+        }
+      val ids = Tables(spark, dir, "documents").select($"doc_id").as[Long]
+      val base = ids.map(id =>
+        (id, Multimodal.encodeWavPcm16Samples(pcm(id, half = false), 16000)))
+      val copies = ids.filter(_ % 10 == 0).map(id =>
+        (id + 1000000000L,
+          Multimodal.encodeWavPcm16Samples(pcm(id, half = true), 16000)))
+      base.union(copies).toDF("asset_id", "content")
+    }
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for ((tag, dir) <- Seq("sf0.1" -> sf01, "sf1" -> sf1)) {
+      val c = clips(dir)
+      val n = c.count()
+      val (p, d) = Multimodal.autoHammingParams(n)
+      // pinned = the gate banding; auto = the shipped default
+      val (pairsPinned, wallPinned) = time {
+        Multimodal.audioDedup(c, "asset_id", "content",
+          maxDistance = 8, pieces = 9).count()
+      }
+      val (pairsAuto, wallAuto) = time {
+        Multimodal.audioDedup(c, "asset_id", "content", nHint = n).count()
+      }
+      println(f"MM $tag%-6s n=$n auto=($p,$d) " +
+        f"pinned(9,8): $wallPinned%6.1fs pairs=$pairsPinned " +
+        f"auto: $wallAuto%6.1fs pairs=$pairsAuto")
+      out(tag) = f"""{"n":$n,"auto_pieces":$p,"auto_maxdist":$d,""" +
+        f""""pinned_wall_s":$wallPinned%.1f,"pinned_pairs":$pairsPinned,""" +
+        f""""auto_wall_s":$wallAuto%.1f,"auto_pairs":$pairsAuto}"""
+    }
+    val json = s"""{"probe":"Round12MmScaleProbe",""" +
+      out.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench/mm_auto_r12.json"), json.getBytes)
+    println("MM artifact -> bench/mm_auto_r12.json")
+    spark.stop()
+  }
+}

@@ -143,6 +143,72 @@ class StreamJoinSpec extends AnyFunSuite {
       s"tail row 301 must stay held (no watermark closes it), got $out")
   }
 
+  test("state footprint tracks rate x window, not stream length " +
+      "(stateOperators metrics under high churn)") {
+    // 30 one-minute segments, 60 rows per side per segment, every key
+    // churning (key = global row index — no key ever repeats, so nothing
+    // matches and EVERY row is pure state pressure). Window ±30 s,
+    // watermark 2 min: a correct eviction bound keeps the buffered state
+    // at ~(watermark + window) worth of rows — a handful of segments —
+    // while a broken one accumulates the whole 3,600-row stream.
+    def writeSegs(dir: String, cols: (String, String, String),
+                  keyBase: Long): Unit =
+      (0 until 30).foreach { seg =>
+        val rows = (0 until 60).map { i =>
+          (keyBase + seg * 60L + i, seg * 1000L + i, t(seg))
+        }
+        val tmp = Files.createTempDirectory("sjst_tmp").toString
+        rows.toDF(cols._1, cols._2, cols._3).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+        val dst = Paths.get(dir, f"$seg%04d.parquet")
+        Files.copy(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1718000000000L + seg * 100000L)
+        ()
+      }
+    val lDir = Files.createTempDirectory("sjst_left").toString
+    val rDir = Files.createTempDirectory("sjst_right").toString
+    writeSegs(lDir, ("user_id", "purchase_id", "p_ts"), keyBase = 0L)
+    writeSegs(rDir, ("click_user", "click_id", "c_ts"), keyBase = 10000000L)
+    val lStream = spark.readStream.schema(leftDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(lDir)
+    val rStream = spark.readStream.schema(rightDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(rDir)
+    val q = StreamJoin.intervalJoinStreams(lStream, rStream,
+        "user_id", "click_user", "p_ts", "c_ts",
+        beforeUs = 30000000L, afterUs = 30000000L,
+        watermark = "2 minutes")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("sjst_ckpt").toString)
+      .format("noop")
+      .start()
+    q.awaitTermination(240000)
+    val withState = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+    assert(withState.nonEmpty, "no stateOperators metrics reported")
+    val totals = withState.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val ingested = 30L * 60 * 2
+    val steady = totals.last
+    // the bound: (watermark 2 min + window 1 min + the in-flight segment)
+    // of rows per side = ~4 segments x 120 rows = 480; assert with 2x
+    // headroom — and far under the full stream
+    assert(steady <= 960,
+      s"steady-state state rows $steady exceed the rate x window bound " +
+        s"(totals over the run: ${totals.mkString(", ")})")
+    assert(steady < ingested / 3,
+      s"state $steady does not track rate x window (stream length " +
+        s"$ingested)")
+    // and eviction actually happened: the peak is not monotone growth to
+    // the end of the stream
+    assert(totals.max < ingested,
+      s"state grew with stream length: max=${totals.max}")
+    println(s"STREAMJOIN state rows over run: ${totals.mkString(", ")} " +
+      s"(ingested $ingested)")
+  }
+
   test("overlapping column names are refused") {
     val bad = clicks.toDF("user_id", "click_id", "c_ts") // shares user_id
     val e = intercept[IllegalArgumentException] {
