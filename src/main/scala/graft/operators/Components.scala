@@ -173,4 +173,66 @@ object Components {
         .agg(max(col("_seq")).as("_seq"),
           max_by(col("component"), col("_seq")).as("component"))
         .select(col("id"), col("component"), col("_seq"), col("_batch_id")))
+
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * Batagelj–Zaveršnik cascade, synchronous form): repeatedly drop
+    * every node whose degree among SURVIVORS is < k until a fixpoint —
+    * what remains is the k-core, the maximal subgraph of minimum degree
+    * ≥ k. The cohesion member of the graph family beside connectivity
+    * ([[connectedComponents]]), centrality (`PageRank`) and clustering
+    * (`Communities`): cores separate the structurally-embedded region
+    * of a link/interaction graph from the peripheral one (spam rings
+    * and boilerplate mirrors concentrate in shallow cores).
+    *
+    * Caller symmetrizes for undirected semantics (the `q16_pagerank`
+    * idiom); edges de-duplicate first, so degree = distinct surviving
+    * neighbors. Deterministic integers end to end — the synchronous
+    * rounds unroll into SQL, and TRAILING rounds past the fixpoint are
+    * no-ops, so an oracle unrolling R ≥ rounds-to-fixpoint replays the
+    * exact result (`q34_kcore` unrolls 10; the gate graphs converge in
+    * 3/6 at sf0.01/sf0.1).
+    *
+    * Shape per round: one semi-join of the edge frame against the
+    * survivor set on EACH endpoint + one map-side-combined degree count
+    * — all shuffles on node ids; the edge frame materializes once and
+    * each round's survivor frame is localCheckpoint-truncated with one
+    * 1-row count action as the convergence check (the iterative-loop
+    * contract). Rounds are data-dependent but each non-final round
+    * removes ≥ 1 node, and real cascades are shallow (single digits on
+    * the gate graphs).
+    *
+    * Output: (node BIGINT, core_degree BIGINT) for the k-core members —
+    * core_degree is the degree WITHIN the core (≥ k by construction).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def degreesAmong(survivors: DataFrame): DataFrame =
+      e.join(survivors.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(survivors.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_degree"))
+    var survivors = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var n = survivors.count()
+    var converged = n == 0L
+    while (!converged) {
+      val next = degreesAmong(survivors)
+        .filter(col("core_degree") >= k)
+        .select(col("node"))
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n || m == 0L
+      survivors = next
+      n = m
+    }
+    degreesAmong(survivors).filter(col("core_degree") >= k)
+  }
 }

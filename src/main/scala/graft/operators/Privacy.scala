@@ -105,4 +105,43 @@ object Privacy {
           md5(concat(lit(salt), lit(":"), col(c).cast("string")))))
     }
   }
+
+  /** ε-differentially-private count release via the Laplace mechanism
+    * (Dwork et al. 2006): per group, `count + Laplace(1/ε)` — count
+    * queries have L1 sensitivity 1, so scale 1/ε gives ε-DP. The noise
+    * draws through the inverse CDF
+    * `x = −(1/ε)·sgn(u−½)·ln(1−2|u−½|)` from a uniform u derived as the
+    * md5-hex52 of (seed, group key) — the round-9 deterministic-sampling
+    * idiom, so a FIXED seed replays bit-exactly in the oracle and in
+    * retries.
+    *
+    * Stated honestly: determinism is a TEST-HARNESS property, not a
+    * privacy property. A real release draws the seed fresh and keeps it
+    * secret (a published seed voids the guarantee; repeated releases
+    * under different seeds compose ε-additively). The operator releases
+    * ONLY the noised count — never the true count beside it.
+    *
+    * Shape: one hash aggregation + scan-side noise arithmetic; the
+    * release is |groups| rows regardless of data size. ln shares are
+    * ln-derived → callers round(,6) for output (the ln discipline).
+    */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+               seed: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(groupCols.nonEmpty, "dpCounts needs at least one group column")
+    require(seed.nonEmpty, "an empty seed defeats the keyed-draw contract")
+    // u in (0,1): 52 hex-derived bits + half-step — never exactly 0, ½
+    // (the +0.5/2^52 offset is irrational in halves), or 1
+    val u = (conv(substring(md5(concat_ws("|",
+        lit(seed) +: groupCols.map(c => col(c).cast("string")): _*)),
+        1, 13), 16, 10).cast("double") + 0.5) /
+      lit(4503599627370496.0) // 2^52
+    val centered = u - 0.5
+    val noise = lit(-1.0 / epsilon) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .select(groupCols.map(col) :+
+        (col("_n").cast("double") + noise).as("dp_count"): _*)
+  }
 }

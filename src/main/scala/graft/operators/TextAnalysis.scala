@@ -160,4 +160,58 @@ object TextAnalysis {
         col("col.payload").as("term"),
         round(col("col.score"), 6).as("tfidf"))
   }
+
+  /** Okapi BM25 (Robertson et al., TREC-3) of every document against a
+    * FIXED query term set — the lexical-retrieval scorer beside the
+    * dense (`AnnIndex`) path: query-relevance ranking for targeted
+    * curation ("score the corpus against benchmark prompts") and the
+    * lexical leg of hybrid retrieval (`Fusion.rrfFuse`).
+    *
+    * Shape: one explode scan filtered to the query terms (a handful of
+    * rows per doc survive the scan filter — at 100 TB the scan is the
+    * cost and it is one pass), one broadcast term-df frame, one
+    * broadcast 1-row corpus stat, zero windows.
+    *
+    * Exactness discipline: tf/df/dl/N are exact BIGINT counts; idf is
+    * the Lucene-style nonnegative `ln((N − df + 0.5)/(df + 0.5) + 1)`;
+    * avgdl is ONE division of exact integers. Per-term contributions
+    * land in FIXED columns (one `sum(when(term = t))` each — adding
+    * exact zeros, so partial-aggregation order cannot move a bit) and
+    * add in query order: both engines run the identical IEEE chain, so
+    * callers rank on the RAW double (the emb_top_pairs discipline) and
+    * round only for output.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "empty query term set")
+    require(queryTerms.distinct == queryTerms, "duplicate query terms")
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      .localCheckpoint(true) // shared by the stat pass and the tf pass
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n").cast("double") - col("df").cast("double")
+      + 0.5) / (col("df").cast("double") + 0.5) + 1.0)
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") /
+        (col("sdl").cast("double") / col("n").cast("double")))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) / norm
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, contrib).otherwise(0.0)).as(s"_s$i")
+    }
+    tf.join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        queryTerms.indices.map(i => col(s"_s$i"))
+          .reduce(_ + _).as("bm25"))
+  }
 }

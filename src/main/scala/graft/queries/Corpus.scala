@@ -693,6 +693,58 @@ object Corpus {
         .orderBy($"doc_id", $"rnk")
     }),
 
+    // Okapi BM25 lexical relevance (TextAnalysis.bm25): the corpus
+    // ranked against a fixed query term set — targeted curation / the
+    // lexical leg of hybrid retrieval. tf/df/dl/N exact counts, idf the
+    // Lucene nonnegative ln form, per-term contributions in FIXED
+    // columns added in query order (exact zeros — partial-agg order
+    // cannot move a bit), so the top-20 ranks on the RAW double and
+    // rounds only the winners (the emb_top_pairs discipline).
+    "doc_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val scored = graft.operators.TextAnalysis.bm25(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "join", "scan"))
+      scored.orderBy($"bm25".desc, $"doc_id").limit(20)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"bm25".desc, $"doc_id")).cast("bigint"))
+        .select($"doc_id", $"rnk", round($"bm25", 6).as("bm25"))
+        .orderBy($"rnk")
+    }),
+
+    // Reciprocal-rank fusion (Fusion.rrfFuse): hybrid ranking from the
+    // BM25 relevance list and the heuristic quality list — the standard
+    // score-free retrieval ensemble (Cormack et al. 2009). Each system
+    // contributes its top-100 (rank lists, never data-sized windows);
+    // fusion adds 1/(60+rank) in fixed system order with exact zeros
+    // for absent items; top-20 selected on the RAW fused score, output
+    // rounded, final order on the rounded value (deterministic in both
+    // engines; raw ties — e.g. two docs holding swapped ranks in the
+    // two lists — break by doc_id).
+    "doc_rrf_rank" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bm = graft.operators.TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("vector", "join", "scan"))
+      val bmRanks = bm.orderBy($"bm25".desc, $"doc_id").limit(100)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"bm25".desc, $"doc_id")))
+        .select($"doc_id", $"rnk")
+      val qual = docs.select($"doc_id",
+        graft.operators.TextAnalysis.qualityScore($"text").as("q"))
+      val qRanks = qual.orderBy($"q".desc, $"doc_id").limit(100)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"q".desc, $"doc_id")))
+        .select($"doc_id", $"rnk")
+      graft.operators.Fusion.rrfFuse(Seq(bmRanks, qRanks), "doc_id", "rnk")
+        .orderBy($"rrf".desc, $"doc_id").limit(20)
+        .select($"doc_id", round($"rrf", 6).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id")
+    }),
+
     // The composed curation DECISION — what a real pipeline runs after all
     // the signal operators: every document gets a keep/drop verdict with
     // the first failing rule as the reason (Gopher/C4-style rule order:
@@ -1617,6 +1669,96 @@ object Corpus {
         |  round(avg(p.ppl), 4) AS avg_ppl
         |FROM q JOIN p USING (doc_id)
         |GROUP BY q.source ORDER BY q.source""".stripMargin,
+
+    // BM25 replayed: exact counts, the same ln idf and norm chain, the
+    // same fixed-order per-term addition; rank on the raw double, round
+    // the 20 winners
+    "doc_bm25_topk" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |b2 AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM base),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS sdl
+        |       FROM base),
+        |tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+        |       FROM (SELECT doc_id, dl, unnest(w) AS term FROM b2)
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |c AS (SELECT t.doc_id, t.term,
+        |        (ln(((st.n::DOUBLE - dfc.df::DOUBLE) + 0.5)
+        |             / (dfc.df::DOUBLE + 0.5) + 1.0)
+        |         * (t.tf * 2.2))
+        |        / (t.tf + 1.2 * (0.25 + (0.75 * t.dl::DOUBLE)
+        |             / (st.sdl::DOUBLE / st.n::DOUBLE))) AS s
+        |      FROM tf t JOIN dfc USING (term), st),
+        |sc AS (SELECT doc_id,
+        |         sum(CASE WHEN term = 'vector' THEN s ELSE 0 END)
+        |         + sum(CASE WHEN term = 'join' THEN s ELSE 0 END)
+        |         + sum(CASE WHEN term = 'scan' THEN s ELSE 0 END) AS bm25
+        |       FROM c GROUP BY 1),
+        |top AS (SELECT doc_id, bm25,
+        |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |        FROM sc)
+        |SELECT doc_id, rnk::BIGINT AS rnk, round(bm25, 6) AS bm25
+        |FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // both rank lists replayed (BM25 + the doc_quality score), fused
+    // with the same fixed-order reciprocal sum over the top-100s
+    "doc_rrf_rank" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |b2 AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM base),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS sdl
+        |       FROM base),
+        |tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+        |       FROM (SELECT doc_id, dl, unnest(w) AS term FROM b2)
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |c AS (SELECT t.doc_id, t.term,
+        |        (ln(((st.n::DOUBLE - dfc.df::DOUBLE) + 0.5)
+        |             / (dfc.df::DOUBLE + 0.5) + 1.0)
+        |         * (t.tf * 2.2))
+        |        / (t.tf + 1.2 * (0.25 + (0.75 * t.dl::DOUBLE)
+        |             / (st.sdl::DOUBLE / st.n::DOUBLE))) AS s
+        |      FROM tf t JOIN dfc USING (term), st),
+        |sc AS (SELECT doc_id,
+        |         sum(CASE WHEN term = 'vector' THEN s ELSE 0 END)
+        |         + sum(CASE WHEN term = 'join' THEN s ELSE 0 END)
+        |         + sum(CASE WHEN term = 'scan' THEN s ELSE 0 END) AS bm25
+        |       FROM c GROUP BY 1),
+        |br AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |       FROM sc),
+        |qt AS (SELECT doc_id, text, lower(text) lt,
+        |         string_split_regex(lower(text), '\s+') qw,
+        |         greatest(length(text), 1)::DOUBLE n_chars
+        |       FROM documents),
+        |qm AS (SELECT doc_id,
+        |         length(regexp_replace(lt, '[^a-z]', '', 'g'))::DOUBLE
+        |           / n_chars AS alpha_ratio,
+        |         len(qw)::DOUBLE AS n_tok,
+        |         (length(text) - len(qw) + 1)::DOUBLE
+        |           / greatest(len(qw), 1) AS mwl
+        |       FROM qt),
+        |qsc AS (SELECT doc_id,
+        |          round(least(n_tok / 50.0, 1.0) * 0.3
+        |            + (CASE WHEN mwl BETWEEN 3.0 AND 10.0
+        |                    THEN 1.0 ELSE 0.3 END) * 0.3
+        |            + least(alpha_ratio / 0.6, 1.0) * 0.4, 6) AS q
+        |        FROM qm),
+        |qr AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY q DESC, doc_id) AS rnk
+        |       FROM qsc),
+        |fused AS (SELECT doc_id,
+        |            coalesce(1.0 / (60.0 + b.rnk::DOUBLE), 0)
+        |            + coalesce(1.0 / (60.0 + q2.rnk::DOUBLE), 0) AS rrf
+        |          FROM (SELECT * FROM br WHERE rnk <= 100) b
+        |          FULL JOIN (SELECT * FROM qr WHERE rnk <= 100) q2
+        |          USING (doc_id)),
+        |top AS (SELECT doc_id, rrf,
+        |          row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        |        FROM fused)
+        |SELECT doc_id, round(rrf, 6) AS rrf
+        |FROM top WHERE rn <= 20 ORDER BY rrf DESC, doc_id""".stripMargin,
 
     "doc_tfidf_top3" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

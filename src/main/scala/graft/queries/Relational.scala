@@ -343,6 +343,40 @@ object Relational {
         .orderBy($"c_nationkey")
     }),
 
+    // ε-differentially-private count release (Privacy.dpCounts): order
+    // counts per priority + seeded Laplace(1/ε) noise through the
+    // inverse CDF, the uniform drawn as md5-hex52 of (seed, group) — a
+    // FIXED seed replays bit-exactly (the determinism is a test-harness
+    // property; a real release draws the seed fresh). ln-derived noise
+    // → round-6 output, the ln discipline.
+    "q33_dp_counts" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Privacy.dpCounts(Tables(s, dir, "orders"),
+          Seq("o_orderpriority"), epsilon = 0.5, seed = "release-7")
+        .select($"o_orderpriority", round($"dp_count", 6).as("dp_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // k-core decomposition (Components.kCore): iterative peel of the
+    // symmetrized trade graph at k=46 — the dense trade graph has a
+    // sharp core transition (k=48 cascades to EMPTY at sf0.01; 46 keeps
+    // 237 / 5,548 nodes at sf0.01 / sf0.1 with the within-core degree
+    // re-verified at the fixpoint). Synchronous integer rounds;
+    // trailing rounds past the fixpoint are no-ops, so the oracle's 10
+    // unrolled rounds replay the exact core; the deep-cascade behavior
+    // is spec-pinned on a pendant-path fixture (ComponentsSpec).
+    "q34_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .distinct()
+      val sym = e.select($"a".as("src"), $"b".as("dst"))
+        .union(e.select($"b".as("src"), $"a".as("dst")))
+      graft.operators.Components.kCore(sym, "src", "dst", k = 46)
+        .orderBy($"node")
+    }),
+
     // k-anonymity / l-diversity census (operators.Privacy): per
     // (nation, segment) quasi-identifier group — size, distinct
     // sensitive account-balance values, verdicts at k=12 / l=3. One
@@ -832,6 +866,46 @@ object Relational {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the seeded Laplace mechanism replayed: hex52 uniform, inverse CDF,
+    // the identical IEEE chain, round-6
+    "q33_dp_counts" ->
+      """WITH c AS (SELECT o_orderpriority, count(*)::BIGINT AS n
+        |           FROM orders GROUP BY 1),
+        |u AS (SELECT o_orderpriority, n,
+        |        (('0x' || substring(md5('release-7|' || o_orderpriority),
+        |            1, 13))::BIGINT::DOUBLE + 0.5)
+        |          / 4503599627370496.0 AS u
+        |      FROM c)
+        |SELECT o_orderpriority,
+        |  round(n::DOUBLE + (-2.0 * sign(u - 0.5))
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS dp_count
+        |FROM u ORDER BY o_orderpriority""".stripMargin,
+
+    // ten unrolled peel rounds (fixpoint by round 2 at the gate scales;
+    // trailing rounds are no-ops) — every degree an exact BIGINT. The
+    // survivor CTEs are MATERIALIZED: each is referenced twice per
+    // round, and DuckDB's default inlining would blow the tree up 2^10
+    // (measured: hang vs 0.1 s)
+    "q34_kcore" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""d$i AS (SELECT e.src AS node, count(*)::BIGINT AS c
+           |      FROM e JOIN s${i - 1} a ON e.src = a.node
+           |      JOIN s${i - 1} b ON e.dst = b.node GROUP BY 1),
+           |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE c >= 46)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ce AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce
+         |      UNION ALL SELECT b, a FROM ce),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |$rounds,
+         |fin AS (SELECT e.src AS node, count(*)::BIGINT AS core_degree
+         |        FROM e JOIN s10 a ON e.src = a.node
+         |        JOIN s10 b ON e.dst = b.node GROUP BY 1)
+         |SELECT node, core_degree FROM fin
+         |WHERE core_degree >= 46 ORDER BY node""".stripMargin
+    },
 
     "q32_adaptive_join" ->
       """SELECT c.c_nationkey, count(*) AS n_orders,

@@ -68,6 +68,42 @@ object Round12MmScaleProbe {
         f""""pinned_wall_s":$wallPinned%.1f,"pinned_pairs":$pairsPinned,""" +
         f""""auto_wall_s":$wallAuto%.1f,"auto_pairs":$pairsAuto}"""
     }
+    // The END-TO-END runs above are DECODE-bound at these corpus sizes
+    // (sf1 documents is 50k rows; the banding change moves nothing
+    // measurable). The n²-shaped term lives in the pigeonhole JOIN —
+    // isolate it: synthetic 64-bit fingerprints with planted near-dups,
+    // join phase only, pinned (9,8) vs the auto schedule, at 1×/~3×/10×
+    // the sf1 asset count. This is the regime the schedule exists for.
+    for (n <- Seq(55000L, 175000L, 550000L)) {
+      val (p, d) = Multimodal.autoHammingParams(n)
+      val base = spark.range(n).as[Long]
+        .map(id => (id, Multimodal.splitmix64(id + 1L)))
+        .toDF("doc_id", "fp")
+      val copies = spark.range(0L, n, 100L).as[Long].map { id =>
+        var h = Multimodal.splitmix64(id + 1L)
+        val off = (id / 100 % 64).toInt
+        (0 until math.min(d, 3)).foreach(j => h ^= 1L << ((off + j * 9) % 64))
+        (id + 1000000000L, h)
+      }.toDF("doc_id", "fp")
+      val fp = base.union(copies).localCheckpoint(true)
+      val planted = n / 100
+      val (pairsAuto, wallAuto) = time {
+        graft.operators.SimHash.hammingPairs(fp, "doc_id", "fp", d, p)
+          .count()
+      }
+      val (pairsPinned, wallPinned) = time {
+        graft.operators.SimHash.hammingPairs(fp, "doc_id", "fp", 8, 9)
+          .count()
+      }
+      println(f"MM join n=$n%7d auto=($p,$d) auto: $wallAuto%6.1fs " +
+        f"pairs=$pairsAuto pinned(9,8): $wallPinned%6.1fs " +
+        f"pairs=$pairsPinned planted=$planted")
+      out(s"join_$n") = f"""{"n":$n,"auto_pieces":$p,"auto_maxdist":$d,""" +
+        f""""auto_wall_s":$wallAuto%.1f,"auto_pairs":$pairsAuto,""" +
+        f""""pinned_wall_s":$wallPinned%.1f,"pinned_pairs":$pairsPinned,""" +
+        f""""planted":$planted}"""
+    }
+
     val json = s"""{"probe":"Round12MmScaleProbe",""" +
       out.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
     java.nio.file.Files.write(

@@ -125,6 +125,21 @@ class AnnIndexSpec extends AnyFunSuite {
         s"index side must not shuffle on label:\n${plan.take(3000)}")
       assert(plan.contains("dynamicpruning"),
         s"partitioned scan must be dynamically pruned:\n${plan.take(3000)}")
+
+      // the nprobe sweep: recall@10 is monotone in nprobe with pinned
+      // floors (the Round12AnnRecallProbe sf1 sweep measured 0.92 /
+      // 0.94 / 0.96 mean at nprobe 1/3/8 over k=32 — here, at gate
+      // scale over k=8, pin the per-query floors 4/5/10)
+      val sweep = Seq(1 -> 4, 3 -> 5, 8 -> 10).map { case (np, floor) =>
+        val got = AnnIndex.searchAgainstIndex(spark, table, queries,
+            "vec_id", "embedding", k = 10, nprobe = np)
+          .filter($"query_id" === 0L)
+          .collect().map(_.getLong(1)).toSet
+        val recall = (got & brute).size
+        assert(recall >= floor, s"nprobe=$np recall $recall < floor $floor")
+        recall
+      }
+      assert(sweep == sweep.sorted, s"recall not monotone in nprobe: $sweep")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")

@@ -168,4 +168,52 @@ class ComponentsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  /** Scalar peel model for [[Components.kCore]]. */
+  private def kCoreRef(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var nodes = adj.keySet ++ e.map(_._2).toSet
+    var changed = true
+    while (changed && nodes.nonEmpty) {
+      val keep = nodes.filter(n =>
+        (adj.getOrElse(n, Set.empty) & nodes).size >= k)
+      changed = keep != nodes
+      nodes = keep
+    }
+    nodes.map(n => n -> (adj.getOrElse(n, Set.empty) & nodes).size.toLong)
+      .toMap
+  }
+
+  test("kCore: cascading peel matches the scalar model; cores nest; " +
+      "empty core handled") {
+    import spark.implicits._
+    def sym(e: Seq[(Long, Long)]) = e ++ e.map(_.swap)
+    // a 5-clique (core-4) with a pendant path (peels in cascade: the
+    // path end has degree 1, removing it drops its neighbor to 1, ...)
+    val clique = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    val path = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val g = sym(clique ++ path)
+    for (k <- 1 to 5) {
+      val got = Components.kCore(g.toDF("s", "d"), "s", "d", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === kCoreRef(g, k), s"k=$k")
+    }
+    // k=2: the whole pendant path cascades away (3 peel rounds), the
+    // clique survives
+    assert(Components.kCore(g.toDF("s", "d"), "s", "d", 2)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // k above the max degree: empty, not a crash
+    assert(Components.kCore(g.toDF("s", "d"), "s", "d", 50).count() === 0L)
+    // a pseudo-random graph across layouts
+    val rnd = (0 until 400).map(i =>
+      ((i * 17L) % 40, (i * 31L + 7) % 40)).filter(p => p._1 != p._2)
+    val rg = sym(rnd)
+    for (parts <- Seq(1, 7); k <- Seq(3, 8)) {
+      val got = Components.kCore(rg.toDF("s", "d").repartition(parts),
+          "s", "d", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === kCoreRef(rg, k), s"k=$k parts=$parts")
+    }
+  }
 }

@@ -114,4 +114,38 @@ class PrivacySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast semi-join:\n$plan")
   }
+
+  test("dpCounts: seeded Laplace release matches the scalar mechanism; " +
+      "never the true count; seeds independent") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (if (i % 3 == 0) "a" else "b", i))
+      .toDF("g", "v")
+    def scalarNoise(seed: String, group: String, eps: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$group".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4503599627370496.0
+      val c = u - 0.5
+      (-1.0 / eps) * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+    }
+    val got = Privacy.dpCounts(df, Seq("g"), epsilon = 0.5, seed = "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === 33.0 + scalarNoise("s1", "a", 0.5))
+    assert(got("b") === 67.0 + scalarNoise("s1", "b", 0.5))
+    // the release never equals the raw count (the draw is continuous)
+    assert(got("a") !== 33.0)
+    assert(got("b") !== 67.0)
+    // a different seed draws different noise
+    val other = Privacy.dpCounts(df, Seq("g"), 0.5, "s2")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(other("a") !== got("a"))
+    // tighter epsilon -> (weakly) larger magnitude for the same u
+    val loose = Privacy.dpCounts(df, Seq("g"), 2.0, "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(loose("a") - 33.0) < math.abs(got("a") - 33.0))
+    intercept[IllegalArgumentException] {
+      Privacy.dpCounts(df, Seq("g"), 0.0, "s1")
+    }
+  }
 }

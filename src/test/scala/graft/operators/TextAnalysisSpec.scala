@@ -111,4 +111,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     // final stages prove <= k (score, term) pairs per doc cross the shuffle
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
+
+  test("bm25 matches a hand-computed scalar model") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join scan join filter"),          // tf(join)=2, dl=4
+      (2L, "scan scan scan scan scan scan"),  // tf(scan)=6, dl=6
+      (3L, "filter merge sort"),              // no query term
+      (4L, "join"))                           // tf(join)=1, dl=1
+      .toDF("doc_id", "text")
+    val q = Seq("join", "scan")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scalar model, identical arithmetic
+    val n = 4.0; val sdl = 4.0 + 6.0 + 3.0 + 1.0
+    val dfm = Map("join" -> 2.0, "scan" -> 2.0)
+    def contrib(term: String, tf: Double, dl: Double): Double = {
+      val idf = math.log((n - dfm(term) + 0.5) / (dfm(term) + 0.5) + 1.0)
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sdl / n)))
+    }
+    assert(got.keySet === Set(1L, 2L, 4L),
+      "docs without any query term must not appear")
+    assert(got(1L) === contrib("join", 2, 4) + contrib("scan", 1, 4))
+    assert(got(2L) === 0.0 + contrib("scan", 6, 6)) // no join rows -> exact 0
+    assert(got(4L) === contrib("join", 1, 1))
+    // rarer-term weighting: with equal df here, more tf in a shorter doc
+    // scores higher
+    assert(got(4L) < got(1L))
+  }
+
+  test("rrfFuse: fixed-order reciprocal sum, absent items contribute 0") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rnk")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rnk")
+    val got = Fusion.rrfFuse(Seq(a, b), "doc_id", "rnk")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(10L) === 1.0 / 61)
+    assert(got(20L) === 1.0 / 62 + 1.0 / 61)
+    assert(got(30L) === 1.0 / 63)
+    assert(got(40L) === 1.0 / 62)
+    // the consensus item outranks every single-system item
+    assert(got(20L) > got(10L))
+    intercept[IllegalArgumentException] {
+      Fusion.rrfFuse(Seq(a), "doc_id", "rnk")
+    }
+  }
 }
