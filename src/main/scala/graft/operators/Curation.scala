@@ -415,6 +415,40 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** SEMANTIC decontamination — the embedding modality of the family:
+    * n-gram overlap ([[decontaminate]]) misses PARAPHRASED benchmark
+    * leakage, which survives rewording but not re-embedding (the
+    * SemDeDup observation applied ACROSS corpora). Output
+    * (train_id, bench_id, sim) for every cross pair at cosine ≥
+    * `minSim` — the same pairs shape as the n-gram form, thresholded on
+    * the RAW double (both engines run the identical sequential
+    * `vec_dot` chain — the emb_dedup_cos precedent); callers round for
+    * display.
+    *
+    * Plan: the benchmark side BROADCASTS (eval suites are small even
+    * when the training corpus is 100 TB) and the train side scans ONCE
+    * with codegen dot products — no shuffle at all before the
+    * pair output. A bench too big to broadcast goes through the ANN
+    * candidate path (`AnnIndex` probes, exact verify); this exact form
+    * stays the oracle anchor.
+    */
+  def decontaminateSemantic(train: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            minSim: Double): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    require(minSim > 0.0, s"minSim must be positive, got $minSim " +
+      "(a non-positive threshold keeps ~every cross pair — the output " +
+      "would be |train|x|bench|)")
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("tn"))
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("bn"))
+    t.crossJoin(broadcast(b))
+      .select(col("train_id"), col("bench_id"),
+        (vec_dot(col("tv"), col("bv")) / (col("tn") * col("bn"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Decontamination for the regime where the benchmark side is TOO BIG to
     * broadcast raw (union of every eval suite + contamination corpus at
     * 100 TB scale): same result as `decontaminate`, different plan. A Bloom

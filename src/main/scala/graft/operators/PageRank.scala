@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PageRank (Brin & Page 1998) in FIXED-POINT integer arithmetic — the
@@ -80,9 +80,13 @@ object PageRank {
     */
   private def iterate(eDeg: DataFrame, nodes: DataFrame, n: Long,
                       start: DataFrame, iterations: Int, scale: Long,
-                      redistributeDangling: Boolean): DataFrame = {
+                      redistributeDangling: Boolean,
+                      baseOf: Column = null): DataFrame = {
     val s0 = scale / n
-    val base = 15L * s0 / 100L
+    // the teleport term: uniform 15% by default; the personalized form
+    // passes its seed-restricted expression (over the nodes frame's
+    // columns) instead
+    val base = Option(baseOf).getOrElse(lit(15L * s0 / 100L))
     var pr = start
     for (_ <- 1 to iterations) {
       // one 1-row action per round, same discipline as the loop's own
@@ -96,9 +100,9 @@ object PageRank {
         .select(eDeg("dst").as("node"), expr("pr div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
       pr = nodes.join(in, Seq("node"), "left")
-        .select(col("node"), col("_dang"),
-          (lit(base) +
-            expr(s"85 * (coalesce(m, 0L) + ${share}L) div 100")).as("pr"))
+        .select(nodes.columns.map(col) :+
+          (base +
+            expr(s"85 * (coalesce(m, 0L) + ${share}L) div 100")).as("pr"): _*)
         .localCheckpoint(true)
     }
     pr.select(col("node"), col("pr"))
@@ -150,6 +154,44 @@ object PageRank {
     * (spec-pinned), so persist-and-resume never loses information on an
     * unchanged graph.
     */
+  /** PERSONALIZED PageRank (Haveliwala 2002): the teleport mass lands
+    * only on the `seeds` set — ranks measure proximity TO THE SEEDS
+    * rather than global importance (topic-conditioned quality priors,
+    * trusted-domain propagation, "more like these" expansion). Start
+    * mass `scale div |S|` on each seed, 0 elsewhere; per round every
+    * seed gains the fixed teleport `15·(scale div |S|) div 100` and all
+    * nodes the damped in-mass — the same commutative long arithmetic as
+    * [[pageRank]], bit-identical under any layout, fully SQL-unrollable
+    * (`q16_pagerank_pers`). Seeds not present in the graph are ignored
+    * for ranking but still count in |S| only if they appear — |S| is
+    * the count of seed NODES IN THE GRAPH, so mass is conserved.
+    * Dangling redistribution is refused here: uniform redistribution
+    * would leak teleport-restricted mass to non-seeds (the classic PPR
+    * correction redistributes to the seed set; symmetrize or self-loop
+    * instead, as the gate does).
+    */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, iterations: Int = 3,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val (eDeg, nodes0, _) = graphFrames(edges, srcCol, dstCol)
+    val seedSet = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+    val nodes = nodes0
+      .join(seedSet.withColumn("_seed", lit(true)), Seq("node"), "left")
+      .withColumn("_seed", coalesce(col("_seed"), lit(false)))
+      .localCheckpoint(true)
+    val nS = nodes.filter(col("_seed")).count()
+    require(nS > 0,
+      "pageRankPersonalized: no seed appears in the graph — nothing to rank from")
+    val s0 = scale / nS
+    val start = nodes.withColumn("pr",
+      when(col("_seed"), lit(s0)).otherwise(lit(0L)))
+    iterate(eDeg, nodes, nS, start, iterations, scale,
+      redistributeDangling = false,
+      baseOf = when(col("_seed"), lit(15L * s0 / 100L)).otherwise(lit(0L)))
+  }
+
   def pageRankResume(edges: DataFrame, srcCol: String, dstCol: String,
                      priorRanks: DataFrame, iterations: Int = 1,
                      scale: Long = 1000000000000L,

@@ -626,6 +626,23 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // SEMANTIC decontamination (Curation.decontaminateSemantic): the
+    // embedding modality of the decontamination family — cosine pairs
+    // between the training split (vec_id % 20 != 0) and the held-out
+    // benchmark split at sim >= 0.45 (the emb_dedup_cos threshold; the
+    // fixture's planted near-dups straddle the split, so hits are
+    // nonzero at both gate scales). Bench broadcasts, one train scan,
+    // raw-double threshold, round-6 output.
+    "emb_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Curation.decontaminateSemantic(
+          emb.filter($"vec_id" % 20 =!= 0), emb.filter($"vec_id" % 20 === 0),
+          "vec_id", "embedding", minSim = 0.45)
+        .select($"train_id", $"bench_id", round($"sim", 6).as("sim"))
+        .orderBy($"train_id", $"bench_id")
+    }),
+
     // Model-based quality scoring (operators.LangModel): per-doc
     // cross-entropy + perplexity under an add-one corpus bigram LM — the
     // CCNet/KenLM perplexity filter. One bigram-explode scan shared via
@@ -1590,6 +1607,17 @@ object Corpus {
         |       ELSE 'unknown' END AS format,
         |  octet_length(bin) AS n_bytes, digest
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "emb_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |t AS (SELECT vec_id, v FROM e WHERE vec_id % 20 != 0),
+        |b AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+        |p AS (SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+        |        list_cosine_similarity(t.v, b.v) AS s
+        |      FROM t, b)
+        |SELECT train_id, bench_id, round(s, 6) AS sim
+        |FROM p WHERE s >= 0.45 ORDER BY train_id, bench_id""".stripMargin,
 
     "emb_top_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -343,6 +343,46 @@ object Relational {
         .orderBy($"c_nationkey")
     }),
 
+    // PERSONALIZED PageRank (PageRank.pageRankPersonalized): teleport
+    // restricted to nation-3 customers over the symmetrized trade graph
+    // — ranks measure proximity to the seed cohort, not global
+    // importance. Same fixed-point longs; the oracle unrolls the three
+    // rounds with a CASE teleport term.
+    "q16_pagerank_pers" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .distinct()
+      val sym = e.select($"a".as("src"), $"b".as("dst"))
+        .union(e.select($"b".as("src"), $"a".as("dst")))
+      val seeds = Tables(s, dir, "customer")
+        .filter($"c_nationkey" === 3)
+        .select(($"c_custkey" * 2).as("node"))
+      graft.operators.PageRank.pageRankPersonalized(sym, "src", "dst",
+          seeds, iterations = 3)
+        .orderBy($"node")
+    }),
+
+    // CUBE subtotals over (priority, order year) — the full
+    // grouping-sets lattice beside q11's ROLLUP; the grouping-indicator
+    // id is computed explicitly as grouping(a)*2 + grouping(b) in both
+    // engines (DuckDB's GROUPING_ID arg conventions stay out of the
+    // gate). Money sums through DECIMAL; NULLS FIRST pinned in the
+    // oracle's ORDER BY (the engines' defaults differ).
+    "q35_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .withColumn("o_year", year($"o_orderdate").cast("long"))
+        .cube($"o_orderpriority", $"o_year")
+        .agg((grouping($"o_orderpriority") * 2 +
+            grouping($"o_year")).cast("bigint").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy($"gid", $"o_orderpriority", $"o_year")
+    }),
+
     // ε-differentially-private count release (Privacy.dpCounts): order
     // counts per priority + seeded Laplace(1/ε) noise through the
     // inverse CDF, the uniform drawn as md5-hex52 of (seed, group) — a
@@ -866,6 +906,69 @@ object Relational {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the personalized teleport unrolled: seed mass scale // |S in graph|,
+    // per-round CASE base, all BIGINT (::BIGINT at every sum)
+    "q16_pagerank_pers" ->
+      """WITH ce AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM ce
+        |      UNION ALL SELECT b, a FROM ce),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |sd AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+        |       WHERE c_nationkey = 3),
+        |sn AS (SELECT n.node FROM nodes n JOIN sd USING (node)),
+        |cs AS (SELECT count(*) AS ns FROM sn),
+        |p0 AS (SELECT n.node,
+        |         CASE WHEN s.node IS NOT NULL
+        |              THEN 1000000000000 // (SELECT ns FROM cs)
+        |              ELSE 0 END AS pr
+        |       FROM nodes n LEFT JOIN sn s USING (node)),
+        |m1 AS (SELECT e.dst AS node, sum(p0.pr // deg.deg)::BIGINT AS m
+        |       FROM e JOIN p0 ON e.src = p0.node
+        |       JOIN deg ON e.src = deg.src GROUP BY 1),
+        |p1 AS (SELECT n.node,
+        |         CASE WHEN s.node IS NOT NULL THEN
+        |           (15 * (1000000000000 // (SELECT ns FROM cs)) // 100)
+        |           ELSE 0 END
+        |         + (85 * coalesce(m, 0) // 100) AS pr
+        |       FROM nodes n LEFT JOIN sn s USING (node)
+        |       LEFT JOIN m1 USING (node)),
+        |m2 AS (SELECT e.dst AS node, sum(p1.pr // deg.deg)::BIGINT AS m
+        |       FROM e JOIN p1 ON e.src = p1.node
+        |       JOIN deg ON e.src = deg.src GROUP BY 1),
+        |p2 AS (SELECT n.node,
+        |         CASE WHEN s.node IS NOT NULL THEN
+        |           (15 * (1000000000000 // (SELECT ns FROM cs)) // 100)
+        |           ELSE 0 END
+        |         + (85 * coalesce(m, 0) // 100) AS pr
+        |       FROM nodes n LEFT JOIN sn s USING (node)
+        |       LEFT JOIN m2 USING (node)),
+        |m3 AS (SELECT e.dst AS node, sum(p2.pr // deg.deg)::BIGINT AS m
+        |       FROM e JOIN p2 ON e.src = p2.node
+        |       JOIN deg ON e.src = deg.src GROUP BY 1),
+        |p3 AS (SELECT n.node,
+        |         CASE WHEN s.node IS NOT NULL THEN
+        |           (15 * (1000000000000 // (SELECT ns FROM cs)) // 100)
+        |           ELSE 0 END
+        |         + (85 * coalesce(m, 0) // 100) AS pr
+        |       FROM nodes n LEFT JOIN sn s USING (node)
+        |       LEFT JOIN m3 USING (node))
+        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    // the full grouping lattice with an explicit indicator id; NULLS
+    // FIRST pinned (Spark's default) against DuckDB's NULLS LAST
+    "q35_cube" ->
+      """SELECT o_orderpriority, year(o_orderdate)::BIGINT AS o_year,
+        |  (GROUPING(o_orderpriority) * 2
+        |   + GROUPING(year(o_orderdate)))::BIGINT AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+        |ORDER BY gid, o_orderpriority NULLS FIRST,
+        |  o_year NULLS FIRST""".stripMargin,
 
     // the seeded Laplace mechanism replayed: hex52 uniform, inverse CDF,
     // the identical IEEE chain, round-6

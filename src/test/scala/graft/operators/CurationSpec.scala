@@ -553,4 +553,38 @@ class CurationSpec extends AnyFunSuite {
     assert(byCluster.select($"doc_id").distinct().count() === docs.size)
     assert(byCluster.count() === docs.size)
   }
+
+  test("decontaminateSemantic equals the brute-force cross cosine; " +
+      "non-positive thresholds refused") {
+    import spark.implicits._
+    def vec(seed: Long): Seq[Float] = Seq.tabulate(8)(i =>
+      (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    val train = (1L to 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // bench 101 is train 7's exact vector (cos 1), bench 102 unrelated
+    val bench = Seq((101L, vec(7L)), (102L, vec(1000L)))
+      .toDF("vec_id", "embedding")
+    val got = Curation.decontaminateSemantic(train, bench,
+        "vec_id", "embedding", minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force model
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      d / (na * nb)
+    }
+    val want = for {
+      (ti, tv) <- (1L to 30L).map(i => (i, vec(i)))
+      (bi, bv) <- Seq((101L, vec(7L)), (102L, vec(1000L)))
+      s = cos(tv, bv) if s >= 0.9
+    } yield (ti, bi, s)
+    assert(got.map(t => (t._1, t._2)).toSet === want.map(t => (t._1, t._2)).toSet)
+    // the planted exact copy: cosine ~1 (sqrt(d)*sqrt(d) != d in IEEE,
+    // so not exactly 1.0)
+    assert(got.exists(t => t._1 == 7L && t._2 == 101L && t._3 > 0.999999))
+    intercept[IllegalArgumentException] {
+      Curation.decontaminateSemantic(train, bench, "vec_id", "embedding",
+        minSim = 0.0)
+    }
+  }
 }

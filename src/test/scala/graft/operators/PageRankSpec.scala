@@ -80,6 +80,49 @@ class PageRankSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no nodes"))
   }
 
+  /** Scalar personalized reference: teleport only to the in-graph seed
+    * set, start mass scale div |S| on seeds.
+    */
+  private def referencePersonalized(edges: Seq[(Long, Long)],
+                                    seeds: Set[Long], iters: Int,
+                                    scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val inSeeds = nodes.filter(seeds.contains).toSet
+    val s0 = scale / inSeeds.size
+    val base = 15L * s0 / 100L
+    var pr = nodes.map(n => n -> (if (inSeeds(n)) s0 else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / deg(s) }.sum
+      }
+      pr = nodes.map(n => n -> ((if (inSeeds(n)) base else 0L) +
+        85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("personalized teleport matches the scalar reference; mass " +
+      "concentrates near the seeds; no-in-graph seeds refused") {
+    import spark.implicits._
+    val seeds = Seq(11L, 12L).toDF("node")
+    val got = PageRank.pageRankPersonalized(chainStar.toDF("s", "d"),
+        "s", "d", seeds, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == referencePersonalized(chainStar, Set(11L, 12L), 3))
+    // the seeds' chain neighbor outranks every star node the teleport
+    // never touches
+    assert(got(13L) > got(0L), s"pr(13)=${got(13L)} pr(0)=${got(0L)}")
+    assert((1L to 10L).forall(i => got(12L) > got(i)))
+    // seeds absent from the graph: typed refusal, not division by zero
+    val e = intercept[IllegalArgumentException] {
+      PageRank.pageRankPersonalized(chainStar.toDF("s", "d"), "s", "d",
+        Seq(999L).toDF("node"), 1)
+    }
+    assert(e.getMessage.contains("no seed"))
+  }
+
   /** Scalar reference WITH per-round dangling redistribution: D = the
     * danglers' mass, each node's damped term gains D div n.
     */
