@@ -31,21 +31,47 @@ private[graft] object BatchTables {
     * catalog), the same isolation `streaming.Pipeline.run` uses.
     */
   private val overwriteModeLock = new Object
+  private val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+
+  /** Sessions whose partitionOverwriteMode is pinned `dynamic` FOREVER
+    * (weak keys: a pin must not keep a finished pipeline's session
+    * alive). Only membership here authorizes the lock-free fast path —
+    * merely OBSERVING `dynamic` on the session does not: that reading
+    * could be a concurrent slow-path caller's transient set, and when
+    * its finally-restore reverts the mode mid-body, a lock-free
+    * overwrite insert would run in STATIC mode and truncate every other
+    * partition of the table (the round-12 TOCTOU).
+    */
+  private val pinnedDynamic = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Pin `spark`'s partitionOverwriteMode to `dynamic` permanently and
+    * register it for the lock-free fast path. Taken under the library
+    * lock so no in-flight slow-path set/restore window can straddle the
+    * pin (its saved `prev` would otherwise revert the pin on restore);
+    * after the pin, every slow-path window on this session saves and
+    * restores `dynamic`, so the mode can never leave `dynamic` again —
+    * which is exactly what makes the fast path race-free.
+    * `streaming.Pipeline.run` pins its own cloned session once at start
+    * so its N maintenance writers run CONCURRENTLY (serialized, five
+    * state tables pay the sum of the hooks instead of their max —
+    * Round12StreamMaintProbe).
+    */
+  private[graft] def pinDynamicOverwrite(spark: SparkSession): Unit =
+    overwriteModeLock.synchronized {
+      spark.conf.set(overwriteModeKey, "dynamic")
+      pinnedDynamic.put(spark, java.lang.Boolean.TRUE)
+    }
 
   private[graft] def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    // fast path: a session ALREADY in dynamic mode needs no set/restore
-    // window, hence no lock — which is what lets `streaming.Pipeline.run`
-    // execute N maintenance writers CONCURRENTLY on its own cloned
-    // session (it pins the mode once at start; without this, five state
-    // tables serialize on the library lock and per-batch latency grows
-    // by the sum of the hooks instead of their max)
-    if (spark.conf.getOption(key).exists(_.equalsIgnoreCase("dynamic"))) body
+    // fast path ONLY for permanently-pinned sessions (see pinnedDynamic)
+    if (pinnedDynamic.containsKey(spark)) body
     else overwriteModeLock.synchronized {
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
+      val prev = spark.conf.getOption(overwriteModeKey)
+      spark.conf.set(overwriteModeKey, "dynamic")
       try body
-      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      finally prev.fold(spark.conf.unset(overwriteModeKey))(
+        spark.conf.set(overwriteModeKey, _))
     }
   }
 

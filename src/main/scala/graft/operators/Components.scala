@@ -221,6 +221,20 @@ object Components {
         .agg(count(lit(1)).as("core_degree"))
     var survivors = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
+    // the peel reads degrees from src endpoints only — correct ONLY for
+    // symmetrized input. A directed edge list used to be accepted
+    // silently (dst-only nodes dropped, degrees undercounted → a wrong
+    // core with no error — ADVICE r12); fail loudly instead. The check
+    // (every dst appears as some src) is necessary for symmetry, cheap
+    // (one anti-join over the already-checkpointed frames), and catches
+    // the realistic mistake of passing one direction of an edge list.
+    val stray = e.select(col("dst").as("node"))
+      .join(survivors, Seq("node"), "left_anti")
+      .limit(1).count()
+    require(stray == 0L,
+      "kCore requires a SYMMETRIZED edge list (every edge present in " +
+        "both directions): found dst nodes that never appear as src — " +
+        "union the reversed edges before calling (see q34_kcore)")
     var n = survivors.count()
     var converged = n == 0L
     while (!converged) {
@@ -234,5 +248,65 @@ object Components {
       n = m
     }
     degreesAmong(survivors).filter(col("core_degree") >= k)
+  }
+
+  /** Multi-source BFS hop distance — the link-graph quality feature
+    * beside personalized PageRank (`PageRank.pageRankPersonalized`):
+    * `hops(v)` = the minimum number of edges from ANY seed to `v`,
+    * following edges src→dst (pass a symmetrized list for undirected
+    * semantics, the q34_kcore idiom). Output `(node BIGINT, hops
+    * BIGINT)` for every REACHED node — seeds at 0 (kept even when they
+    * never appear in the edge list: the seed set is given independently
+    * of the graph); unreachable nodes are simply absent, so the caller's
+    * left join reads them as NULL (the documented unreachable = NULL
+    * contract, spec-pinned).
+    *
+    * Shape per synchronous frontier round: one semi-join of the edge
+    * frame against the frontier on src + a distinct + one anti-join
+    * against the visited set — all shuffles on node ids, the edge frame
+    * materialized once, each round's frames localCheckpoint-truncated
+    * with one 1-row count action as the convergence check (the
+    * iterative-loop contract shared with `kCore` and label propagation).
+    * Rounds are integer-exact (hop literals), so the unrolled-SQL oracle
+    * replays bit-for-bit with no rounding anywhere; frontier rounds are
+    * bounded by the graph's eccentricity from the seed set (measured 9
+    * on the q37 tripartite gate graph at sf0.01 AND sf0.1).
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String,
+              maxHops: Int = Int.MaxValue): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds
+      .select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull)
+      .distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited.select("node")
+    var hop = 0L
+    var n = frontier.count()
+    while (n > 0 && hop < maxHops) {
+      hop += 1
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"),
+          "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      n = next.count()
+      if (n > 0) {
+        visited = visited.union(next.withColumn("hops", lit(hop)))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited
   }
 }

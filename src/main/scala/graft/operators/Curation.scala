@@ -439,10 +439,18 @@ object Curation {
     require(minSim > 0.0, s"minSim must be positive, got $minSim " +
       "(a non-positive threshold keeps ~every cross pair — the output " +
       "would be |train|x|bench|)")
+    // zero-norm guard: an all-zero embedding gives sim = 0/0 = NaN, and
+    // Spark's NaN ordering makes `NaN >= minSim` TRUE — degenerate
+    // vectors would flood the output with NaN pairs (and diverge from
+    // the oracle's cosine). Cosine against the zero vector is undefined,
+    // so such rows are dropped on BOTH sides before the pairing
+    // (ADVICE r12).
     val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
-      sqrt(vec_dot(col(vecCol), col(vecCol))).as("tn"))
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("tn"))
+      .filter(col("tn") > 0.0)
     val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"),
-      sqrt(vec_dot(col(vecCol), col(vecCol))).as("bn"))
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("bn"))
+      .filter(col("bn") > 0.0)
     t.crossJoin(broadcast(b))
       .select(col("train_id"), col("bench_id"),
         (vec_dot(col("tv"), col("bv")) / (col("tn") * col("bn"))).as("sim"))

