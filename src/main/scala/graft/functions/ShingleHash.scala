@@ -56,6 +56,60 @@ object ShingleHash {
 
   def shingle_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), n))
+
+  /** ALL m = |tokens|−n+1 shingle hashes IN POSITION ORDER, duplicates
+    * kept — index i of the output is the hash of the n-gram starting at
+    * token i. Same byte-range hashing (xxhash64 seed 42) as [[hashes]],
+    * minus the dedup set: the positional form is what exact
+    * duplicate-SPAN detection needs (`TextDedup.exactSubstringSpans`),
+    * where position identity, not membership, carries the signal.
+    */
+  def positionalHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var numTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) numTokens += 1; i += 1 }
+    if (numTokens < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](numTokens)
+    var t = 1
+    i = 0
+    while (i < len) { if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }; i += 1 }
+    val m = numTokens - n + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val from = starts(i)
+      val to = if (i + n < numTokens) starts(i + n) - 1 else len
+      out(i) = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + from, to - from, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def positional_shingle_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(
+      PositionalShingleHashExpr(ColumnBridge.expression(text), n))
+}
+
+case class PositionalShingleHashExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"positional_shingle_hashes: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.positionalHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHash.positionalHashes($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionalShingleHashExpr =
+    copy(child = newChild)
 }
 
 case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {

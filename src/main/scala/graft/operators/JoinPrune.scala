@@ -116,6 +116,10 @@ object JoinPrune {
   /** Most fact rows match anyway → the prefilter would scan-and-keep;
     * plain shuffle join. */
   case object PlainShuffle extends JoinChoice
+  /** Confirmed heavy fact keys exist → those keys join on a broadcast
+    * path and only the rest shuffles (the hot key never funnels one
+    * reducer). */
+  case object SkewSplit extends JoinChoice
 
   /** Exact row count from a CMS sketch frame: every hash row's counters
     * sum to N (each value lands in exactly one cell per row), so
@@ -198,5 +202,136 @@ object JoinPrune {
       case PlainShuffle =>
         fact.join(dim, fact(factKey) === dim(dimKey), "inner")
           .drop(dim(dimKey))
+      case SkewSplit => // never produced by chooseJoin (see chooseJoinSkew)
+        fact.join(dim, fact(factKey) === dim(dimKey), "inner")
+          .drop(dim(dimKey))
     }
+
+  /** Candidate heavy-hitter keys CONFIRMED against the fact-side CMS:
+    * point-estimate each candidate (min over the d counters — a
+    * broadcast-sketch join, never a fact scan) and keep those at or
+    * above `heavyMinRows`. Candidates come from the maintained
+    * SpaceSaving summary (`FreqItemsState.summaryFromTable` — any key
+    * with true share > 1/m is guaranteed present) or any other small
+    * key frame; the output is candidate-bounded, so downstream
+    * broadcasts are sized by construction.
+    *
+    * Error posture: the CMS only OVERcounts, so a light key may be
+    * confirmed heavy (it rides the broadcast path — harmless, identical
+    * rows) but a key estimated light IS light; a truly heavy key absent
+    * from the candidate set stays on the shuffle path, which is exactly
+    * the pre-split behavior — every failure mode degrades the plan,
+    * never the answer.
+    */
+  def confirmedHeavyKeys(skFact: DataFrame, candidates: DataFrame,
+                         keyCol: String, heavyMinRows: Long,
+                         depth: Int = 4, widthLog2: Int = 10): DataFrame = {
+    require(heavyMinRows > 0, s"heavyMinRows must be positive, got $heavyMinRows")
+    CountMin.pointEstimates(skFact, candidates, keyCol, depth, widthLog2)
+      .filter(col("cms_est") >= heavyMinRows)
+      .select(col(keyCol))
+  }
+
+  /** The two-route skew join: fact rows whose key is in `heavy` join a
+    * broadcast of the dim rows for those keys (no shuffle touches the
+    * hot keys at all — stronger than salting, which still shuffles R
+    * replicas); the remaining fact rows take the plain shuffle join.
+    * Identical rows to the plain join on every route (`q36_skew_join`'s
+    * plain-join oracle): NULL fact keys fall to the rest route and drop
+    * in its inner join, heavy-route false positives (CMS overcounts)
+    * just ride the broadcast.
+    *
+    * `heavy` must be a small frame (candidate-bounded —
+    * [[confirmedHeavyKeys]]'s contract); dim-side multiplicity on the
+    * heavy keys must be broadcast-sized (the key-unique star-schema dim
+    * trivially is: |dimHeavy| <= |heavy|).
+    */
+  def skewSplitJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    heavy: DataFrame): DataFrame = {
+    val hk = broadcast(
+      heavy.select(col(heavy.columns.head).cast("long").as("_hk"))
+        .filter(col("_hk").isNotNull).distinct())
+    val factHeavy = fact.join(hk,
+      fact(factKey).cast("long") === hk("_hk"), "left_semi")
+    val factRest = fact.join(hk,
+      fact(factKey).cast("long") === hk("_hk"), "left_anti")
+    val dimHeavy = dim.join(hk,
+      dim(dimKey).cast("long") === hk("_hk"), "left_semi")
+    factHeavy.join(broadcast(dimHeavy),
+        factHeavy(factKey) === dimHeavy(dimKey), "inner")
+      .drop(dimHeavy(dimKey))
+      .unionByName(
+        factRest.join(dim, factRest(factKey) === dim(dimKey), "inner")
+          .drop(dim(dimKey)))
+  }
+
+  /** The skew-aware ladder ([[chooseJoin]] + heavy-hitter routing):
+    * broadcast-able dims short-circuit as before (skew is irrelevant
+    * when nothing shuffles); otherwise candidates confirmed heavy by the
+    * fact sketch upgrade the choice to [[SkewSplit]]; otherwise the
+    * bloom/plain ladder decides. The skew decision reads two sketches
+    * and a candidate-bounded frame — still no scan of either table.
+    */
+  def chooseJoinSkew(skFact: DataFrame, skDim: DataFrame,
+                     candidates: DataFrame, candidateCol: String,
+                     heavyMinRows: Long,
+                     depth: Int = 4, widthLog2: Int = 10,
+                     broadcastMaxRows: Long = 1000000L,
+                     bloomMaxMatchFraction: Double = 0.5): JoinChoice =
+    chooseJoin(skFact, skDim, depth, broadcastMaxRows,
+      bloomMaxMatchFraction) match {
+      case BroadcastDim => BroadcastDim
+      case other =>
+        val anyHeavy = !confirmedHeavyKeys(skFact, candidates, candidateCol,
+          heavyMinRows, depth, widthLog2).isEmpty
+        if (anyHeavy) SkewSplit else other
+    }
+
+  /** [[adaptiveJoin]] with skew routing: identical rows on every path;
+    * only the physical plan moves. On [[SkewSplit]] the heavy keys take
+    * the broadcast route and the rest takes the plain shuffle (the
+    * bloom prefilter composes with the rest route when the base ladder
+    * picked it — the heavy keys would dominate its keep fraction
+    * otherwise).
+    */
+  def adaptiveJoinSkew(fact: DataFrame, dim: DataFrame,
+                       factKey: String, dimKey: String,
+                       skFact: DataFrame, skDim: DataFrame,
+                       candidates: DataFrame, candidateCol: String,
+                       heavyMinRows: Long,
+                       depth: Int = 4, widthLog2: Int = 10,
+                       broadcastMaxRows: Long = 1000000L,
+                       bloomMaxMatchFraction: Double = 0.5,
+                       fpp: Double = 0.01): DataFrame = {
+    val base = chooseJoin(skFact, skDim, depth, broadcastMaxRows,
+      bloomMaxMatchFraction)
+    // the heavy frame is candidate-bounded — localCheckpoint so the
+    // emptiness probe and the split don't re-run the candidate plan
+    lazy val heavy = confirmedHeavyKeys(skFact, candidates, candidateCol,
+      heavyMinRows, depth, widthLog2).localCheckpoint(true)
+    if (base == BroadcastDim || heavy.isEmpty)
+      adaptiveJoin(fact, dim, factKey, dimKey, skFact, skDim, depth,
+        broadcastMaxRows, bloomMaxMatchFraction, fpp)
+    else base match {
+      case BloomPrefiltered =>
+        // the rest route keeps the prefilter the base ladder earned —
+        // with the heavy keys carved out, its keep fraction is honest
+        val hk = broadcast(heavy
+          .select(col(heavy.columns.head).cast("long").as("_hk"))
+          .filter(col("_hk").isNotNull).distinct())
+        val factHeavy = fact.join(hk,
+          fact(factKey).cast("long") === hk("_hk"), "left_semi")
+        val factRest = fact.join(hk,
+          fact(factKey).cast("long") === hk("_hk"), "left_anti")
+        val dimHeavy = dim.join(hk,
+          dim(dimKey).cast("long") === hk("_hk"), "left_semi")
+        factHeavy.join(broadcast(dimHeavy),
+            factHeavy(factKey) === dimHeavy(dimKey), "inner")
+          .drop(dimHeavy(dimKey))
+          .unionByName(bloomPrefilteredJoin(factRest, dim, factKey,
+            dimKey, fpp, expectedKeys = sketchRowCount(skDim, depth)))
+      case _ => skewSplitJoin(fact, dim, factKey, dimKey, heavy)
+    }
+  }
 }

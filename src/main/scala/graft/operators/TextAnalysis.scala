@@ -191,12 +191,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
       .localCheckpoint(true) // shared by the stat pass and the tf pass
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-    val tf = base
+    val tf = termFrequencies(base, queryTerms)
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Score(tf, dfc, stats, queryTerms, k1, b)
+  }
+
+  /** (doc_id, dl, term, tf) for the query terms — the one filtered
+    * explode pass shared by the one-shot and the maintained-state
+    * scorers.
+    */
+  private def termFrequencies(base: org.apache.spark.sql.DataFrame,
+                              queryTerms: Seq[String]): org.apache.spark.sql.DataFrame =
+    base
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** The BM25 IEEE chain over (tf, df, stats) — ONE definition, so the
+    * one-shot and state-backed scorers are bit-identical by
+    * construction. `dfc` is (term, df BIGINT); `stats` one row
+    * (n BIGINT, sdl BIGINT).
+    */
+  private def bm25Score(tf: org.apache.spark.sql.DataFrame,
+                        dfc: org.apache.spark.sql.DataFrame,
+                        stats: org.apache.spark.sql.DataFrame,
+                        queryTerms: Seq[String], k1: Double,
+                        b: Double): org.apache.spark.sql.DataFrame = {
     val idf = log((col("n").cast("double") - col("df").cast("double")
       + 0.5) / (col("df").cast("double") + 0.5) + 1.0)
     val norm = col("tf") + lit(k1) * (lit(1.0 - b) +
@@ -213,5 +234,104 @@ object TextAnalysis {
       .select(col("doc_id"),
         queryTerms.indices.map(i => col(s"_s$i"))
           .reduce(_ + _).as("bm25"))
+  }
+
+  /** MAINTAINED BM25 corpus statistics — the one-shot [[bm25]] recomputes
+    * df/dl/N per call and localCheckpoints the full tokenized corpus:
+    * right for a single pass, wrong for a query service over a GROWING
+    * corpus (VERDICT r12 #6). This is the `BatchTables` SUM-merge family
+    * (the `Hll`/`Checks` discipline) for the two BM25 sufficient
+    * statistics:
+    *
+    *   - (term, df) — documents containing the term, per batch;
+    *   - ONE metadata row (term = NULL, the `FreqItemsState` idiom)
+    *     carrying the batch's (n docs, Σ document length).
+    *
+    * A query then scores from the table + ONE filtered scan of the docs
+    * being ranked ([[bm25FromState]]) — the 100 TB corpus is never
+    * re-tokenized for its global statistics. Contract: delta ingest —
+    * each document lands in exactly ONE batch (duplicated docs would
+    * double df/n, same as every SUM-merge family); a replayed `batchId`
+    * dynamic-overwrites its own partition, so crash/replay is
+    * exactly-once.
+    */
+  def bm25MergeBatch(batch: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, table: String, path: String,
+                     batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = batch
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      .localCheckpoint(true) // shared by the df pass and the stat pass
+    val entries = base
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("sdl"))
+    val meta = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .select(lit(null).cast("string").as("term"),
+        lit(null).cast("long").as("df"), col("n"), col("sdl"))
+    val rows = entries.unionByName(meta).withColumn("_batch_id", lit(batchId))
+    BatchTables.ensureBatchTable(rows.limit(0), table, path)
+    BatchTables.withDynamicOverwrite(spark) {
+      rows.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** Fold batches `0..upToBatchId` of a [[bm25MergeBatch]] table into one
+    * consolidated partition: per-term df sums, metadata rows sum (n, Σdl).
+    * SUM-merge is not duplication-idempotent — the crash window between
+    * the consolidated insert and the source sweep shows inflated counts
+    * until the convergence re-run (the CMS contract).
+    */
+  def bm25CompactState(spark: org.apache.spark.sql.SparkSession,
+                       table: String, upToBatchId: Long): (Int, Int) =
+    BatchTables.compactBatchPartitions(spark, table, upToBatchId, df => {
+      val entries = df.filter(col("term").isNotNull)
+        .groupBy(col("term"), col("_batch_id"))
+        .agg(sum(col("df")).as("df"))
+        .select(col("term"), col("df"),
+          lit(null).cast("long").as("n"), lit(null).cast("long").as("sdl"),
+          col("_batch_id"))
+      val meta = df.filter(col("term").isNull)
+        .groupBy(col("_batch_id"))
+        .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+        .select(lit(null).cast("string").as("term"),
+          lit(null).cast("long").as("df"), col("n"), col("sdl"),
+          col("_batch_id"))
+      entries.unionByName(meta)
+    })
+
+  /** BM25 of `docs` against `queryTerms` with the corpus statistics read
+    * from the maintained state table instead of recomputed: the global
+    * (df, N, Σdl) come from exact BIGINT sums over the table's batches
+    * (a few KB after the query-term filter — broadcast by construction),
+    * and the only corpus touch is ONE filtered explode scan of the docs
+    * being ranked. When `docs` is the corpus the state absorbed, the
+    * output is the one-shot [[bm25]] VERBATIM (shared [[bm25Score]]
+    * chain, exact-integer statistics — spec-pinned bit equality; the
+    * `doc_bm25_state` gate reuses the one-shot oracle). Scoring a SLICE
+    * of the corpus keeps the GLOBAL statistics — the semantics a query
+    * service wants, and what the one-shot form cannot give a slice.
+    */
+  def bm25FromState(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, queryTerms: Seq[String],
+                    table: String, k1: Double = 1.2,
+                    b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "empty query term set")
+    require(queryTerms.distinct == queryTerms, "duplicate query terms")
+    val spark = docs.sparkSession
+    val st = spark.table(table)
+    val stats = st.filter(col("term").isNull)
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+    val dfc = st.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    bm25Score(termFrequencies(base, queryTerms), dfc, stats, queryTerms,
+      k1, b)
   }
 }

@@ -656,6 +656,62 @@ object TextDedup {
     Components.connectedComponents(edges, maxIter = maxIter)
       .select(col("component").as("cluster_id"), col("id").as("doc_id"))
   }
+
+  /** EXACT duplicate-span detection — the deterministic complement to
+    * the winnowing fingerprint path (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": the standard
+    * LLM-curation pass removes exact substrings repeated across the
+    * corpus, not just near-duplicate documents). A fixed-L token n-gram
+    * appearing in MORE THAN ONE document marks its L token positions as
+    * duplicated; per document, overlapping/adjacent marked windows merge
+    * into maximal spans. Winnowing SAMPLES minima and can miss a short
+    * exact span entirely (spec-pinned on such a fixture); this pass is
+    * exact at its granularity: every cross-doc verbatim run of ≥ L
+    * tokens is reported, nothing else is.
+    *
+    * Output: (doc_id, span_start, span_end, n_tokens) — token indices,
+    * 0-based inclusive, ordered within doc. Spans are DETECTION output;
+    * removal policy (keep one canonical occurrence) is the caller's,
+    * exactly as with the near-dup pair operators.
+    *
+    * Shape: positional shingle hashes in ONE codegen pass
+    * (`ShingleHash.positionalHashes` — position-indexed, duplicates
+    * kept), gram df by distinct-doc count (shuffle on the 64-bit gram
+    * hash — uniform), a semi-join back, then per-doc gaps-and-islands
+    * (lag + running sum windows PARTITIONED BY doc — partition-parallel,
+    * sized by the duplicated positions only, not the corpus). The gram
+    * value itself never leaves the scan: the engine joins 64-bit hashes
+    * while the oracle joins raw gram strings (the decontaminate
+    * discipline — a collision would surface as a gate mismatch).
+    */
+  def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+                          l: Int): DataFrame = {
+    require(l >= 2, s"span gram length must be >= 2 tokens, got $l")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.ShingleHash
+          .positional_shingle_hashes(col(textCol), l)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("gh"))
+      .localCheckpoint(true) // shared by the df pass and the mark pass
+    val dup = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("gh"))
+    val marked = grams.join(dup, Seq("gh"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    marked
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(byDoc) <= l, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + l - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
 }
 
 /** 64-bit SimHash over the shingle hash set, with banded near-dup search:

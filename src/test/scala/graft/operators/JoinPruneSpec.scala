@@ -227,6 +227,102 @@ class JoinPruneSpec extends AnyFunSuite {
     }
   }
 
+  private def skewFixtures = {
+    import spark.implicits._
+    // key 7 holds 5000 rows (heavy); keys 0..999 hold ~5 each; one NULL
+    val fact = ((0L until 5000L).map(i => (i, Option(7L), s"h$i")) ++
+      (0L until 5000L).map(i => (i + 5000L, Option(i % 1000), s"t$i")) :+
+      ((10000L, Option.empty[Long], "nullrow")))
+      .toDF("row_id", "fk", "payload")
+    val dim = (0L until 1000L).map(k => (k, s"d$k")).toDF("dk", "attr")
+    val skFact = CountMin.sketch(fact, "fk", widthLog2 = 16)
+      .localCheckpoint(true)
+    val skDim = CountMin.sketch(dim, "dk", widthLog2 = 16)
+      .localCheckpoint(true)
+    (fact, dim, skFact, skDim)
+  }
+
+  test("chooseJoinSkew: SkewSplit only when a candidate CONFIRMS heavy " +
+      "against the fact sketch and the dim is not broadcast-able") {
+    import spark.implicits._
+    val (_, _, skFact, skDim) = skewFixtures
+    val candidates = Seq(7L, 3L).toDF("fk") // 3 is light (~5 rows)
+    def choose(minRows: Long, bcastMax: Long) =
+      JoinPrune.chooseJoinSkew(skFact, skDim, candidates, "fk", minRows,
+        widthLog2 = 16, broadcastMaxRows = bcastMax)
+    // heavy key 7 confirms at 2000 rows -> split
+    assert(choose(2000L, 0L) === JoinPrune.SkewSplit)
+    // broadcast-able dim short-circuits: skew is irrelevant
+    assert(choose(2000L, 100000L) === JoinPrune.BroadcastDim)
+    // threshold above every estimate -> nothing confirms, base choice
+    assert(choose(1000000L, 0L) === JoinPrune.PlainShuffle)
+    // only the genuinely heavy candidate survives confirmation
+    val hk = JoinPrune.confirmedHeavyKeys(skFact, candidates, "fk",
+        2000L, widthLog2 = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(hk === Set(7L))
+  }
+
+  test("skew split: identical rows to the plain join (NULL keys " +
+      "included); the plan runs BOTH routes — broadcast for the hot " +
+      "key, shuffle for the rest") {
+    val (factMem, dimMem, skFact, skDim) = skewFixtures
+    import spark.implicits._
+    val candidates = Seq(7L, 3L).toDF("fk")
+    val tmp = java.nio.file.Files.createTempDirectory("skewjoin").toString
+    factMem.write.parquet(s"$tmp/fact")
+    dimMem.write.parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val expected = fact.join(dim, fact("fk") === dim("dk"))
+        .drop(dim("dk")).collect().map(_.toSeq).toSet
+      assert(expected.size === 10000) // the NULL row never matches
+      // every-fact-row-matches dim -> base PlainShuffle; heavy confirms
+      val split = JoinPrune.adaptiveJoinSkew(fact, dim, "fk", "dk",
+        skFact, skDim, candidates, "fk", heavyMinRows = 2000L,
+        widthLog2 = 16, broadcastMaxRows = 0L)
+      assert(split.collect().map(_.toSeq).toSet === expected)
+      val plan = split.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"hot-key route must broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"rest route must shuffle:\n$plan")
+      // a selective dim (10% of keys, heavy key present) keeps the
+      // bloom prefilter on the REST route beside the broadcast route
+      val dimSel = dimMem.filter(col("dk") < 100L)
+      dimSel.write.parquet(s"$tmp/dimsel")
+      val dimS = spark.read.parquet(s"$tmp/dimsel")
+      val skDimS = CountMin.sketch(dimS, "dk", widthLog2 = 16)
+        .localCheckpoint(true)
+      val expSel = fact.join(dimS, fact("fk") === dimS("dk"))
+        .drop(dimS("dk")).collect().map(_.toSeq).toSet
+      val viaBloom = JoinPrune.adaptiveJoinSkew(fact, dimS, "fk", "dk",
+        skFact, skDimS, candidates, "fk", heavyMinRows = 2000L,
+        widthLog2 = 16, broadcastMaxRows = 0L,
+        bloomMaxMatchFraction = 0.6)
+      assert(viaBloom.collect().map(_.toSeq).toSet === expSel)
+      val bloomPlan = viaBloom.queryExecution.executedPlan.toString
+      assert(bloomPlan.contains("might_contain") &&
+        bloomPlan.contains("BroadcastHashJoin"),
+        s"bloom rest route + broadcast hot route expected:\n$bloomPlan")
+      // no confirmed heavy -> the base path verbatim (no split union)
+      val noSplit = JoinPrune.adaptiveJoinSkew(fact, dim, "fk", "dk",
+        skFact, skDim, candidates, "fk", heavyMinRows = 1000000L,
+        widthLog2 = 16, broadcastMaxRows = 0L)
+      assert(noSplit.collect().map(_.toSeq).toSet === expected)
+      assert(!noSplit.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.set(key, old)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("overflow-NULL join estimate routes to the plain join, never bloom") {
     import spark.implicits._
     // fabricated sketch frames whose inner product overflows DECIMAL->

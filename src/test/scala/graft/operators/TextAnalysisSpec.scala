@@ -140,6 +140,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) < got(1L))
   }
 
+  test("bm25 maintained state: multi-batch merge + compaction + replay " +
+      "score the one-shot VERBATIM; a slice keeps the GLOBAL statistics") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i =>
+      (i, s"join scan d$i filter w${i % 7} w${i % 11} merge")) ++
+      Seq((41L, "vector vector join"), (42L, "scan scan scan scan")))
+      .toDF("doc_id", "text")
+    val q = Seq("join", "scan", "vector")
+    val table = "graft_bm25_spec_state"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25state").toString
+    try {
+      // three delta batches on md5 parity
+      val part = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 6), 16, 10).cast("long"), lit(3))
+      for (i <- 0 until 3)
+        TextAnalysis.bm25MergeBatch(docs.filter(part === i), "doc_id",
+          "text", table, s"$tmp/state", i.toLong)
+      // a replayed batch dynamic-overwrites its own partition: no double
+      TextAnalysis.bm25MergeBatch(docs.filter(part === 1), "doc_id",
+        "text", table, s"$tmp/state", 1L)
+      val oneShot = TextAnalysis.bm25(docs, "doc_id", "text", q)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      def fromState() = TextAnalysis.bm25FromState(docs, "doc_id", "text",
+          q, table)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(fromState() === oneShot, "state score must be bit-exact")
+      // compaction folds batches 0..1; the score is unchanged
+      val (before, after) = TextAnalysis.bm25CompactState(spark, table, 1L)
+      assert(before > 0 && after > 0)
+      assert(fromState() === oneShot, "compaction must not move a bit")
+      // scoring a SLICE keeps the global statistics: doc 42's score is
+      // identical whether or not the rest of the corpus is in the frame
+      val slice = TextAnalysis.bm25FromState(
+          docs.filter(col("doc_id") === 42L), "doc_id", "text", q, table)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(slice === Map(42L -> oneShot(42L)))
+      // the one-shot on the slice CANNOT give that (its stats collapse
+      // to the slice) — the semantics the state exists for
+      val oneShotSlice = TextAnalysis.bm25(
+          docs.filter(col("doc_id") === 42L), "doc_id", "text", Seq("scan"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(oneShotSlice(42L) !== oneShot(42L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("rrfFuse: fixed-order reciprocal sum, absent items contribute 0") {
     import spark.implicits._
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rnk")

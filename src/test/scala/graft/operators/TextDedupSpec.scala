@@ -704,4 +704,69 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(got == List((2L, 1L)))
   }
+
+  // scalar reference: cross-doc L-gram df, marked positions, interval merge
+  private def scalarSpans(docs: Seq[(Long, String)],
+                          l: Int): Set[(Long, Long, Long, Long)] = {
+    val grams = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (0 to w.length - l).map(i => (i.toLong, w.slice(i, i + l).mkString(" ")))
+    }
+    val df = grams.flatMap { case (id, gs) => gs.map(g => (g._2, id)) }
+      .distinct.groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    grams.flatMap { case (id, gs) =>
+      val marks = gs.filter(g => df(g._2) > 1).map(_._1).sorted
+      // islands of starts: consecutive starts merge iff their gap <= l
+      // (the engine's lag rule verbatim); each island holds starts
+      // DESCENDING, head = max
+      val islands = marks.foldLeft(List.empty[List[Long]]) {
+        case (Nil, i) => List(List(i))
+        case (cur :: rest, i) =>
+          if (i - cur.head <= l) (i :: cur) :: rest
+          else List(i) :: cur :: rest
+      }
+      islands.map(is => (id, is.last, is.head + l - 1,
+        is.head + l - 1 - is.last + 1))
+    }.toSet
+  }
+
+  test("exactSubstringSpans: every cross-doc verbatim run >= L is " +
+      "reported with merged intervals; within-doc repeats alone do not " +
+      "count; the winnowing path misses the planted short span") {
+    import spark.implicits._
+    def soup(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // SHORT runs (single-char tokens, 15 chars): the whole run holds only
+    // 8 winnowing k-grams (k = 8 chars), so a sharing pair can never
+    // reach substringOverlap's minShared = 10 — the guaranteed-miss shape
+    val runA = "a b c d e f g h"
+    val runB = "p q r s t u v w"
+    val fixture = Seq(
+      (1L, s"${soup("a", 12)} $runA ${soup("b", 12)} $runB"),
+      (2L, s"${soup("c", 15)} $runA ${soup("d", 9)}"),
+      (3L, s"$runB ${soup("e", 20)}"),
+      // within-doc repetition ONLY: the 8-gram repeats inside doc 4 but
+      // never crosses a doc boundary -> no span
+      (4L, s"${soup("f", 3)} ${soup("g", 8)} ${soup("h", 3)} ${soup("g", 8)}"),
+      (5L, soup("z", 30)))
+      .toDF("doc_id", "text")
+    val fixtureSeq = fixture.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    for (l <- Seq(8, 5); parts <- Seq(1, 4)) {
+      val got = TextDedup.exactSubstringSpans(fixture.repartition(parts),
+          "doc_id", "text", l)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === scalarSpans(fixtureSeq, l), s"l=$l parts=$parts")
+    }
+    // run A lands in docs 1 AND 2; run B in 1 AND 3; doc 4's internal
+    // repeat and doc 5 report nothing at l=8
+    val at8 = TextDedup.exactSubstringSpans(fixture, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(at8 === Set(1L, 2L, 3L))
+    // the fingerprint path at its default settings MISSES these short
+    // runs (8 shared k-grams can never reach minShared = 10) — the
+    // deterministic pass exists precisely for this
+    assert(TextDedup.substringOverlap(fixture, "doc_id", "text").count() === 0L)
+  }
 }

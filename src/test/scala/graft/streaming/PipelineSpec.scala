@@ -177,6 +177,61 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $dailyT")
   }
 
+  test("follower maintenance (maintainFromStore): respects the publish " +
+      "watermark, converges to the one-shot, and re-runs are idempotent") {
+    val (ledger, root, ckpt) = (tmp("ledger"), tmp("sink"), tmp("ckpt"))
+    val st = tmp("state")
+    val wm = tmp("wm")
+    Ledger.writeCrudScenario(ledger)
+    val dailyT = "graft_pipe_daily_fw"
+    spark.sql(s"DROP TABLE IF EXISTS $dailyT")
+    try {
+      val hooks: Seq[(org.apache.spark.sql.DataFrame, Long) => Unit] = Seq(
+        (b, id) => graft.cdc.Metrics.mergeBatchDaily(b,
+          to_date(col("timestamp")), col("eventType"), lit(0L),
+          dailyT, s"$st/daily", id))
+      // crash between data commit and marker: store rows exist on disk
+      // but nothing is PUBLISHED — the follower must touch nothing
+      val boom = new AtomicInteger(0)
+      val q1 = Pipeline.run(spark, ledger, root, ckpt,
+        failpoint = _ => if (boom.getAndIncrement() == 0)
+          throw new RuntimeException("simulated crash before marker"))
+      intercept[Exception] { q1.awaitTermination(120000) }
+      assert(Pipeline.maintainedWatermark(spark, wm) === -1L)
+      assert(Pipeline.maintainFromStore(spark, root, hooks, wm) === 0L,
+        "unpublished batches must not be maintained")
+      assert(!spark.catalog.tableExists(dailyT) ||
+        spark.table(dailyT).isEmpty)
+
+      // restart: the batch replays (identical content — deterministic
+      // replan), publishes; the follower now catches up
+      Pipeline.run(spark, ledger, root, ckpt).awaitTermination(120000)
+      assert(Pipeline.maintainFromStore(spark, root, hooks, wm) >= 1L)
+      assert(Pipeline.maintainedWatermark(spark, wm) ===
+        Pipeline.publishedBatchIds(spark, root).max)
+      val stored = Pipeline.readEventStore(spark, Pipeline.storeDir(root))
+      def daily() = graft.cdc.Metrics.dailyFromTable(spark, dailyT)
+        .select(col("day").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = stored.groupBy(to_date(col("timestamp")).as("day"),
+          col("eventType").as("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(daily() == want && want.toSeq.map(_._3).sum == 4)
+
+      // caught-up pass is a no-op
+      assert(Pipeline.maintainFromStore(spark, root, hooks, wm) === 0L)
+      // a lost follower watermark re-runs every batch as an idempotent
+      // rewrite: state unchanged
+      assert(new java.io.File(wm, "_maintained").delete())
+      assert(Pipeline.maintainFromStore(spark, root, hooks, wm) >= 1L)
+      assert(daily() == want, "watermark-loss re-run must be a rewrite")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $dailyT")
+  }
+
   test("drift monitor rides the pipeline: a Quantiles maintenance hook keeps " +
       "the histogram table, and driftFromTable across batch ranges equals the " +
       "one-shot drift — through a crash/replay") {
