@@ -320,8 +320,8 @@ object AnnIndex {
   /** The index's LIVE rows: tombstoned ids dropped via one broadcast
     * join against the delete log (absent log = the identity).
     */
-  private def liveIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexTable: String): DataFrame = {
+  private[operators] def liveIndex(spark: org.apache.spark.sql.SparkSession,
+                                   indexTable: String): DataFrame = {
     val idx = spark.table(indexTable)
     val delT = s"${indexTable}_deletes"
     if (!spark.catalog.tableExists(delT)) idx

@@ -457,6 +457,68 @@ object Curation {
       .filter(col("sim") >= minSim)
   }
 
+  /** SEMANTIC decontamination for the regime where the BENCH side is too
+    * big to broadcast raw (the union-of-every-eval-suite corpus —
+    * VERDICT r12 "What's missing" #2): [[decontaminateSemantic]]'s
+    * broadcast form is bounded by the bench frame fitting the driver;
+    * this composes the persisted IVF index (`AnnIndex.ivfIndex` built
+    * over the BENCH embeddings, label-partitioned on disk) with the
+    * decontamination contract instead.
+    *
+    * Plan, and what never happens in it: per train vector the k-row
+    * centroid table (broadcast — the ONLY broadcast of bench-derived
+    * data) ranks by cosine and the top `nprobe` labels survive through
+    * the bounded-heap `TopKStructsAgg` (map-side partials; the shuffle
+    * carries train rows once, never train × k); the probe frame then
+    * joins the index on `label` as a SHUFFLE join — the raw bench
+    * vectors are never broadcast and never leave their partitioned
+    * layout (spec-asserted on the executed plan). Exact cosines confirm
+    * inside the probed partitions with the IDENTICAL IEEE chain as the
+    * broadcast form, so `nprobe >= k` (full probe) reproduces
+    * [[decontaminateSemantic]] EXACTLY — the `emb_decontaminate_ann`
+    * gate runs full-probe against the brute-force oracle, and the
+    * pruned regime's recall is spec-pinned on a planted paraphrase set.
+    *
+    * Each bench vector lives in exactly one label partition, so a
+    * (train, bench) pair is emitted at most once. Zero-norm vectors are
+    * dropped on both sides (the [[decontaminateSemantic]] contract);
+    * tombstoned index rows never surface (`AnnIndex.liveIndex`).
+    */
+  def decontaminateSemanticAnn(train: DataFrame, idCol: String,
+                               vecCol: String, benchIndexTable: String,
+                               minSim: Double, nprobe: Int): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    require(minSim > 0.0, s"minSim must be positive, got $minSim " +
+      "(the decontaminateSemantic contract)")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = train.sparkSession
+    val cents = broadcast(spark.table(s"${benchIndexTable}_centroids")
+      .select(col("label"), col("centroid")))
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("tn"))
+      .filter(col("tn") > 0.0)
+    val probed = t.join(cents)
+      .select(col("train_id"), col("tv"), col("tn"),
+        col("label").cast("long").as("label"),
+        VectorMath.cosine(col("centroid"), col("tv")).as("csim"))
+      .groupBy(col("train_id"))
+      .agg(graft.functions.TopK.topk_structs(col("csim"), col("label"),
+          nprobe).as("_pl"),
+        first(col("tv")).as("tv"), first(col("tn")).as("tn"))
+      .select(col("train_id"), col("tv"), col("tn"),
+        explode(col("_pl")).as("_p"))
+      .select(col("train_id"), col("tv"), col("tn"),
+        col("_p.payload").cast("int").as("label"))
+    val bench = AnnIndex.liveIndex(spark, benchIndexTable)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"), col("label"))
+      .withColumn("bn", sqrt(vec_dot(col("bv"), col("bv"))))
+      .filter(col("bn") > 0.0)
+    probed.join(bench, Seq("label")) // shuffle join: bench NEVER broadcast
+      .select(col("train_id"), col("bench_id"),
+        (vec_dot(col("tv"), col("bv")) / (col("tn") * col("bn"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Decontamination for the regime where the benchmark side is TOO BIG to
     * broadcast raw (union of every eval suite + contamination corpus at
     * 100 TB scale): same result as `decontaminate`, different plan. A Bloom

@@ -633,6 +633,44 @@ object Corpus {
     // fixture's planted near-dups straddle the split, so hits are
     // nonzero at both gate scales). Bench broadcasts, one train scan,
     // raw-double threshold, round-6 output.
+    // ANN-backed semantic decontamination
+    // (Curation.decontaminateSemanticAnn): the bench side is a PERSISTED
+    // IVF index (AnnIndex.ivfIndex over the bench slice, remapped to
+    // dense ids for the strided k-means init), the train side probes
+    // centroids through the bounded-heap top-k and confirms exact
+    // cosines inside the probed label partitions via a SHUFFLE join —
+    // the raw bench vectors are never broadcast (spec-asserted). Run at
+    // FULL probe (nprobe = k = 8) the output is the brute-force
+    // emb_decontaminate EXACTLY, so this gate reuses its oracle; the
+    // pruned-nprobe recall is pinned in CurationSpec on a planted
+    // paraphrase set.
+    "emb_decontaminate_ann" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val bench = e.filter($"vec_id" % 20 === 0)
+        .select(($"vec_id" / 20).cast("long").as("vec_id"), $"embedding")
+      val train = e.filter($"vec_id" % 20 =!= 0)
+        .select($"vec_id", $"embedding")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_annd_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_annd_$salt")
+        .toString
+      try {
+        graft.operators.AnnIndex.ivfIndex(bench, "vec_id", "embedding",
+          k = 8, table, s"$tmp/idx")
+        graft.operators.Curation.decontaminateSemanticAnn(train, "vec_id",
+            "embedding", table, minSim = 0.45, nprobe = 8)
+          .select($"train_id", ($"bench_id" * 20).as("bench_id"),
+            round($"sim", 6).as("sim"))
+          .orderBy($"train_id", $"bench_id")
+          .localCheckpoint(true)
+      } finally {
+        Seq(table, s"${table}_centroids").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     "emb_decontaminate" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
@@ -1660,6 +1698,21 @@ object Corpus {
         |       ELSE 'unknown' END AS format,
         |  octet_length(bin) AS n_bytes, digest
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // full probe = exact: the ANN composition answers with the
+    // brute-force cross cosine verbatim, so its oracle IS that replay
+    "emb_decontaminate_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings
+        |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                  CAST(embedding AS DOUBLE[])) > 0),
+        |t AS (SELECT vec_id, v FROM e WHERE vec_id % 20 != 0),
+        |b AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+        |p AS (SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+        |        list_cosine_similarity(t.v, b.v) AS s
+        |      FROM t, b)
+        |SELECT train_id, bench_id, round(s, 6) AS sim
+        |FROM p WHERE s >= 0.45 ORDER BY train_id, bench_id""".stripMargin,
 
     "emb_decontaminate" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v

@@ -588,6 +588,72 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateSemanticAnn: full probe equals the broadcast form " +
+      "bit-exactly; planted paraphrases survive pruned probes at full " +
+      "recall; the bench vectors are never broadcast") {
+    import spark.implicits._
+    // bench: 8 well-separated direction vectors (dense 0-based ids for
+    // the strided k-means init); train: one near-paraphrase per bench
+    // vector (tiny per-dim jitter) + 24 unrelated vectors
+    def unit(dir: Int): Seq[Float] =
+      Seq.tabulate(16)(i => if (i == dir * 2) 10f else (i % 3 - 1) * 0.1f)
+    val bench = (0 until 8).map(d => (d.toLong, unit(d))).toDF("vec_id", "embedding")
+    val train = ((0 until 8).map(d =>
+      (100L + d, unit(d).updated(1, 0.3f))) ++
+      (0 until 24).map(j => (200L + j,
+        Seq.tabulate(16)(i => ((i * 7 + j * 13) % 11 - 5).toFloat))))
+      .toDF("vec_id", "embedding")
+    val table = "graft_annd_spec"
+    Seq(table, s"${table}_centroids").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val tmp = java.nio.file.Files.createTempDirectory("anndspec").toString
+    val bkey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldB = spark.conf.get(bkey)
+    try {
+      AnnIndex.ivfIndex(bench, "vec_id", "embedding", k = 4,
+        table, s"$tmp/idx")
+      spark.conf.set(bkey, "-1") // broadcasts must be CHOSEN, not AQE
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      val brute = pairs(Curation.decontaminateSemantic(train, bench,
+        "vec_id", "embedding", minSim = 0.9))
+      // full probe (nprobe = k): bit-exact equality with the broadcast form
+      val full = Curation.decontaminateSemanticAnn(train, "vec_id",
+        "embedding", table, minSim = 0.9, nprobe = 4)
+      assert(pairs(full) === brute)
+      assert(brute.nonEmpty && brute.map(t => (t._1, t._2)) ===
+        (0 until 8).map(d => (100L + d, d.toLong)).toSet)
+      // pruned probe: every planted paraphrase still found (its nearest
+      // centroid is its twin's centroid) — full recall at nprobe 1
+      val pruned = Curation.decontaminateSemanticAnn(train, "vec_id",
+        "embedding", table, minSim = 0.9, nprobe = 1)
+      assert(pairs(pruned) === brute, "recall@nprobe=1 on the plant")
+      // plan: the index join is a SHUFFLE join; no broadcast subtree
+      // carries the bench vectors (only the k-row centroid frame and the
+      // probe frame broadcast)
+      val plan = full.queryExecution.executedPlan
+      val bcastCols = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.output.map(_.name)
+      }.flatten
+      assert(!bcastCols.contains("bv") && !bcastCols.contains("bench_id"),
+        s"bench vectors must never broadcast, saw: $bcastCols")
+      assert(plan.toString.contains("SortMergeJoin") ||
+        plan.toString.contains("ShuffledHashJoin"),
+        "the label join must shuffle")
+      intercept[IllegalArgumentException] {
+        Curation.decontaminateSemanticAnn(train, "vec_id", "embedding",
+          table, minSim = 0.9, nprobe = 0)
+      }
+    } finally {
+      spark.conf.set(bkey, oldB)
+      Seq(table, s"${table}_centroids").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("decontaminateSemantic drops zero-norm vectors instead of " +
       "emitting NaN pairs (ADVICE r12)") {
     import spark.implicits._
