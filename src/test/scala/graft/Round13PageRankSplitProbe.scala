@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 re-land of the sf1 warm-start PageRank measurement, SPLIT
+  * and steal-stamped (VERDICT r12 ask #5: the committed r12 leg ran the
+  * whole two-build gate workflow in one number — min 14.4 / med 22.0 /
+  * max 27.0 s — so the warm-start win lived beside the artifact, not in
+  * it). Three phases, each END-TO-END (edge-frame build included, the
+  * production call shape), 3 runs each:
+  *
+  *   - `cold1`   — pageRank(G, 1): build + one iteration;
+  *   - `cold3`   — pageRank(G, 3): build + three iterations (the cold
+  *     daily refresh);
+  *   - `resume1` — pageRankResume(G, prior, 1) from a PERSISTED rank
+  *     parquet (cold3's output, written once, untimed): build + one
+  *     warm iteration. By resume telescoping its result ≡ cold4's, so
+  *     resume1 vs cold3 compares time-to-BETTER-converged.
+  *
+  * Derived in the artifact: iteration_s ≈ (cold3 − cold1)/2,
+  * build_s ≈ cold1 − iteration_s, resume1/cold3 (the warm-start ratio),
+  * per-phase min/median/max with the < 1.5× spread requirement and
+  * per-phase steal stamping (clean = every phase steal-clean AND every
+  * spread < 1.5).
+  *
+  * Usage: Test/runMain graft.Round13PageRankSplitProbe [sfDir]
+  */
+object Round13PageRankSplitProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/bench_scale/sf1")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def stealTicks(): Long =
+      scala.util.Try(scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(0L)).getOrElse(0L)
+
+    // the q16 trade graph at sf1 — REBUILT inside every timed run (the
+    // production call includes its own graphFrames materialization)
+    def edges() = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("pr_split").toString
+
+    // prior ranks: cold3's fixed-ish point, persisted ONCE (untimed)
+    graft.operators.PageRank.pageRank(edges(), "src", "dst", 3)
+      .write.mode("overwrite").parquet(s"$tmp/prior")
+    val prior = () => spark.read.parquet(s"$tmp/prior")
+
+    def phase(name: String)(body: => Long): Map[String, Any] = {
+      // warmup once (codegen/JIT), then 3 timed runs
+      body
+      val runs = (1 to 3).map { _ =>
+        val st0 = stealTicks()
+        val t0 = System.nanoTime()
+        val rows = body
+        val s = (System.nanoTime() - t0) / 1e9
+        val steal = (stealTicks() - st0) / 100.0
+        (s, steal, rows)
+      }
+      val times = runs.map(_._1).sorted
+      val steal = runs.map(_._2).sum
+      val spread = times.last / times.head
+      val dirty = steal > math.max(0.5, 0.01 * times.sum) || spread >= 1.5
+      println(f"PRSPLIT $name%-8s med=${times(1)}%6.2fs min=${times.head}%6.2f " +
+        f"max=${times.last}%6.2f spread=$spread%4.2f steal=$steal%5.2fs " +
+        f"rows=${runs.head._3} dirty=$dirty")
+      Map("median_s" -> f"${times(1)}%.2f".toDouble,
+        "min_s" -> f"${times.head}%.2f".toDouble,
+        "max_s" -> f"${times.last}%.2f".toDouble,
+        "spread" -> f"$spread%.2f".toDouble,
+        "steal_s" -> f"$steal%.2f".toDouble,
+        "rows" -> runs.head._3, "dirty" -> dirty)
+    }
+
+    val cold1 = phase("cold1") {
+      graft.operators.PageRank.pageRank(edges(), "src", "dst", 1).count()
+    }
+    val cold3 = phase("cold3") {
+      graft.operators.PageRank.pageRank(edges(), "src", "dst", 3).count()
+    }
+    val resume1 = phase("resume1") {
+      graft.operators.PageRank.pageRankResume(edges(), "src", "dst",
+        prior(), 1).count()
+    }
+
+    val iterS = (cold3("median_s").asInstanceOf[Double] -
+      cold1("median_s").asInstanceOf[Double]) / 2.0
+    val buildS = cold1("median_s").asInstanceOf[Double] - iterS
+    val ratio = resume1("median_s").asInstanceOf[Double] /
+      cold3("median_s").asInstanceOf[Double]
+    val contaminated = Seq(cold1, cold3, resume1)
+      .exists(_("dirty").asInstanceOf[Boolean])
+    println(f"PRSPLIT derived: build=$buildS%.2fs iteration=$iterS%.2fs " +
+      f"resume1/cold3=$ratio%.2f contaminated=$contaminated")
+
+    def j(m: Map[String, Any]): String =
+      m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val json = "{" +
+      s""""probe":"Round13PageRankSplitProbe","sf_dir":"$dir",""" +
+      s""""contaminated":$contaminated,""" +
+      s""""cold1":${j(cold1)},"cold3":${j(cold3)},"resume1":${j(resume1)},""" +
+      f""""derived":{"build_s":$buildS%.2f,"iteration_s":$iterS%.2f,""" +
+      f""""resume1_vs_cold3":$ratio%.2f}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      "bench/pagerank_split_r13.json"), json.getBytes)
+    println("PRSPLIT artifact -> bench/pagerank_split_r13.json")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    spark.stop()
+  }
+}

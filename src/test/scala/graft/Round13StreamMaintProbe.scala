@@ -40,6 +40,16 @@ object Round13StreamMaintProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // hypervisor steal self-stamping (the Bench discipline): each config
+    // records its steal seconds; any config over 1% of its wall (floor
+    // 0.5 s) marks the artifact contaminated — hunt a quiet window
+    // (tools/maint_hunt_r13.sh) instead of trusting one run
+    def stealTicks(): Long =
+      scala.util.Try(scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(0L)).getOrElse(0L)
+    var anyContaminated = false
+
     var id = 0
     def writeLedger(): String = {
       val ledger = Files.createTempDirectory("maint_ledger").toString
@@ -105,6 +115,7 @@ object Round13StreamMaintProbe {
       // wall-clock publish-marker stamp per batch (fires right after the
       // marker create — the instant the batch became consumer-visible)
       val publishedAt = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val steal0 = stealTicks()
       val t0 = System.nanoTime()
       val q = graft.streaming.Pipeline.run(spark, l, r, c,
         maxFilesPerTrigger = Some(mft),
@@ -145,10 +156,13 @@ object Round13StreamMaintProbe {
         f"batches=${progress.size}")
       println("MAINT   phases(ms): " + phases.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"$k=$v" }.mkString(" "))
+      val stealS = (stealTicks() - steal0) / 100.0
+      val dirty = stealS > math.max(0.5, 0.01 * wall)
+      anyContaminated ||= dirty
       results(name) = Map("wall_s" -> f"$wall%.1f".toDouble,
         "whole_ev_s" -> (events / wall).round, "sustained_ev_s" -> sustained.round,
         "p95_batch_ms" -> p95(measured), "p95_publish_ms" -> p95(pubLat),
-        "batches" -> progress.size,
+        "batches" -> progress.size, "steal_s" -> f"$stealS%.2f".toDouble,
         "phases_ms" -> phases.toSeq.sortBy(-_._2))
       if (nHooks > 0) dropTables(salt)
     }
@@ -172,6 +186,7 @@ object Round13StreamMaintProbe {
       val fSession = spark.newSession()
       graft.operators.BatchTables.pinDynamicOverwrite(fSession)
       val publishedAt = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val steal0 = stealTicks()
       val t0 = System.nanoTime()
       @volatile var mainDone = false
       val follower = new Thread(() => {
@@ -226,13 +241,16 @@ object Round13StreamMaintProbe {
         f"sustainedPerBatch=$sustained%6.0f ev/s " +
         f"p95BatchMs=${p95(measured)}%5d p95PublishMs=${p95(pubLat)}%5d " +
         f"batches=${progress.size}")
+      val stealS = (stealTicks() - steal0) / 100.0
+      val dirty = stealS > math.max(0.5, 0.01 * wall)
+      anyContaminated ||= dirty
       results(name) = Map("wall_s" -> f"$wall%.1f".toDouble,
         "main_wall_s" -> f"$mainWall%.1f".toDouble,
         "published_ev_s" -> (events / mainWall).round,
         "maintained_ev_s" -> (events / wall).round,
         "sustained_ev_s" -> sustained.round,
         "p95_batch_ms" -> p95(measured), "p95_publish_ms" -> p95(pubLat),
-        "batches" -> progress.size)
+        "batches" -> progress.size, "steal_s" -> f"$stealS%.2f".toDouble)
       dropTables(salt)
     }
 
@@ -249,6 +267,7 @@ object Round13StreamMaintProbe {
     val json = "{" +
       s""""probe":"Round13StreamMaintProbe","segments":$nSegs,""" +
       s""""per_segment":$perSeg,"mft":$mft,""" +
+      s""""contaminated":$anyContaminated,""" +
       s""""order":"publish-first, maintenance trailing",""" +
       s""""hooks":["scd_latest","daily_metrics","histogram","hll","dq_suite"],""" +
       results.map { case (k, v) => s""""$k":${j(v)}""" }.mkString(",") + "}"
