@@ -684,6 +684,64 @@ object TextDedup {
     * while the oracle joins raw gram strings (the decontaminate
     * discipline — a collision would surface as a gate mismatch).
     */
+  /** The REMOVAL step over [[exactSubstringSpans]]' detection — Lee et
+    * al.'s "remove all but one occurrence": for each cross-doc
+    * duplicated L-gram the CANONICAL holder is the minimum doc_id among
+    * the docs containing it; every other doc's occurrence positions are
+    * removed, the canonical copy survives. Output per input doc:
+    * (doc_id, clean_text, n_tokens, n_removed) — docs losing every
+    * token keep an empty clean_text row (total function of the corpus).
+    *
+    * Per-gram canonical keep (not per-merged-span): a span merged from
+    * grams with DIFFERENT canonical holders removes exactly the
+    * positions whose own gram is non-canonical — deterministic,
+    * SQL-replayable, and never deletes the last copy of any gram.
+    * Within-doc repeats in the canonical doc survive (cross-doc
+    * contract, same as the detector).
+    *
+    * Shape: the detector's positional-hash scan + one keeper aggregate,
+    * position-explode of removable windows (×L — bounded by the
+    * duplicated volume, not the corpus), one anti-join on (doc, pos),
+    * and a per-doc ordered re-assembly (collect_list + sort — per-doc
+    * work, partition-parallel).
+    */
+  def exactSubstringDedupText(docs: DataFrame, idCol: String,
+                              textCol: String, l: Int): DataFrame = {
+    require(l >= 2, s"span gram length must be >= 2 tokens, got $l")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.ShingleHash
+          .positional_shingle_hashes(col(textCol), l)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("gh"))
+      .localCheckpoint(true)
+    val keepers = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("nd") > 1)
+      .select(col("gh"), col("keeper"))
+    val covered = grams.join(keepers, Seq("gh"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + l - 1)).as("pos"))
+      .distinct()
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
                           l: Int): DataFrame = {
     require(l >= 2, s"span gram length must be >= 2 tokens, got $l")

@@ -782,6 +782,19 @@ object Corpus {
         .orderBy($"doc_id", $"span_start")
     }),
 
+    // the REMOVAL step (TextDedup.exactSubstringDedupText, Lee et al.):
+    // per duplicated 8-gram the min-doc_id holder keeps its copy, every
+    // other doc's occurrence positions are deleted and the text
+    // reassembled — a total function of the corpus (unaffected docs
+    // pass through verbatim, fully-removed docs keep an empty row).
+    // 24 / 244 docs lose tokens at sf0.01 / sf0.1 (probed first).
+    "doc_substring_clean" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextDedup.exactSubstringDedupText(
+          Tables(s, dir, "documents"), "doc_id", "text", l = 8)
+        .orderBy($"doc_id")
+    }),
+
     // BM25 as MAINTAINED state (TextAnalysis.bm25MergeBatch /
     // bm25FromState): the corpus arrives in three delta batches split
     // on md5 parity (never doc_id parity — the fixture trap), each
@@ -1862,6 +1875,33 @@ object Corpus {
         |  (max(i) + 7 - min(i) + 1)::BIGINT AS n_tokens
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // raw-gram keeper election + position coverage + ordered reassembly
+    // (string_agg ORDER BY pos == the engine's sorted collect_list)
+    "doc_substring_clean" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(w[i+1:i+8], ' ') AS gram
+        |      FROM (SELECT doc_id, w, unnest(range(len(w) - 8 + 1)) AS i
+        |            FROM b WHERE len(w) >= 8)),
+        |k AS (SELECT gram, min(doc_id) AS keeper FROM g GROUP BY gram
+        |      HAVING count(DISTINCT doc_id) > 1),
+        |r AS (SELECT g.doc_id, g.i FROM g JOIN k USING (gram)
+        |      WHERE g.doc_id != k.keeper),
+        |cov AS (SELECT DISTINCT doc_id, i + u AS pos
+        |        FROM r, range(8) AS t(u)),
+        |tok AS (SELECT doc_id, i AS pos, w[i+1] AS tok
+        |        FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM b)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+        |          AS clean_text, count(*)::BIGINT AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  len(b.w)::BIGINT AS n_tokens,
+        |  (len(b.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+        |FROM b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     // the maintained-state score must equal the one-shot VERBATIM, so
     // its oracle IS the one-shot replay (same SQL as doc_bm25_topk) —

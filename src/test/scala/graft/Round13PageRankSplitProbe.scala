@@ -54,27 +54,39 @@ object Round13PageRankSplitProbe {
     val prior = () => spark.read.parquet(s"$tmp/prior")
 
     def phase(name: String)(body: => Long): Map[String, Any] = {
-      // warmup once (codegen/JIT), then 3 timed runs
-      body
-      val runs = (1 to 3).map { _ =>
+      // two warmups (fresh-JVM JIT/codegen spikes survive a single one —
+      // measured spreads up to 2.5× on the first timed run), then 5
+      // timed runs; the spread requirement applies to the TRIMMED middle
+      // three (one outlier each side — a single in-JVM GC spike is not
+      // host steal), with the full min/max still reported
+      // System.gc() between runs lets the ContextCleaner release the
+      // prior run's localCheckpoint blocks — without it every run's
+      // edge/rank checkpoint RDDs accumulate in the BlockManager and
+      // later phases measure memory pressure, not the operator
+      def cooled(): Long = {
+        val r = body; System.gc(); Thread.sleep(300); r
+      }
+      cooled(); cooled()
+      val runs = (1 to 5).map { _ =>
         val st0 = stealTicks()
         val t0 = System.nanoTime()
         val rows = body
         val s = (System.nanoTime() - t0) / 1e9
         val steal = (stealTicks() - st0) / 100.0
+        System.gc(); Thread.sleep(300)
         (s, steal, rows)
       }
       val times = runs.map(_._1).sorted
       val steal = runs.map(_._2).sum
-      val spread = times.last / times.head
+      val spread = times(3) / times(1) // trimmed middle three
       val dirty = steal > math.max(0.5, 0.01 * times.sum) || spread >= 1.5
-      println(f"PRSPLIT $name%-8s med=${times(1)}%6.2fs min=${times.head}%6.2f " +
-        f"max=${times.last}%6.2f spread=$spread%4.2f steal=$steal%5.2fs " +
+      println(f"PRSPLIT $name%-8s med=${times(2)}%6.2fs min=${times.head}%6.2f " +
+        f"max=${times.last}%6.2f trimmedSpread=$spread%4.2f steal=$steal%5.2fs " +
         f"rows=${runs.head._3} dirty=$dirty")
-      Map("median_s" -> f"${times(1)}%.2f".toDouble,
+      Map("median_s" -> f"${times(2)}%.2f".toDouble,
         "min_s" -> f"${times.head}%.2f".toDouble,
         "max_s" -> f"${times.last}%.2f".toDouble,
-        "spread" -> f"$spread%.2f".toDouble,
+        "trimmed_spread" -> f"$spread%.2f".toDouble,
         "steal_s" -> f"$steal%.2f".toDouble,
         "rows" -> runs.head._3, "dirty" -> dirty)
     }

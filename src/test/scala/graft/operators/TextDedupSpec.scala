@@ -768,5 +768,27 @@ class TextDedupSpec extends AnyFunSuite {
     // runs (8 shared k-grams can never reach minShared = 10) — the
     // deterministic pass exists precisely for this
     assert(TextDedup.substringOverlap(fixture, "doc_id", "text").count() === 0L)
+
+    // REMOVAL: the min-doc_id holder keeps its copy; every other doc
+    // loses exactly the duplicated positions; unaffected docs pass
+    // through verbatim
+    val original = fixtureSeq.toMap
+    val cleaned = TextDedup.exactSubstringDedupText(fixture, "doc_id",
+        "text", 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cleaned.keySet === original.keySet, "total function of the corpus")
+    // doc 1 is the canonical holder of BOTH runs: untouched
+    assert(cleaned(1L)._1 === original(1L) && cleaned(1L)._3 === 0L)
+    // doc 2 loses exactly run A's 8 tokens; doc 3 exactly run B's
+    assert(cleaned(2L)._1 === s"${soup("c", 15)} ${soup("d", 9)}")
+    assert(cleaned(2L)._3 === 8L)
+    assert(cleaned(3L)._1 === soup("e", 20) && cleaned(3L)._3 === 8L)
+    // within-doc repeats in an otherwise-unique doc survive
+    assert(cleaned(4L)._1 === original(4L) && cleaned(4L)._3 === 0L)
+    assert(cleaned(5L)._1 === original(5L))
+    // token accounting: n_tokens is the ORIGINAL length
+    assert(cleaned(2L)._2 === original(2L).split(" ", -1).length.toLong)
   }
 }
