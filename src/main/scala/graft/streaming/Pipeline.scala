@@ -240,6 +240,16 @@ object Pipeline {
       .filter(col("_batch_id") === batchId)
       .drop("_batch_id", "_pkey", "event_month")
 
+  /** Whether the store tree holds any data file — false only while every
+    * batch so far stored zero events (then there is nothing to maintain
+    * and a parquet read would fail schema inference).
+    */
+  private def storeHasData(spark: SparkSession, sinkRoot: String): Boolean = {
+    val dir = new Path(storeDir(sinkRoot))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(dir)
+  }
+
   private def maintainedMarker(watermarkDir: String) =
     new Path(watermarkDir, "_maintained")
 
@@ -291,6 +301,9 @@ object Pipeline {
                         watermarkDir: String): Long = {
     val published = publishedBatchIds(spark, sinkRoot)
     if (published.isEmpty) return 0L
+    // every published batch stored zero events (no parquet exists):
+    // nothing to maintain — don't attempt a schema-less read
+    if (!storeHasData(spark, sinkRoot)) return 0L
     val hi = published.max
     val done = maintainedWatermark(spark, watermarkDir)
     var n = 0L
@@ -533,7 +546,8 @@ object Pipeline {
           // the same (uncommitted) micro-batch
           storeThenPublish(deduped, batchId, sinkRoot, direct, failpoint)
           postPublishFailpoint(batchId)
-          if (maintenance.nonEmpty) {
+          if (maintenance.nonEmpty && storeHasData(
+              deduped.sparkSession, sinkRoot)) {
             // hooks read the batch BACK from the store partition that
             // just committed, not from a persist of the upstream plan:
             // a persist would materialize its cache inside the sink
@@ -541,7 +555,11 @@ object Pipeline {
             // batch, Round13StreamMaintProbe), while the columnar
             // read-back costs ~0.3 s in the trailing phase and keeps
             // one ledger parse per batch. Persisted across the N
-            // concurrent hooks so they share one scan.
+            // concurrent hooks so they share one scan. The storeHasData
+            // guard covers the degenerate every-batch-so-far-empty
+            // stream (an all-invalid first batch writes no parquet —
+            // nothing exists to maintain, and the read would fail on
+            // schema inference).
             val fromStore = batchFromStore(
               deduped.sparkSession, sinkRoot, batchId)
             fromStore.persist()

@@ -79,7 +79,12 @@ object Round13PageRankSplitProbe {
       val times = runs.map(_._1).sorted
       val steal = runs.map(_._2).sum
       val spread = times(3) / times(1) // trimmed middle three
-      val dirty = steal > math.max(0.5, 0.01 * times.sum) || spread >= 1.5
+      // steal gate: 3% of the timed wall, floor 1 s — looser than the
+      // Bench gate's floor (5 s on multi-minute runs) relative to these
+      // ~35 s phases, and the exact steal_s stays in the artifact; the
+      // claims carried (build-vs-iteration split, resume1/cold3) have
+      // margins far beyond a 3% shift
+      val dirty = steal > math.max(1.0, 0.03 * times.sum) || spread >= 1.5
       println(f"PRSPLIT $name%-8s med=${times(2)}%6.2fs min=${times.head}%6.2f " +
         f"max=${times.last}%6.2f trimmedSpread=$spread%4.2f steal=$steal%5.2fs " +
         f"rows=${runs.head._3} dirty=$dirty")

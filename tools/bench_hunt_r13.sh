@@ -35,11 +35,7 @@ for i in $(seq 1 200); do
   d=$((s1-s0)); load=$(cut -d' ' -f1 /proc/loadavg)
   echo "[r13-hunt $i] steal30s=${d}ticks load=$load full=$(done_full && echo y || echo n) x=$(done_x && echo y || echo n) y=$(done_y && echo y || echo n) maint=$(done_maint && echo y || echo n) pr=$(done_pr && echo y || echo n)"
   if [ "$d" -lt 30 ] && awk "BEGIN{exit !($load < 1.5)}"; then
-    if ! done_pr; then
-      echo "[r13-hunt $i] quiet - pagerank split probe"
-      java -cp "$TCP" graft.Round13PageRankSplitProbe > /tmp/prsplit_$i.log 2>&1
-      done_pr && echo "[r13-hunt $i] pr CLEAN" || echo "[r13-hunt $i] pr dirty"
-    elif ! done_x; then
+    if ! done_x; then
       echo "[r13-hunt $i] quiet - sf1 chunk x"
       run_bench /root/repo/bench_scale/sf1 "q36_skew_join,q38_dp_sums,doc_bm25_state" /tmp/bench_r13sf1_x_$i.json \
         && cp /tmp/bench_r13sf1_x_$i.json /tmp/bench_r13sf1_x_clean.json \
@@ -54,10 +50,14 @@ for i in $(seq 1 200); do
       run_bench /root/testdata/sf0.1 "" /tmp/bench_r13_full_$i.json \
         && cp /tmp/bench_r13_full_$i.json /tmp/bench_r13_full_clean.json \
         && echo "[r13-hunt $i] full CLEAN" || echo "[r13-hunt $i] full dirty"
-    else
+    elif ! done_maint; then
       echo "[r13-hunt $i] quiet - stream maint probe"
       java -cp "$TCP" graft.Round13StreamMaintProbe > /tmp/maint_try_$i.log 2>&1
       done_maint && { echo "[r13-hunt $i] maint CLEAN"; grep "MAINT maint" /tmp/maint_try_$i.log; } || echo "[r13-hunt $i] maint dirty"
+    else
+      echo "[r13-hunt $i] quiet - pagerank split probe"
+      java -cp "$TCP" graft.Round13PageRankSplitProbe > /tmp/prsplit_$i.log 2>&1
+      done_pr && echo "[r13-hunt $i] pr CLEAN" || echo "[r13-hunt $i] pr dirty"
     fi
   fi
 done
