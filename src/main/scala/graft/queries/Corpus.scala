@@ -692,6 +692,37 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // DSIR importance weights (operators.Dsir): log p_target/p_raw per
+    // raw document under add-one-smoothed hashed unigram+bigram models
+    // (4096 md5 buckets), target = the src0–src3 slice. Counts are exact
+    // BIGINTs; the per-doc Σ m·log-ratio is the ln class → round-6.
+    "doc_dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val target = docs
+        .filter($"source".isin("src0", "src1", "src2", "src3"))
+      graft.operators.Dsir
+        .importanceWeights(docs, "doc_id", "text", target, "text")
+        .orderBy($"doc_id")
+    }),
+
+    // DSIR importance RESAMPLING: Gumbel top-64 over key =
+    // round(logw − ln(−ln(u)), 6) with the md5-hex52 keyed uniform —
+    // sampling without replacement ∝ exp(logw) through the bounded-heap
+    // TopK (no global sort); the rounded key makes the oracle's
+    // row_number() ORDER BY key DESC, doc_id ASC replay the selection.
+    "doc_dsir_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val target = docs
+        .filter($"source".isin("src0", "src1", "src2", "src3"))
+      val wts = graft.operators.Dsir
+        .importanceWeights(docs, "doc_id", "text", target, "text")
+      graft.operators.Dsir
+        .resample(wts, "doc_id", "logw", k = 64, seed = "dsir-13")
+        .orderBy($"rnk")
+    }),
+
     // Quality DECILE binning the scale-correct way: exact interpolated
     // percentile boundaries from ONE distributed aggregate, broadcast,
     // then scan-side bin assignment — no global-sort ntile window (which
@@ -1006,6 +1037,36 @@ object Corpus {
         .limit(10)
     }),
   )
+
+  /** Shared DSIR weights replay chain (doc_dsir_weights +
+    * doc_dsir_sample): hashed-gram bucket counts over the raw corpus and
+    * the src0–src3 target slice, add-one smoothed log-ratio per bucket,
+    * per-doc Σ m·log-ratio rounded to 6. Mirrors
+    * Dsir.importanceWeights(buckets = 4096) exactly.
+    */
+  private val dsirWeightsCtes: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w
+      |           FROM documents),
+      |g AS (SELECT doc_id, source, unnest(w) AS gram FROM t
+      |      UNION ALL
+      |      SELECT doc_id, source, unnest(list_transform(range(1, len(w)),
+      |        i -> w[i] || ' ' || w[i + 1])) AS gram FROM t),
+      |gb AS (SELECT doc_id, source,
+      |         ('0x' || substring(md5(gram), 1, 8))::BIGINT % 4096 AS b
+      |       FROM g),
+      |db AS (SELECT doc_id, b, count(*)::BIGINT AS m FROM gb GROUP BY ALL),
+      |cr AS (SELECT b, count(*)::BIGINT AS cr FROM gb GROUP BY b),
+      |ct AS (SELECT b, count(*)::BIGINT AS ct FROM gb
+      |       WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY b),
+      |st AS (SELECT cr.b, cr.cr, coalesce(ct.ct, 0)::BIGINT AS ct
+      |       FROM cr LEFT JOIN ct USING (b)),
+      |tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM st),
+      |s AS (SELECT db.doc_id, sum(db.m)::BIGINT AS n_grams,
+      |        round(sum(db.m::DOUBLE
+      |          * (ln((st.ct + 1.0) / (tot.nt + 4096.0))
+      |            - ln((st.cr + 1.0) / (tot.nr + 4096.0)))), 6) AS logw
+      |      FROM db JOIN st USING (b) CROSS JOIN tot
+      |      GROUP BY db.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // embedding drift replay: identical 2^24 quantization, HUGEINT exact
@@ -2069,6 +2130,30 @@ object Corpus {
         |  coalesce(round(exp(-s.logp / s.n_bigrams), 4), 0.0) AS ppl
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR weights replay: unigram+bigram explode → md5-hex8 buckets →
+    // exact BIGINT count tables (raw + target slice) → the one fixed
+    // IEEE log-ratio, summed per doc and rounded to 6 (ln class)
+    "doc_dsir_weights" ->
+      s"""${dsirWeightsCtes}
+         |SELECT doc_id, n_grams, logw FROM s ORDER BY doc_id""".stripMargin,
+
+    // the resample replay: same weights chain, the md5-hex52 keyed
+    // uniform per doc, key = round(logw - ln(-ln(u)), 6), then
+    // row_number() over (key DESC, doc_id ASC) <= 64 — the exact total
+    // order TopKStructsAgg implements
+    "doc_dsir_sample" ->
+      s"""${dsirWeightsCtes},
+         |u AS (SELECT doc_id, logw,
+         |        (('0x' || substring(md5('dsir-13' || doc_id::VARCHAR),
+         |           1, 13))::BIGINT::DOUBLE + 0.5)
+         |          / 4503599627370496.0 AS u
+         |      FROM s),
+         |k AS (SELECT doc_id, round(logw - ln(-ln(u)), 6) AS gkey FROM u),
+         |r AS (SELECT doc_id, gkey, row_number()
+         |        OVER (ORDER BY gkey DESC, doc_id ASC) AS rnk FROM k)
+         |SELECT rnk::BIGINT AS rnk, doc_id, gkey FROM r
+         |WHERE rnk <= 64 ORDER BY rnk""".stripMargin,
 
     // SemDeDup replay: strided init (c0), one Lloyd refinement (a1 + c1),
     // final assignment (a2) — identical recipe to the knn_kmeans_ivf

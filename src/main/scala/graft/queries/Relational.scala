@@ -502,6 +502,50 @@ object Relational {
         .orderBy($"l_returnflag")
     }),
 
+    // weighted shortest paths (Components.sssp): the q37 tripartite
+    // graph with a deterministic integer weight 1 + (a+b) % 7 on every
+    // canonical edge (same weight both directions of the symmetrized
+    // pair). Delta-frontier Bellman-Ford; distances are exact LONG sums,
+    // so the unrolled oracle replays bit-for-bit. Fixpoint at round 13 /
+    // 15 at sf0.01 / sf0.1 (DuckDB-probed BEFORE the gate was declared);
+    // the oracle unrolls 18 rounds with a count+sum fixpoint assert.
+    "q39_sssp" -> ((s, dir) => {
+      import s.implicits._
+      val co = Tables(s, dir, "orders")
+        .select(($"o_custkey".cast("long") * 3).as("a"),
+          ($"o_orderkey".cast("long") * 3 + 1).as("b"))
+      val op = Tables(s, dir, "lineitem")
+        .filter($"l_partkey" % 5 === 0)
+        .select(($"l_orderkey".cast("long") * 3 + 1).as("a"),
+          ($"l_partkey".cast("long") * 3 + 2).as("b"))
+      val ce = co.union(op).distinct()
+        .select($"a", $"b", (lit(1L) + ($"a" + $"b") % 7).as("w"))
+      val sym = ce.select($"a".as("src"), $"b".as("dst"), $"w")
+        .union(ce.select($"b".as("src"), $"a".as("dst"), $"w"))
+      val seeds = Tables(s, dir, "customer")
+        .filter($"c_nationkey" === 7 && $"c_custkey" % 50 === 3)
+        .select(($"c_custkey".cast("long") * 3).as("node"))
+      graft.operators.Components.sssp(sym, "src", "dst", "w", seeds, "node")
+        .orderBy($"node")
+    }),
+
+    // HITS hubs/authorities (operators.Hits): 3 synchronous rounds over
+    // the DIRECTED customer→part purchase graph in fixed-point integer
+    // arithmetic — normalization is exact integer division by the
+    // quantized mass ratio q = max(S div scale, 1), so every score is a
+    // LONG and the unrolled oracle replays each half-step bit-for-bit
+    // (the PageRank discipline; the div-normalization exists because
+    // the textbook a·scale/S product overflows at E·scale²).
+    "q40_hits" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey".cast("long") * 2).as("src"),
+          ($"l_partkey".cast("long") * 2 + 1).as("dst"))
+      graft.operators.Hits.hits(e, "src", "dst", iterations = 3)
+        .orderBy($"node")
+    }),
+
     // k-anonymity / l-diversity census (operators.Privacy): per
     // (nation, segment) quasi-identifier group — size, distinct
     // sensitive account-balance values, verdicts at k=12 / l=3. One
@@ -1170,6 +1214,76 @@ object Relational {
         |    / greatest(n::DOUBLE + (-(1.0 / 0.25)) * sign(u_mc - 0.5)
         |      * ln(1.0 - 2.0 * abs(u_mc - 0.5)), 1.0), 6) AS dp_mean
         |FROM u ORDER BY l_returnflag""".stripMargin,
+
+    // eighteen unrolled Bellman-Ford rounds (fixpoint by round 13 / 15
+    // at sf0.01 / sf0.1 — probed in DuckDB first; trailing rounds are
+    // no-ops). Distances are exact BIGINT sums, no rounding anywhere.
+    // The chk CTE asserts BOTH the reachable-set count and the distance
+    // sum are unchanged across the last two rounds (min-merge is
+    // monotone, so equality = fixpoint): a deeper graph at a future SF
+    // fails loudly via error() instead of hash-mismatching
+    "q39_sssp" -> {
+      val rounds = (1 to 18).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM (
+           |      SELECT node, dist FROM v${i - 1}
+           |      UNION ALL
+           |      SELECT e.dst AS node, v.dist + e.w AS dist
+           |      FROM e JOIN v${i - 1} v ON e.src = v.node) GROUP BY node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ce AS (SELECT a, b, 1 + (a + b) % 7 AS w FROM (
+         |      SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
+         |        o_orderkey::BIGINT * 3 + 1 AS b FROM orders
+         |      UNION
+         |      SELECT DISTINCT l_orderkey::BIGINT * 3 + 1 AS a,
+         |        l_partkey::BIGINT * 3 + 2 AS b
+         |      FROM lineitem WHERE l_partkey % 5 = 0)),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ce
+         |      UNION ALL SELECT b, a, w FROM ce),
+         |v0 AS MATERIALIZED (SELECT DISTINCT c_custkey::BIGINT * 3 AS node,
+         |      0::BIGINT AS dist
+         |      FROM customer WHERE c_nationkey = 7 AND c_custkey % 50 = 3),
+         |$rounds,
+         |chk AS (SELECT CASE WHEN
+         |    (SELECT count(*) FROM v18) = (SELECT count(*) FROM v17) AND
+         |    (SELECT sum(dist)::BIGINT FROM v18)
+         |      = (SELECT sum(dist)::BIGINT FROM v17) THEN 1
+         |  ELSE error('q39_sssp oracle: 18 unrolled rounds did not reach the shortest-path fixpoint - deepen the unroll') END AS ok)
+         |SELECT node, dist FROM v18, chk
+         |WHERE chk.ok = 1 ORDER BY node""".stripMargin
+    },
+
+    // three unrolled HITS rounds, every half-step exact BIGINT: raw
+    // propagation sum, then integer-div normalization by
+    // q = greatest(S // scale, 1) — identical arithmetic to the engine,
+    // so the replay is bit-for-bit (no rounding anywhere)
+    "q40_hits" -> {
+      val sc = "1000000000"
+      val rounds = (1 to 3).map { i =>
+        s"""ar$i AS MATERIALIZED (SELECT e.dst AS node, sum(h.h)::BIGINT AS v
+           |      FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+           |a$i AS MATERIALIZED (SELECT node, v // greatest(
+           |      (SELECT sum(v)::BIGINT FROM ar$i) // $sc, 1) AS auth
+           |      FROM ar$i),
+           |hr$i AS MATERIALIZED (SELECT e.src AS node,
+           |      sum(a.auth)::BIGINT AS v
+           |      FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+           |h$i AS MATERIALIZED (SELECT node, v // greatest(
+           |      (SELECT sum(v)::BIGINT FROM hr$i) // $sc, 1) AS h
+           |      FROM hr$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey::BIGINT * 2 AS src,
+         |      l_partkey::BIGINT * 2 + 1 AS dst
+         |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, $sc::BIGINT AS h
+         |      FROM e),
+         |$rounds
+         |SELECT coalesce(h.node, a.node) AS node,
+         |  coalesce(h.h, 0)::BIGINT AS hub,
+         |  coalesce(a.auth, 0)::BIGINT AS auth
+         |FROM h3 h FULL JOIN a3 a ON h.node = a.node
+         |ORDER BY node""".stripMargin
+    },
 
     // the plain join — the skew routing must be answer-invisible
     "q36_skew_join" ->

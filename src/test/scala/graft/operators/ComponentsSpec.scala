@@ -290,4 +290,72 @@ class ComponentsSpec extends AnyFunSuite {
     val sym = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("s", "d")
     assert(Components.kCore(sym, "s", "d", 1).count() === 3L)
   }
+
+  /** Scalar Bellman-Ford over (src, dst, w) triples from a seed set. */
+  private def scalarSssp(edges: Seq[(Long, Long, Long)],
+                         seeds: Set[Long]): Map[Long, Long] = {
+    var dist = seeds.map(_ -> 0L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (s, d, w) =>
+        dist.get(s).foreach { ds =>
+          if (dist.get(d).forall(_ > ds + w)) {
+            dist += d -> (ds + w); changed = true
+          }
+        }
+      }
+    }
+    dist
+  }
+
+  test("sssp: weighted distances match a scalar Bellman-Ford; the " +
+      "cheapest path beats the hop-shortest one; parallel edges take " +
+      "the min weight; unreachable nodes are absent") {
+    import spark.implicits._
+    // 1 -> 2 direct costs 10; 1 -> 3 -> 4 -> 2 costs 3 hops but only 6
+    val g = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 4L, 2L), (4L, 2L, 2L),
+      (5L, 6L, 1L)) // 5—6 disconnected from the seed
+    val got = Components.sssp(g.toDF("s", "d", "w"), "s", "d", "w",
+        Seq(1L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 6L, 3L -> 2L, 4L -> 4L))
+    // parallel edges collapse to the cheapest
+    val par = Seq((1L, 2L, 9L), (1L, 2L, 3L))
+    val pgot = Components.sssp(par.toDF("s", "d", "w"), "s", "d", "w",
+        Seq(1L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pgot === Map(1L -> 0L, 2L -> 3L))
+    // multi-source takes the min over seeds; off-graph seed reports 0
+    val rnd = (0 until 300).map(i =>
+      ((i * 13L) % 60, (i * 29L + 5) % 60, 1L + (i * 7L) % 5))
+      .filter(p => p._1 != p._2)
+    val want = scalarSssp(rnd, Set(0L, 17L, 999L))
+    val rgot = Components.sssp(rnd.toDF("s", "d", "w"), "s", "d", "w",
+        Seq(0L, 17L, 999L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rgot === want)
+    // layout invariance: a different partitioning yields identical longs
+    val sgot = Components.sssp(rnd.toDF("s", "d", "w").repartition(13),
+        "s", "d", "w", Seq(0L, 17L, 999L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sgot === want)
+  }
+
+  test("sssp: a negative edge weight fails loudly; maxRounds truncates " +
+      "the relaxation") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L, -1L)).toDF("s", "d", "w")
+    val e = intercept[Exception] {
+      Components.sssp(bad, "s", "d", "w", Seq(1L).toDF("seed"), "seed")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("negative"))
+    // chain 1 -> 2 -> 3 -> 4: one round reaches only node 2
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val trunc = Components.sssp(chain.toDF("s", "d", "w"), "s", "d", "w",
+        Seq(1L).toDF("seed"), "seed", maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trunc === Map(1L -> 0L, 2L -> 1L))
+  }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // two disjoint vocabularies: target-flavored docs speak "alpha",
+  // off-target docs speak "beta"
+  private val alphaDocs = Seq(
+    (1L, "alpha wiki clean prose alpha wiki"),
+    (2L, "clean prose alpha wiki clean"),
+    (3L, "wiki prose clean alpha prose"))
+  private val betaDocs = Seq(
+    (11L, "beta spam noise beta spam"),
+    (12L, "noise beta spam noise spam"),
+    (13L, "spam noise beta beta noise"))
+
+  private def weights(): Map[Long, (Long, Double)] = {
+    import spark.implicits._
+    val raw = (alphaDocs ++ betaDocs).toDF("doc_id", "text")
+    val target = alphaDocs.map(_._2).toDF("text")
+    Dsir.importanceWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+  }
+
+  test("target-flavored documents carry higher importance weights than " +
+      "off-target ones; gram counts are exact; the result is " +
+      "layout-invariant at round-6") {
+    import spark.implicits._
+    val got = weights()
+    val worstAlpha = alphaDocs.map(d => got(d._1)._2).min
+    val bestBeta = betaDocs.map(d => got(d._1)._2).max
+    assert(worstAlpha > bestBeta,
+      s"alpha docs must outweigh beta docs, got $got")
+    // n_grams = words + bigrams = 2·words − 1
+    (alphaDocs ++ betaDocs).foreach { case (id, text) =>
+      val w = text.split(" ").length
+      assert(got(id)._1 === 2L * w - 1, s"doc $id")
+    }
+    // layout invariance under the round-6 release
+    val raw = (alphaDocs ++ betaDocs).toDF("doc_id", "text").repartition(7)
+    val target = alphaDocs.map(_._2).toDF("text")
+    val re = Dsir.importanceWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(re === got)
+  }
+
+  test("a document duplicated INTO the target corpus gains weight " +
+      "(the target distribution moved toward it)") {
+    import spark.implicits._
+    val raw = (alphaDocs ++ betaDocs).toDF("doc_id", "text")
+    val base = Dsir.importanceWeights(raw, "doc_id", "text",
+        alphaDocs.map(_._2).toDF("text"), "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val boosted = Dsir.importanceWeights(raw, "doc_id", "text",
+        (alphaDocs.map(_._2) ++ Seq.fill(5)(betaDocs.head._2)).toDF("text"),
+        "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(boosted(11L) > base(11L))
+  }
+
+  test("resample: Gumbel top-k is deterministic under a fixed seed, " +
+      "ranks by the rounded key descending, overwhelming weights always " +
+      "win, and k past the corpus returns everything") {
+    import spark.implicits._
+    val wts = Seq((1L, 1000.0), (2L, -1000.0), (3L, -1000.0),
+      (4L, -1000.0), (5L, 999.0)).toDF("doc_id", "logw")
+    val got = Dsir.resample(wts, "doc_id", "logw", k = 2, seed = "s-1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Gumbel noise spans ~[-3, 8] at 52-bit uniforms — a 1999-nat gap
+    // cannot be crossed, so docs 1 and 5 are selected in weight order
+    assert(got.map(_._2).toSeq === Seq(1L, 5L))
+    assert(got(0)._3 > got(1)._3)
+    val again = Dsir.resample(wts, "doc_id", "logw", k = 2, seed = "s-1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === again.toSeq, "fixed seed must replay bit-exact")
+    val other = Dsir.resample(wts, "doc_id", "logw", k = 5, seed = "s-2")
+      .collect()
+    assert(other.length === 5, "k >= corpus size returns every doc")
+  }
+}
