@@ -166,8 +166,12 @@ object Bench {
 
     // optional comma-separated subset (re-measurement / scale sweeps);
     // unset = the driver's full run
+    // a SET-but-EMPTY var means "no subset" too — a shell that always
+    // exports the var (hunt scripts) must not select zero queries and
+    // stamp a 0-second run clean
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,

@@ -11,11 +11,17 @@ CP='target/scala-2.13/debeziumnatscdcspark_2.13-0.1.0.jar:/opt/spark/jars/*'
 TCP="target/scala-2.13/test-classes:$CP"
 
 run_bench() { # $1 sfdir, $2 queries(empty=all), $3 out
-  local only=""
-  [ -n "$2" ] && only="$2"
-  SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_WAIT=120 \
-  SPARK_GRAFT_BENCH_ONLY=$only \
-  java -cp "$CP" graft.Bench > "$3" 2>"${3%.json}.err"
+  # NOTE: an exported-but-empty SPARK_GRAFT_BENCH_ONLY used to select
+  # ZERO queries and stamp a 0-second run clean (the r13 full-leg bug);
+  # Bench now treats empty as unset, and we also only export it when set
+  if [ -n "$2" ]; then
+    SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_WAIT=120 \
+    SPARK_GRAFT_BENCH_ONLY=$2 \
+    java -cp "$CP" graft.Bench > "$3" 2>"${3%.json}.err"
+  else
+    SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_WAIT=120 \
+    java -cp "$CP" graft.Bench > "$3" 2>"${3%.json}.err"
+  fi
   grep -q '"contaminated":false' "$3"
 }
 
