@@ -332,6 +332,42 @@ object Curation {
     df.withColumn("split", label)
   }
 
+  /** Deterministic GLOBAL corpus shuffle into training shards — the step
+    * between curation and the training loader: a model must not see the
+    * corpus in ingestion order (source-clustered batches bias gradients),
+    * and at 100 TB "shuffle the dataset" must be a DISTRIBUTED
+    * permutation, not a driver sort. Each row gets a 128-bit keyed hash
+    * (md5 of salt ‖ id — a different salt is a fresh independent
+    * permutation per epoch); the hash's 32-bit prefix mod `numShards`
+    * places the row in a shard (uniform by construction — no skew,
+    * whatever the id distribution), and the within-shard position is the
+    * rank by (full hash, id). Physically: ONE hash-exchange on the shard
+    * key + an in-partition sort — the plan IS the standard distributed
+    * shuffle implementation, and a writer can stream each shard out in
+    * order. A row's (shard, position) is a pure function of (salt, id,
+    * numShards, corpus membership): stable under re-runs and layouts,
+    * replayable in SQL. (Positions shift when the corpus grows — a
+    * permutation of N items cannot be extension-stable; pin the corpus
+    * snapshot, or use [[assignSplits]] for growth-stable labels.)
+    *
+    * Output: every input row + (`shard` BIGINT, `pos` BIGINT 1-based).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    salt: String = "epoch-0"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    // NULL ids hash as "" (the assignSplits discipline): a null id must
+    // land deterministically, not null-propagate out of the permutation
+    val skey = md5(concat(lit(salt),
+      coalesce(col(idCol).cast("string"), lit(""))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_skey"), col(idCol))
+    df.withColumn("_skey", skey)
+      .withColumn("shard",
+        conv(substring(col("_skey"), 1, 8), 16, 10).cast("long") % numShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_skey")
+  }
+
   /** Temperature-flattened source mixing — the multinomial mixture step in
     * LLaMA/Gopher-style data recipes: source i's natural token share is
     * flattened to p_i = tokens_i^alpha / Σ_j tokens_j^alpha (alpha < 1

@@ -692,6 +692,20 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // deterministic global corpus shuffle (Curation.shuffleShards):
+    // 128-bit keyed md5 permutation → 16 uniform shards (hash-prefix
+    // mod) + within-shard rank by (hash, id). One hash exchange + an
+    // in-partition sort — the distributed implementation of "shuffle
+    // the dataset" a training loader needs at 100 TB.
+    "doc_shuffle_assign" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Curation.shuffleShards(
+          Tables(s, dir, "documents").select($"doc_id"),
+          "doc_id", numShards = 16, salt = "epoch-0")
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"shard", $"pos")
+    }),
+
     // DSIR importance weights (operators.Dsir): log p_target/p_raw per
     // raw document under add-one-smoothed hashed unigram+bigram models
     // (4096 md5 buckets), target = the src0–src3 slice. Counts are exact
@@ -2130,6 +2144,20 @@ object Corpus {
         |  coalesce(round(exp(-s.logp / s.n_bigrams), 4), 0.0) AS ppl
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // the permutation replay: same keyed hash, same prefix-mod shard,
+    // same (hash, id) rank
+    "doc_shuffle_assign" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('epoch-0' || coalesce(doc_id::VARCHAR, '')) AS skey
+        |  FROM documents),
+        |s AS (SELECT doc_id, skey,
+        |    ('0x' || substring(skey, 1, 8))::BIGINT % 16 AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+        |    ::BIGINT AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     // DSIR weights replay: unigram+bigram explode → md5-hex8 buckets →
     // exact BIGINT count tables (raw + target slice) → the one fixed

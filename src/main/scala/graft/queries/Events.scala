@@ -188,6 +188,24 @@ object Events {
         .orderBy($"event_type", $"day")
     }),
 
+    // truncated-EWMA control chart (Robust.ewmaSmoothed) on per-type
+    // daily counts — the gradual-drift monitor completing the trio with
+    // MAD (level outliers) and CUSUM (sustained shifts). Every weighted
+    // term and both sums are fixed left-associated IEEE chains the
+    // oracle writes identically; alarms compare ROUNDED signals (the
+    // composed-verdict rule).
+    "evt_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Robust.ewmaSmoothed(daily, Seq("event_type"), "d",
+          "n_events", alpha = 0.3, lookback = 8, relBand = 0.5)
+        .select($"event_type", $"d".cast("string").as("day"),
+          $"n_events", $"ewma", $"prior_ewma", $"dev", $"alarm")
+        .orderBy($"event_type", $"day")
+    }),
+
     // Daily volume anomaly detection: per-type z-scores of daily event
     // counts — the burst/outage monitor over the event stream. Mean and
     // variance come from EXACT integer sums (n, Σc, Σc²), so the double
@@ -1819,6 +1837,39 @@ object Events {
         |SELECT event_type, d::VARCHAR AS day, n_events, n, cusum,
         |  cusum > n * 20 AS alarm
         |FROM c ORDER BY event_type, day""".stripMargin,
+
+    // the truncated-EWMA replay: each weight is the same left-associated
+    // 0.7·0.7·… chain the engine folds, each sum the same left-
+    // associated + chain — bit-identical doubles before the round-6
+    // release; alarm compares the rounded signals
+    "evt_ewma" -> {
+      def pwChain(i: Int): String =
+        if (i == 0) "1.0" else Seq.fill(i)("0.7").mkString(" * ")
+      def lg(i: Int): String = s"lag(n_events::DOUBLE, $i) OVER w"
+      def term(i: Int): String =
+        s"CASE WHEN ${lg(i)} IS NOT NULL THEN ${pwChain(i)} * ${lg(i)} ELSE 0.0 END"
+      def mass(i: Int): String =
+        s"CASE WHEN ${lg(i)} IS NOT NULL THEN ${pwChain(i)} ELSE 0.0 END"
+      def smooth(from: Int, until: Int): String = {
+        val num = (from until until).map(term).mkString("\n      + ")
+        val den = (from until until).map(mass).mkString("\n      + ")
+        s"CASE WHEN (${den}) > 0.0 THEN (${num}) / (${den}) END"
+      }
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d,
+         |    count(*)::BIGINT AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |sm AS (SELECT event_type, d, n_events,
+         |    round(${smooth(0, 8)}, 6) AS ewma,
+         |    round(${smooth(1, 9)}, 6) AS prior_ewma,
+         |    round(n_events::DOUBLE - (${smooth(1, 9)}), 6) AS dev
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY d))
+         |SELECT event_type, d::VARCHAR AS day, n_events, ewma,
+         |  prior_ewma, dev,
+         |  coalesce(abs(dev) > 0.5 * abs(prior_ewma), false) AS alarm
+         |FROM sm ORDER BY event_type, day""".stripMargin
+    },
 
     "evt_anomaly_daily" ->
       """WITH daily AS (

@@ -671,4 +671,40 @@ class CurationSpec extends AnyFunSuite {
     assert(got.forall(t => !t._3.isNaN), s"NaN pair leaked: ${got.toSeq}")
     assert(got.map(t => (t._1, t._2)).toSet === Set((1L, 101L)))
   }
+
+  test("shuffleShards is a total deterministic permutation: every id " +
+      "exactly once, dense 1..n positions per shard, replay-identical, " +
+      "salt-independent draws, near-uniform shard sizes, NULL id kept") {
+    import spark.implicits._
+    val ids = (0L until 2000L).map(Option(_)) :+ Option.empty[Long]
+    val df = ids.toDF("doc_id")
+    def run(salt: String) = Curation
+      .shuffleShards(df, "doc_id", numShards = 16, salt = salt)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2)))
+    val a = run("epoch-0")
+    // total: every id (incl. the NULL row) exactly once
+    assert(a.length === 2001 && a.map(_._1).distinct.length === 2001)
+    // dense positions 1..n within each shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length).toArray,
+        s"shard $shard positions not dense")
+    }
+    // deterministic replay
+    assert(run("epoch-0").sortBy(_._1) === a.sortBy(_._1))
+    // a different salt is a fresh permutation (some assignment moved)
+    val b = run("epoch-1")
+    assert(a.sortBy(_._1).map(t => (t._2, t._3)).toSeq !==
+      b.sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+    // rough uniformity at n/shards = 125: no empty or doubled shard
+    val sizes = a.groupBy(_._2).values.map(_.length)
+    assert(sizes.size === 16 && sizes.min > 62 && sizes.max < 250,
+      s"shard sizes skewed: $sizes")
+    // the ingestion order is actually broken: consecutive ids do not
+    // stay consecutive in (shard, pos) order
+    val order = a.sortBy(t => (t._2, t._3)).map(_._1).toSeq
+    assert(order !== order.sorted)
+  }
 }

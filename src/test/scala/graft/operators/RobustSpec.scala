@@ -327,4 +327,53 @@ class RobustSpec extends AnyFunSuite {
     assert(got === cusumRef(xs, 0L).toArray)
     assert(got.last === 0L, "a balanced tail must decay back to zero")
   }
+
+  /** Scalar truncated-EWMA with the EXACT association order the engine
+    * folds: left-to-right term sums, left-folded weight products.
+    */
+  private def ewmaRef(xs: Seq[Option[Double]], from: Int, until: Int,
+                      t: Int, decay: Double): Option[Double] = {
+    def pw(i: Int) = Seq.fill(i)(decay).foldLeft(1.0)(_ * _)
+    val idx = (from until until)
+    val num = idx.map { i =>
+      if (t - i >= 0 && xs(t - i).isDefined) pw(i) * xs(t - i).get else 0.0
+    }.reduce(_ + _)
+    val den = idx.map { i =>
+      if (t - i >= 0 && xs(t - i).isDefined) pw(i) else 0.0
+    }.reduce(_ + _)
+    if (den > 0.0) Some(num / den) else None
+  }
+
+  test("ewmaSmoothed matches the scalar truncated model at round-6, " +
+      "alarms on a planted spike, never alarms without history, and " +
+      "passes NULL observations through") {
+    import spark.implicits._
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs: Seq[Option[Double]] =
+      Seq(Some(10.0), Some(11.0), Some(9.0), None, Some(10.0), Some(100.0))
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x.map(_.toLong)) }
+      .toDF("g", "i", "x")
+    val got = Robust.ewmaSmoothed(df, Seq("g"), "i", "x",
+        alpha = 0.3, lookback = 8, relBand = 0.5)
+      .orderBy(col("i"))
+      .select(col("ewma"), col("prior_ewma"), col("dev"), col("alarm"))
+      .collect()
+    xs.indices.foreach { t =>
+      val wantE = ewmaRef(xs, 0, 8, t, 0.7).map(r6)
+      val wantP = ewmaRef(xs, 1, 9, t, 0.7).map(r6)
+      val gotE = if (got(t).isNullAt(0)) None else Some(got(t).getDouble(0))
+      val gotP = if (got(t).isNullAt(1)) None else Some(got(t).getDouble(1))
+      assert(gotE === wantE, s"ewma at t=$t")
+      assert(gotP === wantP, s"prior at t=$t")
+      val wantD = for (x <- xs(t); p <- ewmaRef(xs, 1, 9, t, 0.7))
+        yield r6(x - p)
+      val gotD = if (got(t).isNullAt(2)) None else Some(got(t).getDouble(2))
+      assert(gotD === wantD, s"dev at t=$t")
+    }
+    assert(!got(0).getBoolean(3), "no history => no alarm")
+    assert(!got(3).getBoolean(3), "a NULL observation cannot alarm")
+    assert(got(5).getBoolean(3), "the 10x spike must alarm")
+    assert(!got(4).getBoolean(3), "steady state must not alarm")
+  }
 }
