@@ -302,4 +302,94 @@ object Robust {
         coalesce(abs(col("dev")) > lit(relBand) * abs(col("prior_ewma")),
           lit(false)))
   }
+
+  /** STREAMING truncated EWMA — [[ewmaSmoothed]] as the continuous
+    * monitor (the [[cusumShiftStream]] discipline): per-key state is the
+    * last `lookback` observations (value + a presence bit, so a NULL
+    * observation occupies its lag position exactly as the batch window
+    * sees it), rows scored in event-time order within each micro-batch
+    * and the history carried across batches. Every arithmetic step —
+    * ascending-lag left-folded term and mass sums, the quantized weight
+    * chain, round-6, the rounded-signal alarm — reproduces the batch
+    * expression operation for operation, so streaming ≡ batch is
+    * bit-exact BY CONSTRUCTION with the drift straddling micro-batches
+    * (RobustSpec pins it). Append mode: a scorer, not a filter. State is
+    * ≤ lookback (bool, double) pairs per key — bounded, no TTL needed;
+    * the same arrival-order caveat as the CUSUM stream applies to late
+    * data.
+    */
+  def ewmaSmoothedStream(df: DataFrame, keyCol: String, tsCol: String,
+                         tieCol: String, valueCol: String,
+                         alpha: Double = 0.3, lookback: Int = 8,
+                         relBand: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    require(relBand > 0, s"relBand must be positive, got $relBand")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decay = 1.0 - alpha
+    val pw = (0 to lookback).map(i =>
+      Seq.fill(i)(decay).foldLeft(1.0)(_ * _)).toArray
+    // the exact Round expression semantics (HALF_UP on the BigDecimal)
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val withT = df.withColumn("_us", unix_micros(col(tsCol)))
+    val outSchema = withT.schema
+      .add("ewma", org.apache.spark.sql.types.DoubleType)
+      .add("prior_ewma", org.apache.spark.sql.types.DoubleType)
+      .add("dev", org.apache.spark.sql.types.DoubleType)
+      .add("alarm", org.apache.spark.sql.types.BooleanType)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    withT
+      .groupByKey(r => String.valueOf(r.getAs[Any](keyCol)))
+      .flatMapGroupsWithState[Seq[(Boolean, Double)], Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+         state: GroupState[Seq[(Boolean, Double)]]) =>
+          val sorted = rows.toArray.sortBy(r =>
+            (r.getAs[Long]("_us"), r.getAs[Long](tieCol)))
+          // most-recent-first history of (present, value)
+          var hist: List[(Boolean, Double)] =
+            state.getOption.map(_.toList).getOrElse(Nil)
+          val out = sorted.map { r =>
+            val cur: Option[Double] = Option(r.getAs[Any](valueCol))
+              .map(_.asInstanceOf[Number].doubleValue())
+            def lagAt(i: Int): Option[Double] =
+              if (i == 0) cur
+              else if (i - 1 < hist.length) {
+                val (present, x) = hist(i - 1)
+                if (present) Some(x) else None
+              } else None
+            // the batch fold verbatim: ascending lags, missing terms
+            // still ADD 0.0 so the float op sequence is identical
+            def smooth(from: Int, until: Int): Option[Double] = {
+              var num = 0.0; var den = 0.0
+              (from until until).foreach { i =>
+                lagAt(i) match {
+                  case Some(x) => num = num + pw(i) * x; den = den + pw(i)
+                  case None => num = num + 0.0; den = den + 0.0
+                }
+              }
+              if (den > 0.0) Some(num / den) else None
+            }
+            val ewma6 = smooth(0, lookback).map(r6)
+            val priorRaw = smooth(1, lookback + 1)
+            val prior6 = priorRaw.map(r6)
+            val dev6 = for (x <- cur; p <- priorRaw) yield r6(x - p)
+            val alarm = (for (d <- dev6; p <- prior6)
+              yield math.abs(d) > relBand * math.abs(p)).getOrElse(false)
+            hist = ((cur.isDefined, cur.getOrElse(0.0)) :: hist)
+              .take(lookback)
+            Row.fromSeq(r.toSeq :+ ewma6.map(Double.box).orNull :+
+              prior6.map(Double.box).orNull :+
+              dev6.map(Double.box).orNull :+ alarm)
+          }
+          state.update(hist)
+          out.iterator
+      }
+      .toDF().drop("_us")
+  }
 }

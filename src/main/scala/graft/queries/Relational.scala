@@ -546,6 +546,26 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // edge-weighted PageRank (PageRank.pageRankWeighted): the q16 trade
+    // graph with the deterministic 1 + (a+b) % 7 weights — mass splits
+    // proportionally to out-edge weight, contribution pr·w div sw, all
+    // longs, 3 unrolled oracle rounds replay bit-for-bit. Uniform
+    // weights ≡ the unweighted ranks exactly (floor((pr·w)/(deg·w)) =
+    // floor(pr/deg)) — PageRankSpec pins it.
+    "q41_pagerank_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .distinct()
+        .select($"a", $"b", (lit(1L) + ($"a" + $"b") % 7).as("w"))
+      val sym = edges.select($"a".as("src"), $"b".as("dst"), $"w")
+        .union(edges.select($"b".as("src"), $"a".as("dst"), $"w"))
+      graft.operators.PageRank
+        .pageRankWeighted(sym, "src", "dst", "w", iterations = 3)
+        .orderBy($"node")
+    }),
+
     // k-anonymity / l-diversity census (operators.Privacy): per
     // (nation, segment) quasi-identifier group — size, distinct
     // sensitive account-balance values, verdicts at k=12 / l=3. One
@@ -1214,6 +1234,33 @@ object Relational {
         |    / greatest(n::DOUBLE + (-(1.0 / 0.25)) * sign(u_mc - 0.5)
         |      * ln(1.0 - 2.0 * abs(u_mc - 0.5)), 1.0), 6) AS dp_mean
         |FROM u ORDER BY l_returnflag""".stripMargin,
+
+    // three unrolled weighted rounds: contribution pr·w // sw, the
+    // identical integer chain the engine runs — bit-for-bit, no rounding
+    "q41_pagerank_weighted" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""m$i AS (SELECT e.dst AS node,
+           |       sum(p${i - 1}.pr * e.w // sw.sw)::BIGINT AS m
+           |     FROM e JOIN p${i - 1} ON e.src = p${i - 1}.node
+           |     JOIN sw ON e.src = sw.src GROUP BY 1),
+           |p$i AS (SELECT nodes.node,
+           |         (15 * (1000000000000 // (SELECT n FROM c0)) // 100)
+           |         + (85 * coalesce(m, 0) // 100) AS pr
+           |       FROM nodes LEFT JOIN m$i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ce AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |cw AS (SELECT a, b, 1 + (a + b) % 7 AS w FROM ce),
+         |e AS (SELECT a AS src, b AS dst, w FROM cw
+         |      UNION ALL SELECT b, a, w FROM cw),
+         |sw AS (SELECT src, sum(w)::BIGINT AS sw FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |c0 AS (SELECT count(*) AS n FROM nodes),
+         |p0 AS (SELECT node, 1000000000000 // (SELECT n FROM c0) AS pr
+         |       FROM nodes),
+         |$rounds
+         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin
+    },
 
     // eighteen unrolled Bellman-Ford rounds (fixpoint by round 13 / 15
     // at sf0.01 / sf0.1 — probed in DuckDB first; trailing rounds are

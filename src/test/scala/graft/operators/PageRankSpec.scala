@@ -249,4 +249,51 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(other == got)
   }
+
+  test("pageRankWeighted: uniform weights equal the unweighted ranks " +
+      "bit-exactly, heavier edges carry more mass, layout-invariant, " +
+      "non-positive weights fail loudly, parallel edges add") {
+    import spark.implicits._
+    val edges = (0 until 200)
+      .map(i => ((i * 13L) % 30, (i * 7L + 3) % 30))
+      .filter(p => p._1 != p._2).distinct
+    // floor((pr·w)/(deg·w)) = floor(pr/deg): constant weights must
+    // reproduce the unweighted ranks exactly, not approximately
+    val base = PageRank.pageRank(edges.toDF("s", "d"), "s", "d",
+        iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uni = PageRank.pageRankWeighted(
+        edges.map { case (a, b) => (a, b, 5L) }.toDF("s", "d", "w"),
+        "s", "d", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni === base)
+    // a 9:1 out-weight split steers the damped mass 9:1
+    val star = PageRank.pageRankWeighted(
+        Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("s", "d", "w"),
+        "s", "d", "w", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star(2L) > star(3L))
+    // parallel edges add their weights: (1,2,9) == (1,2,4)+(1,2,5)
+    val merged = PageRank.pageRankWeighted(
+        Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L)).toDF("s", "d", "w"),
+        "s", "d", "w", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === star)
+    // layout invariance on varied weights
+    val wvar = edges.map { case (a, b) => (a, b, 1L + (a + b) % 7) }
+    val w1 = PageRank.pageRankWeighted(wvar.toDF("s", "d", "w"),
+        "s", "d", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w2 = PageRank.pageRankWeighted(
+        wvar.toDF("s", "d", "w").repartition(17, col("d")),
+        "s", "d", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 === w2)
+    // zero weight has no splitting interpretation: loud failure
+    val e = intercept[Exception] {
+      PageRank.pageRankWeighted(Seq((1L, 2L, 0L)).toDF("s", "d", "w"),
+        "s", "d", "w").collect()
+    }
+    assert(e.getMessage.contains("non-positive"))
+  }
 }

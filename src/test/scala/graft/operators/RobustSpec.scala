@@ -376,4 +376,68 @@ class RobustSpec extends AnyFunSuite {
     assert(got(5).getBoolean(3), "the 10x spike must alarm")
     assert(!got(4).getBoolean(3), "steady state must not alarm")
   }
+
+  test("ewmaSmoothedStream ≡ ewmaSmoothed with the drift straddling " +
+      "micro-batches and a NULL observation in the history") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1718000000000L + i * 60000L)
+    // steady, one NULL, then a drift whose window straddles both files:
+    // the smooth only matches the batch if the value HISTORY (incl. the
+    // null's lag slot) carries across the boundary
+    val rows: Seq[(Long, java.sql.Timestamp, Long, Option[Long])] =
+      (0 until 6).map(i => (1L, t(i), i.toLong, Some(10L))) ++
+        Seq((1L, t(6), 6L, Option.empty[Long])) ++
+        (7 until 10).map(i => (1L, t(i), i.toLong, Some(30L))) ++
+        (10 until 14).map(i => (1L, t(i), i.toLong, Some(30L)))
+    val streamDir = Files.createTempDirectory("ewma_stream").toString
+    def writeFile(part: Seq[(Long, java.sql.Timestamp, Long, Option[Long])],
+                  name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("ewma_tmp").toString
+      part.toDF("k", "ts", "id", "x").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val p = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(s => s.endsWith(".parquet") && s.contains("part-")).head
+      val dst = Paths.get(streamDir, name)
+      Files.copy(Paths.get(p), dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    writeFile(rows.take(10), "0000.parquet", 1718000000000L)
+    writeFile(rows.drop(10), "0001.parquet", 1718000100000L)
+    def key(r: org.apache.spark.sql.Row): (Long, Option[Double], Option[Double], Option[Double], Boolean) =
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))
+    val batch = Robust.ewmaSmoothed(rows.toDF("k", "ts", "id", "x"),
+        Seq("k"), "id", "x")
+      .select($"id", $"ewma", $"prior_ewma", $"dev", $"alarm")
+      .collect().map(key).map(t => t._1 -> t).toMap
+    val sch = rows.toDF("k", "ts", "id", "x").schema
+    val src = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val out = scala.collection.mutable.Map
+      .empty[Long, (Long, Option[Double], Option[Double], Option[Double], Boolean)]
+    val q = Robust.ewmaSmoothedStream(src, "k", "ts", "id", "x")
+      .select($"id", $"ewma", $"prior_ewma", $"dev", $"alarm")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ewma_ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rs = df.collect().map(key).map(t => t._1 -> t)
+        out.synchronized { out ++= rs }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(out.toMap === batch)
+    // the drift genuinely alarms in the SECOND file's rows too — the
+    // carried history, not a fresh window, is what it is judged against
+    assert(batch(7L)._5, "the first drift row must alarm")
+    assert(batch(13L)._5 === (math.abs(batch(13L)._4.get) >
+      0.5 * math.abs(batch(13L)._3.get)))
+  }
 }
