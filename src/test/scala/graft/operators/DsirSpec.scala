@@ -82,4 +82,30 @@ class DsirSpec extends AnyFunSuite {
       .collect()
     assert(other.length === 5, "k >= corpus size returns every doc")
   }
+
+  test("plan shapes: the bucket stats join BROADCASTS (scoring is one " +
+      "gram scan, never a stats-side shuffle) and resample is " +
+      "WINDOWLESS (bounded-heap aggregate, no global sort)") {
+    import spark.implicits._
+    val raw = (alphaDocs ++ betaDocs).toDF("doc_id", "text")
+    val target = alphaDocs.map(_._2).toDF("text")
+    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val wPlan = Dsir.importanceWeights(raw, "doc_id", "text",
+          target, "text")
+        .queryExecution.executedPlan.toString
+      assert(wPlan.contains("BroadcastHashJoin"),
+        s"expected the <= 4096-row stats table broadcast:\n$wPlan")
+      val sPlan = Dsir.resample(
+          Seq((1L, 0.5)).toDF("doc_id", "logw"), "doc_id", "logw",
+          k = 3, seed = "s")
+        .queryExecution.executedPlan.toString
+      assert(!sPlan.contains("Window"), s"window in plan:\n$sPlan")
+      assert(sPlan.contains("ObjectHashAggregate"),
+        s"expected heap aggregate:\n$sPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+    }
+  }
 }
