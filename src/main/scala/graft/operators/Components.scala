@@ -346,9 +346,54 @@ object Components {
   def sssp(edges: DataFrame, srcCol: String, dstCol: String,
            weightCol: String, seeds: DataFrame, seedCol: String,
            maxRounds: Int = 64): DataFrame = {
-    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val start = seeds
+      .select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull)
+      .distinct()
+      .withColumn("dist", lit(0L))
+    relaxToFixpoint(weightedEdges(edges, srcCol, dstCol, weightCol),
+      start, maxRounds)
+  }
+
+  /** WARM-START weighted shortest paths — resume relaxation from a
+    * PERSISTED distance table after the graph GREW (the incremental
+    * sibling in the `pageRankResume`/`labelPropagationResume` family):
+    * edge additions only ever SHORTEN distances, and shortest distances
+    * are the unique fixpoint of relaxation from any valid upper bound,
+    * so `ssspResume(G', sssp(G, seeds))` equals `sssp(G', seeds)`
+    * BIT-EXACTLY for any G' ⊇ G (integer arithmetic + unique fixpoint —
+    * ComponentsSpec pins it, and the q39_sssp_incr gate replays the
+    * one-shot oracle verbatim). The first resume round relaxes every
+    * edge out of every previously-reached node ONCE (that is what makes
+    * brand-new edges out of settled nodes visible); the regions the new
+    * edges cannot improve produce no second-round frontier — the resume
+    * cost is proportional to the impact of the change, not the graph.
+    *
+    * `prior` rows are (node, dist) upper bounds; duplicates collapse to
+    * their min. Distances never printed by a prior run (unreached
+    * nodes) are simply absent from `prior` — they are discovered by
+    * relaxation like any frontier expansion.
+    */
+  def ssspResume(edges: DataFrame, srcCol: String, dstCol: String,
+                 weightCol: String, prior: DataFrame,
+                 maxRounds: Int = 64): DataFrame = {
+    val start = prior
+      .select(col("node").cast("long").as("node"),
+        col("dist").cast("long").as("dist"))
+      .filter(col("node").isNotNull && col("dist").isNotNull)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    relaxToFixpoint(weightedEdges(edges, srcCol, dstCol, weightCol),
+      start, maxRounds)
+  }
+
+  /** The (src, dst, w) frame every SSSP variant relaxes over: longs,
+    * null-dropped, negative weights rejected loudly, parallel edges
+    * collapsed to min weight, materialized once.
+    */
+  private def weightedEdges(edges: DataFrame, srcCol: String,
+                            dstCol: String, weightCol: String): DataFrame = {
     val w0 = col(weightCol).cast("long")
-    val e = edges
+    edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         when(w0 < 0L, raise_error(concat(
@@ -359,12 +404,17 @@ object Components {
         col("w").isNotNull && col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .localCheckpoint(true)
-    var dist = seeds
-      .select(col(seedCol).cast("long").as("node"))
-      .filter(col("node").isNotNull)
-      .distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+  }
+
+  /** Delta-frontier Bellman-Ford from `start` (node, dist) upper
+    * bounds: every start node is frontier in round 1, after that only
+    * improved nodes relax — one join + groupBy-min + a union-min merge
+    * per round, one 1-row action as the convergence witness.
+    */
+  private def relaxToFixpoint(e: DataFrame, start: DataFrame,
+                              maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var dist = start.localCheckpoint(true)
     var frontier = dist
     var round = 0
     var improved = frontier.count()

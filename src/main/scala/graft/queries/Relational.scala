@@ -529,6 +529,38 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // WARM-START weighted shortest paths (Components.ssspResume): the
+    // prior run covers the co-edges + a THINNED part layer (l_partkey %
+    // 10 — a strict subset of q39's % 5 layer); resume relaxes the FULL
+    // graph from the persisted distances. Edge additions only shorten
+    // distances and the fixpoint is unique, so resume ≡ one-shot — the
+    // oracle is q39's 18-round unroll verbatim (the incr-gate
+    // discipline).
+    "q39_sssp_incr" -> ((s, dir) => {
+      import s.implicits._
+      val co = Tables(s, dir, "orders")
+        .select(($"o_custkey".cast("long") * 3).as("a"),
+          ($"o_orderkey".cast("long") * 3 + 1).as("b"))
+      def op(mod: Int) = Tables(s, dir, "lineitem")
+        .filter($"l_partkey" % mod === 0)
+        .select(($"l_orderkey".cast("long") * 3 + 1).as("a"),
+          ($"l_partkey".cast("long") * 3 + 2).as("b"))
+      def sym(layer: org.apache.spark.sql.DataFrame) = {
+        val ce = co.union(layer).distinct()
+          .select($"a", $"b", (lit(1L) + ($"a" + $"b") % 7).as("w"))
+        ce.select($"a".as("src"), $"b".as("dst"), $"w")
+          .union(ce.select($"b".as("src"), $"a".as("dst"), $"w"))
+      }
+      val seeds = Tables(s, dir, "customer")
+        .filter($"c_nationkey" === 7 && $"c_custkey" % 50 === 3)
+        .select(($"c_custkey".cast("long") * 3).as("node"))
+      val prior = graft.operators.Components
+        .sssp(sym(op(10)), "src", "dst", "w", seeds, "node")
+      graft.operators.Components
+        .ssspResume(sym(op(5)), "src", "dst", "w", prior)
+        .orderBy($"node")
+    }),
+
     // HITS hubs/authorities (operators.Hits): 3 synchronous rounds over
     // the DIRECTED customer→part purchase graph in fixed-point integer
     // arithmetic — normalization is exact integer division by the
@@ -904,7 +936,50 @@ object Relational {
     }),
   )
 
+  /** Eighteen unrolled Bellman-Ford rounds over the q39 weighted graph
+    * (fixpoint by round 13 / 15 at sf0.01 / sf0.1 — probed in DuckDB
+    * first; trailing rounds are no-ops). Distances are exact BIGINT
+    * sums, no rounding anywhere. The chk CTE asserts BOTH the
+    * reachable-set count and the distance sum are unchanged across the
+    * last two rounds (min-merge is monotone, so equality = fixpoint): a
+    * deeper graph at a future SF fails loudly via error() instead of
+    * hash-mismatching. Shared verbatim by `q39_sssp` and
+    * `q39_sssp_incr` — warm-start resume must equal the one-shot.
+    */
+  private val ssspOracle: String = {
+    val rounds = (1 to 18).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM (
+         |      SELECT node, dist FROM v${i - 1}
+         |      UNION ALL
+         |      SELECT e.dst AS node, v.dist + e.w AS dist
+         |      FROM e JOIN v${i - 1} v ON e.src = v.node) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ce AS (SELECT a, b, 1 + (a + b) % 7 AS w FROM (
+       |      SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
+       |        o_orderkey::BIGINT * 3 + 1 AS b FROM orders
+       |      UNION
+       |      SELECT DISTINCT l_orderkey::BIGINT * 3 + 1 AS a,
+       |        l_partkey::BIGINT * 3 + 2 AS b
+       |      FROM lineitem WHERE l_partkey % 5 = 0)),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ce
+       |      UNION ALL SELECT b, a, w FROM ce),
+       |v0 AS MATERIALIZED (SELECT DISTINCT c_custkey::BIGINT * 3 AS node,
+       |      0::BIGINT AS dist
+       |      FROM customer WHERE c_nationkey = 7 AND c_custkey % 50 = 3),
+       |$rounds,
+       |chk AS (SELECT CASE WHEN
+       |    (SELECT count(*) FROM v18) = (SELECT count(*) FROM v17) AND
+       |    (SELECT sum(dist)::BIGINT FROM v18)
+       |      = (SELECT sum(dist)::BIGINT FROM v17) THEN 1
+       |  ELSE error('q39_sssp oracle: 18 unrolled rounds did not reach the shortest-path fixpoint - deepen the unroll') END AS ok)
+       |SELECT node, dist FROM v18, chk
+       |WHERE chk.ok = 1 ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q39_sssp" -> ssspOracle,
+    "q39_sssp_incr" -> ssspOracle,
     "q31_benford" ->
       """WITH c AS (SELECT CAST(floor(abs(o_totalprice) * 100) AS BIGINT) AS c
         |           FROM orders),
@@ -1260,44 +1335,6 @@ object Relational {
          |       FROM nodes),
          |$rounds
          |SELECT node, pr FROM p3 ORDER BY node""".stripMargin
-    },
-
-    // eighteen unrolled Bellman-Ford rounds (fixpoint by round 13 / 15
-    // at sf0.01 / sf0.1 — probed in DuckDB first; trailing rounds are
-    // no-ops). Distances are exact BIGINT sums, no rounding anywhere.
-    // The chk CTE asserts BOTH the reachable-set count and the distance
-    // sum are unchanged across the last two rounds (min-merge is
-    // monotone, so equality = fixpoint): a deeper graph at a future SF
-    // fails loudly via error() instead of hash-mismatching
-    "q39_sssp" -> {
-      val rounds = (1 to 18).map { i =>
-        s"""v$i AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM (
-           |      SELECT node, dist FROM v${i - 1}
-           |      UNION ALL
-           |      SELECT e.dst AS node, v.dist + e.w AS dist
-           |      FROM e JOIN v${i - 1} v ON e.src = v.node) GROUP BY node)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH ce AS (SELECT a, b, 1 + (a + b) % 7 AS w FROM (
-         |      SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
-         |        o_orderkey::BIGINT * 3 + 1 AS b FROM orders
-         |      UNION
-         |      SELECT DISTINCT l_orderkey::BIGINT * 3 + 1 AS a,
-         |        l_partkey::BIGINT * 3 + 2 AS b
-         |      FROM lineitem WHERE l_partkey % 5 = 0)),
-         |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ce
-         |      UNION ALL SELECT b, a, w FROM ce),
-         |v0 AS MATERIALIZED (SELECT DISTINCT c_custkey::BIGINT * 3 AS node,
-         |      0::BIGINT AS dist
-         |      FROM customer WHERE c_nationkey = 7 AND c_custkey % 50 = 3),
-         |$rounds,
-         |chk AS (SELECT CASE WHEN
-         |    (SELECT count(*) FROM v18) = (SELECT count(*) FROM v17) AND
-         |    (SELECT sum(dist)::BIGINT FROM v18)
-         |      = (SELECT sum(dist)::BIGINT FROM v17) THEN 1
-         |  ELSE error('q39_sssp oracle: 18 unrolled rounds did not reach the shortest-path fixpoint - deepen the unroll') END AS ok)
-         |SELECT node, dist FROM v18, chk
-         |WHERE chk.ok = 1 ORDER BY node""".stripMargin
     },
 
     // three unrolled HITS rounds, every half-step exact BIGINT: raw

@@ -342,6 +342,30 @@ class ComponentsSpec extends AnyFunSuite {
     assert(sgot === want)
   }
 
+  test("ssspResume: resuming a persisted run over a GROWN graph equals " +
+      "the one-shot bit-exactly — including shortcuts OUT OF settled " +
+      "nodes and regions reachable only through new edges") {
+    import spark.implicits._
+    val base = (0 until 200)
+      .map(i => ((i * 13L) % 50, (i * 29L + 5) % 50, 2L + (i * 7L) % 5))
+      .filter(p => p._1 != p._2)
+    // growth: a cheap shortcut out of a settled node + a bridge to a
+    // brand-new component {100, 101}
+    val extra = Seq((0L, 37L, 1L), (37L, 100L, 1L), (100L, 101L, 1L))
+    val grown = base ++ extra
+    val prior = Components.sssp(base.toDF("s", "d", "w"), "s", "d", "w",
+      Seq(0L).toDF("seed"), "seed")
+    val resumed = Components.ssspResume(grown.toDF("s", "d", "w"),
+        "s", "d", "w", prior)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = Components.sssp(grown.toDF("s", "d", "w"), "s", "d", "w",
+        Seq(0L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === oneShot)
+    assert(resumed.contains(101L), "the new component must be discovered")
+    assert(resumed(37L) === 1L, "the shortcut must override the old path")
+  }
+
   test("sssp: a negative edge weight fails loudly; maxRounds truncates " +
       "the relaxation") {
     import spark.implicits._
