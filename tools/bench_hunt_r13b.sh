@@ -1,11 +1,7 @@
 #!/bin/bash
-# Round-13 second measurement hunt: the two legs still outstanding after
-# the wave-2 additions landed.
-#  - full : the whole 175-query sweep at sf0.1 (clean_r13_local)
-#  - z    : the three wave-2 queries at sf1 (q39_sssp, q40_hits,
-#           doc_dsir_weights)
-# Every leg self-stamps contaminated; a clean leg is kept and never
-# re-run. Same quiet-window discipline as the earlier hunts.
+# Round-13 second measurement hunt (v2): full first, then the wave-2 sf1
+# chunk SPLIT into two short legs (the r11 lesson: shorter wall = less
+# steal exposure; the 4-min combined z leg failed 4 straight storms).
 cd /root/repo
 CP='target/scala-2.13/debeziumnatscdcspark_2.13-0.1.0.jar:/opt/spark/jars/*'
 
@@ -22,28 +18,40 @@ run_bench() { # $1 sfdir, $2 queries(empty=all), $3 out
 }
 
 done_full() { [ -f /tmp/bench_r13_full_clean.json ]; }
-done_z()    { [ -f /tmp/bench_r13sf1_z_clean.json ]; }
+done_z1()   { [ -f /tmp/bench_r13sf1_z1_clean.json ]; }
+done_z2a()  { [ -f /tmp/bench_r13sf1_z2a_clean.json ]; }
+done_z2b()  { [ -f /tmp/bench_r13sf1_z2b_clean.json ]; }
 
-for i in $(seq 1 300); do
-  if done_full && done_z; then
+for i in $(seq 1 400); do
+  if done_full && done_z1 && done_z2a && done_z2b; then
     echo "[r13b-hunt] ALL LEGS CLEAN"; break
   fi
   s0=$(awk '/^cpu /{print $9}' /proc/stat)
   sleep 30
   s1=$(awk '/^cpu /{print $9}' /proc/stat)
   d=$((s1-s0)); load=$(cut -d' ' -f1 /proc/loadavg)
-  echo "[r13b-hunt $i] steal30s=${d}ticks load=$load full=$(done_full && echo y || echo n) z=$(done_z && echo y || echo n)"
+  echo "[r13b-hunt $i] steal30s=${d}ticks load=$load full=$(done_full && echo y || echo n) z1=$(done_z1 && echo y || echo n) z2a=$(done_z2a && echo y || echo n) z2b=$(done_z2b && echo y || echo n)"
   if [ "$d" -lt 30 ] && awk "BEGIN{exit !($load < 1.5)}"; then
-    if ! done_z; then
-      echo "[r13b-hunt $i] quiet - sf1 chunk z"
-      run_bench /root/repo/bench_scale/sf1 "q39_sssp,q40_hits,doc_dsir_weights" /tmp/bench_r13sf1_z_$i.json \
-        && cp /tmp/bench_r13sf1_z_$i.json /tmp/bench_r13sf1_z_clean.json \
-        && echo "[r13b-hunt $i] z CLEAN" || echo "[r13b-hunt $i] z dirty"
-    else
+    if ! done_full; then
       echo "[r13b-hunt $i] quiet - FULL sf0.1 sweep"
       run_bench /root/testdata/sf0.1 "" /tmp/bench_r13_full_$i.json \
         && cp /tmp/bench_r13_full_$i.json /tmp/bench_r13_full_clean.json \
         && echo "[r13b-hunt $i] full CLEAN" || echo "[r13b-hunt $i] full dirty"
+    elif ! done_z1; then
+      echo "[r13b-hunt $i] quiet - sf1 chunk z1 (sssp)"
+      run_bench /root/repo/bench_scale/sf1 "q39_sssp" /tmp/bench_r13sf1_z1_$i.json \
+        && cp /tmp/bench_r13sf1_z1_$i.json /tmp/bench_r13sf1_z1_clean.json \
+        && echo "[r13b-hunt $i] z1 CLEAN" || echo "[r13b-hunt $i] z1 dirty"
+    elif ! done_z2a; then
+      echo "[r13b-hunt $i] quiet - sf1 chunk z2a (hits)"
+      run_bench /root/repo/bench_scale/sf1 "q40_hits" /tmp/bench_r13sf1_z2a_$i.json \
+        && cp /tmp/bench_r13sf1_z2a_$i.json /tmp/bench_r13sf1_z2a_clean.json \
+        && echo "[r13b-hunt $i] z2a CLEAN" || echo "[r13b-hunt $i] z2a dirty"
+    else
+      echo "[r13b-hunt $i] quiet - sf1 chunk z2b (dsir + weighted pr)"
+      run_bench /root/repo/bench_scale/sf1 "doc_dsir_weights,q41_pagerank_weighted" /tmp/bench_r13sf1_z2b_$i.json \
+        && cp /tmp/bench_r13sf1_z2b_$i.json /tmp/bench_r13sf1_z2b_clean.json \
+        && echo "[r13b-hunt $i] z2b CLEAN" || echo "[r13b-hunt $i] z2b dirty"
     fi
   fi
 done
