@@ -73,21 +73,14 @@ object Dsir {
     rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
   }
 
-  /** Per-raw-document DSIR log-importance weight:
-    * (doc_id, n_grams, logw) with logw rounded to 6 decimals (ln class).
-    * `target` needs only its text column.
+  /** The shared scoring tail: per-doc Σ m·log-ratio over the B-row
+    * (b, cr, ct) stats frame — ONE broadcast join + one groupBy(doc).
+    * Shared verbatim by the one-shot and the maintained-state form, so
+    * same-stats scoring is bit-exact BY CONSTRUCTION (the bm25Score
+    * discipline).
     */
-  def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
-                        target: DataFrame, targetTextCol: String,
-                        buckets: Int = DefaultBuckets): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val db = bucketCounts(raw, Some(idCol), textCol, buckets)
-      .localCheckpoint(true)
-    val cr = db.groupBy(col("b")).agg(sum(col("m")).as("cr"))
-    val ct = bucketCounts(target, None, targetTextCol, buckets)
-      .withColumnRenamed("m", "ct")
-    val stats = cr.join(ct, Seq("b"), "left")
-      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+  private def scoreBuckets(db: DataFrame, idCol: String, stats: DataFrame,
+                           buckets: Int): DataFrame = {
     val totals = stats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     // the fixed IEEE log-ratio, shared verbatim with the oracle
     val lr =
@@ -98,6 +91,93 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(sum(col("m")).cast("bigint").as("n_grams"),
         round(sum(col("m").cast("double") * lr), 6).as("logw"))
+  }
+
+  /** Per-raw-document DSIR log-importance weight:
+    * (doc_id, n_grams, logw) with logw rounded to 6 decimals (ln class).
+    * `target` needs only its text column. The bucket stats join is FULL
+    * outer: a bucket only the target speaks still contributes its mass
+    * to Nt (it cannot join any raw doc row, so only the totals see it).
+    */
+  def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame, targetTextCol: String,
+                        buckets: Int = DefaultBuckets): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val db = bucketCounts(raw, Some(idCol), textCol, buckets)
+      .localCheckpoint(true)
+    val cr = db.groupBy(col("b")).agg(sum(col("m")).as("cr"))
+    val ct = bucketCounts(target, None, targetTextCol, buckets)
+      .withColumnRenamed("m", "ct")
+    val stats = cr.join(ct, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    scoreBuckets(db, idCol, stats, buckets)
+  }
+
+  /** Append one delta batch's bucket counts to the MAINTAINED DSIR state
+    * (the BatchTables SUM-merge discipline shared with the BM25 and
+    * moment state families): one `_batch_id` partition of
+    * (b, cr, ct) rows — raw-gram counts from `rawBatch`, target-gram
+    * counts from `targetBatch` (absent = zero; the target corpus can
+    * grow on its own schedule). Idempotent per batch id: a replay
+    * dynamic-overwrites its own partition byte-identically.
+    */
+  def dsirMergeBatch(rawBatch: DataFrame, textCol: String,
+                     targetBatch: Option[DataFrame], targetTextCol: String,
+                     table: String, path: String, batchId: Long,
+                     buckets: Int = DefaultBuckets): Unit = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = rawBatch.sparkSession
+    val cr = bucketCounts(rawBatch, None, textCol, buckets)
+      .withColumnRenamed("m", "cr")
+    val ct = targetBatch match {
+      case Some(t) => bucketCounts(t, None, targetTextCol, buckets)
+        .withColumnRenamed("m", "ct")
+      case None => spark.emptyDataFrame
+        .select(lit(0L).as("b"), lit(0L).as("ct")).limit(0)
+    }
+    val rows = cr.join(ct, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .withColumn("_batch_id", lit(batchId))
+    BatchTables.ensureBatchTable(rows.limit(0), table, path)
+    BatchTables.withDynamicOverwrite(spark) {
+      rows.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** Fold batches `0..upToBatchId` into one consolidated partition:
+    * per-bucket (Σcr, Σct). SUM-merge is not duplication-idempotent —
+    * the crash window between the consolidated insert and the source
+    * sweep shows inflated counts until the convergence re-run (the CMS
+    * contract shared by every SUM-merge family).
+    */
+  def dsirCompactState(spark: org.apache.spark.sql.SparkSession,
+                       table: String, upToBatchId: Long): (Int, Int) =
+    BatchTables.compactBatchPartitions(spark, table, upToBatchId, df =>
+      df.groupBy(col("b"), col("_batch_id"))
+        .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
+        .select(col("b"), col("cr"), col("ct"), col("_batch_id")))
+
+  /** Importance weights with the bucket statistics read from the
+    * maintained state table instead of recomputed: the ≤ B-row stats
+    * frame folds the table's batches with exact BIGINT sums and
+    * broadcasts; the only corpus touch is the gram scan of the docs
+    * being scored. When `docs` is the corpus the state absorbed, the
+    * output is [[importanceWeights]] VERBATIM (shared scoring chain,
+    * exact-integer stats — spec-pinned bit equality; the
+    * `doc_dsir_state` gate reuses the one-shot oracle). Scoring a SLICE
+    * keeps the GLOBAL distributions — the query-service semantics.
+    */
+  def dsirWeightsFromState(docs: DataFrame, idCol: String, textCol: String,
+                           table: String,
+                           buckets: Int = DefaultBuckets): DataFrame = {
+    val spark = docs.sparkSession
+    val stats = spark.table(table)
+      .groupBy(col("b"))
+      .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
+    val db = bucketCounts(docs, Some(idCol), textCol, buckets)
+    scoreBuckets(db, idCol, stats, buckets)
   }
 
   /** Sample k documents without replacement with probability ∝ exp(logw)

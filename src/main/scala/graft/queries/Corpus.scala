@@ -720,6 +720,42 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // DSIR as MAINTAINED state (Dsir.dsirMergeBatch/dsirWeightsFromState
+    // — the bm25-state discipline on the bucket-count SUM-merge family):
+    // three md5-parity delta batches persist (b, cr, ct) partitions —
+    // the target slice arriving WITH its batch — compaction folds the
+    // first two mid-stream, and scoring reads the folded stats + one
+    // gram scan. Exact-integer stats + the shared scoring chain make
+    // state ≡ one-shot bit-exact; the oracle is doc_dsir_weights'
+    // replay VERBATIM.
+    "doc_dsir_state" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_dsir_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_dsir_$salt")
+        .toString
+      try {
+        val part = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 6),
+          16, 10).cast("long"), lit(3))
+        for (i <- 0 until 3) {
+          val slice = docs.filter(part === i)
+          graft.operators.Dsir.dsirMergeBatch(slice, "text",
+            Some(slice.filter(
+              $"source".isin("src0", "src1", "src2", "src3"))),
+            "text", table, s"$tmp/state", i.toLong)
+        }
+        graft.operators.Dsir.dsirCompactState(s, table, 1L)
+        graft.operators.Dsir
+          .dsirWeightsFromState(docs, "doc_id", "text", table)
+          .orderBy($"doc_id")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // DSIR importance RESAMPLING: Gumbel top-64 over key =
     // round(logw − ln(−ln(u)), 6) with the md5-hex52 keyed uniform —
     // sampling without replacement ∝ exp(logw) through the bounded-heap
@@ -1072,8 +1108,9 @@ object Corpus {
       |cr AS (SELECT b, count(*)::BIGINT AS cr FROM gb GROUP BY b),
       |ct AS (SELECT b, count(*)::BIGINT AS ct FROM gb
       |       WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY b),
-      |st AS (SELECT cr.b, cr.cr, coalesce(ct.ct, 0)::BIGINT AS ct
-      |       FROM cr LEFT JOIN ct USING (b)),
+      |st AS (SELECT b, coalesce(cr.cr, 0)::BIGINT AS cr,
+      |         coalesce(ct.ct, 0)::BIGINT AS ct
+      |       FROM cr FULL JOIN ct USING (b)),
       |tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM st),
       |s AS (SELECT db.doc_id, sum(db.m)::BIGINT AS n_grams,
       |        round(sum(db.m::DOUBLE
@@ -2163,6 +2200,12 @@ object Corpus {
     // exact BIGINT count tables (raw + target slice) → the one fixed
     // IEEE log-ratio, summed per doc and rounded to 6 (ln class)
     "doc_dsir_weights" ->
+      s"""${dsirWeightsCtes}
+         |SELECT doc_id, n_grams, logw FROM s ORDER BY doc_id""".stripMargin,
+
+    // maintained-state scoring must equal the one-shot verbatim — the
+    // oracle IS the doc_dsir_weights replay
+    "doc_dsir_state" ->
       s"""${dsirWeightsCtes}
          |SELECT doc_id, n_grams, logw FROM s ORDER BY doc_id""".stripMargin,
 

@@ -83,6 +83,51 @@ class DsirSpec extends AnyFunSuite {
     assert(other.length === 5, "k >= corpus size returns every doc")
   }
 
+  test("maintained state ≡ one-shot bit-exactly across delta batches, " +
+      "a target-less batch, and mid-stream compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = (alphaDocs ++ betaDocs).toDF("doc_id", "text")
+    val extra = Seq((21L, "late beta spam drivel")).toDF("doc_id", "text")
+    val all = raw.union(extra)
+    val target = alphaDocs.map(_._2).toDF("text")
+    val oneShot = Dsir.importanceWeights(all, "doc_id", "text",
+        target, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val table = s"graft_dsir_spec_$salt"
+    val tmp = java.nio.file.Files.createTempDirectory(s"dsir_$salt").toString
+    try {
+      // three id-mod batches carry their own target slice; batch 3 is a
+      // late raw-only delta (no target arrived with it)
+      for (i <- 0 until 3) {
+        val slice = raw.filter(pmod($"doc_id", lit(3)) === i)
+        val tgt = alphaDocs.filter(_._1 % 3 == i).map(_._2).toDF("text")
+        Dsir.dsirMergeBatch(slice, "text",
+          if (tgt.isEmpty) None else Some(tgt), "text",
+          table, s"$tmp/state", i.toLong)
+      }
+      Dsir.dsirCompactState(spark, table, 1L)
+      Dsir.dsirMergeBatch(extra, "text", None, "text",
+        table, s"$tmp/state", 3L)
+      val fromState = Dsir
+        .dsirWeightsFromState(all, "doc_id", "text", table)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(fromState === oneShot)
+      // slice scoring keeps the GLOBAL distributions: a beta doc scored
+      // alone still carries its corpus-level weight
+      val slice = Dsir.dsirWeightsFromState(
+          all.filter($"doc_id" === 11L), "doc_id", "text", table)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(slice.toSeq === oneShot.filter(_._1 == 11L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("plan shapes: the bucket stats join BROADCASTS (scoring is one " +
       "gram scan, never a stats-side shuffle) and resample is " +
       "WINDOWLESS (bounded-heap aggregate, no global sort)") {
