@@ -439,4 +439,93 @@ object Components {
     }
     dist
   }
+
+  /** Sampled harmonic centrality (Boldi & Vigna 2014's axiom-clean
+    * centrality; Eppstein & Wang 2004 make the sampled-source estimator
+    * standard): for a seed-set sample S, every node scores
+    * Σ_{s ∈ S, d(s,n) ≥ 1} 1/d(s,n) — the "how close is this node to
+    * the sample" link-quality feature beside PageRank's random surfer
+    * and bfsHops' nearest-seed distance. Unreachable (source, node)
+    * pairs contribute exactly 0 (harmonic's selling point over
+    * closeness — no infinity bookkeeping), nodes reached by NO source
+    * are absent (the shared contract).
+    *
+    * Exactness: 1/d is not an exact double, so instead of float sums the
+    * score is returned as an exact INTEGER numerator `h_num = Σ L/d`
+    * over the common denominator L = lcm(1 .. maxRounds) — every term
+    * divides exactly, integer sums commute, so the result is
+    * bit-identical under any layout and an unrolled-SQL oracle replays
+    * it with `//` arithmetic (the PageRank fixed-point discipline). The
+    * rounded convenience double `h = round(h_num / L, 6)` is derived
+    * FROM the exact numerator, one deterministic IEEE division in both
+    * engines. `reach` is the exact count of sources that reach the node.
+    *
+    * Shape: one BFS whose frontier is keyed (source, node) — per round
+    * one equi-join on the node id + distinct + anti-join against the
+    * visited pairs, all localCheckpoint-truncated with the shared 1-row
+    * convergence action. State is |S| × reach pairs — the sampled
+    * estimator's whole point at 100 TB: |S| stays fixed as V grows, and
+    * the estimate concentrates (Eppstein-Wang give the Hoeffding bound).
+    * Edges follow src→dst; pass a symmetrized list for undirected
+    * semantics (the kCore/bfsHops contract).
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         maxRounds: Int = 12): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 40,
+      s"maxRounds must be in [1, 40], got $maxRounds " +
+        "(lcm(1..41) overflows the exact LONG numerator headroom)")
+    val denom = (1L to maxRounds.toLong).foldLeft(1L) { (l, d) =>
+      val g = java.math.BigInteger.valueOf(l)
+        .gcd(java.math.BigInteger.valueOf(d)).longValueExact()
+      l / g * d
+    }
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds
+      .select(col(seedCol).cast("long").as("source"))
+      .filter(col("source").isNotNull)
+      .distinct()
+      .select(col("source"), col("source").as("node"))
+      .withColumn("d", lit(0L))
+      .localCheckpoint(true)
+    val nSeeds = visited.count()
+    // exact-numerator overflow guard: worst case every source at d=1
+    require(nSeeds <= Long.MaxValue / math.max(denom, 1L) / 2,
+      s"$nSeeds seeds at lcm denominator $denom could overflow h_num — " +
+        "sample the seed set (the estimator wants a sample anyway)")
+    var frontier = visited.select("source", "node")
+    var rnd = 0
+    var n = nSeeds
+    while (n > 0 && rnd < maxRounds) {
+      rnd += 1
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("source"), col("dst").as("node")).distinct()
+        .join(visited.select("source", "node"), Seq("source", "node"),
+          "left_anti")
+        .localCheckpoint(true)
+      n = next.count()
+      if (n > 0) {
+        visited = visited
+          .union(next.select(col("source"), col("node"))
+            .withColumn("d", lit(rnd.toLong)))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited.filter(col("d") >= 1L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("reach"),
+        // `div` keeps every term an exact LONG (d divides the lcm), so
+        // the sum is integer arithmetic end to end — no double crossing
+        sum(expr(s"${denom}L div d")).as("h_num"))
+      .select(col("node"), col("reach"), col("h_num"),
+        round(col("h_num").cast("double") / lit(denom.toDouble), 6).as("h"))
+  }
 }

@@ -334,4 +334,73 @@ object TextAnalysis {
     bm25Score(termFrequencies(base, queryTerms), dfc, stats, queryTerms,
       k1, b)
   }
+
+  /** Zipf rank-frequency fit — the corpus-health audit every curation run
+    * wants beside per-doc quality scores: natural text follows
+    * freq ∝ rank^s with s ≈ −1 (Zipf 1949); template/boilerplate/spam
+    * corpora bend the curve (|s| collapses or the fit degrades), so the
+    * fitted slope and r² are a one-row drift alarm for an ingestion feed.
+    * OLS of ln(freq) on ln(rank) over the top-`topN` terms (rank =
+    * row_number by freq DESC, term ASC — a deterministic total order),
+    * plus the exact corpus counts the fit was made from.
+    *
+    * Output (1 row): `terms` = ranks actually fitted, `vocab` = distinct
+    * words, `tokens` = total words (exact BIGINTs), `slope`, `intercept`,
+    * `r2` (round-6; the moment sums over ≤ topN small doubles carry
+    * ~1e-12 absolute error against a 1e-6 rounding grid — the ln
+    * discipline). Corpora with a single distinct frequency rank set
+    * (fewer than 2 fitted terms, or zero x-variance) return NULL fit
+    * columns rather than 0/0.
+    *
+    * Scale shape: ONE word-explode scan partial-aggregated to the
+    * vocabulary-sized count table; the top-N cut is a bounded window on
+    * that table (rank over ~vocab rows, never the corpus), and the fit
+    * itself is six sums over ≤ topN rows. Nothing data-sized shuffles
+    * twice.
+    */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, topN: Int = 500): org.apache.spark.sql.DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val counts = docs
+      .select(explode(split(col(textCol), " ", -1)).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("f"))
+      .localCheckpoint(true) // shared by the fit and the exact totals
+    // top-N first (TakeOrderedAndProject — distributed, per-partition
+    // heaps), THEN the rank window over the ≤ topN survivors: the
+    // unpartitioned window never sees more than topN rows even when the
+    // vocabulary is 100M types
+    val ranked = counts
+      .orderBy(col("f").desc, col("word").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("word").asc)))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    val fit = ranked.agg(
+        count(lit(1)).as("terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("terms"),
+        (col("terms") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("terms") * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("terms") * col("syy") - col("sy") * col("sy")).as("vy"),
+        col("sx"), col("sy"))
+      .select(col("terms"),
+        when(col("terms") >= 2 && col("vx") > 0.0,
+          round(col("num") / col("vx"), 6)).as("slope"),
+        when(col("terms") >= 2 && col("vx") > 0.0,
+          round((col("sy") - (col("num") / col("vx")) * col("sx")) /
+            col("terms"), 6)).as("intercept"),
+        when(col("terms") >= 2 && col("vx") > 0.0 && col("vy") > 0.0,
+          round(col("num") * col("num") / (col("vx") * col("vy")), 6))
+          .as("r2"))
+    val totals = counts.agg(count(lit(1)).as("vocab"), sum(col("f")).as("tokens"))
+    fit.crossJoin(totals)
+      .select(col("terms"), col("vocab"), col("tokens"),
+        col("slope"), col("intercept"), col("r2"))
+  }
 }

@@ -692,6 +692,17 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Zipf rank-frequency fit (TextAnalysis.zipfFit): OLS of ln(freq) on
+    // ln(rank) over the top-500 terms (rank = row_number by freq DESC,
+    // term ASC — deterministic), one row of corpus-health numbers: the
+    // fitted slope/intercept/r² (round-6, the ln discipline) plus exact
+    // vocab/token counts. ONE word-explode scan; the window runs over
+    // the vocabulary-sized count table, never the corpus.
+    "doc_zipf" -> ((s, dir) => {
+      graft.operators.TextAnalysis
+        .zipfFit(Tables(s, dir, "documents"), "doc_id", "text", topN = 500)
+    }),
+
     // deterministic global corpus shuffle (Curation.shuffleShards):
     // 128-bit keyed md5 permutation → 16 uniform shards (hash-prefix
     // mod) + within-shard rank by (hash, id). One hash exchange + an
@@ -915,6 +926,39 @@ object Corpus {
       }
     }),
 
+    // The bigram LM as MAINTAINED state (LangModel.lmMergeBatch /
+    // bigramPerplexityFromState): the reference corpus arrives in three
+    // md5-parity delta batches, each SUM-merging exact (gram, w1, cnt)
+    // bigram rows + (word, cnt) vocabulary rows; the first two batches
+    // compact mid-stream; scoring then reads state + ONE gram scan of
+    // the docs being scored. Over the absorbed corpus the result is the
+    // one-shot doc_lm_perplexity VERBATIM (shared IEEE chain, exact
+    // integer counts) — the gate reuses that oracle.
+    "doc_lm_state" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_lm_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_lm_$salt")
+        .toString
+      try {
+        val part = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 6),
+          16, 10).cast("long"), lit(3))
+        for (i <- 0 until 3)
+          graft.operators.LangModel.lmMergeBatch(
+            docs.filter(part === i), "doc_id", "text",
+            table, s"$tmp/state", i.toLong)
+        graft.operators.LangModel.lmCompactState(s, table, 1L)
+        graft.operators.LangModel
+          .bigramPerplexityFromState(docs, "doc_id", "text", table)
+          .orderBy($"doc_id")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // Reciprocal-rank fusion (Fusion.rrfFuse): hybrid ranking from the
     // BM25 relevance list and the heuristic quality list — the standard
     // score-free retrieval ensemble (Cormack et al. 2009). Each system
@@ -1119,7 +1163,7 @@ object Corpus {
       |      FROM db JOIN st USING (b) CROSS JOIN tot
       |      GROUP BY db.doc_id)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     // embedding drift replay: identical 2^24 quantization, HUGEINT exact
     // sums/products (== Spark's DECIMAL(38,0)), one IEEE chain per stat
     "emb_drift_centroid" ->
@@ -2182,6 +2226,34 @@ object Corpus {
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // the same deterministic rank order, ln sums, and closed-form OLS;
+    // fit columns NULL on zero x-variance (the engine guard)
+    "doc_zipf" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT word, count(*)::BIGINT AS f FROM w GROUP BY 1),
+        |r AS (SELECT ln(row_number() OVER (ORDER BY f DESC, word ASC)
+        |          ::DOUBLE) AS x, ln(f::DOUBLE) AS y
+        |      FROM c QUALIFY row_number()
+        |          OVER (ORDER BY f DESC, word ASC) <= 500),
+        |m AS (SELECT count(*)::BIGINT AS terms,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |        sum(x * x) AS sxx, sum(y * y) AS syy FROM r),
+        |v AS (SELECT terms,
+        |        (terms * sxy - sx * sy) AS num,
+        |        (terms * sxx - sx * sx) AS vx,
+        |        (terms * syy - sy * sy) AS vy, sx, sy FROM m),
+        |t AS (SELECT count(*)::BIGINT AS vocab, sum(f)::BIGINT AS tokens
+        |      FROM c)
+        |SELECT v.terms, t.vocab, t.tokens,
+        |  CASE WHEN terms >= 2 AND vx > 0 THEN round(num / vx, 6) END
+        |    AS slope,
+        |  CASE WHEN terms >= 2 AND vx > 0
+        |    THEN round((sy - (num / vx) * sx) / terms, 6) END AS intercept,
+        |  CASE WHEN terms >= 2 AND vx > 0 AND vy > 0
+        |    THEN round(num * num / (vx * vy), 6) END AS r2
+        |FROM v, t""".stripMargin,
+
     // the permutation replay: same keyed hash, same prefix-mod shard,
     // same (hash, id) rank
     "doc_shuffle_assign" ->
@@ -2349,4 +2421,9 @@ object Corpus {
         |FROM e JOIN cand USING (vec_id) CROSS JOIN q
         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
   )
+
+  // maintained-state scoring over the absorbed corpus is the one-shot
+  // verbatim — the gate REUSES that oracle (the doc_bm25_state idiom)
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("doc_lm_state" -> oracleSqlBase("doc_lm_perplexity"))
 }

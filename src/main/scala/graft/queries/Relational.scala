@@ -598,6 +598,75 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // sampled harmonic centrality (Components.harmonicCentrality): the
+    // q37 tripartite graph and seed slice, but distances tracked PER
+    // SOURCE — each node scores Σ_s 1/d(s, node) as an exact integer
+    // numerator over lcm(1..14) = 360360 (every 1/d term divides
+    // exactly, so the sum is pure BIGINT and the unrolled oracle
+    // replays it with // arithmetic; the convenience double derives
+    // from the exact numerator). Per-source eccentricity 9 / 11 at
+    // sf0.01 / sf0.1, DuckDB-probed before the gate was declared; the
+    // oracle's 14 unrolled rounds carry an exhaust error() assert.
+    "q42_harmonic" -> ((s, dir) => {
+      import s.implicits._
+      val co = Tables(s, dir, "orders")
+        .select(($"o_custkey".cast("long") * 3).as("a"),
+          ($"o_orderkey".cast("long") * 3 + 1).as("b"))
+      val op = Tables(s, dir, "lineitem")
+        .filter($"l_partkey" % 5 === 0)
+        .select(($"l_orderkey".cast("long") * 3 + 1).as("a"),
+          ($"l_partkey".cast("long") * 3 + 2).as("b"))
+      val ce = co.union(op).distinct()
+      val sym = ce.select($"a".as("src"), $"b".as("dst"))
+        .union(ce.select($"b".as("src"), $"a".as("dst")))
+      val seeds = Tables(s, dir, "customer")
+        .filter($"c_nationkey" === 7 && $"c_custkey" % 50 === 3)
+        .select(($"c_custkey".cast("long") * 3).as("node"))
+      graft.operators.Components
+        .harmonicCentrality(sym, "src", "dst", seeds, "node", maxRounds = 14)
+        .orderBy($"node")
+    }),
+
+    // neighborhood link prediction (LinkPredict.neighborScores): 2-hop
+    // supplier pairs over the symmetrized trade graph, middles
+    // degree-capped at 64 (suppliers deg ~540/680 at sf0.01/sf0.1 sit
+    // OUT as middles — the cap that bounds the distance-2 join at
+    // 100 TB; customers deg ~33/39 qualify). cn/jc exact-integer
+    // arithmetic, aa/ra the round-6 ln discipline. Output thinned to
+    // the deterministic 1/49 (a, b both ≡ 0 mod 7) slice — 91 / 10,153
+    // pairs at sf0.01 / sf0.1, DuckDB-probed before the gate was
+    // declared; the mod filter pushes below the pair join.
+    "q43_link_pred" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .distinct()
+      val sym = e.select($"a".as("src"), $"b".as("dst"))
+        .union(e.select($"b".as("src"), $"a".as("dst")))
+      graft.operators.LinkPredict
+        .neighborScores(sym, "src", "dst", maxMiddleDegree = 64)
+        .filter($"a" % 7 === 0 && $"b" % 7 === 0)
+        .orderBy($"a", $"b")
+    }),
+
+    // degree assortativity (LinkPredict.degreeAssortativity): Newman's
+    // one-row structural audit over the same symmetrized trade graph —
+    // all five moment sums exact DECIMAL(38,0) (== DuckDB HUGEINT), the
+    // single final sqrt/divide in double, round-6. The bipartite trade
+    // graph is strongly DISassortative (hubs link leaves) — the value
+    // the gate pins.
+    "q44_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .distinct()
+      val sym = e.select($"a".as("src"), $"b".as("dst"))
+        .union(e.select($"b".as("src"), $"a".as("dst")))
+      graft.operators.LinkPredict.degreeAssortativity(sym, "src", "dst")
+    }),
+
     // k-anonymity / l-diversity census (operators.Privacy): per
     // (nation, segment) quasi-identifier group — size, distinct
     // sensitive account-balance values, verdicts at k=12 / l=3. One
@@ -1368,6 +1437,94 @@ object Relational {
          |FROM h3 h FULL JOIN a3 a ON h.node = a.node
          |ORDER BY node""".stripMargin
     },
+
+    // per-(source, node) BFS unrolled 14 rounds with an exhaust assert
+    // (per-source eccentricity 9/11 at sf0.01/sf0.1, probed first); the
+    // harmonic numerator is pure // integer arithmetic over lcm(1..14)
+    "q42_harmonic" -> {
+      val L = 360360L // lcm(1..14)
+      val rounds = (1 to 14).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT DISTINCT f.source, e.dst AS node
+           |      FROM e JOIN f${i - 1} f ON e.src = f.node
+           |      WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+           |          WHERE v.source = f.source AND v.node = e.dst)),
+           |v$i AS MATERIALIZED (SELECT source, node FROM v${i - 1}
+           |      UNION ALL SELECT source, node FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      val dists = (1 to 14).map(i =>
+        s"SELECT source, node, ${i}::BIGINT AS d FROM f$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH ce AS (SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
+         |              o_orderkey::BIGINT * 3 + 1 AS b FROM orders
+         |            UNION
+         |            SELECT DISTINCT l_orderkey::BIGINT * 3 + 1 AS a,
+         |              l_partkey::BIGINT * 3 + 2 AS b
+         |            FROM lineitem WHERE l_partkey % 5 = 0),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce
+         |      UNION ALL SELECT b, a FROM ce),
+         |f0 AS MATERIALIZED (SELECT DISTINCT c_custkey::BIGINT * 3 AS source,
+         |      c_custkey::BIGINT * 3 AS node
+         |      FROM customer WHERE c_nationkey = 7 AND c_custkey % 50 = 3),
+         |v0 AS MATERIALIZED (SELECT source, node FROM f0),
+         |$rounds,
+         |chk AS (SELECT CASE WHEN (SELECT count(*) FROM f14) = 0 THEN 1
+         |  ELSE error('q42_harmonic oracle: 14 unrolled rounds did not exhaust the frontier - deepen the unroll') END AS ok),
+         |dd AS ($dists)
+         |SELECT node, count(*)::BIGINT AS reach,
+         |  sum($L // d)::BIGINT AS h_num,
+         |  round(sum($L // d)::BIGINT::DOUBLE / $L.0, 6) AS h
+         |FROM dd, chk WHERE chk.ok = 1
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
+
+    // degrees, the capped distance-2 join, the same round-6 ln sums;
+    // jc keeps UNCAPPED endpoint degrees (the engine contract)
+    "q43_link_pred" ->
+      """WITH ce AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce
+        |      UNION ALL SELECT b, a FROM ce),
+        |deg AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS deg
+        |      FROM e GROUP BY 1),
+        |mids AS MATERIALIZED (SELECT e.src AS z, e.dst, d.deg AS zdeg
+        |      FROM e JOIN deg d ON d.node = e.src
+        |      WHERE d.deg BETWEEN 2 AND 64),
+        |pairs AS (SELECT m1.dst AS a, m2.dst AS b,
+        |        count(*)::BIGINT AS cn,
+        |        sum(1.0 / ln(m1.zdeg::DOUBLE)) AS aa_raw,
+        |        sum(1.0 / m1.zdeg::DOUBLE) AS ra_raw
+        |      FROM mids m1 JOIN mids m2 USING (z)
+        |      WHERE m1.dst < m2.dst AND m1.dst % 7 = 0 AND m2.dst % 7 = 0
+        |      GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.cn,
+        |  round(p.cn::DOUBLE / (da.deg + db.deg - p.cn)::DOUBLE, 6) AS jc,
+        |  round(aa_raw, 6) AS aa, round(ra_raw, 6) AS ra
+        |FROM pairs p JOIN deg da ON da.node = p.a
+        |JOIN deg db ON db.node = p.b
+        |ORDER BY p.a, p.b""".stripMargin,
+
+    // exact HUGEINT moment sums (== Spark's DECIMAL(38,0)), one final
+    // sqrt/divide in double, the zero-variance NULL guard
+    "q44_assortativity" ->
+      """WITH ce AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce
+        |      UNION ALL SELECT b, a FROM ce),
+        |deg AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS deg
+        |      FROM e GROUP BY 1),
+        |xy AS (SELECT dx.deg AS x, dy.deg AS y FROM e
+        |       JOIN deg dx ON dx.node = e.src JOIN deg dy ON dy.node = e.dst),
+        |m AS (SELECT count(*)::BIGINT AS edges,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |        sum(x * x) AS sxx, sum(y * y) AS syy FROM xy),
+        |v AS (SELECT edges,
+        |        (edges * sxy - sx * sy)::DOUBLE AS num,
+        |        (edges * sxx - sx * sx)::DOUBLE AS vx,
+        |        (edges * syy - sy * sy)::DOUBLE AS vy FROM m)
+        |SELECT edges,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN round(num / sqrt(vx * vy), 6) END AS r
+        |FROM v""".stripMargin,
 
     // the plain join — the skew routing must be answer-invisible
     "q36_skew_join" ->

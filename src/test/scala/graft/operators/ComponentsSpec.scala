@@ -276,6 +276,63 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rgot === rwant)
   }
 
+  test("harmonicCentrality: exact lcm numerators match a scalar " +
+      "per-source BFS across layouts; self-distance excluded; " +
+      "unreachable pairs contribute zero; maxRounds truncates") {
+    import spark.implicits._
+    def sym(e: Seq[(Long, Long)]) = e ++ e.map(_.swap)
+    // path 1-2-3-4-5 plus a detached triangle; sources {1, 4}
+    val g = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)))
+    def scalar(edges: Seq[(Long, Long)], sources: Set[Long],
+               maxRounds: Int): Map[Long, (Long, Long)] = {
+      val L = (1L to maxRounds.toLong).foldLeft(1L)((l, d) =>
+        l / BigInt(l).gcd(BigInt(d)).toLong * d)
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val terms = sources.toSeq.flatMap { s =>
+        var dist = Map(s -> 0L); var frontier = Set(s); var hop = 0L
+        while (frontier.nonEmpty && hop < maxRounds) {
+          hop += 1
+          val next = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+            .filterNot(dist.contains)
+          next.foreach(n => dist += n -> hop)
+          frontier = next
+        }
+        dist.toSeq.filter(_._2 >= 1L)
+      }
+      terms.groupBy(_._1).map { case (n, ds) =>
+        n -> ((ds.size.toLong, ds.map(x => L / x._2).sum))
+      }
+    }
+    val want = scalar(g, Set(1L, 4L), 12)
+    for (parts <- Seq(1, 5)) {
+      val got = Components.harmonicCentrality(
+          g.toDF("s", "d").repartition(parts), "s", "d",
+          Seq(1L, 4L).toDF("seed"), "seed", maxRounds = 12)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === want, s"parts=$parts")
+      assert(!got.contains(10L), "unreachable component must be absent")
+    }
+    // node 3 sits 2 hops from source 1 and 1 hop from source 4:
+    // h_num = L/2 + L/1 with L = lcm(1..12) = 27720
+    assert(want(3L) === ((2L, 27720L / 2 + 27720L)))
+    // sources score each other (4 hops apart) but never themselves
+    assert(want(1L) === ((1L, 27720L / 3)),
+      "source 1 is 3 hops from source 4 — one term, no self")
+    // the rounded convenience double derives from the exact numerator
+    val h3 = Components.harmonicCentrality(g.toDF("s", "d"), "s", "d",
+        Seq(1L, 4L).toDF("seed"), "seed", maxRounds = 12)
+      .filter($"node" === 3L).collect()(0).getDouble(3)
+    assert(h3 === math.round((0.5 + 1.0) * 1e6) / 1e6)
+    // maxRounds truncation changes the denominator AND the horizon:
+    // radius 1 from source 1 scores only node 2 at L(1) = 1
+    val trunc = Components.harmonicCentrality(g.toDF("s", "d"), "s", "d",
+        Seq(1L).toDF("seed"), "seed", maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(trunc === Map(2L -> 1L))
+  }
+
   test("kCore: a DIRECTED edge list fails loudly instead of silently " +
       "undercounting (ADVICE r12)") {
     import spark.implicits._

@@ -189,6 +189,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("zipfFit matches a scalar OLS model; rank ties break by term; " +
+      "topN caps the fit; degenerate corpora return NULL fits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // freqs: a=4, b=3, c=2, d=2, e=1 — tie (c,d) must rank c before d
+    val docs = Seq((1L, "a a b c d"), (2L, "a b c d e"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, "doc_id", "text").collect()(0)
+    val ranked = Seq(4L, 3L, 2L, 2L, 1L) // a, b, c, d, e after tie-break
+    val pts = ranked.zipWithIndex.map { case (f, i) =>
+      (math.log(i + 1.0), math.log(f.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val num = n * pts.map(p => p._1 * p._2).sum - sx * sy
+    val vx = n * pts.map(p => p._1 * p._1).sum - sx * sx
+    val vy = n * pts.map(p => p._2 * p._2).sum - sy * sy
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got.getLong(0) === 5L)          // terms fitted
+    assert(got.getLong(1) === 5L)          // vocab
+    assert(got.getLong(2) === 12L)         // tokens
+    assert(got.getDouble(3) === r6(num / vx))
+    assert(got.getDouble(4) === r6((sy - (num / vx) * sx) / n))
+    assert(got.getDouble(5) === r6(num * num / (vx * vy)))
+    assert(got.getDouble(3) < 0.0, "zipf slope must be negative")
+    // topN caps the fitted ranks (totals stay corpus-exact)
+    val capped = TextAnalysis.zipfFit(docs, "doc_id", "text", topN = 3)
+      .collect()(0)
+    assert(capped.getLong(0) === 3L && capped.getLong(1) === 5L)
+    // a single-word corpus has one rank: zero x-variance -> NULL fit
+    val flat = TextAnalysis.zipfFit(
+      Seq((1L, "x x x")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(flat.getLong(0) === 1L && flat.isNullAt(3) && flat.isNullAt(5))
+    // layout invariance at round-6 over the corpus table
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val a = TextAnalysis.zipfFit(corpus, "doc_id", "text").collect()(0)
+    val b = TextAnalysis.zipfFit(corpus.repartition(13), "doc_id", "text")
+      .collect()(0)
+    assert(a === b)
+    // the synthetic corpus is word-salad over a ~30-word vocabulary —
+    // near-uniform frequencies, so the curve falls only gently and the
+    // fit is POOR (r² ≈ 0.06): exactly the degradation the audit flags
+    // on unnatural corpora (natural text sits near slope -1, r² > 0.9)
+    assert(a.getDouble(3) < -0.05 && a.getDouble(3) > -1.0)
+    assert(a.getDouble(5) >= 0.0 && a.getDouble(5) <= 1.0)
+  }
+
   test("rrfFuse: fixed-order reciprocal sum, absent items contribute 0") {
     import spark.implicits._
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rnk")
