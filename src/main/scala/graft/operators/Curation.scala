@@ -720,4 +720,57 @@ object Curation {
         count(when(col("df") < effMinDf, 1)).as("n_kept"),
         count(when(col("df") >= effMinDf, 1)).as("n_removed"))
   }
+
+  /** Prototype (centroid) outlier detection per group — the embedding-side
+    * quality filter beside SemDeDup's duplicate discards: members whose
+    * cosine to their group's centroid DIRECTION falls below `minCos` are
+    * flagged (mislabeled / out-of-distribution points; CLIP-score-style
+    * prototype filtering with the label playing the prototype).
+    *
+    * Determinism: float mean-vectors are order-dependent, so the centroid
+    * is the exact INTEGER sum vector of 2^24-quantized elements (the
+    * embeddingDrift discipline) — cosine is scale-invariant, so the
+    * un-normalized sum IS the centroid direction and no division ever
+    * happens; per-dim DECIMAL(38,0) sums commute, the one cast to double
+    * rounds identically in both engines, and the member cosine runs the
+    * codegen sequential [[VectorMath.cosine]] chain DuckDB's list
+    * functions replay. Flagging compares the ROUNDED cosine (round-6, the
+    * composed-verdict rule). Zero-norm members or centroids are flagged
+    * with a NULL cosine rather than NaN-flooding the output (the
+    * decontaminateSemantic guard).
+    *
+    * Shape: one posexplode scan → (group, dim) exact sums (a few KB —
+    * groups × dims rows), centroids rebuilt as dim-ordered arrays and
+    * broadcast back onto the members; ONE pass over the embedding table,
+    * no data-sized shuffle beyond the quantized-sum aggregation.
+    */
+  def centroidOutliers(embeddings: DataFrame, idCol: String, vecCol: String,
+                       groupCol: String, minCos: Double): DataFrame = {
+    require(minCos > -1.0 && minCos < 1.0,
+      s"minCos must be in (-1, 1), got $minCos")
+    val Q = 16777216L // 2^24
+    val base = embeddings
+      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+    val centroids = base
+      .select(col(groupCol).as("_g"),
+        posexplode(col(vecCol)).as(Seq("_dim", "_e")))
+      .withColumn("_q",
+        floor(col("_e").cast("double") * Q).cast("long").cast("decimal(38,0)"))
+      .groupBy(col("_g"), col("_dim"))
+      .agg(sum(col("_q")).as("_s"))
+      .groupBy(col("_g"))
+      .agg(transform(
+        array_sort(collect_list(
+          struct(col("_dim"), col("_s").cast("double").as("_sd")))),
+        s => s.getField("_sd")).as("_c"))
+    import graft.functions.VecDot.vec_dot
+    base
+      .select(col(idCol), col(groupCol).as("_g"), col(vecCol).as("_v"))
+      .join(broadcast(centroids), Seq("_g"))
+      .select(col(idCol), col("_g").as(groupCol),
+        when(vec_dot(col("_v"), col("_v")) > 0.0 &&
+            vec_dot(col("_c"), col("_c")) > 0.0,
+          round(VectorMath.cosine(col("_v"), col("_c")), 6)).as("cos"))
+      .filter(col("cos") < minCos || col("cos").isNull)
+  }
 }

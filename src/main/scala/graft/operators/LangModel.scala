@@ -181,4 +181,44 @@ object LangModel {
     scoreGrams(docs, idCol, docGrams(docs, idCol, textCol),
       bigramCounts, prefixCounts, vocab)
   }
+
+  /** Bigram NOVELTY of `docs` against the reference corpus held in the
+    * maintained state table: per document the exact count of bigram
+    * OCCURRENCES whose gram the reference has never seen, and the novelty
+    * ratio unseen/n_bigrams (round-6; one division of exact integers —
+    * deterministic). High novelty against a trusted reference flags
+    * machine-garbled or out-of-distribution text; LOW novelty of a held
+    * -out eval set against the TRAINING state is the memorization /
+    * contamination smell (the n-gram-overlap check of Brown et al. 2020
+    * §4, run from state instead of a corpus rescan). Documents with
+    * fewer than two words score 0 / NULL ratio.
+    *
+    * Shape: ONE gram scan of the docs being scored, left-joined against
+    * the vocabulary-sized (gram → seen) state projection; the reference
+    * corpus is never touched. Exact integers everywhere — the gate
+    * replays the join in SQL verbatim.
+    */
+  def noveltyFromState(docs: DataFrame, idCol: String, textCol: String,
+                       table: String): DataFrame = {
+    val seen = docs.sparkSession.table(table)
+      .filter(col("gram").isNotNull)
+      .groupBy(col("gram"))
+      .agg(sum(col("cnt")).as("c2"))
+      .filter(col("c2") > 0L)
+      .select(col("gram"), lit(1L).as("seen"))
+    val grams = docGrams(docs, idCol, textCol)
+      .join(seen, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast("bigint").as("n_bigrams"),
+        sum(when(col("seen").isNull, col("m")).otherwise(lit(0.0)))
+          .cast("bigint").as("unseen"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("unseen"), lit(0L)).as("unseen"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
+          round(coalesce(col("unseen"), lit(0L)).cast("double") /
+            col("n_bigrams").cast("double"), 6)).as("novelty"))
+  }
 }

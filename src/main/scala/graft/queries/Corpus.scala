@@ -959,6 +959,38 @@ object Corpus {
       }
     }),
 
+    // Bigram novelty against a maintained reference state
+    // (LangModel.noveltyFromState): the reference is the deterministic
+    // 0.5% md5 slice (1 / 19 docs at sf0.01 / sf0.1 — small enough that
+    // the rest of the corpus scores REAL novelty: medians 0.94 / 0.30,
+    // DuckDB-probed before the gate was declared), absorbed via
+    // lmMergeBatch + compaction; every document then scores exact
+    // (n_bigrams, unseen) integers + the round-6 ratio from state + ONE
+    // gram scan — the n-gram memorization/contamination check run
+    // against state instead of a corpus rescan.
+    "doc_lm_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_lm_nov_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_nov_$salt")
+        .toString
+      try {
+        val part = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 6),
+          16, 10).cast("long"), lit(200))
+        graft.operators.LangModel.lmMergeBatch(
+          docs.filter(part === 0), "doc_id", "text", table, s"$tmp/state", 0L)
+        graft.operators.LangModel.lmCompactState(s, table, 0L)
+        graft.operators.LangModel
+          .noveltyFromState(docs, "doc_id", "text", table)
+          .orderBy($"doc_id")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // Reciprocal-rank fusion (Fusion.rrfFuse): hybrid ranking from the
     // BM25 relevance list and the heuristic quality list — the standard
     // score-free retrieval ensemble (Cormack et al. 2009). Each system
@@ -2224,6 +2256,29 @@ object Corpus {
         |  coalesce(round(-s.logp / s.n_bigrams, 4), 0.0) AS ce,
         |  coalesce(round(exp(-s.logp / s.n_bigrams), 4), 0.0) AS ppl
         |FROM t LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the identical 0.5% md5 reference slice, exact integer counts, and
+    // round-6 ratio; short docs (n = 0) take a NULL ratio
+    "doc_lm_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w,
+        |      ('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 200
+        |        AS part
+        |    FROM documents),
+        |ref AS (SELECT DISTINCT unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS gram FROM t WHERE part = 0),
+        |dg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS gram FROM t),
+        |sc AS (SELECT dg.doc_id, count(*)::BIGINT AS n_bigrams,
+        |         count(*) FILTER (ref.gram IS NULL)::BIGINT AS unseen
+        |       FROM dg LEFT JOIN ref USING (gram) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sc.unseen, 0) AS unseen,
+        |  CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+        |    THEN round(sc.unseen::DOUBLE / sc.n_bigrams::DOUBLE, 6)
+        |  END AS novelty
+        |FROM t LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // the same deterministic rank order, ln sums, and closed-form OLS;

@@ -14,6 +14,20 @@ object Curation {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Prototype (centroid) outlier detection (Curation.centroidOutliers):
+    // members whose round-6 cosine to their label's EXACT quantized-sum
+    // centroid direction falls below -0.15 — 2 / 89 flagged at
+    // sf0.01 / sf0.1 (DuckDB-probed before the gate was declared). The
+    // centroid is the 2^24-quantized integer sum vector (order-free),
+    // cosine the codegen sequential chain DuckDB's list functions replay.
+    "emb_centroid_outliers" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Curation
+        .centroidOutliers(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", minCos = -0.15)
+        .orderBy($"label", $"vec_id")
+    }),
+
     // Gopher/MassiveText repetition filters: top n-gram character coverage
     // + duplicate 5-gram occurrence fraction, per document.
     "doc_repetition" -> ((s, dir) => {
@@ -376,6 +390,23 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the identical quantized integer centroid, dim-ordered list, and
+    // sequential cosine chain; round-6 verdict
+    "emb_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings
+        |           WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |x AS (SELECT label, i, floor(v[i] * 16777216)::BIGINT AS q
+        |      FROM e, range(1, 65) t(i)),
+        |s AS (SELECT label, i, sum(q) AS s FROM x GROUP BY 1, 2),
+        |c AS (SELECT label, list(s::DOUBLE ORDER BY i) AS cen
+        |      FROM s GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label,
+        |         round(list_cosine_similarity(e.v, c.cen), 6) AS cos
+        |       FROM e JOIN c USING (label))
+        |SELECT vec_id, label, cos FROM sc
+        |WHERE cos < -0.15 ORDER BY label, vec_id""".stripMargin,
+
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w,
         |            greatest(length(text), 1)::DOUBLE n_chars FROM documents),

@@ -707,4 +707,33 @@ class CurationSpec extends AnyFunSuite {
     val order = a.sortBy(t => (t._2, t._3)).map(_._1).toSeq
     assert(order !== order.sorted)
   }
+
+  test("centroidOutliers: a planted inverted member is flagged against " +
+      "its group's exact quantized centroid; layout-invariant; a " +
+      "zero-norm member flags with NULL cosine") {
+    import spark.implicits._
+    // group 1: eight near-identical vectors + one INVERTED; group 2:
+    // tight cluster elsewhere + one all-zero degenerate
+    def v(base: Array[Double], eps: Double) = base.map(x => (x + eps).toFloat)
+    val b1 = Array(0.8, 0.1, 0.05, 0.3)
+    val b2 = Array(-0.2, 0.7, -0.4, 0.1)
+    val rows =
+      (0 until 8).map(i => (i.toLong, v(b1, i * 0.001), 1)) ++
+        Seq((8L, b1.map(x => (-x).toFloat), 1)) ++
+        (10 until 14).map(i => (i.toLong, v(b2, (i - 10) * 0.001), 2)) ++
+        Seq((14L, Array(0f, 0f, 0f, 0f), 2))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    for (parts <- Seq(1, 5)) {
+      val got = Curation.centroidOutliers(df.repartition(parts), "vec_id",
+          "embedding", "label", minCos = 0.5)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(got.keySet === Set(8L, 14L), s"parts=$parts: $got")
+      assert(got(8L).exists(_ < -0.9),
+        "the inverted member sits opposite the centroid")
+      assert(got(14L).isEmpty,
+        "a zero-norm member flags with NULL, never NaN")
+    }
+  }
 }

@@ -126,6 +126,32 @@ class LangModelSpec extends AnyFunSuite {
     }
   }
 
+  test("noveltyFromState: exact unseen counts against the reference " +
+      "state; absorbed docs score zero; short docs take a NULL ratio") {
+    import spark.implicits._
+    val ref = Seq((0L, "a b c a b")).toDF("doc_id", "text")
+    val table = "graft_lm_spec_nov"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val tmp = java.nio.file.Files.createTempDirectory("lmnov").toString
+    try {
+      LangModel.lmMergeBatch(ref, "doc_id", "text", table, s"$tmp/state", 0L)
+      // reference grams: {a b, b c, c a}. Doc 9 "a b x c a": grams
+      // (a b) seen, (b x) unseen, (x c) unseen, (c a) seen -> 2/4.
+      val scored = LangModel.noveltyFromState(
+          Seq((0L, "a b c a b"), (9L, "a b x c a"), (7L, "solo"))
+            .toDF("doc_id", "text"), "doc_id", "text", table)
+        .orderBy($"doc_id").collect()
+      assert(scored.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq === Seq((0L, 4L, 0L), (7L, 0L, 0L), (9L, 4L, 2L)))
+      assert(scored(0).getDouble(3) === 0.0)
+      assert(scored(1).isNullAt(3), "a 1-word doc must score NULL, not NaN")
+      assert(scored(2).getDouble(3) === 0.5)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("one full-text scan feeds the model; only doc_id rescans") {
     val docs = graft.Tables(spark, sf, "documents")
     val plan = LangModel.bigramPerplexity(docs, "doc_id", "text")
