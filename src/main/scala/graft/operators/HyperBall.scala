@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.SplitMix64.{leading_zeros64, splitmix64}
+
+/** HyperBall (Boldi & Vigna 2013) — the neighborhood function N(t) =
+  * Σ_n |B_t(n)| and the EFFECTIVE DIAMETER, the two numbers that
+  * characterize a web-scale graph's reachability structure (how much of
+  * the graph a crawler/propagation reaches in t hops; the "90% of pairs
+  * within d hops" headline). Exact per-node balls are Θ(V²) state;
+  * HyperBall keeps ONE HyperLogLog sketch per node and exploits that the
+  * t-ball decomposes over out-edges:
+  *
+  *   B_t(n) = {n} ∪ ⋃_{n→m} B_{t-1}(m)
+  *
+  * so one synchronous round is register-wise max-merge along edges — an
+  * ordinary join + groupBy max over (node, bucket, rho) rows, fully
+  * parallel, skew-immune, state V·2^p rows. The register frame at round t
+  * IS the HLL sketch of the true t-ball, exactly (max-merge of member
+  * sketches — the invariant the spec pins against scalar BFS balls).
+  *
+  * Exactness discipline (beyond the [[Hll]] oracle): per-node estimates
+  * at V-node scale cannot afford ANY order-dependent float — a single
+  * last-ulp wobble among V·T estimates breaks a hash gate. So the
+  * harmonic sum is the exact INTEGER Σ 2^(53−rho) (rho capped at 53;
+  * every term a power of two, LONG sums commute), the one cast to double
+  * rounds identically in both engines, and the per-node estimate — whose
+  * only engine-dependent op is the linear-counting ln, the round-4
+  * perplexity precedent — is rounded to 4 BEFORE the cross-node
+  * aggregation, which is an exact DECIMAL(38,4) sum. N(t) is therefore
+  * bit-stable under any layout and SQL-replayable end to end.
+  *
+  * Rounds are bounded by the graph diameter; convergence is witnessed by
+  * the (count, Σrho) pair — registers only grow under max-merge, so the
+  * pair is invariant iff the frame is (the q39 count+sum discipline).
+  * Edges follow src→dst (balls collect what src REACHES); pass a
+  * symmetrized list for undirected semantics.
+  */
+object HyperBall {
+
+  /** Neighborhood function: one row per round, `(t, nf)` with `nf` the
+    * DECIMAL(38,4) sum over nodes of the round-4 ball estimates, from
+    * t = 0 (every ball = {self}) to the fixpoint round (or `maxT`).
+    * `p` ∈ [4, 8]: 2^p registers per node (HyperBall runs web graphs at
+    * p=4..6 — the estimate drives a diameter readout, not a billing
+    * number; the integer harmonic sum needs 2^p · 2^52 < 2^63).
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
+                           p: Int = 4, maxT: Int = 32): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in 4..8, got $p")
+    require(maxT >= 0, s"maxT must be >= 0, got $maxT")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // self-ball registers; rho capped at 53 so the harmonic term
+    // 2^(53-rho) stays an exact integer power of two (the cap fires with
+    // probability 2^-53 per hash — never observed, always deterministic)
+    val h = splitmix64(col("node"))
+    var regs = nodes
+      .select(col("node"),
+        shiftrightunsigned(h, 64 - p).as("bucket"),
+        least(leading_zeros64(shiftleft(h, p)) + 1, lit(53)).cast("int")
+          .as("rho"))
+      .localCheckpoint(true)
+
+    def estimate(r: DataFrame, t: Int): DataFrame = {
+      val agg = r.groupBy(col("node"))
+        .agg(count(lit(1)).as("v"),
+          sum(expr("shiftleft(1L, 53 - rho)")).as("s"))
+      val zeros = (lit(m.toLong) - col("v")).cast("double")
+      val harm = zeros + col("s").cast("double") / lit(9007199254740992.0) // 2^53
+      val rawE = lit(alpha * m * m) / harm
+      val est = when(rawE <= lit(2.5 * m) && zeros > 0.0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(rawE)
+      agg.select(round(est, 4).cast("decimal(38,4)").as("_e"))
+        .agg(sum(col("_e")).cast("decimal(38,4)").as("nf"))
+        .select(lit(t.toLong).as("t"), col("nf"))
+    }
+
+    var sig = regs.agg(count(lit(1)), sum(col("rho"))).head()
+    var out = Seq(estimate(regs, 0))
+    var t = 0
+    var converged = false
+    while (!converged && t < maxT) {
+      t += 1
+      val next = regs
+        .union(e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), col("bucket"), col("rho")))
+        .groupBy(col("node"), col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      val nsig = next.agg(count(lit(1)), sum(col("rho"))).head()
+      converged = nsig == sig
+      sig = nsig
+      regs = next
+      if (!converged) out :+= estimate(regs, t)
+    }
+    out.reduce(_ unionByName _)
+  }
+
+  /** Effective diameter at quantile `q` from a [[neighborhoodFunction]]
+    * frame: the smallest t with N(t) ≥ q·N(t_max), linearly interpolated
+    * between t−1 and t (the HyperANF convention). One row:
+    * `(t_max, nf_max, eff_diameter)` — eff_diameter round-4, derived from
+    * the exact DECIMAL nf values by one fixed IEEE expression.
+    */
+  def effectiveDiameter(nf: DataFrame, q: Double = 0.9): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    val top = nf.agg(max(col("t")).as("t_max"),
+      max(col("nf")).cast("double").as("nf_max"))
+    val hit = nf
+      .select(col("t"), col("nf").cast("double").as("f"),
+        lag(col("nf").cast("double"), 1).over(w).as("pf"))
+      .crossJoin(broadcast(top))
+      .filter(col("f") >= lit(q) * col("nf_max"))
+      .orderBy(col("t"))
+      .limit(1)
+    hit.select(col("t_max"), col("nf_max"),
+      round(when(col("t") === 0L, lit(0.0))
+        .otherwise(col("t").cast("double") - 1.0 +
+          (lit(q) * col("nf_max") - col("pf")) / (col("f") - col("pf"))), 4)
+        .as("eff_diameter"))
+  }
+}

@@ -1023,6 +1023,35 @@ object Corpus {
         .orderBy($"rrf".desc, $"doc_id")
     }),
 
+    // Ranking-quality evaluation (RankEval.rankEval): the BM25 top-20 is
+    // judged against graded relevance derived from the corpus itself
+    // (gain = distinct-query-terms-present − 1, judged set = docs with
+    // ≥ 2 of the 3 terms — 418 / 4,165 docs at sf0.01 / sf0.1, probed
+    // first): nDCG@20, reciprocal rank, precision/recall@20, one row.
+    // The eval runs on rank lists + the judged set, never the corpus.
+    "doc_rank_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bm = graft.operators.TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("vector", "join", "scan"))
+      val ranked = bm.orderBy($"bm25".desc, $"doc_id").limit(20)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"bm25".desc, $"doc_id")).cast("bigint"))
+        .select(lit("q1").as("qid"), $"doc_id", $"rnk")
+      val w = split($"text", " ", -1)
+      val grade = (array_contains(w, "vector").cast("int") +
+        array_contains(w, "join").cast("int") +
+        array_contains(w, "scan").cast("int"))
+      val relevant = docs
+        .select(lit("q1").as("qid"), $"doc_id",
+          (grade - 1).cast("double").as("gain"))
+        .filter($"gain" > 0.0)
+      graft.operators.RankEval
+        .rankEval(ranked, relevant, "qid", "doc_id", "rnk", "gain", k = 20)
+        .orderBy($"qid")
+    }),
+
     // The composed curation DECISION — what a real pipeline runs after all
     // the signal operators: every document gets a keep/drop verdict with
     // the first failing rule as the reason (Gopher/C4-style rule order:
@@ -2257,6 +2286,66 @@ object Corpus {
         |  coalesce(round(exp(-s.logp / s.n_bigrams), 4), 0.0) AS ppl
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // the doc_bm25_topk ranking chain + list_contains grades + the same
+    // DCG/IDCG/RR/precision/recall arithmetic, round-6 (the ln
+    // discipline: <= 20-term log2 sums against a 1e-6 grid)
+    "doc_rank_eval" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |b2 AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM base),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS sdl
+        |       FROM base),
+        |tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+        |       FROM (SELECT doc_id, dl, unnest(w) AS term FROM b2)
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |c AS (SELECT t.doc_id, t.term,
+        |        (ln(((st.n::DOUBLE - dfc.df::DOUBLE) + 0.5)
+        |             / (dfc.df::DOUBLE + 0.5) + 1.0)
+        |         * (t.tf * 2.2))
+        |        / (t.tf + 1.2 * (0.25 + (0.75 * t.dl::DOUBLE)
+        |             / (st.sdl::DOUBLE / st.n::DOUBLE))) AS s
+        |      FROM tf t JOIN dfc USING (term), st),
+        |sc AS (SELECT doc_id,
+        |         sum(CASE WHEN term = 'vector' THEN s ELSE 0 END)
+        |         + sum(CASE WHEN term = 'join' THEN s ELSE 0 END)
+        |         + sum(CASE WHEN term = 'scan' THEN s ELSE 0 END) AS bm25
+        |       FROM c GROUP BY 1),
+        |top AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |        FROM sc),
+        |rel AS (SELECT doc_id,
+        |          ((list_contains(w, 'vector'))::INT
+        |           + (list_contains(w, 'join'))::INT
+        |           + (list_contains(w, 'scan'))::INT - 1)::DOUBLE AS gain
+        |        FROM base
+        |        WHERE (list_contains(w, 'vector'))::INT
+        |           + (list_contains(w, 'join'))::INT
+        |           + (list_contains(w, 'scan'))::INT >= 2),
+        |lst AS (SELECT t.doc_id, t.rnk, r.gain FROM top t
+        |        LEFT JOIN rel r USING (doc_id) WHERE t.rnk <= 20),
+        |m AS (SELECT count(*)::BIGINT AS n_ranked,
+        |        count(gain)::BIGINT AS hits,
+        |        sum(coalesce(gain, 0.0) / log2(rnk::DOUBLE + 1.0)) AS dcg,
+        |        min(CASE WHEN gain IS NOT NULL THEN rnk END) AS fh
+        |      FROM lst),
+        |ideal AS (SELECT count(*)::BIGINT AS n_rel,
+        |            sum(CASE WHEN ir <= 20
+        |                THEN gain / log2(ir::DOUBLE + 1.0)
+        |                ELSE 0.0 END) AS idcg
+        |          FROM (SELECT gain, row_number()
+        |                  OVER (ORDER BY gain DESC, doc_id) AS ir
+        |                FROM rel))
+        |SELECT 'q1' AS qid, m.n_ranked, ideal.n_rel, m.hits,
+        |  round(m.hits::DOUBLE / 20, 6) AS precision,
+        |  CASE WHEN ideal.n_rel > 0
+        |    THEN round(m.hits::DOUBLE / ideal.n_rel::DOUBLE, 6) END
+        |    AS recall,
+        |  round(coalesce(1.0 / fh::DOUBLE, 0.0), 6) AS rr,
+        |  CASE WHEN ideal.n_rel > 0 AND ideal.idcg > 0
+        |    THEN round(coalesce(m.dcg, 0.0) / ideal.idcg, 6) END AS ndcg
+        |FROM m, ideal""".stripMargin,
 
     // the identical 0.5% md5 reference slice, exact integer counts, and
     // round-6 ratio; short docs (n = 0) take a NULL ratio

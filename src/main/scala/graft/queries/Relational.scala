@@ -14,6 +14,25 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The symmetrized customer—order—part tripartite graph shared by the
+    * traversal gates (q37 BFS, q42 harmonic, q45 HyperBall): orders are
+    * degree-small and parts thinned 5×, so the graph is sparse enough
+    * for real depth (frontier exhaustion at 9, ball fixpoint at 13 at
+    * the gate scales — both DuckDB-probed).
+    */
+  private def tripartiteGraph(s: SparkSession, dir: String): DataFrame = {
+    val co = Tables(s, dir, "orders")
+      .select((col("o_custkey").cast("long") * 3).as("a"),
+        (col("o_orderkey").cast("long") * 3 + 1).as("b"))
+    val op = Tables(s, dir, "lineitem")
+      .filter(col("l_partkey") % 5 === 0)
+      .select((col("l_orderkey").cast("long") * 3 + 1).as("a"),
+        (col("l_partkey").cast("long") * 3 + 2).as("b"))
+    val ce = co.union(op).distinct()
+    ce.select(col("a").as("src"), col("b").as("dst"))
+      .union(ce.select(col("b").as("src"), col("a").as("dst")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> ((s, dir) => {
       import s.implicits._
@@ -667,6 +686,35 @@ object Relational {
       graft.operators.LinkPredict.degreeAssortativity(sym, "src", "dst")
     }),
 
+    // HyperBall neighborhood function (HyperBall.neighborhoodFunction):
+    // per-node HLL balls max-merged along edges of the q37 tripartite
+    // graph, p=4 — N(t) as an exact DECIMAL(38,4) sum of round-4
+    // per-node estimates whose only float is one deterministic chain
+    // over INTEGER register sums (Σ 2^(53−rho) — no order-dependent
+    // float anywhere at 170k-node scale). Balls complete at t=12 at
+    // BOTH gate scales (register fixpoint at round 13, DuckDB-probed
+    // before the gate was declared); the oracle unrolls 13 rounds and
+    // error()-asserts the (count, Σrho) signature is stationary.
+    "q45_hyperball" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.HyperBall
+        .neighborhoodFunction(tripartiteGraph(s, dir), "src", "dst",
+          p = 4, maxT = 32)
+        .orderBy($"t")
+    }),
+
+    // effective diameter at q=0.9 from the neighborhood function — the
+    // HyperANF readout: smallest t with N(t) >= 0.9·N(t_max), linearly
+    // interpolated; one row, derived from the exact DECIMAL nf values
+    // by one fixed IEEE expression in both engines.
+    "q45_eff_diameter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.HyperBall.effectiveDiameter(
+        graft.operators.HyperBall.neighborhoodFunction(
+          tripartiteGraph(s, dir), "src", "dst", p = 4, maxT = 32),
+        q = 0.9)
+    }),
+
     // k-anonymity / l-diversity census (operators.Privacy): per
     // (nation, segment) quasi-identifier group — size, distinct
     // sensitive account-balance values, verdicts at k=12 / l=3. One
@@ -1044,6 +1092,71 @@ object Relational {
        |  ELSE error('q39_sssp oracle: 18 unrolled rounds did not reach the shortest-path fixpoint - deepen the unroll') END AS ok)
        |SELECT node, dist FROM v18, chk
        |WHERE chk.ok = 1 ORDER BY node""".stripMargin
+  }
+
+  /** Shared WITH-prefix of the two q45 oracles: the full HyperBall replay
+    * up to the `nf` (t, DECIMAL(38,4)) table and the stationarity `chk`.
+    * p=4: bucket = h >> 60, m = 16, alpha = 0.673; the harmonic sum is
+    * the exact integer Σ 2^(53−rho) — the engine's no-order-dependent-
+    * float discipline, replayed with `<<` and HUGEINT sums.
+    */
+  private val hyperballNfSql: String = {
+    val rounds = (1 to 13).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT node, bucket, max(rho) AS rho FROM (
+         |      SELECT node, bucket, rho FROM r${i - 1}
+         |      UNION ALL
+         |      SELECT e.src AS node, r.bucket, r.rho
+         |      FROM e JOIN r${i - 1} r ON r.node = e.dst) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    val nfs = (0 to 12).map { i =>
+      s"""nf$i AS (SELECT ${i}::BIGINT AS t, sum(e4) AS nf FROM (
+         |  SELECT CAST(round(CASE WHEN e_raw <= 40.0 AND zeros > 0
+         |      THEN 16.0 * ln(16.0 / zeros) ELSE e_raw END, 4)
+         |    AS DECIMAL(38,4)) AS e4
+         |  FROM (SELECT (16.0 - v) AS zeros,
+         |          (0.673::DOUBLE * 16 * 16)
+         |            / ((16.0 - v) + s::DOUBLE / 9007199254740992.0) AS e_raw
+         |        FROM (SELECT node, count(*) AS v,
+         |                sum(1::BIGINT << (53 - rho)) AS s
+         |              FROM r$i GROUP BY node))))""".stripMargin
+    }.mkString(",\n")
+    val nfUnion = (0 to 12).map(i => s"SELECT t, nf FROM nf$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ce AS (SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
+       |              o_orderkey::BIGINT * 3 + 1 AS b FROM orders
+       |            UNION
+       |            SELECT DISTINCT l_orderkey::BIGINT * 3 + 1 AS a,
+       |              l_partkey::BIGINT * 3 + 2 AS b
+       |            FROM lineitem WHERE l_partkey % 5 = 0),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce
+       |      UNION ALL SELECT b, a FROM ce),
+       |k0 AS (SELECT DISTINCT src AS node FROM e),
+       |x0 AS (SELECT node, ((node::HUGEINT * 2135587861 +
+       |      (((node::HUGEINT * 2654435769) % 4294967296) << 32))
+       |    % 18446744073709551616)::UBIGINT AS x FROM k0),
+       |z1 AS (
+       |  SELECT node, ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 484763065 +
+       |      ((((xor(x, x >> 30) & 4294967295)::HUGEINT * 3210233709
+       |         + (xor(x, x >> 30) >> 32)::HUGEINT * 484763065) % 4294967296) << 32))
+       |      % 18446744073709551616)::UBIGINT) AS z FROM x0),
+       |z2 AS (
+       |  SELECT node, ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 321982955 +
+       |      ((((xor(z, z >> 27) & 4294967295)::HUGEINT * 2496678331
+       |         + (xor(z, z >> 27) >> 32)::HUGEINT * 321982955) % 4294967296) << 32))
+       |      % 18446744073709551616)::UBIGINT) AS z FROM z1),
+       |zf AS (SELECT node, xor(z, z >> 31) AS h FROM z2),
+       |r0 AS MATERIALIZED (SELECT node, (h >> 60)::BIGINT AS bucket,
+       |      least(64 - length(bin(((h::HUGEINT * 16)
+       |        % 18446744073709551616)::UBIGINT)) + 1, 53)::INT AS rho
+       |      FROM zf),
+       |$rounds,
+       |chk AS (SELECT CASE WHEN
+       |    (SELECT count(*) || '-' || sum(rho) FROM r13) =
+       |    (SELECT count(*) || '-' || sum(rho) FROM r12) THEN 1
+       |  ELSE error('q45 oracle: registers not stationary at round 13 - deepen the unroll') END AS ok),
+       |$nfs,
+       |nf AS ($nfUnion)""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1525,6 +1638,30 @@ object Relational {
         |  CASE WHEN vx > 0 AND vy > 0
         |    THEN round(num / sqrt(vx * vy), 6) END AS r
         |FROM v""".stripMargin,
+
+    // the whole HyperBall replay: splitmix64 node hashes, p=4 register
+    // split, 13 unrolled max-merge rounds with a stationary-signature
+    // error() assert, per-round integer harmonic sums and the round-4
+    // DECIMAL(38,4) estimate totals
+    "q45_hyperball" -> (hyperballNfSql + "\nSELECT t, nf FROM nf, chk " +
+      "WHERE chk.ok = 1 ORDER BY t"),
+
+    // the HyperANF readout over the same nf table: 0.9-quantile hit +
+    // linear interpolation, every input cast ::DOUBLE explicitly
+    "q45_eff_diameter" -> (hyperballNfSql +
+      """,
+        |top AS (SELECT max(t) AS t_max, max(nf)::DOUBLE AS nf_max FROM nf),
+        |cand AS (SELECT t, nf::DOUBLE AS f,
+        |           lag(nf::DOUBLE) OVER (ORDER BY t) AS pf FROM nf),
+        |hit AS (SELECT c.t, c.f, c.pf, top.t_max, top.nf_max
+        |        FROM cand c, top, chk
+        |        WHERE chk.ok = 1 AND c.f >= 0.9::DOUBLE * top.nf_max
+        |        ORDER BY c.t LIMIT 1)
+        |SELECT t_max, nf_max,
+        |  round(CASE WHEN t = 0 THEN 0.0
+        |    ELSE t::DOUBLE - 1.0 + (0.9::DOUBLE * nf_max - pf) / (f - pf)
+        |  END, 4) AS eff_diameter
+        |FROM hit""".stripMargin),
 
     // the plain join — the skew routing must be answer-invisible
     "q36_skew_join" ->
