@@ -721,6 +721,54 @@ object Curation {
         count(when(col("df") >= effMinDf, 1)).as("n_removed"))
   }
 
+  /** Per-group QUANTILE CALIBRATION of a score column — source-fair
+    * filtering: raw quality scores are not comparable across sources
+    * (books run long, chat runs short), so a single global threshold
+    * over- or under-filters whole sources. Quantile normalization maps
+    * every document to its source-RELATIVE decile and reads the
+    * calibrated value off the GLOBAL distribution at the same relative
+    * position — after which one threshold means the same thing
+    * everywhere (the standard per-domain normalization step before
+    * mixture weighting).
+    *
+    * Mechanics: per-source bin boundaries and global bin-midpoint values
+    * come from Spark's EXACT `percentile` (bit-identical to DuckDB's
+    * `quantile_cont`, the doc_quality_bins precedent); bin = count of
+    * source boundaries strictly below the score (a 9-element array
+    * probe); calibrated = the global midpoint quantile of that bin.
+    * NULL scores drop (they have no rank). Output: (id, group,
+    * round-6 score, bin, round-6 calibrated).
+    *
+    * Scale note: exact per-group percentiles shuffle each group's values
+    * — the deliberate exact gate surface (the q15 discipline); the
+    * production path at 100 TB feeds [[Quantiles]] histogram state into
+    * the same bin/midpoint arithmetic.
+    */
+  def calibrateScores(df: DataFrame, idCol: String, groupCol: String,
+                      scoreCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in 2..1000, got $nBins")
+    val bounds = (1 until nBins).map(_.toDouble / nBins).toArray
+    val mids = (0 until nBins).map(i => (i + 0.5) / nBins).toArray
+    val d = df
+      .select(col(idCol), col(groupCol).as("_g"),
+        col(scoreCol).cast("double").as("_s"))
+      .filter(col("_s").isNotNull)
+      .localCheckpoint(true) // shared by both percentile passes + output
+    val global = d.agg(percentile(col("_s"), lit(mids)).as("_gmids"))
+    val perGroup = d.groupBy(col("_g"))
+      .agg(percentile(col("_s"), lit(bounds)).as("_sbs"))
+    d.join(perGroup, Seq("_g"))
+      .crossJoin(broadcast(global))
+      .select(col(idCol), col("_g").as(groupCol),
+        round(col("_s"), 6).as("score"),
+        size(filter(col("_sbs"), b => col("_s") > b)).cast("bigint")
+          .as("bin"),
+        col("_gmids"))
+      .withColumn("calibrated",
+        round(element_at(col("_gmids"), (col("bin") + 1).cast("int")), 6))
+      .drop("_gmids")
+  }
+
   /** Prototype (centroid) outlier detection per group — the embedding-side
     * quality filter beside SemDeDup's duplicate discards: members whose
     * cosine to their group's centroid DIRECTION falls below `minCos` are
@@ -764,9 +812,12 @@ object Curation {
           struct(col("_dim"), col("_s").cast("double").as("_sd")))),
         s => s.getField("_sd")).as("_c"))
     import graft.functions.VecDot.vec_dot
+    // no broadcast HINT: at gate scale AQE broadcasts the KB-sized
+    // centroid frame on its own, and a forced broadcast would be wrong
+    // exactly when it matters — a 100 TB corpus with millions of groups
     base
       .select(col(idCol), col(groupCol).as("_g"), col(vecCol).as("_v"))
-      .join(broadcast(centroids), Seq("_g"))
+      .join(centroids, Seq("_g"))
       .select(col(idCol), col("_g").as(groupCol),
         when(vec_dot(col("_v"), col("_v")) > 0.0 &&
             vec_dot(col("_c"), col("_c")) > 0.0,

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Ranking-quality evaluation — the metric layer a retrieval stack (BM25,
   * ANN, RRF fusion) is judged by: nDCG@k (Järvelin & Kekäläinen 2002),
-  * reciprocal rank, precision/recall@k, per query id. Runs AFTER the
+  * reciprocal rank, precision/recall@k, and AP@k (precision-at-hit over
+  * min(n_rel, k) — the MAP constituent), per query id. Runs AFTER the
   * rankers, on rank LISTS + a relevance table — never data-sized frames:
   * at 100 TB the eval cost is |queries|·k rows, independent of the
   * corpus.
@@ -34,18 +35,25 @@ object RankEval {
       .groupBy(col("qid"), col("id"))
       .agg(max(col("gain")).as("gain"))
       .localCheckpoint(true) // consumed by the list join AND the ideal side
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rank"))
     val lst = ranked
       .select(col(qidCol).as("qid"), col(idCol).as("id"),
         col(rankCol).cast("long").as("rank"))
       .filter(col("rank") >= 1L && col("rank") <= k)
       .join(rel, Seq("qid", "id"), "left")
+      // running hit count for AP: the window sees <= k rows per qid
+      .withColumn("hr", count(when(col("gain").isNotNull, 1)).over(w))
       .groupBy(col("qid"))
       .agg(
         count(lit(1)).as("n_ranked"),
         count(when(col("gain").isNotNull, 1)).as("hits"),
         sum(coalesce(col("gain"), lit(0.0)) /
           log2(col("rank").cast("double") + 1.0)).as("dcg_raw"),
-        min(when(col("gain").isNotNull, col("rank"))).as("first_hit"))
+        min(when(col("gain").isNotNull, col("rank"))).as("first_hit"),
+        sum(when(col("gain").isNotNull,
+          col("hr").cast("double") / col("rank").cast("double"))
+          .otherwise(lit(0.0))).as("ap_num"))
     val ideal = rel
       .withColumn("irank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -70,6 +78,11 @@ object RankEval {
           lit(0.0)), 6).as("rr"),
         when(col("n_rel") > 0L && col("idcg_raw") > 0.0,
           round(coalesce(col("dcg_raw"), lit(0.0)) / col("idcg_raw"), 6))
-          .as("ndcg"))
+          .as("ndcg"),
+        // AP@k: mean precision-at-hit over min(n_rel, k) — the MAP
+        // constituent (per-hit running precision, a <= k-row window)
+        when(col("n_rel") > 0L,
+          round(coalesce(col("ap_num"), lit(0.0)) /
+            least(col("n_rel"), lit(k.toLong)).cast("double"), 6)).as("ap"))
   }
 }

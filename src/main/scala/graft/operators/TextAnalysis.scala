@@ -360,11 +360,36 @@ object TextAnalysis {
     */
   def zipfFit(docs: org.apache.spark.sql.DataFrame, idCol: String,
               textCol: String, topN: Int = 500): org.apache.spark.sql.DataFrame = {
-    require(topN >= 2, s"topN must be >= 2, got $topN")
     val counts = docs
       .select(explode(split(col(textCol), " ", -1)).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("f"))
+    zipfFromCounts(counts, topN)
+  }
+
+  /** [[zipfFit]] from the MAINTAINED bigram-LM state table instead of a
+    * corpus scan: the state's (word, cnt) vocabulary rows SUM to exactly
+    * the one-shot word counts, so the fit matches the one-shot at the
+    * round-6 grid (shared tail over identical exact counts; the ln
+    * discipline absorbs partial-agg sum order) and the
+    * corpus-health audit costs a vocabulary-sized state read — the
+    * drift-dashboard shape: refresh the slope/r² after every absorbed
+    * batch without ever rescanning the corpus.
+    */
+  def zipfFromState(spark: org.apache.spark.sql.SparkSession, table: String,
+                    topN: Int = 500): org.apache.spark.sql.DataFrame = {
+    val counts = spark.table(table)
+      .filter(col("word").isNotNull)
+      .groupBy(col("word"))
+      .agg(sum(col("cnt")).as("f"))
+      .filter(col("f") > 0L)
+    zipfFromCounts(counts, topN)
+  }
+
+  private def zipfFromCounts(rawCounts: org.apache.spark.sql.DataFrame,
+                             topN: Int): org.apache.spark.sql.DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val counts = rawCounts
       .localCheckpoint(true) // shared by the fit and the exact totals
     // top-N first (TakeOrderedAndProject — distributed, per-partition
     // heaps), THEN the rank window over the ≤ topN survivors: the

@@ -703,6 +703,34 @@ object Corpus {
         .zipfFit(Tables(s, dir, "documents"), "doc_id", "text", topN = 500)
     }),
 
+    // Zipf fit from MAINTAINED LM state (TextAnalysis.zipfFromState):
+    // the state's (word, cnt) vocabulary rows sum to exactly the
+    // one-shot word counts, so the corpus-health fit refreshes from a
+    // vocabulary-sized state read after every absorbed batch — the
+    // result is the one-shot doc_zipf VERBATIM (gate reuses its oracle).
+    "doc_zipf_state" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val salt = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val table = s"graft_zipf_state_$salt"
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_zs_$salt")
+        .toString
+      try {
+        val part = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 6),
+          16, 10).cast("long"), lit(3))
+        for (i <- 0 until 3)
+          graft.operators.LangModel.lmMergeBatch(
+            docs.filter(part === i), "doc_id", "text",
+            table, s"$tmp/state", i.toLong)
+        graft.operators.LangModel.lmCompactState(s, table, 1L)
+        graft.operators.TextAnalysis.zipfFromState(s, table, topN = 500)
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }),
+
     // deterministic global corpus shuffle (Curation.shuffleShards):
     // 128-bit keyed md5 permutation → 16 uniform shards (hash-prefix
     // mod) + within-shard rank by (hash, id). One hash exchange + an
@@ -2323,12 +2351,16 @@ object Corpus {
         |        WHERE (list_contains(w, 'vector'))::INT
         |           + (list_contains(w, 'join'))::INT
         |           + (list_contains(w, 'scan'))::INT >= 2),
-        |lst AS (SELECT t.doc_id, t.rnk, r.gain FROM top t
+        |lst AS (SELECT t.doc_id, t.rnk, r.gain,
+        |          count(r.gain) OVER (ORDER BY t.rnk) AS hr
+        |        FROM top t
         |        LEFT JOIN rel r USING (doc_id) WHERE t.rnk <= 20),
         |m AS (SELECT count(*)::BIGINT AS n_ranked,
         |        count(gain)::BIGINT AS hits,
         |        sum(coalesce(gain, 0.0) / log2(rnk::DOUBLE + 1.0)) AS dcg,
-        |        min(CASE WHEN gain IS NOT NULL THEN rnk END) AS fh
+        |        min(CASE WHEN gain IS NOT NULL THEN rnk END) AS fh,
+        |        sum(CASE WHEN gain IS NOT NULL
+        |            THEN hr::DOUBLE / rnk::DOUBLE ELSE 0.0 END) AS ap_num
         |      FROM lst),
         |ideal AS (SELECT count(*)::BIGINT AS n_rel,
         |            sum(CASE WHEN ir <= 20
@@ -2344,7 +2376,10 @@ object Corpus {
         |    AS recall,
         |  round(coalesce(1.0 / fh::DOUBLE, 0.0), 6) AS rr,
         |  CASE WHEN ideal.n_rel > 0 AND ideal.idcg > 0
-        |    THEN round(coalesce(m.dcg, 0.0) / ideal.idcg, 6) END AS ndcg
+        |    THEN round(coalesce(m.dcg, 0.0) / ideal.idcg, 6) END AS ndcg,
+        |  CASE WHEN ideal.n_rel > 0
+        |    THEN round(coalesce(m.ap_num, 0.0)
+        |      / least(ideal.n_rel, 20)::DOUBLE, 6) END AS ap
         |FROM m, ideal""".stripMargin,
 
     // the identical 0.5% md5 reference slice, exact integer counts, and
@@ -2567,7 +2602,8 @@ object Corpus {
   )
 
   // maintained-state scoring over the absorbed corpus is the one-shot
-  // verbatim — the gate REUSES that oracle (the doc_bm25_state idiom)
-  val oracleSql: Map[String, String] =
-    oracleSqlBase + ("doc_lm_state" -> oracleSqlBase("doc_lm_perplexity"))
+  // verbatim — the gates REUSE those oracles (the doc_bm25_state idiom)
+  val oracleSql: Map[String, String] = oracleSqlBase +
+    ("doc_lm_state" -> oracleSqlBase("doc_lm_perplexity")) +
+    ("doc_zipf_state" -> oracleSqlBase("doc_zipf"))
 }

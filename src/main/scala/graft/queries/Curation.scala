@@ -28,6 +28,19 @@ object Curation {
         .orderBy($"label", $"vec_id")
     }),
 
+    // Per-source quantile calibration (Curation.calibrateScores): the
+    // length prior (n_chars) mapped to source-relative deciles, read
+    // off the global distribution at the same relative position —
+    // source-fair thresholds before mixture weighting. Exact percentile
+    // arrays on both sides (the doc_quality_bins bit-for-bit precedent).
+    "doc_quality_calibrate" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Curation
+        .calibrateScores(Tables(s, dir, "documents"), "doc_id", "source",
+          "n_chars", nBins = 10)
+        .orderBy($"doc_id")
+    }),
+
     // Gopher/MassiveText repetition filters: top n-gram character coverage
     // + duplicate 5-gram occurrence fraction, per document.
     "doc_repetition" -> ((s, dir) => {
@@ -390,6 +403,22 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // quantile_cont == Spark exact percentile bit-for-bit; the same
+    // strict-boundary bin probe and 1-based global-midpoint lookup
+    "doc_quality_calibrate" ->
+      """WITH d AS (SELECT doc_id, source, n_chars::DOUBLE AS score
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT quantile_cont(score, [0.05, 0.15, 0.25, 0.35, 0.45,
+        |        0.55, 0.65, 0.75, 0.85, 0.95]) AS gmids FROM d),
+        |sb AS (SELECT source, quantile_cont(score, [0.1, 0.2, 0.3, 0.4,
+        |        0.5, 0.6, 0.7, 0.8, 0.9]) AS sbs FROM d GROUP BY source),
+        |b AS (SELECT d.doc_id, d.source, d.score,
+        |        len(list_filter(sb.sbs, x -> d.score > x))::BIGINT AS bin
+        |      FROM d JOIN sb USING (source))
+        |SELECT b.doc_id, b.source, round(b.score, 6) AS score, b.bin,
+        |  round(g.gmids[(b.bin + 1)::INT], 6) AS calibrated
+        |FROM b, g ORDER BY b.doc_id""".stripMargin,
+
     // the identical quantized integer centroid, dim-ordered list, and
     // sequential cosine chain; round-6 verdict
     "emb_centroid_outliers" ->

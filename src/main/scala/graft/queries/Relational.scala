@@ -33,6 +33,21 @@ object Relational {
       .union(ce.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** The symmetrized customer—supplier trade graph (the q34/q43/q44
+    * construction): dense and shallow — ball fixpoint at t=5 at the gate
+    * scales (DuckDB-probed).
+    */
+  private def tradeGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> ((s, dir) => {
       import s.implicits._
@@ -706,12 +721,15 @@ object Relational {
     // effective diameter at q=0.9 from the neighborhood function — the
     // HyperANF readout: smallest t with N(t) >= 0.9·N(t_max), linearly
     // interpolated; one row, derived from the exact DECIMAL nf values
-    // by one fixed IEEE expression in both engines.
+    // by one fixed IEEE expression in both engines. Runs on the DENSE
+    // trade graph (ball fixpoint at t=5 at both gate scales, probed) —
+    // a second graph shape for the ball machinery, and the readout gate
+    // does not re-pay the deep tripartite loop q45_hyperball pins.
     "q45_eff_diameter" -> ((s, dir) => {
       import s.implicits._
       graft.operators.HyperBall.effectiveDiameter(
         graft.operators.HyperBall.neighborhoodFunction(
-          tripartiteGraph(s, dir), "src", "dst", p = 4, maxT = 32),
+          tradeGraph(s, dir), "src", "dst", p = 4, maxT = 32),
         q = 0.9)
     }),
 
@@ -1094,14 +1112,16 @@ object Relational {
        |WHERE chk.ok = 1 ORDER BY node""".stripMargin
   }
 
-  /** Shared WITH-prefix of the two q45 oracles: the full HyperBall replay
-    * up to the `nf` (t, DECIMAL(38,4)) table and the stationarity `chk`.
-    * p=4: bucket = h >> 60, m = 16, alpha = 0.673; the harmonic sum is
-    * the exact integer Σ 2^(53−rho) — the engine's no-order-dependent-
-    * float discipline, replayed with `<<` and HUGEINT sums.
+  /** Shared WITH-prefix builder of the q45 oracles: the full HyperBall
+    * replay over the given symmetrized-edge CTE (must define `ce(a, b)`)
+    * up to the `nf` (t, DECIMAL(38,4)) table and the stationarity `chk`
+    * at the given unroll depth. p=4: bucket = h >> 60, m = 16,
+    * alpha = 0.673; the harmonic sum is the exact integer Σ 2^(53−rho) —
+    * the engine's no-order-dependent-float discipline, replayed with
+    * `<<` and HUGEINT sums.
     */
-  private val hyperballNfSql: String = {
-    val rounds = (1 to 13).map { i =>
+  private def hyperballNfSql(ceSql: String, nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { i =>
       s"""r$i AS MATERIALIZED (SELECT node, bucket, max(rho) AS rho FROM (
          |      SELECT node, bucket, rho FROM r${i - 1}
          |      UNION ALL
@@ -1109,7 +1129,7 @@ object Relational {
          |      FROM e JOIN r${i - 1} r ON r.node = e.dst) GROUP BY 1, 2)"""
         .stripMargin
     }.mkString(",\n")
-    val nfs = (0 to 12).map { i =>
+    val nfs = (0 until nRounds).map { i =>
       s"""nf$i AS (SELECT ${i}::BIGINT AS t, sum(e4) AS nf FROM (
          |  SELECT CAST(round(CASE WHEN e_raw <= 40.0 AND zeros > 0
          |      THEN 16.0 * ln(16.0 / zeros) ELSE e_raw END, 4)
@@ -1121,14 +1141,9 @@ object Relational {
          |                sum(1::BIGINT << (53 - rho)) AS s
          |              FROM r$i GROUP BY node))))""".stripMargin
     }.mkString(",\n")
-    val nfUnion = (0 to 12).map(i => s"SELECT t, nf FROM nf$i")
+    val nfUnion = (0 until nRounds).map(i => s"SELECT t, nf FROM nf$i")
       .mkString("\nUNION ALL ")
-    s"""WITH ce AS (SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
-       |              o_orderkey::BIGINT * 3 + 1 AS b FROM orders
-       |            UNION
-       |            SELECT DISTINCT l_orderkey::BIGINT * 3 + 1 AS a,
-       |              l_partkey::BIGINT * 3 + 2 AS b
-       |            FROM lineitem WHERE l_partkey % 5 = 0),
+    s"""WITH $ceSql,
        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce
        |      UNION ALL SELECT b, a FROM ce),
        |k0 AS (SELECT DISTINCT src AS node FROM e),
@@ -1152,12 +1167,26 @@ object Relational {
        |      FROM zf),
        |$rounds,
        |chk AS (SELECT CASE WHEN
-       |    (SELECT count(*) || '-' || sum(rho) FROM r13) =
-       |    (SELECT count(*) || '-' || sum(rho) FROM r12) THEN 1
-       |  ELSE error('q45 oracle: registers not stationary at round 13 - deepen the unroll') END AS ok),
+       |    (SELECT count(*) || '-' || sum(rho) FROM r$nRounds) =
+       |    (SELECT count(*) || '-' || sum(rho) FROM r${nRounds - 1}) THEN 1
+       |  ELSE error('q45 oracle: registers not stationary at round $nRounds - deepen the unroll') END AS ok),
        |$nfs,
        |nf AS ($nfUnion)""".stripMargin
   }
+
+  private val tripartiteCeSql: String =
+    """ce AS (SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
+      |              o_orderkey::BIGINT * 3 + 1 AS b FROM orders
+      |            UNION
+      |            SELECT DISTINCT l_orderkey::BIGINT * 3 + 1 AS a,
+      |              l_partkey::BIGINT * 3 + 2 AS b
+      |            FROM lineitem WHERE l_partkey % 5 = 0)""".stripMargin
+
+  private val tradeCeSql: String =
+    """ce AS (SELECT DISTINCT (o_custkey * 2)::BIGINT AS a,
+      |              (l_suppkey * 2 + 1)::BIGINT AS b
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey)"""
+      .stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q39_sssp" -> ssspOracle,
@@ -1643,12 +1672,12 @@ object Relational {
     // split, 13 unrolled max-merge rounds with a stationary-signature
     // error() assert, per-round integer harmonic sums and the round-4
     // DECIMAL(38,4) estimate totals
-    "q45_hyperball" -> (hyperballNfSql + "\nSELECT t, nf FROM nf, chk " +
-      "WHERE chk.ok = 1 ORDER BY t"),
+    "q45_hyperball" -> (hyperballNfSql(tripartiteCeSql, 13) +
+      "\nSELECT t, nf FROM nf, chk WHERE chk.ok = 1 ORDER BY t"),
 
     // the HyperANF readout over the same nf table: 0.9-quantile hit +
     // linear interpolation, every input cast ::DOUBLE explicitly
-    "q45_eff_diameter" -> (hyperballNfSql +
+    "q45_eff_diameter" -> (hyperballNfSql(tradeCeSql, 5) +
       """,
         |top AS (SELECT max(t) AS t_max, max(nf)::DOUBLE AS nf_max FROM nf),
         |cand AS (SELECT t, nf::DOUBLE AS f,

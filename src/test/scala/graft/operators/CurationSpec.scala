@@ -708,6 +708,37 @@ class CurationSpec extends AnyFunSuite {
     assert(order !== order.sorted)
   }
 
+  test("calibrateScores: a low-scale source's top decile maps to the " +
+      "global top midpoint; bins are source-relative; NULL scores drop") {
+    import spark.implicits._
+    // source A: scores 1..100; source B: scores 1001..1100 (same shape,
+    // shifted scale). Per-source bins must IGNORE the shift.
+    val rows = (1 to 100).map(i => (i.toLong, "A", i.toDouble)) ++
+      (1 to 100).map(i => (i.toLong + 1000, "B", 1000.0 + i)) ++
+      Seq((5000L, "A", Double.NaN)) // NaN stays (a value); NULL dropped below
+    val df = rows.toDF("doc_id", "source", "score")
+      .union(Seq((6000L, "A")).toDF("doc_id", "source")
+        .withColumn("score", lit(null).cast("double")))
+    val got = Curation.calibrateScores(df.filter(!isnan($"score") ||
+        $"score".isNull), "doc_id", "source", "score")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(!got.contains(6000L), "NULL score rows drop")
+    // doc 100 (A's max) and doc 1100 (B's max) sit in bin 9 of their
+    // OWN sources and calibrate to the same global midpoint quantile
+    assert(got(100L)._2 === 9L && got(1100L)._2 === 9L)
+    assert(got(100L)._3 === got(1100L)._3)
+    // A's median and B's median land in the same bin despite the shift
+    assert(got(50L)._2 === got(1050L)._2)
+    // the calibrated value is the global (pooled) mid-quantile: A's top
+    // calibrates ABOVE A's own max (the pooled p95 sits in B's range)
+    assert(got(100L)._3 > 100.0)
+    // strictly-below semantics: a score equal to a boundary stays in
+    // the lower bin (score 10 == p0.1 boundary of A's 1..100)
+    assert(got(10L)._2 === 0L)
+  }
+
   test("centroidOutliers: a planted inverted member is flagged against " +
       "its group's exact quantized centroid; layout-invariant; a " +
       "zero-norm member flags with NULL cosine") {

@@ -81,6 +81,23 @@ class LinkPredictSpec extends AnyFunSuite {
     assert(lone.count() === 0L)
   }
 
+  test("an output filter on the pair endpoints pushes BELOW the " +
+      "distance-2 join into both legs (the q43 plan contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = (0 until 400).map(i =>
+      ((i * 13L) % 40, (i * 29L + 5) % 40)).filter(p => p._1 != p._2)
+    val g = sym(rnd)
+    val plan = LinkPredict.neighborScores(g.toDF("s", "d"), "s", "d")
+      .filter(col("a") % 7 === 0 && col("b") % 7 === 0)
+      .queryExecution.executedPlan.toString
+    // the mod filter must reach the two mids legs AND the two endpoint
+    // degree lookups — 4 pushed occurrences, none left above the
+    // aggregate (Catalyst pushes group-key filters through)
+    val pushed = "% 7\\) = 0".r.findAllIn(plan).size
+    assert(pushed >= 4, s"expected the mod filter pushed into >= 4 legs:\n$plan")
+  }
+
   test("degreeAssortativity: exact moments match a scalar Pearson; a " +
       "zero-variance graph returns NULL") {
     import spark.implicits._

@@ -30,15 +30,17 @@ class RankEvalSpec extends AnyFunSuite {
     val dcg = 2.0 / lg2(3.0)
     val idcg = 2.0 / lg2(2.0) + 1.0 / lg2(3.0) + 1.0 / lg2(4.0)
     assert(a.getDouble(7) === r6(dcg / idcg))              // ndcg
-    // qid B: nothing judged -> NULL recall/ndcg, rr 0
+    assert(a.getDouble(8) === r6((1.0 / 2) / 3))           // ap: P@2 over 3
+    // qid B: nothing judged -> NULL recall/ndcg/ap, rr 0
     val b = got("B")
     assert(b.getLong(2) === 0L && b.getDouble(4) === 0.0 &&
-      b.isNullAt(5) && b.getDouble(6) === 0.0 && b.isNullAt(7))
-    // qid C: judged but never ranked -> zeros, recall 0, ndcg 0
+      b.isNullAt(5) && b.getDouble(6) === 0.0 && b.isNullAt(7) &&
+      b.isNullAt(8))
+    // qid C: judged but never ranked -> zeros, recall 0, ndcg 0, ap 0
     val c = got("C")
     assert(c.getLong(1) === 0L && c.getLong(2) === 1L &&
       c.getDouble(5) === 0.0 && c.getDouble(6) === 0.0 &&
-      c.getDouble(7) === 0.0)
+      c.getDouble(7) === 0.0 && c.getDouble(8) === 0.0)
   }
 
   test("perfect ranking scores ndcg = rr = 1; k truncates both the list " +
@@ -53,5 +55,6 @@ class RankEvalSpec extends AnyFunSuite {
     assert(got.getLong(2) === 3L && got.getLong(3) === 3L)
     assert(got.getDouble(6) === 1.0 && got.getDouble(7) === 1.0)
     assert(got.getDouble(4) === 1.0 && got.getDouble(5) === 1.0)
+    assert(got.getDouble(8) === 1.0) // ap: perfect ranking
   }
 }

@@ -236,6 +236,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.getDouble(5) >= 0.0 && a.getDouble(5) <= 1.0)
   }
 
+  test("zipfFromState equals the one-shot fit verbatim through batch " +
+      "merge and compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = ((1L to 30L).map(i =>
+      (i, s"the cat w${i % 5} sat on w${i % 7} the mat"))).toDF("doc_id", "text")
+    val table = "graft_zipf_spec_state"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val tmp = java.nio.file.Files.createTempDirectory("zipfstate").toString
+    try {
+      val part = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 6), 16, 10).cast("long"), lit(3))
+      for (i <- 0 until 3)
+        LangModel.lmMergeBatch(docs.filter(part === i), "doc_id", "text",
+          table, s"$tmp/state", i.toLong)
+      LangModel.lmCompactState(spark, table, 1L)
+      val oneShot = TextAnalysis.zipfFit(docs, "doc_id", "text").collect()(0)
+      val fromState = TextAnalysis.zipfFromState(spark, table).collect()(0)
+      assert(fromState === oneShot)
+      assert(!oneShot.isNullAt(3), "the fixture must actually fit a slope")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("rrfFuse: fixed-order reciprocal sum, absent items contribute 0") {
     import spark.implicits._
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rnk")
