@@ -48,31 +48,75 @@ object Bench {
                          runs: Int, flagged: Boolean,
                          err: Option[String] = None)
 
-  /** Warmup + median-of-3 with spread/steal-triggered re-sampling —
-    * `sample()` returns (wallSec, stealSecDelta) for one timed run. Public
-    * and throw-safe so BenchSpec can drive a deliberately-failing query
-    * through the EXACT artifact path the driver uses.
+  /** Adaptive-run measurement — `sample()` returns (wallSec,
+    * stealSecDelta) for one timed run. Public and throw-safe so BenchSpec
+    * can drive a deliberately-failing query through the EXACT artifact
+    * path the driver uses.
+    *
+    * Round-13 lesson: the fixed warmup+3 protocol made a 193-query sweep
+    * cost ~4x the med-sum of wall (~1,000 s) and the driver bench timed
+    * out (rc 124, `parsed: null`). Long queries don't need 4 executions —
+    * the workflow-in-a-gate entries (q39_sssp_incr re-runs its entire
+    * prior fixed point every sample) are dominated by tens of Spark jobs
+    * whose codegen/footer-read warmup is <10% of one run. Policy, keyed
+    * on the FIRST (cold) execution:
+    *   - probe > slowSec (5 s): the probe IS the measurement (runs=1) —
+    *     cold-start overhead is noise at that length, and a second run
+    *     would cost more than the bias it removes. One retry only if the
+    *     probe itself ran under visible steal.
+    *   - probe in (midSec, slowSec]: probe discarded as warmup, ONE timed
+    *     sample (runs=1); one retry if that sample was steal-hit.
+    *   - probe <= midSec (1 s): probe discarded, TWO timed samples
+    *     (runs=2); med = the MIN of the two — hypervisor steal and GC
+    *     only ever inflate a wall-clock number, never deflate it, so on
+    *     sub-second queries the faster warm sample is the honest one.
+    *     One extra sample if the two disagree (>2x and >0.3 s apart) or
+    *     one was steal-hit.
+    * A query still steal-hit/spready after its retry lands in `flagged`,
+    * which forces the run-level `contaminated: true` as before.
     */
-  def measureWith(sample: () => (Double, Double), nCpus: Double): QStat = {
-    def stolenSample(wall: Double, steal: Double): Boolean =
-      steal > 0.5 && steal > 0.01 * wall * nCpus
+  def measureWith(sample: () => (Double, Double), nCpus: Double,
+                  slowSec: Double = 5.0, midSec: Double = 1.0): QStat = {
+    def stolen(s: (Double, Double)): Boolean =
+      s._2 > 0.5 && s._2 > 0.01 * s._1 * nCpus
     def spready(samples: Seq[(Double, Double)]): Boolean = {
       val ts = samples.map(_._1)
       ts.max / math.max(ts.min, 1e-9) > 2.0 && ts.max - ts.min > 0.3
     }
-    def suspicious(samples: Seq[(Double, Double)]): Boolean =
-      spready(samples) || samples.exists { case (w, st) => stolenSample(w, st) }
     try {
-      sample() // warmup
-      var samples = Vector.fill(3)(sample())
-      var extra = 0
-      while (extra < 2 && suspicious(samples)) {
-        samples = (samples.sortBy(_._1).dropRight(1) :+ sample())
-        extra += 1
+      val probe = sample()
+      if (probe._1 > slowSec) {
+        if (!stolen(probe)) QStat(probe._1, probe._1, probe._1, probe._2, 1, flagged = false)
+        else {
+          val s2 = sample()
+          val ts = Seq(probe._1, s2._1).sorted
+          QStat(ts.head, ts.head, ts.last, probe._2 + s2._2, 2,
+            flagged = stolen(s2)) // still hot after the retry
+        }
+      } else if (probe._1 > midSec) {
+        var s = sample()
+        var steal = probe._2 + s._2
+        var runs = 1
+        var hot = stolen(s)
+        if (hot) {
+          val s2 = sample(); steal += s2._2; runs = 2
+          hot = stolen(s2)
+          if (s2._1 < s._1) s = s2
+        }
+        QStat(s._1, s._1, s._1, steal, runs, flagged = hot)
+      } else {
+        var samples = Vector(sample(), sample())
+        var steal = probe._2 + samples.map(_._2).sum
+        var runs = 2
+        def suspicious = spready(samples) || samples.exists(stolen)
+        if (suspicious) {
+          val s3 = sample(); steal += s3._2; runs = 3
+          samples = (samples :+ s3).sortBy(_._1).dropRight(1)
+        }
+        val ts = samples.map(_._1).sorted
+        QStat(ts.head, ts.head, ts.last, steal, runs,
+          flagged = spready(samples) || samples.exists(stolen))
       }
-      val ts = samples.map(_._1).sorted
-      QStat(ts.head, ts(ts.size / 2), ts.last, samples.map(_._2).sum,
-        3 + extra, spready(samples))
     } catch {
       case e: Throwable =>
         QStat(-1, -1, -1, 0, 0, flagged = true,
@@ -122,18 +166,23 @@ object Bench {
     // windows; start only once a window comes back quiet (< 0.3 s of
     // steal per window ≈ 0.03 s/s) or the shared deadline expires. A run
     // that would have self-flagged now waits instead of measuring.
+    // (r13 trim: the first probe window is 5 s, not 10 — on an already-
+    // quiet host the old probe taxed every run 10 s for nothing; only
+    // once a window comes back hot do we fall back to full 10 s windows)
     val maxStealRate = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL10S")
       .map(_.toDouble).getOrElse(0.3)
     var stealHot = false
     if (stealSec() >= 0) {
       var probing = true
+      var windowMs = 5000
       while (probing) {
         val s0 = stealSec()
-        Thread.sleep(10000)
+        Thread.sleep(windowMs)
         val d = stealSec() - s0
-        stealHot = d > maxStealRate
+        stealHot = d > maxStealRate * windowMs / 10000.0
         if (stealHot)
-          System.err.println(f"[bench] steal $d%.2f s/10s > $maxStealRate%.2f — waiting for quiet host")
+          System.err.println(f"[bench] steal $d%.2f s/${windowMs / 1000}s — waiting for quiet host")
+        windowMs = 10000
         probing = stealHot && System.nanoTime() < deadline
       }
     }
@@ -207,41 +256,91 @@ object Bench {
     //    flagged — a missing number can never hide in a clean artifact.
     val nCpus = cpus.toDouble
 
-    val runT0 = System.nanoTime()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> measureWith(() => sample(fn), nCpus)
+    // One-time session warmup (round-14): the adaptive policy reports the
+    // FIRST execution for >5 s queries, and the first job in a fresh JVM
+    // pays one-time session costs — codegen infrastructure, parquet
+    // reader, the noop sink — measured at ~10 s that the old
+    // per-query-warmup protocol absorbed invisibly. One cheap composite
+    // job absorbs them once so no query's probe is charged for them.
+    scala.util.Try {
+      spark.range(1L << 20).selectExpr("sum(id) AS s")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/lineitem").limit(1000)
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/documents").limit(100)
+        .write.format("noop").mode("overwrite").save()
     }
-    val runWall = (System.nanoTime() - runT0) / 1e9
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.med }
-      .mkString("{", ",", "}")
+
+    val runT0 = System.nanoTime()
+
+    // Incremental accounting (round-13 lesson: the driver killed a
+    // too-long run with SIGTERM/rc 124 and the artifact was `parsed:
+    // null` — an all-or-nothing println at the end loses every number
+    // already measured). Results accumulate here; `emit` can assemble the
+    // artifact line at ANY point, and a JVM shutdown hook prints a
+    // `"partial": true` line if the final one never ran. `timeout(1)`
+    // sends SIGTERM, which runs shutdown hooks — only SIGKILL loses data.
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, QStat)]()
+    val finalPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
     // Double.toString is locale-independent; %f via the f-interpolator is
     // NOT (a de_DE JVM renders "0,313" and breaks the JSON artifact)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val stats = results.map { case (k, v) =>
-      val errJson = v.err.map(jsonStr).getOrElse("null")
-      s""""$k":{"min":${r3(v.min)},"med":${r3(v.med)},"max":${r3(v.max)},"steal":${r3(v.steal)},"runs":${v.runs},"flagged":${v.flagged},"err":$errJson}"""
-    }.mkString("{", ",", "}")
-    val flagged = results.collect { case (k, v) if v.flagged => "\"" + k + "\"" }
-    val total = results.map(_._2.med).filter(_ >= 0).sum
-    val loadEnd = load1() // includes our own run's decay; load_start is the clean-box signal
-    // steal is reported as the delta over the run: CPU seconds the host
-    // gave to a neighbor VM while this bench wanted to run. A nonzero-ish
-    // value (more than a few seconds) marks the run contended even when
-    // loadavg was clean — and since round 8 it CONTAMINATES the artifact
-    // (the r7 artifact recorded steal_sec=60.45 yet stamped itself clean
-    // because the flag keyed on loadavg alone).
-    val stealRun = { val s = stealSec()
-      if (s < 0 || stealStart < 0) -1.0 else s - stealStart }
-    // the run-level steal gate is RATE-aware: 5 s absolute was calibrated
-    // for the ~2-min sf0.1 sweep, and a duration-insensitive absolute
-    // would mark every long (sf1) run dirty on a host whose background
-    // steal trickles at ~0.01 s/s even when every per-query window is
-    // quiet. 1% of measurement wall (floored at the old 5 s, so short
-    // runs keep the exact old strictness) — the per-query spread/steal
-    // flags above remain the fine-grained instrument either way.
-    val dirty = contaminated || stealRun > math.max(5.0, 0.01 * runWall) ||
-      flagged.nonEmpty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","query_stats":$stats,"flagged":${flagged.mkString("[", ",", "]")},"load_start":$loadStart,"load_end":$loadEnd,"steal_sec":$stealRun,"run_wall":${r3(runWall)},"contaminated":$dirty}""")
+
+    def emit(partial: Boolean): String = {
+      import scala.jdk.CollectionConverters._
+      val results = acc.asScala.toSeq
+      val runWall = (System.nanoTime() - runT0) / 1e9
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v.med }
+        .mkString("{", ",", "}")
+      val stats = results.map { case (k, v) =>
+        val errJson = v.err.map(jsonStr).getOrElse("null")
+        s""""$k":{"min":${r3(v.min)},"med":${r3(v.med)},"max":${r3(v.max)},"steal":${r3(v.steal)},"runs":${v.runs},"flagged":${v.flagged},"err":$errJson}"""
+      }.mkString("{", ",", "}")
+      val flagged = results.collect { case (k, v) if v.flagged => "\"" + k + "\"" }
+      val total = results.map(_._2.med).filter(_ >= 0).sum
+      val loadEnd = load1() // includes our own run's decay; load_start is the clean-box signal
+      // steal is reported as the delta over the run: CPU seconds the host
+      // gave to a neighbor VM while this bench wanted to run. A
+      // nonzero-ish value marks the run contended even when loadavg was
+      // clean — and since round 8 it CONTAMINATES the artifact. The gate
+      // is RATE-aware: 1% of measurement wall, floored at 5 s, so long
+      // (sf1) runs aren't marked dirty by a host whose background steal
+      // trickles at ~0.01 s/s while every per-query window is quiet.
+      val stealRun = { val s = stealSec()
+        if (s < 0 || stealStart < 0) -1.0 else s - stealStart }
+      val dirty = contaminated || stealRun > math.max(5.0, 0.01 * runWall) ||
+        flagged.nonEmpty
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","query_stats":$stats,"flagged":${flagged.mkString("[", ",", "]")},"load_start":$loadStart,"load_end":$loadEnd,"steal_sec":$stealRun,"run_wall":${r3(runWall)},"n_done":${results.size},"n_selected":${selected.size},"partial":$partial,"contaminated":$dirty}"""
+    }
+
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (finalPrinted.compareAndSet(false, true)) {
+        // killed mid-sweep: the partial artifact is still one parseable
+        // JSON line on stdout — every number measured so far survives
+        println(emit(partial = true))
+        System.out.flush()
+      }
+    }, "bench-partial-emit"))
+
+    // a sidecar progress file is refreshed after every query: a SIGKILL
+    // (which skips shutdown hooks) still leaves the last-written partial
+    // artifact on disk for manual salvage/merge
+    val progressPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROGRESS", "bench_progress.json"))
+
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val st = measureWith(() => sample(fn), nCpus)
+      acc.add(name -> st)
+      System.err.println(f"[bench] $name med=${st.med}%.3f runs=${st.runs} flagged=${st.flagged}")
+      scala.util.Try(java.nio.file.Files.write(progressPath,
+        (emit(partial = true) + "\n").getBytes("UTF-8")))
+    }
+
+    val line = emit(partial = false)
+    if (finalPrinted.compareAndSet(false, true)) println(line)
+    scala.util.Try(java.nio.file.Files.write(progressPath,
+      (line + "\n").getBytes("UTF-8")))
     spark.stop()
   }
 }

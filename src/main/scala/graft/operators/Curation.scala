@@ -752,7 +752,11 @@ object Curation {
     val d = df
       .select(col(idCol), col(groupCol).as("_g"),
         col(scoreCol).cast("double").as("_s"))
-      .filter(col("_s").isNotNull)
+      // NaN drops alongside NULL — both have no rank. NaN sorts GREATEST
+      // in Spark's exact percentile arrays (it would poison every
+      // boundary above it) while DuckDB's quantile_cont treats it
+      // differently; neither is a defensible rank for a non-score.
+      .filter(col("_s").isNotNull && !isnan(col("_s")))
       .localCheckpoint(true) // shared by both percentile passes + output
     val global = d.agg(percentile(col("_s"), lit(mids)).as("_gmids"))
     val perGroup = d.groupBy(col("_g"))

@@ -48,8 +48,6 @@ object HyperBall {
     */
   def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
                            p: Int = 4, maxT: Int = 32): DataFrame = {
-    require(p >= 4 && p <= 8, s"p must be in 4..8, got $p")
-    require(maxT >= 0, s"maxT must be >= 0, got $maxT")
     val m = 1 << p
     val alpha = m match {
       case 16 => 0.673
@@ -57,6 +55,60 @@ object HyperBall {
       case 64 => 0.709
       case _  => 0.7213 / (1.0 + 1.079 / m)
     }
+    def estimate(r: DataFrame, t: Int): DataFrame = {
+      val agg = r.groupBy(col("node"))
+        .agg(count(lit(1)).as("v"),
+          sum(expr("shiftleft(1L, 53 - rho)")).as("s"))
+      val zeros = (lit(m.toLong) - col("v")).cast("double")
+      val harm = zeros + col("s").cast("double") / lit(9007199254740992.0) // 2^53
+      val rawE = lit(alpha * m * m) / harm
+      val est = when(rawE <= lit(2.5 * m) && zeros > 0.0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(rawE)
+      agg.select(round(est, 4).cast("decimal(38,4)").as("_e"))
+        .agg(sum(col("_e")).cast("decimal(38,4)").as("nf"))
+        .select(lit(t.toLong).as("t"), col("nf"))
+    }
+    runRounds(edges, srcCol, dstCol, p, maxT)(estimate)
+  }
+
+  /** The per-round EXACT integer register signature: one row per round,
+    * `(t, regs, sum_rho, sum_pow)` with `regs` = live (node, bucket)
+    * register count, `sum_rho` = Σ rho (BIGINT), `sum_pow` =
+    * Σ 2^(53−rho) as DECIMAL(38,0) (the global harmonic numerator —
+    * per-term ≤ 2^49 but V·2^p terms overflow a LONG, so the sum runs in
+    * exact decimal). This is the version-proof GATE surface for the ball
+    * machinery: the signature determines the register frame's whole
+    * content statistics through integer arithmetic only — no `ln`, no
+    * per-node `round(double)`, nothing an engine upgrade can re-round
+    * (round-13 lesson: the float N(t) gate hashed 220k per-node round-4
+    * values and went red on a driver DuckDB whose replay chain computed
+    * them algorithmically differently while staying bit-exact on 1.0.0).
+    * The float N(t) readout itself is certified in HyperBallSpec against
+    * the scalar model; [[effectiveDiameter]] still consumes it through
+    * one fixed IEEE expression over ≤T rows.
+    */
+  def registerSignature(edges: DataFrame, srcCol: String, dstCol: String,
+                        p: Int = 4, maxT: Int = 32): DataFrame =
+    runRounds(edges, srcCol, dstCol, p, maxT) { (r, t) =>
+      r.agg(count(lit(1)).cast("long").as("regs"),
+          sum(col("rho")).cast("long").as("sum_rho"),
+          sum(expr("shiftleft(1L, 53 - rho)").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("sum_pow"))
+        .select(lit(t.toLong).as("t"), col("regs"), col("sum_rho"),
+          col("sum_pow"))
+    }
+
+  /** Shared synchronous-round driver: builds the p-register self-ball
+    * frame, max-merges along edges until the (count, Σrho) signature is
+    * stationary (registers only grow, so the pair is invariant iff the
+    * frame is) or `maxT`, and emits `readout(regs, t)` per distinct
+    * round, t = 0 first.
+    */
+  private def runRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                        p: Int, maxT: Int)
+                       (readout: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in 4..8, got $p")
+    require(maxT >= 0, s"maxT must be >= 0, got $maxT")
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -77,22 +129,8 @@ object HyperBall {
           .as("rho"))
       .localCheckpoint(true)
 
-    def estimate(r: DataFrame, t: Int): DataFrame = {
-      val agg = r.groupBy(col("node"))
-        .agg(count(lit(1)).as("v"),
-          sum(expr("shiftleft(1L, 53 - rho)")).as("s"))
-      val zeros = (lit(m.toLong) - col("v")).cast("double")
-      val harm = zeros + col("s").cast("double") / lit(9007199254740992.0) // 2^53
-      val rawE = lit(alpha * m * m) / harm
-      val est = when(rawE <= lit(2.5 * m) && zeros > 0.0,
-        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(rawE)
-      agg.select(round(est, 4).cast("decimal(38,4)").as("_e"))
-        .agg(sum(col("_e")).cast("decimal(38,4)").as("nf"))
-        .select(lit(t.toLong).as("t"), col("nf"))
-    }
-
     var sig = regs.agg(count(lit(1)), sum(col("rho"))).head()
-    var out = Seq(estimate(regs, 0))
+    var out = Seq(readout(regs, 0))
     var t = 0
     var converged = false
     while (!converged && t < maxT) {
@@ -107,7 +145,7 @@ object HyperBall {
       converged = nsig == sig
       sig = nsig
       regs = next
-      if (!converged) out :+= estimate(regs, t)
+      if (!converged) out :+= readout(regs, t)
     }
     out.reduce(_ unionByName _)
   }

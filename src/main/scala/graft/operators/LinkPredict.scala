@@ -86,6 +86,13 @@ object LinkPredict {
     * double — one deterministic IEEE expression in both engines,
     * round-6 output. Degenerate graphs (zero variance on either side —
     * e.g. a perfect cycle) return r = NULL rather than 0/0.
+    *
+    * Input contract (the neighborScores/kCore rule): pass a SYMMETRIZED
+    * edge list for undirected semantics. Degrees are OUT-degrees built
+    * from the src side and inner-joined on dst, so on a genuinely
+    * directed list an edge whose dst has no out-edges is silently
+    * dropped — only symmetrized input (where out-degree = degree and
+    * every dst is also a src) makes the Newman coefficient exact.
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {

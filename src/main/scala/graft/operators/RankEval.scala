@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * convention). IDCG uses the ideal top-k of the FULL judged set ordered
   * (gain DESC, id ASC) — a deterministic total order. A query with no
   * judged items at all yields NULL recall/ndcg (0/0 guarded), rr = 0 when
-  * nothing relevant is ranked. Float outputs are round-6; the DCG sums
-  * run over ≤ k terms of gain/log2(rank+1) (the ln discipline — k-term
-  * float sums against a 1e-6 grid).
+  * nothing relevant is ranked. Float outputs are round-6; the DCG/AP
+  * sums run over ≤ k terms of gain/log2(rank+1) folded in FIXED
+  * rank-ascending order (sort_array over collect_list + a sequential
+  * `aggregate` fold — never a plain float `sum`, whose partial-agg
+  * association Spark may vary by layout; the round-13 q45 red proved an
+  * order-exposed pre-round double is one engine change away from a hash
+  * mismatch). The oracle replays the identical left fold via
+  * `list_aggregate(list(term ORDER BY rank), 'sum')`.
   */
 object RankEval {
 
@@ -28,6 +33,13 @@ object RankEval {
                idCol: String, rankCol: String, gainCol: String,
                k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // sequential left fold in ascending-rank struct order: the
+    // association is fixed by construction, identical in both engines
+    // and under any partition layout (the HOF runs interpreted, but only
+    // on <= k terms per query — never a data-sized frame)
+    def foldT(terms: org.apache.spark.sql.Column) =
+      aggregate(sort_array(terms), lit(0.0),
+        (acc, x) => acc + x.getField("t"))
     val rel = relevant
       .select(col(qidCol).as("qid"), col(idCol).as("id"),
         col(gainCol).cast("double").as("gain"))
@@ -48,12 +60,19 @@ object RankEval {
       .agg(
         count(lit(1)).as("n_ranked"),
         count(when(col("gain").isNotNull, 1)).as("hits"),
-        sum(coalesce(col("gain"), lit(0.0)) /
-          log2(col("rank").cast("double") + 1.0)).as("dcg_raw"),
+        // collect (rank, term) structs; the fixed-order fold happens
+        // below (collect_list drops the NULL structs of non-hit rows)
+        collect_list(struct(col("rank").as("r"),
+          (coalesce(col("gain"), lit(0.0)) /
+            log2(col("rank").cast("double") + 1.0)).as("t"))).as("_dcg_ts"),
         min(when(col("gain").isNotNull, col("rank"))).as("first_hit"),
-        sum(when(col("gain").isNotNull,
-          col("hr").cast("double") / col("rank").cast("double"))
-          .otherwise(lit(0.0))).as("ap_num"))
+        collect_list(when(col("gain").isNotNull,
+          struct(col("rank").as("r"),
+            (col("hr").cast("double") / col("rank").cast("double"))
+              .as("t")))).as("_ap_ts"))
+      .withColumn("dcg_raw", foldT(col("_dcg_ts")))
+      .withColumn("ap_num", foldT(col("_ap_ts")))
+      .drop("_dcg_ts", "_ap_ts")
     val ideal = rel
       .withColumn("irank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -61,9 +80,12 @@ object RankEval {
           .orderBy(col("gain").desc, col("id").asc)))
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_rel"),
-        sum(when(col("irank") <= k,
-          col("gain") / log2(col("irank").cast("double") + 1.0))
-          .otherwise(lit(0.0))).as("idcg_raw"))
+        collect_list(when(col("irank") <= k,
+          struct(col("irank").as("r"),
+            (col("gain") / log2(col("irank").cast("double") + 1.0))
+              .as("t")))).as("_idcg_ts"))
+      .withColumn("idcg_raw", foldT(col("_idcg_ts")))
+      .drop("_idcg_ts")
     lst.join(ideal, Seq("qid"), "full")
       .select(col("qid"),
         coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),

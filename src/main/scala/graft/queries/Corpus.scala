@@ -2316,8 +2316,10 @@ object Corpus {
         |ORDER BY doc_id""".stripMargin,
 
     // the doc_bm25_topk ranking chain + list_contains grades + the same
-    // DCG/IDCG/RR/precision/recall arithmetic, round-6 (the ln
-    // discipline: <= 20-term log2 sums against a 1e-6 grid)
+    // DCG/IDCG/RR/precision/recall arithmetic, round-6. The DCG/AP/IDCG
+    // sums replay the operator's FIXED rank-ascending left fold via
+    // list_aggregate(list(term ORDER BY rank), 'sum') — association
+    // pinned on both sides, not just the rounded value (r13 hardening)
     "doc_rank_eval" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
         |              FROM documents),
@@ -2357,15 +2359,18 @@ object Corpus {
         |        LEFT JOIN rel r USING (doc_id) WHERE t.rnk <= 20),
         |m AS (SELECT count(*)::BIGINT AS n_ranked,
         |        count(gain)::BIGINT AS hits,
-        |        sum(coalesce(gain, 0.0) / log2(rnk::DOUBLE + 1.0)) AS dcg,
+        |        coalesce(list_aggregate(list(
+        |            coalesce(gain, 0.0) / log2(rnk::DOUBLE + 1.0)
+        |            ORDER BY rnk), 'sum'), 0.0) AS dcg,
         |        min(CASE WHEN gain IS NOT NULL THEN rnk END) AS fh,
-        |        sum(CASE WHEN gain IS NOT NULL
-        |            THEN hr::DOUBLE / rnk::DOUBLE ELSE 0.0 END) AS ap_num
+        |        coalesce(list_aggregate(list(
+        |            hr::DOUBLE / rnk::DOUBLE ORDER BY rnk)
+        |            FILTER (WHERE gain IS NOT NULL), 'sum'), 0.0) AS ap_num
         |      FROM lst),
         |ideal AS (SELECT count(*)::BIGINT AS n_rel,
-        |            sum(CASE WHEN ir <= 20
-        |                THEN gain / log2(ir::DOUBLE + 1.0)
-        |                ELSE 0.0 END) AS idcg
+        |            coalesce(list_aggregate(list(
+        |                gain / log2(ir::DOUBLE + 1.0) ORDER BY ir)
+        |                FILTER (WHERE ir <= 20), 'sum'), 0.0) AS idcg
         |          FROM (SELECT gain, row_number()
         |                  OVER (ORDER BY gain DESC, doc_id) AS ir
         |                FROM rel))

@@ -420,7 +420,12 @@ object Curation {
         |FROM b, g ORDER BY b.doc_id""".stripMargin,
 
     // the identical quantized integer centroid, dim-ordered list, and
-    // sequential cosine chain; round-6 verdict
+    // sequential cosine chain; round-6 verdict. Zero-norm members or
+    // centroids flag with a NULL cosine on BOTH sides (ADVICE r13: the
+    // bare `cos < -0.15` predicate silently dropped the NULL-cos rows
+    // the operator emits, and list_cosine_similarity may error/NaN on a
+    // zero vector — the CASE guard keeps the engines agreeing on
+    // degenerate vectors).
     "emb_centroid_outliers" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
         |           FROM embeddings
@@ -431,10 +436,13 @@ object Curation {
         |c AS (SELECT label, list(s::DOUBLE ORDER BY i) AS cen
         |      FROM s GROUP BY 1),
         |sc AS (SELECT e.vec_id, e.label,
-        |         round(list_cosine_similarity(e.v, c.cen), 6) AS cos
+        |         CASE WHEN list_dot_product(e.v, e.v) > 0
+        |                AND list_dot_product(c.cen, c.cen) > 0
+        |           THEN round(list_cosine_similarity(e.v, c.cen), 6)
+        |         END AS cos
         |       FROM e JOIN c USING (label))
         |SELECT vec_id, label, cos FROM sc
-        |WHERE cos < -0.15 ORDER BY label, vec_id""".stripMargin,
+        |WHERE cos < -0.15 OR cos IS NULL ORDER BY label, vec_id""".stripMargin,
 
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w,

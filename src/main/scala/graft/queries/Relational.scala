@@ -38,11 +38,14 @@ object Relational {
     * scales (DuckDB-probed).
     */
   private def tradeGraph(s: SparkSession, dir: String): DataFrame = {
+    // cast to long BEFORE the *2 encoding (the tripartiteGraph pattern):
+    // under ANSI mode an INT custkey/suppkey overflows with an error at
+    // large scale factors
     val e = Tables(s, dir, "orders")
       .join(Tables(s, dir, "lineitem"),
         col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
       .distinct()
     e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
@@ -643,16 +646,7 @@ object Relational {
     // oracle's 14 unrolled rounds carry an exhaust error() assert.
     "q42_harmonic" -> ((s, dir) => {
       import s.implicits._
-      val co = Tables(s, dir, "orders")
-        .select(($"o_custkey".cast("long") * 3).as("a"),
-          ($"o_orderkey".cast("long") * 3 + 1).as("b"))
-      val op = Tables(s, dir, "lineitem")
-        .filter($"l_partkey" % 5 === 0)
-        .select(($"l_orderkey".cast("long") * 3 + 1).as("a"),
-          ($"l_partkey".cast("long") * 3 + 2).as("b"))
-      val ce = co.union(op).distinct()
-      val sym = ce.select($"a".as("src"), $"b".as("dst"))
-        .union(ce.select($"b".as("src"), $"a".as("dst")))
+      val sym = tripartiteGraph(s, dir)
       val seeds = Tables(s, dir, "customer")
         .filter($"c_nationkey" === 7 && $"c_custkey" % 50 === 3)
         .select(($"c_custkey".cast("long") * 3).as("node"))
@@ -672,14 +666,9 @@ object Relational {
     // declared; the mod filter pushes below the pair join.
     "q43_link_pred" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables(s, dir, "orders")
-        .join(Tables(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
-        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
-        .distinct()
-      val sym = e.select($"a".as("src"), $"b".as("dst"))
-        .union(e.select($"b".as("src"), $"a".as("dst")))
       graft.operators.LinkPredict
-        .neighborScores(sym, "src", "dst", maxMiddleDegree = 64)
+        .neighborScores(tradeGraph(s, dir), "src", "dst",
+          maxMiddleDegree = 64)
         .filter($"a" % 7 === 0 && $"b" % 7 === 0)
         .orderBy($"a", $"b")
     }),
@@ -692,28 +681,28 @@ object Relational {
     // the gate pins.
     "q44_assortativity" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables(s, dir, "orders")
-        .join(Tables(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
-        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
-        .distinct()
-      val sym = e.select($"a".as("src"), $"b".as("dst"))
-        .union(e.select($"b".as("src"), $"a".as("dst")))
-      graft.operators.LinkPredict.degreeAssortativity(sym, "src", "dst")
+      graft.operators.LinkPredict
+        .degreeAssortativity(tradeGraph(s, dir), "src", "dst")
     }),
 
-    // HyperBall neighborhood function (HyperBall.neighborhoodFunction):
-    // per-node HLL balls max-merged along edges of the q37 tripartite
-    // graph, p=4 — N(t) as an exact DECIMAL(38,4) sum of round-4
-    // per-node estimates whose only float is one deterministic chain
-    // over INTEGER register sums (Σ 2^(53−rho) — no order-dependent
-    // float anywhere at 170k-node scale). Balls complete at t=12 at
-    // BOTH gate scales (register fixpoint at round 13, DuckDB-probed
-    // before the gate was declared); the oracle unrolls 13 rounds and
-    // error()-asserts the (count, Σrho) signature is stationary.
+    // HyperBall register evolution (HyperBall.registerSignature): per-node
+    // HLL balls max-merged along edges of the q37 tripartite graph, p=4 —
+    // gated on the per-round EXACT integer signature (register count,
+    // Σ rho, Σ 2^(53−rho) as DECIMAL(38,0)): integers only, so no engine
+    // upgrade can re-round it (the round-13 float-N(t) gate hashed 220k
+    // per-node round(DOUBLE,4) values and went red on a driver DuckDB
+    // that computed the replay chain differently while staying bit-exact
+    // on 1.0.0 — the signature determines the same register frames
+    // without any float). Balls complete at t=12 at BOTH gate scales
+    // (register fixpoint at round 13, DuckDB-probed before the gate was
+    // declared); the oracle unrolls 13 rounds and error()-asserts the
+    // (count, Σrho) signature is stationary. The float N(t) readout is
+    // certified against the scalar model in HyperBallSpec and still
+    // drives q45_eff_diameter.
     "q45_hyperball" -> ((s, dir) => {
       import s.implicits._
       graft.operators.HyperBall
-        .neighborhoodFunction(tripartiteGraph(s, dir), "src", "dst",
+        .registerSignature(tripartiteGraph(s, dir), "src", "dst",
           p = 4, maxT = 32)
         .orderBy($"t")
     }),
@@ -1121,14 +1110,6 @@ object Relational {
     * `<<` and HUGEINT sums.
     */
   private def hyperballNfSql(ceSql: String, nRounds: Int): String = {
-    val rounds = (1 to nRounds).map { i =>
-      s"""r$i AS MATERIALIZED (SELECT node, bucket, max(rho) AS rho FROM (
-         |      SELECT node, bucket, rho FROM r${i - 1}
-         |      UNION ALL
-         |      SELECT e.src AS node, r.bucket, r.rho
-         |      FROM e JOIN r${i - 1} r ON r.node = e.dst) GROUP BY 1, 2)"""
-        .stripMargin
-    }.mkString(",\n")
     val nfs = (0 until nRounds).map { i =>
       s"""nf$i AS (SELECT ${i}::BIGINT AS t, sum(e4) AS nf FROM (
          |  SELECT CAST(round(CASE WHEN e_raw <= 40.0 AND zeros > 0
@@ -1143,6 +1124,50 @@ object Relational {
     }.mkString(",\n")
     val nfUnion = (0 until nRounds).map(i => s"SELECT t, nf FROM nf$i")
       .mkString("\nUNION ALL ")
+    s"""${hyperballRoundsSql(ceSql, nRounds)},
+       |$nfs,
+       |nf AS ($nfUnion)""".stripMargin
+  }
+
+  /** The version-proof q45 gate surface: per-round EXACT integer register
+    * signatures `(t, regs, sum_rho, sum_pow)` — count of live registers,
+    * Σ rho, and the global harmonic numerator Σ 2^(53−rho) as
+    * DECIMAL(38,0) (HUGEINT-exact in DuckDB, decimal-exact in Spark).
+    * No `ln`, no per-node float rounding anywhere: the round-13 driver
+    * red proved a 220k-value round(DOUBLE,4) surface is one engine
+    * upgrade away from hash divergence even when bit-exact on DuckDB
+    * 1.0.0. The signature pins the identical register-frame evolution;
+    * the float N(t) readout is spec-certified instead.
+    */
+  private def hyperballSigSql(ceSql: String, nRounds: Int): String = {
+    val sigs = (0 until nRounds).map { i =>
+      s"""sig$i AS (SELECT ${i}::BIGINT AS t, count(*)::BIGINT AS regs,
+         |  sum(rho)::BIGINT AS sum_rho,
+         |  sum(1::BIGINT << (53 - rho))::DECIMAL(38,0) AS sum_pow
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    val sigUnion = (0 until nRounds)
+      .map(i => s"SELECT t, regs, sum_rho, sum_pow FROM sig$i")
+      .mkString("\nUNION ALL ")
+    s"""${hyperballRoundsSql(ceSql, nRounds)},
+       |$sigs,
+       |sig AS ($sigUnion)""".stripMargin
+  }
+
+  /** Shared WITH-prefix of both q45 oracle surfaces: symmetrized edges
+    * from the `ce(a, b)` CTE, splitmix64 node hashes, the p=4 register
+    * split, `nRounds` unrolled max-merge rounds and the stationarity
+    * `chk` error() assert.
+    */
+  private def hyperballRoundsSql(ceSql: String, nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT node, bucket, max(rho) AS rho FROM (
+         |      SELECT node, bucket, rho FROM r${i - 1}
+         |      UNION ALL
+         |      SELECT e.src AS node, r.bucket, r.rho
+         |      FROM e JOIN r${i - 1} r ON r.node = e.dst) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
     s"""WITH $ceSql,
        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce
        |      UNION ALL SELECT b, a FROM ce),
@@ -1169,9 +1194,8 @@ object Relational {
        |chk AS (SELECT CASE WHEN
        |    (SELECT count(*) || '-' || sum(rho) FROM r$nRounds) =
        |    (SELECT count(*) || '-' || sum(rho) FROM r${nRounds - 1}) THEN 1
-       |  ELSE error('q45 oracle: registers not stationary at round $nRounds - deepen the unroll') END AS ok),
-       |$nfs,
-       |nf AS ($nfUnion)""".stripMargin
+       |  ELSE error('q45 oracle: registers not stationary at round $nRounds - deepen the unroll') END AS ok)"""
+      .stripMargin
   }
 
   private val tripartiteCeSql: String =
@@ -1670,10 +1694,10 @@ object Relational {
 
     // the whole HyperBall replay: splitmix64 node hashes, p=4 register
     // split, 13 unrolled max-merge rounds with a stationary-signature
-    // error() assert, per-round integer harmonic sums and the round-4
-    // DECIMAL(38,4) estimate totals
-    "q45_hyperball" -> (hyperballNfSql(tripartiteCeSql, 13) +
-      "\nSELECT t, nf FROM nf, chk WHERE chk.ok = 1 ORDER BY t"),
+    // error() assert, gated on the per-round EXACT integer register
+    // signature (no float anywhere — version-proof across DuckDB builds)
+    "q45_hyperball" -> (hyperballSigSql(tripartiteCeSql, 13) +
+      "\nSELECT t, regs, sum_rho, sum_pow FROM sig, chk WHERE chk.ok = 1 ORDER BY t"),
 
     // the HyperANF readout over the same nf table: 0.9-quantile hit +
     // linear interpolation, every input cast ::DOUBLE explicitly

@@ -2,10 +2,20 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the bench artifact's failure accounting: a query that throws
-  * mid-measurement must surface its exception in `err` AND flag itself —
-  * the round-8 artifact recorded a silent (-1, flagged=false) and could
-  * still stamp `contaminated: false` while missing a number.
+/** Pins the bench artifact's failure accounting and the round-14
+  * adaptive-run policy.
+  *
+  * Failure accounting: a query that throws mid-measurement must surface
+  * its exception in `err` AND flag itself — the round-8 artifact recorded
+  * a silent (-1, flagged=false) and could still stamp
+  * `contaminated: false` while missing a number.
+  *
+  * Adaptive runs (round-13 lesson — the fixed warmup+3 protocol cost
+  * ~4x med-sum of wall and the 193-query driver bench timed out at
+  * rc 124 / parsed:null): the FIRST (cold) execution is a probe; >5 s
+  * queries report the probe itself (runs=1), 1–5 s queries take one warm
+  * sample (runs=1), sub-second queries take two warm samples and report
+  * the min (steal/GC only ever inflate wall-clock).
   */
 class BenchSpec extends AnyFunSuite {
 
@@ -19,7 +29,7 @@ class BenchSpec extends AnyFunSuite {
     assert(st.med == -1 && st.runs == 0)
   }
 
-  test("a failure on a LATER sample (post-warmup) still lands in err") {
+  test("a failure on a LATER sample (post-probe) still lands in err") {
     var calls = 0
     val st = Bench.measureWith(() => {
       calls += 1
@@ -30,19 +40,42 @@ class BenchSpec extends AnyFunSuite {
     assert(st.flagged)
   }
 
-  test("clean samples yield median-of-3, no err, no flag") {
-    val walls = Iterator(9.9, 0.30, 0.10, 0.20) // warmup discarded
-    val st = Bench.measureWith(() => (walls.next(), 0.0), nCpus = 4.0)
-    assert(st.err.isEmpty && !st.flagged)
-    assert(st.med == 0.20 && st.min == 0.10 && st.max == 0.30 && st.runs == 3)
+  test("a slow query (probe > 5 s) reports the probe itself, runs=1") {
+    var calls = 0
+    val st = Bench.measureWith(() => { calls += 1; (9.9, 0.0) }, nCpus = 4.0)
+    assert(calls == 1, "a >5 s query must execute exactly once")
+    assert(st.runs == 1 && st.med == 9.9 && st.min == 9.9 && st.max == 9.9)
+    assert(!st.flagged && st.err.isEmpty)
   }
 
-  test("spread-suspicious samples are re-taken and persistent spread flags") {
-    // spread > 2x and > 0.3 s absolute on every round -> 2 retries, flagged
-    val walls = Iterator(1.0, 2.0, 0.1, 0.15, 2.0, 2.0)
-    val st = Bench.measureWith(() => (walls.next(), 0.0), nCpus = 4.0)
-    assert(st.runs == 5, "two re-samples after the initial three")
+  test("a slow query whose probe was steal-hit gets ONE retry, min wins") {
+    val walls = Iterator((9.9, 8.0), (8.5, 0.0)) // probe stolen, retry clean
+    val st = Bench.measureWith(() => walls.next(), nCpus = 4.0)
+    assert(st.runs == 2 && st.med == 8.5 && st.max == 9.9)
+    assert(!st.flagged, "a clean retry clears the steal suspicion")
+  }
+
+  test("a mid query (1-5 s) discards the probe and takes one warm sample") {
+    val walls = Iterator((3.0, 0.0), (2.5, 0.0))
+    val st = Bench.measureWith(() => walls.next(), nCpus = 4.0)
+    assert(st.runs == 1 && st.med == 2.5 && !st.flagged && st.err.isEmpty)
+  }
+
+  test("a fast query takes two warm samples; med is the MIN of the two") {
+    val walls = Iterator((0.9, 0.0), (0.30, 0.0), (0.20, 0.0))
+    val st = Bench.measureWith(() => walls.next(), nCpus = 4.0)
+    assert(st.err.isEmpty && !st.flagged)
+    assert(st.med == 0.20 && st.min == 0.20 && st.max == 0.30 && st.runs == 2)
+  }
+
+  test("spread-suspicious fast samples get one re-sample; persistent spread flags") {
+    // warm samples 2.0 vs 0.1 (spread > 2x, > 0.3 s abs) -> retry 2.0:
+    // worst dropped, still {0.1, 2.0} spready -> flagged
+    val walls = Iterator((0.5, 0.0), (2.0, 0.0), (0.1, 0.0), (2.0, 0.0))
+    val st = Bench.measureWith(() => walls.next(), nCpus = 4.0)
+    assert(st.runs == 3, "one re-sample after the initial two")
     assert(st.flagged && st.err.isEmpty)
+    assert(st.med == 0.1, "med stays the min — steal only inflates")
   }
 
   test("err strings JSON-escape quotes, backslashes and control chars") {

@@ -715,16 +715,18 @@ class CurationSpec extends AnyFunSuite {
     // shifted scale). Per-source bins must IGNORE the shift.
     val rows = (1 to 100).map(i => (i.toLong, "A", i.toDouble)) ++
       (1 to 100).map(i => (i.toLong + 1000, "B", 1000.0 + i)) ++
-      Seq((5000L, "A", Double.NaN)) // NaN stays (a value); NULL dropped below
+      Seq((5000L, "A", Double.NaN)) // NaN drops like NULL (no rank)
     val df = rows.toDF("doc_id", "source", "score")
       .union(Seq((6000L, "A")).toDF("doc_id", "source")
         .withColumn("score", lit(null).cast("double")))
-    val got = Curation.calibrateScores(df.filter(!isnan($"score") ||
-        $"score".isNull), "doc_id", "source", "score")
+    val got = Curation.calibrateScores(df, "doc_id", "source", "score")
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3),
         r.getDouble(4)))).toMap
     assert(!got.contains(6000L), "NULL score rows drop")
+    assert(!got.contains(5000L),
+      "NaN score rows drop inside the operator (ADVICE r13 — NaN sorts " +
+        "greatest in Spark's exact percentile and would poison the bins)")
     // doc 100 (A's max) and doc 1100 (B's max) sit in bin 9 of their
     // OWN sources and calibrate to the same global midpoint quantile
     assert(got(100L)._2 === 9L && got(1100L)._2 === 9L)

@@ -100,6 +100,54 @@ class HyperBallSpec extends AnyFunSuite {
     assert(trunc.length === 2) // t = 0 and t = 1 only
   }
 
+  test("registerSignature equals the scalar true-ball register model " +
+      "(count, sum rho, sum 2^(53-rho)) and spans the same rounds as nf") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (5L, 10L))
+    val p = 4
+    // scalar model: registers of the TRUE t-ball per node, pooled
+    val es = g.filter(e => e._1 != e._2).distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def regsOf(ball: Set[Long]): Map[Long, Int] = ball.toSeq
+      .map { k =>
+        val h = graft.functions.SplitMix64.hash(k)
+        (h >>> (64 - p)) -> math.min(
+          java.lang.Long.numberOfLeadingZeros(h << p) + 1, 53)
+      }
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    def sig(balls: Map[Long, Set[Long]]): (Long, Long, BigInt) = {
+      val all = balls.valuesIterator.flatMap(regsOf(_).valuesIterator).toSeq
+      (all.size.toLong, all.map(_.toLong).sum,
+        all.map(r => BigInt(1) << (53 - r)).sum)
+    }
+    var balls = nodes.map(n => n -> Set(n)).toMap
+    var want = Seq((0L, sig(balls)))
+    var t = 0L
+    var done = false
+    while (!done) {
+      t += 1
+      val next = nodes.map { n =>
+        n -> adj.getOrElse(n, Set.empty).foldLeft(balls(n))((b, nb) =>
+          b ++ balls(nb))
+      }.toMap
+      done = next == balls
+      balls = next
+      if (!done) want :+= (t, sig(balls))
+    }
+    val got = HyperBall.registerSignature(g.toDF("s", "d"), "s", "d", p = p)
+      .orderBy($"t").collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), BigInt(r.getDecimal(3).toBigInteger))))
+      .toSeq
+    assert(got === want)
+    // the signature gate spans exactly the rounds the nf readout does
+    val nfRounds = HyperBall.neighborhoodFunction(g.toDF("s", "d"), "s",
+      "d", p = p).count()
+    assert(got.length.toLong === nfRounds)
+  }
+
   test("effectiveDiameter: hand-checked interpolation on a path; q " +
       "bounds validated") {
     import spark.implicits._

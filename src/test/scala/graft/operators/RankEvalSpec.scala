@@ -57,4 +57,51 @@ class RankEvalSpec extends AnyFunSuite {
     assert(got.getDouble(4) === 1.0 && got.getDouble(5) === 1.0)
     assert(got.getDouble(8) === 1.0) // ap: perfect ranking
   }
+
+  test("layout invariance of the PRE-round doubles: DCG/AP/IDCG fold in " +
+      "fixed rank order, bit-equal to the scalar sequential fold at any " +
+      "partitioning") {
+    import spark.implicits._
+    val k = 20
+    // 30 queries x 20 ranked rows; gains are 'awkward' doubles (j/7.0)
+    // so any association change in a 20-term sum moves the last ulps
+    val ranked = (for (q <- 1 to 30; r <- 1 to k)
+      yield (s"q$q", (q * 1000 + r).toLong, r.toLong))
+      .toDF("qid", "doc_id", "rnk")
+    val rel = (for (q <- 1 to 30; r <- 1 to k; if (q + r) % 3 != 0)
+      yield (s"q$q", (q * 1000 + r).toLong, (r % 7 + 1).toDouble / 7.0))
+      .toDF("qid", "doc_id", "gain")
+    // scalar model: strict sequential left fold in rank order
+    def expected(q: Int): (Double, Double, Double) = {
+      val rows = (1 to k).map { r =>
+        val judged = (q + r) % 3 != 0
+        (r, if (judged) Some((r % 7 + 1).toDouble / 7.0) else None)
+      }
+      val dcg = rows.foldLeft(0.0) { case (acc, (r, g)) =>
+        acc + g.getOrElse(0.0) / lg2(r.toDouble + 1.0) }
+      var hits = 0
+      val ap = rows.foldLeft(0.0) { case (acc, (r, g)) =>
+        if (g.isDefined) { hits += 1; acc + hits.toDouble / r } else acc }
+      val ideal = rows.collect { case (r, Some(g)) => (g, r) }
+        .sortBy { case (g, r) => (-g, q * 1000 + r) } // gain DESC, id ASC
+        .take(k).zipWithIndex
+      val idcg = ideal.foldLeft(0.0) { case (acc, ((g, _), i)) =>
+        acc + g / lg2(i + 2.0) }
+      (dcg, ap, idcg)
+    }
+    for (parts <- Seq(1, 13)) {
+      val got = RankEval.rankEval(ranked.repartition(parts),
+          rel.repartition(parts), "qid", "doc_id", "rnk", "gain", k)
+        .collect().map(r => r.getString(0) -> r).toMap
+      for (q <- 1 to 30) {
+        val (dcg, ap, idcg) = expected(q)
+        val nRel = (1 to k).count(r => (q + r) % 3 != 0)
+        val row = got(s"q$q")
+        assert(row.getDouble(7) === r6(dcg / idcg),
+          s"parts=$parts q=$q: ndcg fold must equal the scalar left fold")
+        assert(row.getDouble(8) === r6(ap / math.min(nRel, k)),
+          s"parts=$parts q=$q: ap fold must equal the scalar left fold")
+      }
+    }
+  }
 }
