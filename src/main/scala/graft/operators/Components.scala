@@ -528,4 +528,278 @@ object Components {
       .select(col("node"), col("reach"), col("h_num"),
         round(col("h_num").cast("double") / lit(denom.toDouble), 6).as("h"))
   }
+
+  /** Brandes forward phase from a sampled source set: per (source, node)
+    * the shortest-path distance `d` AND the EXACT shortest-path count
+    * `sigma` (σ, DECIMAL(38,0) — path counts multiply along layers and
+    * can pass a LONG on hub-dense graphs). This is the integer half of
+    * sampled betweenness centrality (Brandes 2001; Brandes & Pich 2007
+    * make the sampled-source estimator standard) and the version-proof
+    * GATE surface: distances and σ-counts are exact integers, so an
+    * unrolled-SQL oracle replays them bit-for-bit with no float
+    * anywhere (the q45 register-signature discipline).
+    *
+    * Shape: the [[harmonicCentrality]] (source, node)-keyed BFS with one
+    * extra groupBy-sum per round — σ(w) at level l+1 is the sum of σ(v)
+    * over DAG predecessors v at level l, so each round is one equi-join
+    * on the node id + groupBy (source, dst) sum + one anti-join against
+    * the visited pairs, all localCheckpoint-truncated with the shared
+    * 1-row convergence action. State is |S| × reach pairs: |S| stays
+    * fixed as V grows — the sampled estimator's 100 TB point. Edges
+    * follow src→dst; pass a symmetrized list for undirected semantics
+    * (the kCore/bfsHops contract). Self rows (d = 0, σ = 1) included.
+    */
+  def brandesForward(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, seedCol: String,
+                     maxRounds: Int = 12): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds
+      .select(col(seedCol).cast("long").as("source"))
+      .filter(col("source").isNotNull)
+      .distinct()
+      .select(col("source"), col("source").as("node"),
+        lit(0L).as("d"), lit(1L).cast("decimal(38,0)").as("sigma"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var rnd = 0
+    var n = visited.count()
+    while (n > 0 && rnd < maxRounds) {
+      rnd += 1
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"),
+          Seq("src"))
+        .select(col("source"), col("dst").as("node"), col("sigma"))
+        .join(visited.select("source", "node"), Seq("source", "node"),
+          "left_anti")
+        .groupBy(col("source"), col("node"))
+        // exact integer σ sums commute — layout-invariant by construction
+        .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
+        .select(col("source"), col("node"), lit(rnd.toLong).as("d"),
+          col("sigma"))
+        .localCheckpoint(true)
+      n = next.count()
+      if (n > 0) {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited
+  }
+
+  /** Sampled betweenness centrality (Brandes 2001, sampled sources per
+    * Brandes & Pich 2007): bc(v) = Σ_{s ∈ S} δ_s(v) with the dependency
+    * accumulation δ_s(v) = Σ_{w : (v,w) ∈ E, d(w) = d(v)+1}
+    * (σ(v)/σ(w)) · (1 + δ_s(w)) — the standard reverse-level pass over
+    * the shortest-path DAG of [[brandesForward]]. The one standard
+    * web-graph centrality the PageRank/HITS/harmonic/HyperBall family
+    * lacked: "how much shortest-path traffic transits this node".
+    *
+    * Determinism: δ is inherently rational (σ ratios), so floats are
+    * unavoidable — but every sum runs as a FIXED-ORDER sequential fold
+    * (sort_array over collect_list + `aggregate`, the RankEval
+    * discipline): per (source, v) the ≤ out-degree successor
+    * contributions fold in ascending-w order, and the final cross-source
+    * sum folds in ascending-source order. The result is bit-identical
+    * under any partition layout (spec-pinned at 1 vs 7 partitions
+    * against the scalar Brandes model). It is NOT oracle-gated — the
+    * round-13 q45 red proved per-row float rounding at V-node scale is
+    * version-fragile, so the hash gate (q46) pins the exact integer
+    * forward surface and this readout is spec-certified instead (the
+    * HyperBall N(t) treatment).
+    *
+    * Scale: the backward pass is ≤ diameter rounds of (edges ⋈ next
+    * level) joins; per-(source,v) folds touch at most the out-degree —
+    * at extreme hub degrees swap the fold for a plain sum and accept
+    * layout noise, documented trade. Output: (node, reach, bc) for
+    * every node some source reaches at d ≥ 1; bc round-6.
+    */
+  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String,
+                  maxRounds: Int = 12): DataFrame = {
+    val fwd = brandesForward(edges, srcCol, dstCol, seeds, seedCol,
+      maxRounds).localCheckpoint(true)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def foldBy(terms: org.apache.spark.sql.Column, field: String) =
+      aggregate(sort_array(terms), lit(0.0),
+        (acc, x) => acc + x.getField(field))
+    val maxD = fwd.agg(max(col("d"))).head().getLong(0)
+    var deltas = fwd.filter(col("d") === maxD)
+      .select(col("source"), col("node"), lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    var acc = if (maxD >= 1L) Seq(deltas) else Seq.empty[DataFrame]
+    var l = maxD - 1
+    while (l >= 1) {
+      val nextLvl = fwd.filter(col("d") === l + 1)
+        .join(deltas, Seq("source", "node"))
+        .select(col("source"), col("node").as("dst"),
+          col("sigma").as("sw"), col("delta").as("dw"))
+      val contribs = e.join(nextLvl, Seq("dst"))
+        .select(col("source"), col("src").as("node"), col("dst").as("w"),
+          col("sw"), col("dw"))
+        .join(fwd.filter(col("d") === l)
+          .select(col("source"), col("node"), col("sigma").as("sv")),
+          Seq("source", "node"))
+        .select(col("source"), col("node"), col("w"),
+          (col("sv").cast("double") / col("sw").cast("double") *
+            (lit(1.0) + col("dw"))).as("c"))
+      val lvlDelta = contribs.groupBy(col("source"), col("node"))
+        .agg(foldBy(collect_list(struct(col("w"), col("c"))), "c")
+          .as("delta"))
+      // DAG leaves at this level (no successors) carry delta = 0
+      deltas = fwd.filter(col("d") === l).select("source", "node")
+        .join(lvlDelta, Seq("source", "node"), "left")
+        .select(col("source"), col("node"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      acc = acc :+ deltas
+      l -= 1
+    }
+    val all = acc.reduceOption(_ unionByName _)
+      .getOrElse(deltas.limit(0))
+    all.filter(col("node") =!= col("source"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("reach"),
+        foldBy(collect_list(struct(col("source"), col("delta"))), "delta")
+          .as("_bc"))
+      .select(col("node"), col("reach"), round(col("_bc"), 6).as("bc"))
+  }
+
+  /** Directed STRONGLY connected components — (node, scc) with `scc` the
+    * minimum node id of the component. [[connectedComponents]] answers
+    * the undirected question; link-graph analyses (spam farms, crawl
+    * traps, the web's bow-tie) need mutual reachability.
+    *
+    * Algorithm — trim + forward/backward min-label coloring (the
+    * Slota/Hong FB-trim family, the standard label-propagation SCC):
+    *  1. TRIM to a fixpoint: a node with no in-edge or no out-edge
+    *     inside the remaining graph is its own SCC (the kCore peel
+    *     shape) — this resolves every DAG appendage in rounds bounded by
+    *     the longest dangling chain.
+    *  2. PHASE: over the remaining graph, `f(v)` = min label that
+    *     REACHES v (forward min-propagation to a fixpoint) and `b(v)` =
+    *     min label v REACHES (backward). `f(v) = b(v) = m` proves
+    *     m→v→m, so v ∈ SCC(m) — those nodes are decided and removed;
+    *     every phase decides at least the SCC of each remaining
+    *     source-region minimum, so the phase count is bounded by the
+    *     condensation's chain depth (4 on the q47 gate graph, probed).
+    *  3. repeat trim+phase until nothing remains.
+    *
+    * Exactness: labels are LONG mins — integer lattice moves only, so
+    * every fixpoint is layout-invariant and the whole output replays in
+    * unrolled SQL with no float anywhere (the q46/q45 gate discipline).
+    * Convergence witnesses are 1-row (count, sum) actions on frames that
+    * only shrink/decrease (the q39 discipline). At 100 TB: each round is
+    * one equi-join + groupBy-min on node ids; trim kills the DAG mass
+    * early so phases run on the cyclic core only; state is one (node,
+    * label) row per live node.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+                                  dstCol: String, maxPhases: Int = 64,
+                                  maxRounds: Int = 64): DataFrame = {
+    require(maxPhases >= 1, s"maxPhases must be >= 1, got $maxPhases")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var remaining = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var nRemaining = remaining.count()
+    var assigned = Seq.empty[DataFrame]
+
+    // trim fixpoint: peel no-in/no-out nodes (each its own SCC)
+    def trim(): Unit = {
+      var changed = true
+      while (changed && nRemaining > 0) {
+        val er = e
+          .join(remaining.withColumnRenamed("node", "src"), Seq("src"),
+            "left_semi")
+          .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"),
+            "left_semi")
+        val keep = remaining
+          .join(er.select(col("src").as("node")).distinct(), Seq("node"),
+            "left_semi")
+          .join(er.select(col("dst").as("node")).distinct(), Seq("node"),
+            "left_semi")
+          .localCheckpoint(true)
+        val kc = keep.count()
+        if (kc == nRemaining) changed = false
+        else {
+          assigned :+= remaining.join(keep, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc"))
+            .localCheckpoint(true)
+          remaining = keep
+          nRemaining = kc
+        }
+      }
+    }
+
+    // min-label propagation to a fixpoint over the restricted edge frame;
+    // labels only DECREASE, so the 1-row sum(lab) is the exact witness
+    def minLabels(er: DataFrame, reverse: Boolean): DataFrame = {
+      val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+      var lab = remaining.select(col("node"), col("node").as("lab"))
+        .localCheckpoint(true)
+      var sig = lab.agg(sum(col("lab"))).head().getLong(0)
+      var rnd = 0
+      var converged = false
+      while (!converged && rnd < maxRounds) {
+        rnd += 1
+        val next = lab
+          .union(er.join(lab.withColumnRenamed("node", from), Seq(from))
+            .select(col(to).as("node"), col("lab")))
+          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+          .localCheckpoint(true)
+        val nsig = next.agg(sum(col("lab"))).head().getLong(0)
+        converged = nsig == sig
+        sig = nsig
+        lab = next
+      }
+      lab
+    }
+
+    var phase = 0
+    trim()
+    while (nRemaining > 0 && phase < maxPhases) {
+      phase += 1
+      val er = e
+        .join(remaining.withColumnRenamed("node", "src"), Seq("src"),
+          "left_semi")
+        .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"),
+          "left_semi")
+        .localCheckpoint(true)
+      val f = minLabels(er, reverse = false)
+      val b = minLabels(er, reverse = true)
+      val dec = f.join(b.withColumnRenamed("lab", "blab"), Seq("node"))
+        .filter(col("lab") === col("blab"))
+        .select(col("node"), col("lab").as("scc"))
+        .localCheckpoint(true)
+      assigned :+= dec
+      remaining = remaining.join(dec, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      nRemaining = remaining.count()
+      trim()
+    }
+    require(nRemaining == 0,
+      s"SCC did not converge within $maxPhases phases — $nRemaining " +
+        "nodes undecided (raise maxPhases)")
+    assigned.reduce(_ unionByName _)
+  }
 }

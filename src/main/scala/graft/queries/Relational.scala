@@ -51,6 +51,33 @@ object Relational {
       .union(e.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** The q47 DIRECTED trade graph: customer→supplier edges flow only
+    * up the nation ordering (cn ≤ sn) and supplier→customer back-edges
+    * exist only within a nation — so each of the four sliced nations
+    * forms one mutual-reachability blob and the cross-nation edges form
+    * a DAG condensation over them (4 phases of FB-min coloring, probed
+    * at both gate scales, plus trimmed singleton appendages).
+    */
+  private def sccGraph(s: SparkSession, dir: String): DataFrame = {
+    val ol = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables(s, dir, "supplier"),
+        col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey").isin(3, 7, 11, 19) &&
+        col("s_nationkey").isin(3, 7, 11, 19))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("sp"),
+        col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+    ol.filter(col("cn") <= col("sn"))
+      .select(col("c").as("src"), col("sp").as("dst"))
+      .union(ol.filter(col("cn") === col("sn"))
+        .select(col("sp").as("src"), col("c").as("dst")))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> ((s, dir) => {
       import s.implicits._
@@ -720,6 +747,48 @@ object Relational {
         graft.operators.HyperBall.neighborhoodFunction(
           tradeGraph(s, dir), "src", "dst", p = 4, maxT = 32),
         q = 0.9)
+    }),
+
+    // Sampled betweenness centrality, forward surface
+    // (Components.brandesForward): per-node exact integers over the q42
+    // seed sample on the tripartite graph — sources reaching it, Σ of
+    // shortest-path distances, Σ of exact σ path counts (DECIMAL(38,0)).
+    // The gate hashes ONLY this integer surface (the q45 lesson: per-row
+    // float rounding at V-node scale is one DuckDB upgrade from red);
+    // the float δ accumulation / bc readout (Components.betweenness) is
+    // spec-certified against the scalar Brandes model with fixed-order
+    // folds. Eccentricity 9/11 at sf0.01/sf0.1 (q42-probed); the oracle
+    // unrolls 13 rounds with an exhaust error() assert.
+    "q46_betweenness" -> ((s, dir) => {
+      import s.implicits._
+      val seeds = Tables(s, dir, "customer")
+        .filter($"c_nationkey" === 7 && $"c_custkey" % 50 === 3)
+        .select(($"c_custkey".cast("long") * 3).as("node"))
+      graft.operators.Components
+        .brandesForward(tripartiteGraph(s, dir), "src", "dst",
+          seeds, "node", maxRounds = 13)
+        .filter($"d" >= 1L)
+        .groupBy($"node")
+        .agg(count(lit(1)).as("reach"),
+          sum($"d").cast("long").as("sum_dist"),
+          sum($"sigma").cast("decimal(38,0)").as("sum_sigma"))
+        .orderBy($"node")
+    }),
+
+    // Directed strongly connected components
+    // (Components.stronglyConnectedComponents): trim + FB-min coloring
+    // over the nation-oriented directed trade graph — four per-nation
+    // mutual-reachability blobs under a DAG condensation plus trimmed
+    // singletons. Labels are integer mins end to end, so the gate
+    // hashes exactly with no float anywhere; the oracle unrolls 3 trim
+    // passes + 4 phases of 8-round min-propagation fixpoints (probed
+    // depths 1 and ≤6 at both gate scales) with stationarity and
+    // all-decided error() asserts.
+    "q47_scc" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Components
+        .stronglyConnectedComponents(sccGraph(s, dir), "src", "dst")
+        .orderBy($"node")
     }),
 
     // k-anonymity / l-diversity census (operators.Privacy): per
@@ -1641,6 +1710,126 @@ object Relational {
          |  round(sum($L // d)::BIGINT::DOUBLE / $L.0, 6) AS h
          |FROM dd, chk WHERE chk.ok = 1
          |GROUP BY node ORDER BY node""".stripMargin
+    },
+
+    // the Brandes forward phase unrolled 13 rounds: per-(source, node)
+    // BFS carrying EXACT σ path counts (σ(w) at level l+1 = Σ σ(v) over
+    // DAG predecessors — a per-round GROUP BY sum in DECIMAL), an
+    // exhaust assert, and the integer-only per-node aggregate surface
+    "q46_betweenness" -> {
+      val rounds = (1 to 13).map { i =>
+        s"""n$i AS MATERIALIZED (
+           |  SELECT f.source, e.dst AS node, ${i}::BIGINT AS d,
+           |    sum(f.sigma)::DECIMAL(38,0) AS sigma
+           |  FROM e JOIN n${i - 1} f ON e.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+           |      WHERE v.source = f.source AND v.node = e.dst)
+           |  GROUP BY 1, 2),
+           |v$i AS MATERIALIZED (SELECT source, node, d, sigma FROM v${i - 1}
+           |      UNION ALL SELECT source, node, d, sigma FROM n$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ce AS (SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
+         |              o_orderkey::BIGINT * 3 + 1 AS b FROM orders
+         |            UNION
+         |            SELECT DISTINCT l_orderkey::BIGINT * 3 + 1 AS a,
+         |              l_partkey::BIGINT * 3 + 2 AS b
+         |            FROM lineitem WHERE l_partkey % 5 = 0),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce
+         |      UNION ALL SELECT b, a FROM ce),
+         |n0 AS MATERIALIZED (SELECT DISTINCT c_custkey::BIGINT * 3 AS source,
+         |      c_custkey::BIGINT * 3 AS node, 0::BIGINT AS d,
+         |      1::DECIMAL(38,0) AS sigma
+         |      FROM customer WHERE c_nationkey = 7 AND c_custkey % 50 = 3),
+         |v0 AS MATERIALIZED (SELECT source, node, d, sigma FROM n0),
+         |$rounds,
+         |chk AS (SELECT CASE WHEN (SELECT count(*) FROM n13) = 0 THEN 1
+         |  ELSE error('q46 oracle: 13 unrolled rounds did not exhaust the frontier - deepen the unroll') END AS ok)
+         |SELECT node, count(*)::BIGINT AS reach, sum(d)::BIGINT AS sum_dist,
+         |  sum(sigma)::DECIMAL(38,0) AS sum_sigma
+         |FROM v13, chk WHERE chk.ok = 1 AND d >= 1
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
+
+    // trim + FB-min coloring SCC replayed in integer SQL: 3 unrolled
+    // trim passes, 4 phases of 8-round forward/backward min-label
+    // fixpoints, per-fixpoint sum(lab) stationarity asserts and a final
+    // everything-decided assert — no float anywhere
+    "q47_scc" -> {
+      val nPhases = 4
+      val nRounds = 8
+      def fixpoint(pfx: String, remRel: String, rel: String, from: String,
+                   to: String): String = {
+        val rounds = (1 to nRounds).map { i =>
+          s"""$pfx$i AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (
+             |      SELECT node, lab FROM $pfx${i - 1}
+             |      UNION ALL
+             |      SELECT e.$to AS node, f.lab FROM $rel e
+             |      JOIN $pfx${i - 1} f ON e.$from = f.node) GROUP BY 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""${pfx}0 AS (SELECT node, node AS lab FROM $remRel),
+           |$rounds""".stripMargin
+      }
+      val phases = (1 to nPhases).map { p =>
+        s"""e${p}x AS MATERIALIZED (SELECT e.src, e.dst FROM e
+           |      JOIN r$p a ON a.node = e.src
+           |      JOIN r$p b ON b.node = e.dst),
+           |${fixpoint(s"f$p", s"r$p", s"e${p}x", "src", "dst")},
+           |${fixpoint(s"b$p", s"r$p", s"e${p}x", "dst", "src")},
+           |dec$p AS MATERIALIZED (SELECT f.node, f.lab AS scc
+           |      FROM f$p$nRounds f JOIN b$p$nRounds b ON b.node = f.node
+           |      WHERE f.lab = b.lab),
+           |r${p + 1} AS MATERIALIZED (SELECT node FROM r$p
+           |      EXCEPT SELECT node FROM dec$p)""".stripMargin
+      }.mkString(",\n")
+      val asserts = (1 to nPhases).flatMap(p => Seq(
+        s"(SELECT sum(lab) FROM f$p$nRounds) = (SELECT sum(lab) FROM f$p${nRounds - 1})",
+        s"(SELECT sum(lab) FROM b$p$nRounds) = (SELECT sum(lab) FROM b$p${nRounds - 1})"))
+        .mkString("\n    AND ")
+      val decs = (1 to nPhases)
+        .map(p => s"SELECT node, scc FROM dec$p").mkString("\n  UNION ALL ")
+      s"""WITH ol AS (SELECT o_custkey::BIGINT * 2 AS c,
+         |      l_suppkey::BIGINT * 2 + 1 AS sp,
+         |      c_nationkey AS cn, s_nationkey AS sn
+         |    FROM orders
+         |    JOIN lineitem ON l_orderkey = o_orderkey
+         |    JOIN customer ON c_custkey = o_custkey
+         |    JOIN supplier ON s_suppkey = l_suppkey
+         |    WHERE c_nationkey IN (3, 7, 11, 19)
+         |      AND s_nationkey IN (3, 7, 11, 19)),
+         |e AS MATERIALIZED (SELECT DISTINCT c AS src, sp AS dst FROM ol
+         |      WHERE cn <= sn
+         |      UNION SELECT DISTINCT sp, c FROM ol WHERE cn = sn),
+         |r0 AS MATERIALIZED (SELECT src AS node FROM e
+         |      UNION SELECT dst FROM e),
+         |t1 AS MATERIALIZED (SELECT x.node FROM r0 x WHERE
+         |  EXISTS (SELECT 1 FROM e JOIN r0 y ON y.node = e.dst
+         |          WHERE e.src = x.node) AND
+         |  EXISTS (SELECT 1 FROM e JOIN r0 y ON y.node = e.src
+         |          WHERE e.dst = x.node)),
+         |t2 AS MATERIALIZED (SELECT x.node FROM t1 x WHERE
+         |  EXISTS (SELECT 1 FROM e JOIN t1 y ON y.node = e.dst
+         |          WHERE e.src = x.node) AND
+         |  EXISTS (SELECT 1 FROM e JOIN t1 y ON y.node = e.src
+         |          WHERE e.dst = x.node)),
+         |t3 AS MATERIALIZED (SELECT x.node FROM t2 x WHERE
+         |  EXISTS (SELECT 1 FROM e JOIN t2 y ON y.node = e.dst
+         |          WHERE e.src = x.node) AND
+         |  EXISTS (SELECT 1 FROM e JOIN t2 y ON y.node = e.src
+         |          WHERE e.dst = x.node)),
+         |r1 AS MATERIALIZED (SELECT node FROM t3),
+         |$phases,
+         |chk AS (SELECT CASE WHEN
+         |    (SELECT count(*) FROM t3) = (SELECT count(*) FROM t2)
+         |    AND $asserts
+         |    AND (SELECT count(*) FROM r${nPhases + 1}) = 0 THEN 1
+         |  ELSE error('q47 oracle: trim/fixpoint not stationary or nodes undecided at the unrolled depths - deepen the unroll') END AS ok)
+         |SELECT node, scc FROM (
+         |  SELECT node, node AS scc FROM r0
+         |  WHERE node NOT IN (SELECT node FROM t3)
+         |  UNION ALL $decs), chk
+         |WHERE chk.ok = 1 ORDER BY node""".stripMargin
     },
 
     // degrees, the capped distance-2 join, the same round-6 ln sums;

@@ -439,4 +439,194 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(trunc === Map(1L -> 0L, 2L -> 1L))
   }
+  test("brandesForward: exact sigma path counts and distances match a " +
+      "scalar BFS with predecessor sums; layout-invariant") {
+    import spark.implicits._
+    def sym(e: Seq[(Long, Long)]) = e ++ e.map(_.swap)
+    // diamond (two shortest paths 1->4) feeding a path, plus a chord:
+    // sigma must count 2 through the diamond and sum at merges
+    val g = sym(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (2L, 5L)))
+    def scalar(edges: Seq[(Long, Long)], sources: Seq[Long],
+               maxRounds: Int): Map[(Long, Long), (Long, BigInt)] = {
+      val adj = edges.distinct.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).distinct }
+      sources.flatMap { s =>
+        var dist = Map(s -> 0L)
+        var sigma = Map(s -> BigInt(1))
+        var frontier = Seq(s); var r = 0
+        while (frontier.nonEmpty && r < maxRounds) {
+          r += 1
+          val add = scala.collection.mutable.Map[Long, BigInt]()
+          for (v <- frontier; w <- adj.getOrElse(v, Seq.empty)
+               if !dist.contains(w))
+            add(w) = add.getOrElse(w, BigInt(0)) + sigma(v)
+          add.foreach { case (w, sg) => dist += w -> r; sigma += w -> sg }
+          frontier = add.keys.toSeq
+        }
+        dist.map { case (v, d) => (s, v) -> ((d, sigma(v))) }
+      }.toMap
+    }
+    val want = scalar(g, Seq(1L, 6L), 12)
+    for (parts <- Seq(1, 7)) {
+      val got = Components.brandesForward(
+          g.toDF("s", "d").repartition(parts), "s", "d",
+          Seq(1L, 6L).toDF("seed"), "seed", maxRounds = 12)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), BigInt(r.getDecimal(3).toBigInteger)))).toMap
+      assert(got === want, s"parts=$parts")
+    }
+    // the diamond: two shortest 1->4 paths, and they carry on to 5
+    // alongside the direct 2->5 chord (d(5)=2 via 2, sigma 1)
+    assert(want((1L, 4L)) === ((2L, BigInt(2))))
+    assert(want((1L, 5L)) === ((2L, BigInt(1))))
+  }
+
+  test("betweenness matches the scalar Brandes model bit-for-bit (same " +
+      "fixed fold order) at 1 and 7 partitions; diamond splits " +
+      "dependency; leaves score zero") {
+    import spark.implicits._
+    def sym(e: Seq[(Long, Long)]) = e ++ e.map(_.swap)
+    val g = sym(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (2L, 5L), (6L, 7L), (7L, 8L)))
+    val sources = Seq(1L, 6L, 8L)
+    // scalar Brandes with the operator's exact fold orders: successor
+    // contributions in ascending-w order, sources in ascending order
+    def scalarBc(edges: Seq[(Long, Long)], srcs: Seq[Long],
+                 maxRounds: Int): Map[Long, (Long, Double)] = {
+      val adj = edges.distinct.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).distinct }
+      val acc = scala.collection.mutable.Map[Long, List[(Long, Double)]]()
+      for (s <- srcs.distinct.sorted) {
+        var dist = Map(s -> 0L); var sigma = Map(s -> BigInt(1))
+        var frontier = Seq(s); var r = 0
+        while (frontier.nonEmpty && r < maxRounds) {
+          r += 1
+          val add = scala.collection.mutable.Map[Long, BigInt]()
+          for (v <- frontier; w <- adj.getOrElse(v, Seq.empty)
+               if !dist.contains(w))
+            add(w) = add.getOrElse(w, BigInt(0)) + sigma(v)
+          add.foreach { case (w, sg) => dist += w -> r; sigma += w -> sg }
+          frontier = add.keys.toSeq
+        }
+        val maxD = dist.values.max
+        val delta = scala.collection.mutable.Map[Long, Double]()
+          .withDefaultValue(0.0)
+        for (l <- (maxD - 1) to 1L by -1;
+             v <- dist.collect { case (n, d) if d == l => n }) {
+          val succ = adj.getOrElse(v, Seq.empty)
+            .filter(w => dist.get(w).contains(l + 1)).sorted
+          delta(v) = succ.foldLeft(0.0)((a, w) =>
+            a + sigma(v).toDouble / sigma(w).toDouble * (1.0 + delta(w)))
+        }
+        for ((v, d) <- dist if d >= 1)
+          acc(v) = acc.getOrElse(v, Nil) :+ ((s, delta(v)))
+      }
+      acc.map { case (v, lst) =>
+        v -> ((lst.size.toLong,
+          math.round(lst.sortBy(_._1).foldLeft(0.0)((a, p) =>
+            a + p._2) * 1e6) / 1e6))
+      }.toMap
+    }
+    val want = scalarBc(g, sources, 12)
+    val runs = Seq(1, 7).map { parts =>
+      Components.betweenness(g.toDF("s", "d").repartition(parts), "s",
+          "d", sources.toDF("seed"), "seed", maxRounds = 12)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    }
+    assert(runs(0) === runs(1), "layout must not move a single bit")
+    assert(runs(0) === want)
+    // node 4 carries traffic from 1 and 8 toward the far side; the
+    // path-end node 8 transits nothing (deepest from both other sources)
+    assert(want(4L)._2 > 0.0 && want(8L)._2 === 0.0)
+  }
+  test("stronglyConnectedComponents: matches a scalar Tarjan model on " +
+      "random directed graphs; layout-invariant; min-id labels") {
+    import spark.implicits._
+    // scalar Tarjan (iterative), labels = min node id per SCC
+    def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val es = edges.filter(e => e._1 != e._2).distinct
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val index = scala.collection.mutable.Map[Long, Int]()
+      val low = scala.collection.mutable.Map[Long, Int]()
+      val onStk = scala.collection.mutable.Set[Long]()
+      val stk = scala.collection.mutable.Stack[Long]()
+      val out = scala.collection.mutable.Map[Long, Long]()
+      var counter = 0
+      def strongconnect(v0: Long): Unit = {
+        // explicit work stack (deep chains would blow the JVM stack)
+        case class Frame(v: Long, var i: Int)
+        val work = scala.collection.mutable.Stack(Frame(v0, 0))
+        index(v0) = counter; low(v0) = counter; counter += 1
+        stk.push(v0); onStk += v0
+        while (work.nonEmpty) {
+          val fr = work.top
+          val succ = adj.getOrElse(fr.v, Seq.empty)
+          if (fr.i < succ.length) {
+            val w = succ(fr.i); fr.i += 1
+            if (!index.contains(w)) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stk.push(w); onStk += w
+              work.push(Frame(w, 0))
+            } else if (onStk(w)) low(fr.v) = math.min(low(fr.v), index(w))
+          } else {
+            work.pop()
+            if (work.nonEmpty)
+              low(work.top.v) = math.min(low(work.top.v), low(fr.v))
+            if (low(fr.v) == index(fr.v)) {
+              var comp = List.empty[Long]
+              var w = 0L
+              do { w = stk.pop(); onStk -= w; comp ::= w } while (w != fr.v)
+              val m = comp.min
+              comp.foreach(n => out(n) = m)
+            }
+          }
+        }
+      }
+      nodes.foreach(v => if (!index.contains(v)) strongconnect(v))
+      out.toMap
+    }
+    // 2-cycle + 3-cycle bridged one-way + dangling chain + isolate pair
+    val g1 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (5L, 6L), (6L, 7L), (10L, 11L))
+    // random directed graph (cycles guaranteed by modular structure)
+    val g2 = (0 until 400).map(i =>
+      ((i * 13L) % 40, (i * 29L + 7) % 40)).filter(p => p._1 != p._2)
+    for ((g, tag) <- Seq((g1, "structured"), (g2, "random"));
+         parts <- Seq(1, 7)) {
+      val want = tarjan(g)
+      val got = Components.stronglyConnectedComponents(
+          g.toDF("s", "d").repartition(parts), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"$tag parts=$parts")
+    }
+    // the structured graph's condensation: {1,2} and {3,4,5} cycles,
+    // 6/7/10/11 trimmed singletons
+    val w1 = tarjan(g1)
+    assert(w1(2L) === 1L && w1(4L) === 3L && w1(5L) === 3L)
+    assert(w1(7L) === 7L && w1(10L) === 10L)
+  }
+
+  test("stronglyConnectedComponents: an acyclic graph is all singletons " +
+      "(pure trim); maxPhases guard fails loudly when exceeded") {
+    import spark.implicits._
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Components.stronglyConnectedComponents(
+        dag.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // two independent cycles chained one-way need 2 phases; cap at 1
+    val twoPhase = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (4L, 1L + 10L), (12L, 11L), (11L, 12L))
+    val e = intercept[IllegalArgumentException] {
+      Components.stronglyConnectedComponents(twoPhase.toDF("s", "d"),
+        "s", "d", maxPhases = 1).collect()
+    }
+    assert(e.getMessage.contains("undecided"))
+  }
 }
+
+
