@@ -60,10 +60,15 @@ object Bench {
     * prior fixed point every sample) are dominated by tens of Spark jobs
     * whose codegen/footer-read warmup is <10% of one run. Policy, keyed
     * on the FIRST (cold) execution:
-    *   - probe > slowSec (5 s): the probe IS the measurement (runs=1) —
+    *   - probe > bigSec (12 s): the probe IS the measurement (runs=1) —
     *     cold-start overhead is noise at that length, and a second run
     *     would cost more than the bias it removes. One retry only if the
     *     probe itself ran under visible steal.
+    *   - probe in (slowSec, bigSec]: one warm sample, report the MIN of
+    *     probe and sample (runs=2) — a 5-12 s probe can be a ~2.5 s
+    *     query paying one-time catalog/state-table init (measured:
+    *     cdc_mv_retract_state cold 10.7 s vs warm 2.7 s), and reporting
+    *     the cold number would fabricate a 4x regression.
     *   - probe in (midSec, slowSec]: probe discarded as warmup, ONE timed
     *     sample (runs=1); one retry if that sample was steal-hit.
     *   - probe <= midSec (1 s): probe discarded, TWO timed samples
@@ -76,7 +81,8 @@ object Bench {
     * which forces the run-level `contaminated: true` as before.
     */
   def measureWith(sample: () => (Double, Double), nCpus: Double,
-                  slowSec: Double = 5.0, midSec: Double = 1.0): QStat = {
+                  slowSec: Double = 5.0, midSec: Double = 1.0,
+                  bigSec: Double = 12.0): QStat = {
     def stolen(s: (Double, Double)): Boolean =
       s._2 > 0.5 && s._2 > 0.01 * s._1 * nCpus
     def spready(samples: Seq[(Double, Double)]): Boolean = {
@@ -85,7 +91,7 @@ object Bench {
     }
     try {
       val probe = sample()
-      if (probe._1 > slowSec) {
+      if (probe._1 > bigSec) {
         if (!stolen(probe)) QStat(probe._1, probe._1, probe._1, probe._2, 1, flagged = false)
         else {
           val s2 = sample()
@@ -93,6 +99,11 @@ object Bench {
           QStat(ts.head, ts.head, ts.last, probe._2 + s2._2, 2,
             flagged = stolen(s2)) // still hot after the retry
         }
+      } else if (probe._1 > slowSec) {
+        val s2 = sample()
+        val ts = Seq(probe._1, s2._1).sorted
+        QStat(ts.head, ts.head, ts.last, probe._2 + s2._2, 2,
+          flagged = stolen(probe) && stolen(s2))
       } else if (probe._1 > midSec) {
         var s = sample()
         var steal = probe._2 + s._2
@@ -269,6 +280,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/documents").limit(100)
         .write.format("noop").mode("overwrite").save()
+      // catalog warmup: the state-table queries pay several seconds of
+      // one-time metastore/warehouse init on their first saveAsTable —
+      // absorb it here so no probe is charged for it
+      val t = s"graft_bench_warmup_${System.nanoTime()}"
+      spark.range(10).write.mode("overwrite").saveAsTable(t)
+      spark.table(t).write.format("noop").mode("overwrite").save()
+      spark.sql(s"DROP TABLE IF EXISTS $t")
     }
 
     val runT0 = System.nanoTime()

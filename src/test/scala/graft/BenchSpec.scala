@@ -40,19 +40,27 @@ class BenchSpec extends AnyFunSuite {
     assert(st.flagged)
   }
 
-  test("a slow query (probe > 5 s) reports the probe itself, runs=1") {
+  test("a huge query (probe > 12 s) reports the probe itself, runs=1") {
     var calls = 0
-    val st = Bench.measureWith(() => { calls += 1; (9.9, 0.0) }, nCpus = 4.0)
-    assert(calls == 1, "a >5 s query must execute exactly once")
-    assert(st.runs == 1 && st.med == 9.9 && st.min == 9.9 && st.max == 9.9)
+    val st = Bench.measureWith(() => { calls += 1; (19.9, 0.0) }, nCpus = 4.0)
+    assert(calls == 1, "a >12 s query must execute exactly once")
+    assert(st.runs == 1 && st.med == 19.9 && st.min == 19.9 && st.max == 19.9)
     assert(!st.flagged && st.err.isEmpty)
   }
 
-  test("a slow query whose probe was steal-hit gets ONE retry, min wins") {
-    val walls = Iterator((9.9, 8.0), (8.5, 0.0)) // probe stolen, retry clean
+  test("a huge query whose probe was steal-hit gets ONE retry, min wins") {
+    val walls = Iterator((19.9, 8.0), (18.5, 0.0)) // probe stolen, retry clean
     val st = Bench.measureWith(() => walls.next(), nCpus = 4.0)
-    assert(st.runs == 2 && st.med == 8.5 && st.max == 9.9)
+    assert(st.runs == 2 && st.med == 18.5 && st.max == 19.9)
     assert(!st.flagged, "a clean retry clears the steal suspicion")
+  }
+
+  test("a slow query (5-12 s probe) takes one warm sample; min wins — a " +
+      "cold catalog-init probe must not fabricate a regression") {
+    val walls = Iterator((10.7, 0.0), (2.7, 0.0)) // cold init, warm truth
+    val st = Bench.measureWith(() => walls.next(), nCpus = 4.0)
+    assert(st.runs == 2 && st.med == 2.7 && st.min == 2.7 && st.max == 10.7)
+    assert(!st.flagged && st.err.isEmpty)
   }
 
   test("a mid query (1-5 s) discards the probe and takes one warm sample") {
