@@ -1080,6 +1080,46 @@ object Corpus {
         .orderBy($"qid")
     }),
 
+    // HTML boilerplate extraction (functions.HtmlText — the trafilatura-
+    // class pre-curation step): each document is wrapped in a
+    // deterministic crawl-page template (title, style+script head — the
+    // script contains a raw '<' —, nav link bar, h1, 12-word <p>
+    // paragraphs, an entity-bearing footer link row) and the extractor
+    // must recover exactly the body paragraphs: nav/footer blocks are
+    // link-dense or short, h1 is short, script/style are raw-skipped.
+    // The oracle computes the EXPECTED extraction directly from the
+    // source text (chunking + the >= 25-char keep rule in SQL) — the
+    // gate pins the whole parse/decode/verdict chain end to end;
+    // adversarial HTML (malformed tags, CDATA, nested anchors, numeric
+    // entities) is HtmlTextSpec's golden-fixture job.
+    "doc_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val words = split($"text", " ", -1)
+      val nChunks = ceil(size(words) / lit(12.0)).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(words, i * 12 + 1, lit(12)), " "))
+      val paras = array_join(
+        transform(chunks, c => concat(lit("<p>"), c, lit("</p>"))), "")
+      val html = concat(
+        lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+        lit("</title><style>p{margin:0}</style>" +
+          "<script>if(1<2){var x=\"<p>\";}</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></nav><div id=\"main\">" +
+          "<h1>Doc "), $"doc_id".cast("string"), lit("</h1>"), paras,
+        lit("</div><footer><p><a href=\"/terms\">Terms</a> &amp; " +
+          "<a href=\"/privacy\">Privacy</a></p></footer></body></html>"))
+      docs.select($"doc_id",
+          graft.functions.HtmlText.html_text(html).as("x"))
+        .select($"doc_id", $"x.title".as("title"), $"x.text".as("text"),
+          $"x.n_kept".cast("bigint").as("n_kept"),
+          $"x.n_dropped".cast("bigint").as("n_dropped"),
+          $"x.n_links".cast("bigint").as("n_links"),
+          array_join($"x.links", ",").as("links"))
+        .orderBy($"doc_id")
+    }),
+
     // The composed curation DECISION — what a real pipeline runs after all
     // the signal operators: every document gets a keep/drop verdict with
     // the first failing rule as the reason (Gopher/C4-style rule order:
@@ -2386,6 +2426,30 @@ object Corpus {
         |    THEN round(coalesce(m.ap_num, 0.0)
         |      / least(ideal.n_rel, 20)::DOUBLE, 6) END AS ap
         |FROM m, ideal""".stripMargin,
+
+    // the EXPECTED extraction computed straight from the source text:
+    // identical 12-word chunking, the >= 25-char keep rule, the three
+    // boilerplate blocks (nav/h1/footer) as constant drops, the five
+    // template links — the extractor's parse/decode chain must land
+    // exactly here
+    "doc_html_extract" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_transform(range(0, (len(w) + 11) // 12),
+        |          i -> array_to_string(w[(i*12+1):(i*12+12)], ' '))
+        |          AS chunks
+        |      FROM t)
+        |SELECT doc_id,
+        |  'Doc ' || doc_id AS title,
+        |  array_to_string(list_filter(chunks, x -> length(x) >= 25),
+        |    chr(10)) AS text,
+        |  len(list_filter(chunks, x -> length(x) >= 25))::BIGINT AS n_kept,
+        |  (3 + len(list_filter(chunks,
+        |     x -> length(x) > 0 AND length(x) < 25)))::BIGINT AS n_dropped,
+        |  5::BIGINT AS n_links,
+        |  '/,/about,/contact,/terms,/privacy' AS links
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the identical 0.5% md5 reference slice, exact integer counts, and
     // round-6 ratio; short docs (n = 0) take a NULL ratio
