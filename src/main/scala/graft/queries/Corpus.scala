@@ -1120,6 +1120,41 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // URL canonicalization (functions.UrlCanon — the crawl-dedup step
+    // downstream of doc_html_extract's href list): eight deterministic
+    // adversarial URL shapes per doc_id residue — case/port/dot-segment/
+    // escape/tracker/param-order/fragment variants plus a non-URL
+    // passthrough — canonicalized by the engine while the oracle
+    // constructs the EXPECTED canonical string per case in SQL. Two
+    // URLs that differ only in these axes are the same page; at crawl
+    // scale missing that doubles fetch + storage.
+    "doc_url_canon" -> ((s, dir) => {
+      import s.implicits._
+      val k = $"doc_id".cast("string")
+      val url = when($"doc_id" % 8 === 0,
+          concat(lit("HTTP://Example.COM:80/d"), k,
+            lit("/x/../y?utm_source=x&b=2&a=1#f")))
+        .when($"doc_id" % 8 === 1,
+          concat(lit("https://Host"), k, lit(".io:443//a//d"), k, lit("/.")))
+        .when($"doc_id" % 8 === 2,
+          concat(lit("http://h.org/%41b%3ad"), k))
+        .when($"doc_id" % 8 === 3,
+          concat(lit("http://H"), k, lit(".Example./p?gclid=g&utm_x=1")))
+        .when($"doc_id" % 8 === 4,
+          concat(lit("doc-"), k, lit("-not-a-url")))
+        .when($"doc_id" % 8 === 5,
+          concat(lit("ftp://F"), k, lit(".io:21/f"), k))
+        .when($"doc_id" % 8 === 6,
+          concat(lit("https://u:p@S"), k, lit(".io:8443/q/?z=1&y=2")))
+        .otherwise(
+          concat(lit("http://d"), k, lit(".io?b=2&b=1&a=3#x")))
+      Tables(s, dir, "documents")
+        .select($"doc_id", url.as("url"))
+        .select($"doc_id", $"url",
+          graft.functions.UrlCanon.url_canon($"url").as("canon"))
+        .orderBy($"doc_id")
+    }),
+
     // The composed curation DECISION — what a real pipeline runs after all
     // the signal operators: every document gets a keep/drop verdict with
     // the first failing rule as the reason (Gopher/C4-style rule order:
@@ -2426,6 +2461,34 @@ object Corpus {
         |    THEN round(coalesce(m.ap_num, 0.0)
         |      / least(ideal.n_rel, 20)::DOUBLE, 6) END AS ap
         |FROM m, ideal""".stripMargin,
+
+    // the same eight URL constructions plus the EXPECTED canonical form
+    // per residue, every rule applied by hand in SQL concat
+    "doc_url_canon" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'HTTP://Example.COM:80/d' || doc_id
+        |      || '/x/../y?utm_source=x&b=2&a=1#f'
+        |    WHEN 1 THEN 'https://Host' || doc_id || '.io:443//a//d'
+        |      || doc_id || '/.'
+        |    WHEN 2 THEN 'http://h.org/%41b%3ad' || doc_id
+        |    WHEN 3 THEN 'http://H' || doc_id || '.Example./p?gclid=g&utm_x=1'
+        |    WHEN 4 THEN 'doc-' || doc_id || '-not-a-url'
+        |    WHEN 5 THEN 'ftp://F' || doc_id || '.io:21/f' || doc_id
+        |    WHEN 6 THEN 'https://u:p@S' || doc_id || '.io:8443/q/?z=1&y=2'
+        |    ELSE 'http://d' || doc_id || '.io?b=2&b=1&a=3#x'
+        |  END AS url,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'http://example.com/d' || doc_id || '/y?a=1&b=2'
+        |    WHEN 1 THEN 'https://host' || doc_id || '.io/a/d' || doc_id
+        |    WHEN 2 THEN 'http://h.org/Ab%3Ad' || doc_id
+        |    WHEN 3 THEN 'http://h' || doc_id || '.example/p'
+        |    WHEN 4 THEN 'doc-' || doc_id || '-not-a-url'
+        |    WHEN 5 THEN 'ftp://f' || doc_id || '.io/f' || doc_id
+        |    WHEN 6 THEN 'https://u:p@s' || doc_id || '.io:8443/q/?y=2&z=1'
+        |    ELSE 'http://d' || doc_id || '.io/?a=3&b=2&b=1'
+        |  END AS canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the EXPECTED extraction computed straight from the source text:
     // identical 12-word chunking, the >= 25-char keep rule, the three
