@@ -98,14 +98,55 @@ object HyperBall {
           col("sum_pow"))
     }
 
+  /** The register frame AT THE FIXPOINT — `(node, bucket, rho)` once
+    * max-merge is stationary. This is HyperBall's MAINTAINED-STATE
+    * surface: persist it, and when the graph GROWS resume via `seed`
+    * instead of re-running from self-balls. Max-merge over the
+    * (bucket, rho) lattice is monotone and confluent — the fixpoint is
+    * the least fixed point above the seed, and any seed between the
+    * self-ball frame and the final fixpoint (which a persisted
+    * earlier-graph fixpoint is, since adding edges only grows balls)
+    * converges to the IDENTICAL frame — so resume ≡ one-shot bit-exactly
+    * (spec-pinned), in rounds bounded by how far the NEW edges move
+    * reachability rather than the whole diameter. The q16/q39/q26
+    * incremental discipline applied to the reachability audit: at 100 TB
+    * the web graph grows daily; re-sketching from scratch is the cost
+    * this avoids.
+    */
+  def fixpointRegisters(edges: DataFrame, srcCol: String, dstCol: String,
+                        p: Int = 4, maxT: Int = 32,
+                        seed: Option[DataFrame] = None): DataFrame = {
+    var last: DataFrame = null
+    // the readout captures each round's frame; the last one is the
+    // fixpoint (the emitted frame itself is unused)
+    runRounds(edges, srcCol, dstCol, p, maxT, seed) { (r, _) =>
+      last = r; r.limit(0)
+    }
+    last
+  }
+
+  /** One-row EXACT integer signature of a register frame:
+    * `(regs, sum_rho, sum_pow)` — the version-proof hash surface of
+    * [[fixpointRegisters]] (the q45 gate discipline; frames reachable
+    * from the same self-ball seed are equal iff their signatures are,
+    * because registers only grow under max-merge).
+    */
+  def registerSignatureOf(regs: DataFrame): DataFrame =
+    regs.agg(count(lit(1)).cast("long").as("regs"),
+      sum(col("rho")).cast("long").as("sum_rho"),
+      sum(expr("shiftleft(1L, 53 - rho)").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sum_pow"))
+
   /** Shared synchronous-round driver: builds the p-register self-ball
-    * frame, max-merges along edges until the (count, Σrho) signature is
+    * frame (max-merged with `seed` when resuming), max-merges along edges
+    * until the (count, Σrho) signature is
     * stationary (registers only grow, so the pair is invariant iff the
     * frame is) or `maxT`, and emits `readout(regs, t)` per distinct
     * round, t = 0 first.
     */
   private def runRounds(edges: DataFrame, srcCol: String, dstCol: String,
-                        p: Int, maxT: Int)
+                        p: Int, maxT: Int,
+                        seed: Option[DataFrame] = None)
                        (readout: (DataFrame, Int) => DataFrame): DataFrame = {
     require(p >= 4 && p <= 8, s"p must be in 4..8, got $p")
     require(maxT >= 0, s"maxT must be >= 0, got $maxT")
@@ -122,12 +163,21 @@ object HyperBall {
     // 2^(53-rho) stays an exact integer power of two (the cap fires with
     // probability 2^-53 per hash — never observed, always deterministic)
     val h = splitmix64(col("node"))
-    var regs = nodes
+    val selfRegs = nodes
       .select(col("node"),
         shiftrightunsigned(h, 64 - p).as("bucket"),
         least(leading_zeros64(shiftleft(h, p)) + 1, lit(53)).cast("int")
           .as("rho"))
-      .localCheckpoint(true)
+    var regs = seed.fold(selfRegs) { sd =>
+      // resume: the persisted frame max-merges with fresh self-balls
+      // (new nodes get their self register; old registers only grow)
+      selfRegs.unionByName(
+          sd.select(col("node").cast("long").as("node"),
+            col("bucket").cast("long").as("bucket"),
+            col("rho").cast("int").as("rho")))
+        .groupBy(col("node"), col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+    }.localCheckpoint(true)
 
     var sig = regs.agg(count(lit(1)), sum(col("rho"))).head()
     var out = Seq(readout(regs, 0))

@@ -749,6 +749,28 @@ object Relational {
         q = 0.9)
     }),
 
+    // Incremental HyperBall (HyperBall.fixpointRegisters + seed resume):
+    // the reachability audit MAINTAINED as the graph grows — phase 1
+    // runs the register fixpoint on a deterministic 2/3 edge subset of
+    // the trade graph (symmetric by construction: (src+dst) mod 3), the
+    // remaining edges arrive, and the resume seeds from the persisted
+    // phase-1 frame instead of self-balls. Max-merge is monotone and
+    // confluent, so resume ≡ one-shot bit-exactly — the gate hashes the
+    // one-row exact integer signature of the resumed fixpoint against
+    // the oracle's ONE-SHOT full-graph fixpoint (the equivalence IS the
+    // assertion, the q39_sssp_incr discipline).
+    "q45_hyperball_incr" -> ((s, dir) => {
+      import s.implicits._
+      val full = tradeGraph(s, dir)
+      val phase1 = full.filter(($"src" + $"dst") % 3 =!= 0)
+      val persisted = graft.operators.HyperBall
+        .fixpointRegisters(phase1, "src", "dst", p = 4)
+        .localCheckpoint(true)
+      graft.operators.HyperBall.registerSignatureOf(
+        graft.operators.HyperBall.fixpointRegisters(full, "src", "dst",
+          p = 4, seed = Some(persisted)))
+    }),
+
     // Sampled betweenness centrality, forward surface
     // (Components.brandesForward): per-node exact integers over the q42
     // seed sample on the tripartite graph — sources reaching it, Σ of
@@ -1887,6 +1909,14 @@ object Relational {
     // signature (no float anywhere — version-proof across DuckDB builds)
     "q45_hyperball" -> (hyperballSigSql(tripartiteCeSql, 13) +
       "\nSELECT t, regs, sum_rho, sum_pow FROM sig, chk WHERE chk.ok = 1 ORDER BY t"),
+
+    // the ONE-SHOT full-graph fixpoint signature (r5 stationary,
+    // chk-asserted): resume-from-persisted-frame must land exactly here
+    "q45_hyperball_incr" -> (hyperballRoundsSql(tradeCeSql, 5) +
+      """
+        |SELECT count(*)::BIGINT AS regs, sum(rho)::BIGINT AS sum_rho,
+        |  sum(1::BIGINT << (53 - rho))::DECIMAL(38,0) AS sum_pow
+        |FROM r5, chk WHERE chk.ok = 1""".stripMargin),
 
     // the HyperANF readout over the same nf table: 0.9-quantile hit +
     // linear interpolation, every input cast ::DOUBLE explicitly

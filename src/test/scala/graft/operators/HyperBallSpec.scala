@@ -148,6 +148,40 @@ class HyperBallSpec extends AnyFunSuite {
     assert(got.length.toLong === nfRounds)
   }
 
+  test("fixpointRegisters: resume from a persisted earlier-graph frame " +
+      "equals the one-shot fixpoint bit-exactly; a near-complete seed " +
+      "converges where a cold start can't within the same round cap") {
+    import spark.implicits._
+    val rnd = (0 until 400).map(i =>
+      ((i * 17L) % 60, (i * 31L + 11) % 60)).filter(p => p._1 != p._2)
+    val full = sym(rnd)
+    val phase1 = full.filter { case (a, b) => (a + b) % 3 != 0 } // symmetric
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oneShot = HyperBall.fixpointRegisters(full.toDF("s", "d"), "s", "d",
+      p = 5)
+    val persisted = HyperBall.fixpointRegisters(phase1.toDF("s", "d"),
+      "s", "d", p = 5).localCheckpoint(true)
+    val resumed = HyperBall.fixpointRegisters(full.toDF("s", "d"), "s",
+      "d", p = 5, seed = Some(persisted))
+    assert(regsOf(resumed) === regsOf(oneShot),
+      "monotone-confluent max-merge: resume must equal one-shot")
+    // signatures agree too (the gate surface)
+    val sig = (df: org.apache.spark.sql.DataFrame) =>
+      HyperBall.registerSignatureOf(df).collect()(0).toSeq
+    assert(sig(resumed) === sig(oneShot))
+    // efficiency witness: seeded from the FULL fixpoint, ONE round cap
+    // already reproduces it (stationary immediately); a cold start
+    // under the same cap cannot (the graph needs > 1 round)
+    val warm1 = HyperBall.fixpointRegisters(full.toDF("s", "d"), "s", "d",
+      p = 5, maxT = 1, seed = Some(oneShot.localCheckpoint(true)))
+    assert(regsOf(warm1) === regsOf(oneShot))
+    val cold1 = HyperBall.fixpointRegisters(full.toDF("s", "d"), "s", "d",
+      p = 5, maxT = 1)
+    assert(regsOf(cold1) !== regsOf(oneShot),
+      "the graph must genuinely need more than one cold round")
+  }
+
   test("effectiveDiameter: hand-checked interpolation on a path; q " +
       "bounds validated") {
     import spark.implicits._
