@@ -1155,6 +1155,37 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // robots.txt fetch-permission decisions (functions.Robots — the
+    // politeness gate at the head of the crawl stack): one fixed
+    // multi-group robots body, six per-residue (path, agent) probes
+    // covering subtree disallow, the longer-Allow exception, the
+    // $-anchored wildcard both ways, named-group selection (which also
+    // REPLACES the '*' rules), and the default-allow fallthrough. The
+    // oracle states the expected verdict per residue; the engine must
+    // derive it through the full parse/group-selection/longest-match
+    // chain.
+    "doc_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val k = $"doc_id".cast("string")
+      val robots = lit("User-agent: *\nDisallow: /private/\n" +
+        "Allow: /private/ok\nDisallow: /*.pdf$\n\n" +
+        "User-agent: graftbot\nDisallow: /beta/\n")
+      val path = when($"doc_id" % 6 === 0, concat(lit("/private/d"), k))
+        .when($"doc_id" % 6 === 1, concat(lit("/private/ok/d"), k))
+        .when($"doc_id" % 6 === 2, concat(lit("/files/d"), k, lit(".pdf")))
+        .when($"doc_id" % 6 === 3,
+          concat(lit("/files/d"), k, lit(".pdf.html")))
+        .otherwise(concat(lit("/beta/d"), k))
+      val agent = when($"doc_id" % 6 === 4, lit("graftbot/2.1"))
+        .otherwise(lit("somebot"))
+      Tables(s, dir, "documents")
+        .select($"doc_id", path.as("path"), agent.as("agent"))
+        .select($"doc_id", $"path", $"agent",
+          graft.functions.Robots.robots_allowed(robots, $"path", $"agent")
+            .as("allowed"))
+        .orderBy($"doc_id")
+    }),
+
     // The composed curation DECISION — what a real pipeline runs after all
     // the signal operators: every document gets a keep/drop verdict with
     // the first failing rule as the reason (Gopher/C4-style rule order:
@@ -2488,6 +2519,29 @@ object Corpus {
         |    WHEN 6 THEN 'https://u:p@s' || doc_id || '.io:8443/q/?y=2&z=1'
         |    ELSE 'http://d' || doc_id || '.io/?a=3&b=2&b=1'
         |  END AS canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the same (path, agent) constructions with the expected REP verdict
+    // stated per residue
+    "doc_robots_gate" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN '/private/d' || doc_id
+        |    WHEN 1 THEN '/private/ok/d' || doc_id
+        |    WHEN 2 THEN '/files/d' || doc_id || '.pdf'
+        |    WHEN 3 THEN '/files/d' || doc_id || '.pdf.html'
+        |    ELSE '/beta/d' || doc_id
+        |  END AS path,
+        |  CASE WHEN doc_id % 6 = 4 THEN 'graftbot/2.1' ELSE 'somebot'
+        |  END AS agent,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN false  -- /private/ subtree disallowed
+        |    WHEN 1 THEN true   -- the longer Allow carves the exception
+        |    WHEN 2 THEN false  -- /*.pdf$ end-anchored wildcard
+        |    WHEN 3 THEN true   -- anchor does not match a longer path
+        |    WHEN 4 THEN false  -- named graftbot group: /beta/ disallowed
+        |    ELSE true          -- '*' group has no /beta rule
+        |  END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the EXPECTED extraction computed straight from the source text:
