@@ -1155,6 +1155,42 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // The composed CRAWL decision (doc_filter_pipeline's shape for the
+    // crawl stack): one query chains extraction → canonicalization →
+    // politeness — each document's template page yields its href list
+    // (HtmlText), every href resolves against the site and
+    // canonicalizes (UrlCanon), and robots.txt rules decide which are
+    // fetchable (Robots). Three already-gated operators composed
+    // end-to-end; the oracle derives the expected five rows per doc
+    // from the template constants.
+    "doc_crawl_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val k = $"doc_id".cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), k,
+        lit("</title></head><body><nav><a href=\"/About/./x/../\">About</a> " +
+          "<a href=\"/files/spec.PDF?utm_source=nav&v=1\">Spec</a> " +
+          "<a href=\"/private/area#top\">Private</a></nav><div>" +
+          "<a href=\"/Docs//guide/\">Guide</a></div><footer>" +
+          "<a href=\"/beta/tool\">Beta</a></footer></body></html>"))
+      val robots = lit("User-agent: *\nDisallow: /private/\n" +
+        "Disallow: /beta/\nAllow: /beta/tool\n")
+      docs.select($"doc_id",
+          graft.functions.HtmlText.html_text(html).getField("links")
+            .as("links"))
+        .select($"doc_id", posexplode($"links").as(Seq("pos", "href")))
+        .select($"doc_id", $"pos".cast("bigint").as("pos"), $"href",
+          graft.functions.UrlCanon.url_canon(
+            concat(lit("https://Example.COM:443"), $"href")).as("canon"))
+        .withColumn("fetch",
+          graft.functions.Robots.robots_allowed(robots,
+            // the canonical PATH drives the decision: strip the origin
+            expr("substring(canon, length('https://example.com') + 1)"),
+            lit("graftbot/1.0")))
+        .orderBy($"doc_id", $"pos")
+    }),
+
     // robots.txt fetch-permission decisions (functions.Robots — the
     // politeness gate at the head of the crawl stack): one fixed
     // multi-group robots body, six per-residue (path, agent) probes
@@ -2520,6 +2556,24 @@ object Corpus {
         |    ELSE 'http://d' || doc_id || '.io/?a=3&b=2&b=1'
         |  END AS canon
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the five template hrefs with their hand-derived canonical forms
+    // and REP verdicts — the composition must land exactly here
+    "doc_crawl_pipeline" ->
+      """SELECT doc_id, i AS pos,
+        |  CASE i WHEN 0 THEN '/About/./x/../'
+        |         WHEN 1 THEN '/files/spec.PDF?utm_source=nav&v=1'
+        |         WHEN 2 THEN '/private/area#top'
+        |         WHEN 3 THEN '/Docs//guide/'
+        |         ELSE '/beta/tool' END AS href,
+        |  CASE i WHEN 0 THEN 'https://example.com/About/'
+        |         WHEN 1 THEN 'https://example.com/files/spec.PDF?v=1'
+        |         WHEN 2 THEN 'https://example.com/private/area'
+        |         WHEN 3 THEN 'https://example.com/Docs/guide/'
+        |         ELSE 'https://example.com/beta/tool' END AS canon,
+        |  CASE i WHEN 2 THEN false ELSE true END AS fetch
+        |FROM documents, range(0, 5) t(i)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // the same (path, agent) constructions with the expected REP verdict
     // stated per residue
