@@ -47,11 +47,13 @@ object Robots {
       // prefix semantics: a fully-consumed unanchored pattern matches
       // any suffix — succeed BEFORE considering a star backtrack
       if (pi == pat.length && !anchored) return true
-      if (pi < pat.length &&
-        (pat.charAt(pi) == path.charAt(si))) { pi += 1; si += 1 }
-      else if (pi < pat.length && pat.charAt(pi) == '*') {
+      // '*' opens a star match even when the path char is a literal '*'
+      // (the wildcard branch must win the tie, else `/p*q` misses `/p*xq`)
+      if (pi < pat.length && pat.charAt(pi) == '*') {
         starPi = pi; pi += 1; starSi = si
-      } else if (starPi >= 0) {
+      } else if (pi < pat.length &&
+        (pat.charAt(pi) == path.charAt(si))) { pi += 1; si += 1 }
+      else if (starPi >= 0) {
         starSi += 1; si = starSi; pi = starPi + 1
       } else return false
     }

@@ -590,6 +590,12 @@ object Components {
         frontier = next
       }
     }
+    // the DuckDB oracle error()-asserts frontier exhaustion; mirror it —
+    // a capped BFS would silently drop every node past maxRounds from the
+    // sigma/reach aggregates
+    require(n == 0,
+      s"brandesForward: frontier still live ($n rows) after $maxRounds " +
+        "rounds (raise maxRounds)")
     visited
   }
 
@@ -772,6 +778,13 @@ object Components {
         sig = nsig
         lab = next
       }
+      // a capped, non-stationary fixpoint would silently mislabel deep
+      // cycles (partial f/b mins decide only the min node, trim then
+      // shatters the rest into bogus singleton SCCs) — fail loudly like
+      // the phase loop's require instead
+      require(converged,
+        s"SCC min-label propagation did not reach a fixpoint within " +
+          s"$maxRounds rounds (raise maxRounds)")
       lab
     }
 

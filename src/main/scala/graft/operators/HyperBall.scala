@@ -47,7 +47,8 @@ object HyperBall {
     * number; the integer harmonic sum needs 2^p · 2^52 < 2^63).
     */
   def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
-                           p: Int = 4, maxT: Int = 32): DataFrame = {
+                           p: Int = 4, maxT: Int = 32,
+                           strict: Boolean = true): DataFrame = {
     val m = 1 << p
     val alpha = m match {
       case 16 => 0.673
@@ -68,7 +69,7 @@ object HyperBall {
         .agg(sum(col("_e")).cast("decimal(38,4)").as("nf"))
         .select(lit(t.toLong).as("t"), col("nf"))
     }
-    runRounds(edges, srcCol, dstCol, p, maxT)(estimate)
+    runRounds(edges, srcCol, dstCol, p, maxT, strict = strict)(estimate)
   }
 
   /** The per-round EXACT integer register signature: one row per round,
@@ -115,11 +116,12 @@ object HyperBall {
     */
   def fixpointRegisters(edges: DataFrame, srcCol: String, dstCol: String,
                         p: Int = 4, maxT: Int = 32,
-                        seed: Option[DataFrame] = None): DataFrame = {
+                        seed: Option[DataFrame] = None,
+                        strict: Boolean = true): DataFrame = {
     var last: DataFrame = null
     // the readout captures each round's frame; the last one is the
     // fixpoint (the emitted frame itself is unused)
-    runRounds(edges, srcCol, dstCol, p, maxT, seed) { (r, _) =>
+    runRounds(edges, srcCol, dstCol, p, maxT, seed, strict) { (r, _) =>
       last = r; r.limit(0)
     }
     last
@@ -146,7 +148,8 @@ object HyperBall {
     */
   private def runRounds(edges: DataFrame, srcCol: String, dstCol: String,
                         p: Int, maxT: Int,
-                        seed: Option[DataFrame] = None)
+                        seed: Option[DataFrame] = None,
+                        strict: Boolean = true)
                        (readout: (DataFrame, Int) => DataFrame): DataFrame = {
     require(p >= 4 && p <= 8, s"p must be in 4..8, got $p")
     require(maxT >= 0, s"maxT must be >= 0, got $maxT")
@@ -197,6 +200,13 @@ object HyperBall {
       regs = next
       if (!converged) out :+= readout(regs, t)
     }
+    // callers consume the FIXPOINT (N(t) complete, persisted resume
+    // frames, signatures); a capped non-stationary frame silently breaks
+    // the resume-equals-one-shot contract — fail loudly unless the
+    // caller explicitly opted into truncation (strict = false)
+    require(!strict || converged,
+      s"HyperBall: register max-merge not stationary within $maxT " +
+        "rounds (raise maxT, or pass strict = false for a truncated run)")
     out.reduce(_ unionByName _)
   }
 

@@ -84,6 +84,13 @@ class RobotsSpec extends AnyFunSuite {
     assert(!allowed(r2, "/abc/d"))
     assert(!allowed(r2, "/axxc"))
     assert(allowed(r2, "/ab"))
+    // a pattern '*' aligned with a LITERAL '*' in the path must still
+    // open a wildcard match, not be consumed as a literal (r14 ADVICE:
+    // the literal-equality branch used to win the tie)
+    val r3 = "User-agent: *\nDisallow: /p*q\n"
+    assert(!allowed(r3, "/p*xq"))
+    assert(!allowed(r3, "/p*q"))
+    assert(!allowed(r3, "/pxq"))
   }
 
   test("an empty Disallow value matches nothing (allow-all idiom); a " +

@@ -96,8 +96,15 @@ class HyperBallSpec extends AnyFunSuite {
     assert(runs(0) === runs(1))
     assert(runs(0) === scalarNf(g, p = 5))
     val trunc = HyperBall.neighborhoodFunction(g.toDF("s", "d"), "s", "d",
-      p = 5, maxT = 1).collect()
+      p = 5, maxT = 1, strict = false).collect()
     assert(trunc.length === 2) // t = 0 and t = 1 only
+    // the default is STRICT: a capped non-stationary run fails loudly
+    // instead of silently returning a non-fixpoint
+    val ex = intercept[IllegalArgumentException] {
+      HyperBall.neighborhoodFunction(g.toDF("s", "d"), "s", "d",
+        p = 5, maxT = 1).collect()
+    }
+    assert(ex.getMessage.contains("not stationary"))
   }
 
   test("registerSignature equals the scalar true-ball register model " +
@@ -177,7 +184,7 @@ class HyperBallSpec extends AnyFunSuite {
       p = 5, maxT = 1, seed = Some(oneShot.localCheckpoint(true)))
     assert(regsOf(warm1) === regsOf(oneShot))
     val cold1 = HyperBall.fixpointRegisters(full.toDF("s", "d"), "s", "d",
-      p = 5, maxT = 1)
+      p = 5, maxT = 1, strict = false)
     assert(regsOf(cold1) !== regsOf(oneShot),
       "the graph must genuinely need more than one cold round")
   }
