@@ -726,11 +726,22 @@ object Relational {
     // (count, Σrho) signature is stationary. The float N(t) readout is
     // certified against the scalar model in HyperBallSpec and still
     // drives q45_eff_diameter.
+    // GATE SURFACE RULE (round-15): wide integers cross the gate as
+    // BIGINT limbs, never as a DECIMAL(38,0) output column — the three
+    // r14 driver reds were exactly the three DECIMAL(38,0)-output
+    // queries in the suite (bit-exact on DuckDB 1.0.0; the driver's
+    // newer DuckDB hashes that output type differently). sum_pow ≤
+    // regs·2^52 so two base-10^18 limbs hold it to beyond sf100.
     "q45_hyperball" -> ((s, dir) => {
       import s.implicits._
       graft.operators.HyperBall
         .registerSignature(tripartiteGraph(s, dir), "src", "dst",
           p = 4, maxT = 32)
+        .select($"t", $"regs", $"sum_rho",
+          expr("CAST(sum_pow div 1000000000000000000 AS BIGINT)")
+            .as("pow_hi"),
+          expr("CAST(sum_pow % 1000000000000000000 AS BIGINT)")
+            .as("pow_lo"))
         .orderBy($"t")
     }),
 
@@ -767,9 +778,43 @@ object Relational {
         .fixpointRegisters(phase1, "src", "dst", p = 4)
         .localCheckpoint(true)
       graft.operators.HyperBall.registerSignatureOf(
-        graft.operators.HyperBall.fixpointRegisters(full, "src", "dst",
-          p = 4, seed = Some(persisted)))
+          graft.operators.HyperBall.fixpointRegisters(full, "src", "dst",
+            p = 4, seed = Some(persisted)))
+        // BIGINT-limb gate surface (the q45_hyperball rule)
+        .select($"regs", $"sum_rho",
+          expr("CAST(sum_pow div 1000000000000000000 AS BIGINT)")
+            .as("pow_hi"),
+          expr("CAST(sum_pow % 1000000000000000000 AS BIGINT)")
+            .as("pow_lo"))
     }),
+
+    // Driver-environment PROBES (the round-14 lesson: when a gate is red
+    // for driver-environment reasons, land a minimal probe so the next
+    // CORRECTNESS ledger bisects the driver's behavior for free). Three
+    // trivial constant queries over the same five wide integers spanning
+    // 0 .. 10^38-ish: one emits them as a DECIMAL(38,0) OUTPUT column
+    // (the r14 red convention — expected red on a driver whose newer
+    // DuckDB hashes that output type differently), one as BIGINT limbs
+    // and one as canonical strings (the two version-safe idioms —
+    // expected green). Zero cost; settles the gate-output rule for every
+    // future exact-big-integer gate.
+    "probe_decimal_out" -> ((s, _) =>
+      s.sql(s"SELECT CAST(v AS DECIMAL(38,0)) AS x FROM $probeValuesSpark" +
+        " ORDER BY x")),
+    "probe_decimal_limbs" -> ((s, _) =>
+      s.sql(
+        s"""SELECT
+           |  CAST(x div 1000000000000000000000000000000000000 AS BIGINT)
+           |    AS hi,
+           |  CAST((x % 1000000000000000000000000000000000000)
+           |    div 1000000000000000000 AS BIGINT) AS mid,
+           |  CAST(x % 1000000000000000000 AS BIGINT) AS lo
+           |FROM (SELECT CAST(v AS DECIMAL(38,0)) AS x
+           |      FROM $probeValuesSpark)
+           |ORDER BY hi, mid, lo""".stripMargin)),
+    "probe_decimal_str" -> ((s, _) =>
+      s.sql("SELECT CAST(CAST(v AS DECIMAL(38,0)) AS STRING) AS x" +
+        s" FROM $probeValuesSpark ORDER BY x")),
 
     // Sampled betweenness centrality, forward surface
     // (Components.brandesForward): per-node exact integers over the q42
@@ -793,7 +838,16 @@ object Relational {
         .groupBy($"node")
         .agg(count(lit(1)).as("reach"),
           sum($"d").cast("long").as("sum_dist"),
-          sum($"sigma").cast("decimal(38,0)").as("sum_sigma"))
+          sum($"sigma").cast("decimal(38,0)").as("_ss"))
+        // BIGINT-limb gate surface (the q45_hyperball rule); σ sums can
+        // approach 10^38 on hub-dense graphs → three base-10^18 limbs
+        .select($"node", $"reach", $"sum_dist",
+          expr("CAST(_ss div 1000000000000000000000000000000000000" +
+            " AS BIGINT)").as("sigma_hi"),
+          expr("CAST((_ss % 1000000000000000000000000000000000000)" +
+            " div 1000000000000000000 AS BIGINT)").as("sigma_mid"),
+          expr("CAST(_ss % 1000000000000000000 AS BIGINT)")
+            .as("sigma_lo"))
         .orderBy($"node")
     }),
 
@@ -1234,11 +1288,14 @@ object Relational {
     val sigs = (0 until nRounds).map { i =>
       s"""sig$i AS (SELECT ${i}::BIGINT AS t, count(*)::BIGINT AS regs,
          |  sum(rho)::BIGINT AS sum_rho,
-         |  sum(1::BIGINT << (53 - rho))::DECIMAL(38,0) AS sum_pow
+         |  (sum(1::BIGINT << (53 - rho)) // 1000000000000000000)::BIGINT
+         |    AS pow_hi,
+         |  (sum(1::BIGINT << (53 - rho)) % 1000000000000000000)::BIGINT
+         |    AS pow_lo
          |  FROM r$i)""".stripMargin
     }.mkString(",\n")
     val sigUnion = (0 until nRounds)
-      .map(i => s"SELECT t, regs, sum_rho, sum_pow FROM sig$i")
+      .map(i => s"SELECT t, regs, sum_rho, pow_hi, pow_lo FROM sig$i")
       .mkString("\nUNION ALL ")
     s"""${hyperballRoundsSql(ceSql, nRounds)},
        |$sigs,
@@ -1288,6 +1345,17 @@ object Relational {
        |  ELSE error('q45 oracle: registers not stationary at round $nRounds - deepen the unroll') END AS ok)"""
       .stripMargin
   }
+
+  /** The five wide integers the decimal-output probes emit — 0, a small
+    * value, both sides of the 10^18 limb boundary, and a full-width
+    * 38-digit value (one digit under DECIMAL(38,0)'s max).
+    */
+  private val probeInts = Seq("0", "7", "999999999999999999",
+    "1000000000000000000", "12345678901234567890123456789012345678")
+  private def probeValuesSpark: String =
+    probeInts.map(v => s"('$v')").mkString("VALUES ", ", ", " AS t(v)")
+  private def probeValuesDuck: String =
+    probeInts.map(v => s"('$v')").mkString("(VALUES ", ", ", ") t(v)")
 
   private val tripartiteCeSql: String =
     """ce AS (SELECT DISTINCT o_custkey::BIGINT * 3 AS a,
@@ -1766,11 +1834,17 @@ object Relational {
          |v0 AS MATERIALIZED (SELECT source, node, d, sigma FROM n0),
          |$rounds,
          |chk AS (SELECT CASE WHEN (SELECT count(*) FROM n13) = 0 THEN 1
-         |  ELSE error('q46 oracle: 13 unrolled rounds did not exhaust the frontier - deepen the unroll') END AS ok)
-         |SELECT node, count(*)::BIGINT AS reach, sum(d)::BIGINT AS sum_dist,
-         |  sum(sigma)::DECIMAL(38,0) AS sum_sigma
-         |FROM v13, chk WHERE chk.ok = 1 AND d >= 1
-         |GROUP BY node ORDER BY node""".stripMargin
+         |  ELSE error('q46 oracle: 13 unrolled rounds did not exhaust the frontier - deepen the unroll') END AS ok),
+         |agg AS (SELECT node, count(*)::BIGINT AS reach,
+         |    sum(d)::BIGINT AS sum_dist, sum(sigma)::HUGEINT AS ss
+         |  FROM v13, chk WHERE chk.ok = 1 AND d >= 1 GROUP BY node)
+         |SELECT node, reach, sum_dist,
+         |  (ss // (1000000000000000000::HUGEINT
+         |    * 1000000000000000000))::BIGINT AS sigma_hi,
+         |  ((ss % (1000000000000000000::HUGEINT * 1000000000000000000))
+         |    // 1000000000000000000)::BIGINT AS sigma_mid,
+         |  (ss % 1000000000000000000)::BIGINT AS sigma_lo
+         |FROM agg ORDER BY node""".stripMargin
     },
 
     // trim + FB-min coloring SCC replayed in integer SQL: 3 unrolled
@@ -1908,14 +1982,17 @@ object Relational {
     // error() assert, gated on the per-round EXACT integer register
     // signature (no float anywhere — version-proof across DuckDB builds)
     "q45_hyperball" -> (hyperballSigSql(tripartiteCeSql, 13) +
-      "\nSELECT t, regs, sum_rho, sum_pow FROM sig, chk WHERE chk.ok = 1 ORDER BY t"),
+      "\nSELECT t, regs, sum_rho, pow_hi, pow_lo FROM sig, chk WHERE chk.ok = 1 ORDER BY t"),
 
     // the ONE-SHOT full-graph fixpoint signature (r5 stationary,
     // chk-asserted): resume-from-persisted-frame must land exactly here
     "q45_hyperball_incr" -> (hyperballRoundsSql(tradeCeSql, 5) +
       """
         |SELECT count(*)::BIGINT AS regs, sum(rho)::BIGINT AS sum_rho,
-        |  sum(1::BIGINT << (53 - rho))::DECIMAL(38,0) AS sum_pow
+        |  (sum(1::BIGINT << (53 - rho)) // 1000000000000000000)::BIGINT
+        |    AS pow_hi,
+        |  (sum(1::BIGINT << (53 - rho)) % 1000000000000000000)::BIGINT
+        |    AS pow_lo
         |FROM r5, chk WHERE chk.ok = 1""".stripMargin),
 
     // the HyperANF readout over the same nf table: 0.9-quantile hit +
@@ -1934,6 +2011,25 @@ object Relational {
         |    ELSE t::DOUBLE - 1.0 + (0.9::DOUBLE * nf_max - pf) / (f - pf)
         |  END, 4) AS eff_diameter
         |FROM hit""".stripMargin),
+
+    // the decimal-output driver probes (see the queries-map comment):
+    // same five constants through three output idioms
+    "probe_decimal_out" ->
+      (s"SELECT CAST(v AS DECIMAL(38,0)) AS x FROM $probeValuesDuck" +
+        " ORDER BY x"),
+    "probe_decimal_limbs" ->
+      s"""SELECT
+         |  (x // (1000000000000000000::HUGEINT
+         |    * 1000000000000000000))::BIGINT AS hi,
+         |  ((x % (1000000000000000000::HUGEINT * 1000000000000000000))
+         |    // 1000000000000000000)::BIGINT AS mid,
+         |  (x % 1000000000000000000)::BIGINT AS lo
+         |FROM (SELECT CAST(v AS DECIMAL(38,0))::HUGEINT AS x
+         |      FROM $probeValuesDuck)
+         |ORDER BY hi, mid, lo""".stripMargin,
+    "probe_decimal_str" ->
+      (s"SELECT CAST(v AS DECIMAL(38,0))::VARCHAR AS x" +
+        s" FROM $probeValuesDuck ORDER BY x"),
 
     // the plain join — the skew routing must be answer-invisible
     "q36_skew_join" ->

@@ -21,10 +21,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query runs on sf0.001") {
+  // GATE-OUTPUT TYPE RULE (round-15, after the r14 driver reds): gate
+  // outputs are BIGINT / STRING / bounded-round DOUBLE / narrow decimal
+  // only; wide integers cross the gate as base-10^18 BIGINT limbs or
+  // canonical strings. A DECIMAL wider than 18 digits in an OUTPUT
+  // schema is one driver-DuckDB upgrade away from a hash mismatch
+  // (the r14 q45/q46 lesson) — internal wide-decimal arithmetic is fine.
+  private val wideDecimalExempt = Set("probe_decimal_out") // the probe IS the experiment
+
+  test("every query runs on sf0.001; no wide-decimal output columns") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
-      withClue(s"query $name: ") { assert(df.count() >= 0) }
+      withClue(s"query $name: ") {
+        assert(df.count() >= 0)
+        if (!wideDecimalExempt(name)) {
+          val wide = df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[
+                org.apache.spark.sql.types.DecimalType] &&
+              f.dataType.asInstanceOf[
+                org.apache.spark.sql.types.DecimalType].precision > 18 =>
+              s"${f.name}: ${f.dataType.simpleString}"
+          }
+          assert(wide.isEmpty,
+            s"wide-decimal output columns (gate-output type rule): " +
+              wide.mkString(", "))
+        }
+      }
     }
   }
 
