@@ -1227,6 +1227,102 @@ object Corpus {
     // the first failing rule as the reason (Gopher/C4-style rule order:
     // length, then repetition, then LM perplexity). Composes three
     // already-oracle-gated operators (token count, repetitionStats,
+    // Crawl FRONTIER scheduling (operators.Frontier — the step that
+    // turns the crawl operators into a crawl PLAN): per-residue hosts,
+    // hash-derived priorities, and for every 4th doc a SECOND discovery
+    // of the same page behind tracker params — the engine must collapse
+    // the duplicates through UrlCanon (max priority wins, n_discovered
+    // counts both), rank each host's queue (priority desc, url asc),
+    // truncate at maxPerHost = 8 and stamp fetch_at_sec = slot × 0.5 —
+    // the per-host politeness rate invariant BY CONSTRUCTION. The
+    // oracle feeds the already-canonical URL into the same dedup/rank
+    // pipeline in SQL, so the engine's canonicalize→dedup→rank chain is
+    // what's pinned.
+    "doc_crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select($"doc_id")
+      val k = $"doc_id".cast("string")
+      val base = concat(lit("https://h"), ($"doc_id" % 37).cast("string"),
+        lit(".example.com/d"), k)
+      val pri = (($"doc_id" * 2654435761L) % 1000L).cast("double")
+      val clean = docs.select($"doc_id", base.as("url"),
+        pri.as("priority"))
+      val dup = docs.filter($"doc_id" % 4 === 0)
+        .select($"doc_id",
+          concat(base, lit("?utm_source=feed&fbclid=x")).as("url"),
+          (pri - 500.0).as("priority"))
+      graft.operators.Frontier
+        .schedule(clean.unionByName(dup), "url", "priority",
+          crawlDelaySec = 0.5, maxPerHost = 8)
+        .orderBy($"host", $"slot")
+    }),
+
+    // WARC/WET ingestion (operators.Warc — the raw INPUT end of the
+    // crawl stack; Common-Crawl container framing): every block of 20
+    // documents becomes one synthesized WARC file — HTTP response
+    // records with per-residue charset labeling (header param /
+    // meta-tag sniff / utf-8 default), 301 redirects with empty bodies,
+    // WET `conversion` records — and alternate files compress as
+    // concatenated per-record gzip members (the .warc.gz shape). The
+    // engine SPLITS and PARSES the bytes back (Content-Length framing,
+    // HTTP status+header parse, charset resolution, gzip member chain)
+    // and reads each html title through HtmlText; the oracle derives
+    // every output scalar from the documents table independently, so
+    // the whole build→parse round trip is pinned. Byte-level decode
+    // paths (charset fallback, damaged tails, magic-in-body framing)
+    // are WarcSpec-certified.
+    "doc_warc_parse" -> ((s, dir) => {
+      import s.implicits._
+      val W = graft.operators.Warc
+      val docs = Tables(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+        .as[(Long, String)]
+      val files = docs.groupByKey(_._1 / 20).mapGroups { (g, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          val uri = s"https://warc.example.com/doc/$id"
+          val date = f"2024-01-${(id % 28) + 1}%02dT00:00:00Z"
+          val ct =
+            if (id % 3 == 0) "text/html; charset=UTF-8" else "text/html"
+          if (id % 5 == 0)
+            W.buildConversionRecord(uri, date, s"wet-$id",
+              "text/plain; charset=utf-8",
+              s"Doc $id :: $text".getBytes("UTF-8"))
+          else if (id % 7 == 3)
+            W.buildResponseRecord(uri, date, s"r-$id",
+              301, "Moved Permanently",
+              Seq("Location" -> s"https://warc.example.com/new/$id",
+                "Content-Type" -> ct),
+              Array.emptyByteArray)
+          else {
+            val meta =
+              if (id % 3 == 1) "<meta charset=\"iso-8859-1\">" else ""
+            val body = s"<html><head>$meta<title>Doc $id</title></head>" +
+              s"<body><p>$text</p></body></html>"
+            W.buildResponseRecord(uri, date, s"r-$id", 200, "OK",
+              Seq("Content-Type" -> ct), body.getBytes("UTF-8"))
+          }
+        }
+        val bytes =
+          if (g % 2 == 1) recs.map(W.gzipMember).reduce(_ ++ _)
+          else recs.reduce(_ ++ _)
+        (s"synth-$g.warc", bytes)
+      }.toDF("path", "content")
+      W.records(files)
+        .select(
+          expr("CAST(substring_index(target_uri, '/', -1) AS BIGINT)")
+            .as("doc_id"),
+          $"warc_type", $"target_uri", $"warc_date",
+          $"http_status".cast("long").as("http_status"),
+          $"mime", $"charset",
+          length($"body").cast("long").as("body_len"),
+          // bodies here are ASCII, so the utf-8 string cast is exact;
+          // charset-aware decode is WarcSpec-certified
+          when($"http_status" === 200L && $"mime" === "text/html",
+            graft.functions.HtmlText.html_text($"body".cast("string"))
+              .getField("title")).as("title"))
+        .orderBy($"doc_id")
+    }),
+
     // bigramPerplexity) joined on doc_id; thresholds compare the ROUNDED
     // signals so both engines decide identically at rule boundaries.
     "doc_filter_pipeline" -> ((s, dir) => {
@@ -2621,6 +2717,65 @@ object Corpus {
         |  5::BIGINT AS n_links,
         |  '/,/about,/contact,/terms,/privacy' AS links
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the frontier replayed on the already-canonical URL: dedup keeps
+    // max priority and counts discoveries, per-host rank with the url
+    // tiebreak, maxPerHost truncation, slot x delay fetch times
+    "doc_crawl_frontier" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'https://h' || (doc_id % 37) || '.example.com/d' || doc_id
+        |      AS url,
+        |    ((doc_id * 2654435761) % 1000)::DOUBLE AS priority
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'https://h' || (doc_id % 37) || '.example.com/d' || doc_id
+        |      AS url,
+        |    (((doc_id * 2654435761) % 1000) - 500)::DOUBLE AS priority
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |dd AS (SELECT 'h' || (doc_id % 37) || '.example.com' AS host,
+        |         url, max(priority) AS priority,
+        |         count(*)::BIGINT AS n_discovered
+        |       FROM urls GROUP BY 1, 2),
+        |r AS (SELECT host, url, priority, n_discovered,
+        |        (row_number() OVER (PARTITION BY host
+        |           ORDER BY priority DESC, url ASC) - 1)::BIGINT AS slot
+        |      FROM dd)
+        |SELECT host, url, priority, slot,
+        |  round(slot * 0.5::DOUBLE, 6) AS fetch_at_sec, n_discovered
+        |FROM r WHERE slot < 8 ORDER BY host, slot""".stripMargin,
+
+    // every output scalar of the WARC round trip derived independently
+    // from the documents table: record type / status / mime / charset by
+    // the same residues, body length by reconstructing the exact body
+    // string (ASCII corpus: length == octet count), title a constant
+    "doc_warc_parse" ->
+      """WITH v AS (SELECT doc_id, text,
+        |    doc_id % 5 = 0 AS wet,
+        |    doc_id % 7 = 3 AS redir,
+        |    doc_id % 3 AS cs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN wet THEN 'conversion' ELSE 'response' END AS warc_type,
+        |  'https://warc.example.com/doc/' || doc_id AS target_uri,
+        |  '2024-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+        |    || 'T00:00:00Z' AS warc_date,
+        |  (CASE WHEN wet THEN NULL WHEN redir THEN 301
+        |    ELSE 200 END)::BIGINT AS http_status,
+        |  CASE WHEN wet THEN 'text/plain' ELSE 'text/html' END AS mime,
+        |  CASE WHEN NOT wet AND NOT redir AND cs = 1 THEN 'iso-8859-1'
+        |    ELSE 'utf-8' END AS charset,
+        |  (CASE WHEN wet THEN length('Doc ' || doc_id || ' :: ' || text)
+        |    WHEN redir THEN 0
+        |    ELSE length('<html><head>' ||
+        |      CASE WHEN cs = 1 THEN '<meta charset="iso-8859-1">'
+        |        ELSE '' END ||
+        |      '<title>Doc ' || doc_id || '</title></head><body><p>' ||
+        |      text || '</p></body></html>') END)::BIGINT AS body_len,
+        |  CASE WHEN wet OR redir THEN NULL
+        |    ELSE 'Doc ' || doc_id END AS title
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // the identical 0.5% md5 reference slice, exact integer counts, and
     // round-6 ratio; short docs (n = 0) take a NULL ratio
