@@ -46,7 +46,8 @@ object Bench {
     */
   final case class QStat(min: Double, med: Double, max: Double, steal: Double,
                          runs: Int, flagged: Boolean,
-                         err: Option[String] = None)
+                         err: Option[String] = None,
+                         ref: Double = -1.0)
 
   /** Adaptive-run measurement — `sample()` returns (wallSec,
     * stealSecDelta) for one timed run. Public and throw-safe so BenchSpec
@@ -289,6 +290,32 @@ object Bench {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
 
+    // Paired-run normalization (round-15; two consecutive storm-hit
+    // rounds made cross-round ratios undecidable): a PINNED reference
+    // query — synthetic, sf-independent, ~0.2 s, one shuffle + one sort,
+    // never to change across rounds — runs interleaved between measured
+    // queries. Each query's stat carries `ref` = the MIN of the
+    // reference samples taken immediately before/after it (steal only
+    // inflates, so the min is the honest same-minute floor); cross-round
+    // comparison divides med by ref so host weather cancels. The
+    // artifact also carries the run-level reference min/med/max — the
+    // max/min drift is the in-run storm witness.
+    def refOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(8000000L)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val refSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    scala.util.Try(refOnce()) // warm the reference plan itself
+    var lastRef = scala.util.Try(refOnce()).getOrElse(-1.0)
+    if (lastRef >= 0) refSamples += lastRef
+
     val runT0 = System.nanoTime()
 
     // Incremental accounting (round-13 lesson: the driver killed a
@@ -313,7 +340,7 @@ object Bench {
         .mkString("{", ",", "}")
       val stats = results.map { case (k, v) =>
         val errJson = v.err.map(jsonStr).getOrElse("null")
-        s""""$k":{"min":${r3(v.min)},"med":${r3(v.med)},"max":${r3(v.max)},"steal":${r3(v.steal)},"runs":${v.runs},"flagged":${v.flagged},"err":$errJson}"""
+        s""""$k":{"min":${r3(v.min)},"med":${r3(v.med)},"max":${r3(v.max)},"steal":${r3(v.steal)},"runs":${v.runs},"flagged":${v.flagged},"err":$errJson,"ref":${r3(v.ref)}}"""
       }.mkString("{", ",", "}")
       val flagged = results.collect { case (k, v) if v.flagged => "\"" + k + "\"" }
       val total = results.map(_._2.med).filter(_ >= 0).sum
@@ -329,7 +356,12 @@ object Bench {
         if (s < 0 || stealStart < 0) -1.0 else s - stealStart }
       val dirty = contaminated || stealRun > math.max(5.0, 0.01 * runWall) ||
         flagged.nonEmpty
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","query_stats":$stats,"flagged":${flagged.mkString("[", ",", "]")},"load_start":$loadStart,"load_end":$loadEnd,"steal_sec":$stealRun,"run_wall":${r3(runWall)},"n_done":${results.size},"n_selected":${selected.size},"partial":$partial,"contaminated":$dirty}"""
+      val refJson = if (refSamples.isEmpty) "null" else {
+        val sorted = refSamples.toSeq.sorted
+        val med = sorted(sorted.size / 2)
+        s"""{"n":${sorted.size},"min":${r3(sorted.head)},"med":${r3(med)},"max":${r3(sorted.last)},"drift":${r3(sorted.last / math.max(sorted.head, 1e-9))}}"""
+      }
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","query_stats":$stats,"flagged":${flagged.mkString("[", ",", "]")},"load_start":$loadStart,"load_end":$loadEnd,"steal_sec":$stealRun,"run_wall":${r3(runWall)},"n_done":${results.size},"n_selected":${selected.size},"ref":$refJson,"partial":$partial,"contaminated":$dirty}"""
     }
 
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -348,9 +380,17 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PROGRESS", "bench_progress.json"))
 
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val st = measureWith(() => sample(fn), nCpus)
+      val st0 = measureWith(() => sample(fn), nCpus)
+      // one reference sample after the query; pair with the one before
+      val refAfter = scala.util.Try(refOnce()).getOrElse(-1.0)
+      if (refAfter >= 0) refSamples += refAfter
+      val refPair =
+        if (lastRef >= 0 && refAfter >= 0) math.min(lastRef, refAfter)
+        else math.max(lastRef, refAfter) // whichever exists, else -1
+      if (refAfter >= 0) lastRef = refAfter
+      val st = st0.copy(ref = refPair)
       acc.add(name -> st)
-      System.err.println(f"[bench] $name med=${st.med}%.3f runs=${st.runs} flagged=${st.flagged}")
+      System.err.println(f"[bench] $name med=${st.med}%.3f runs=${st.runs} flagged=${st.flagged} ref=${st.ref}%.3f")
       scala.util.Try(java.nio.file.Files.write(progressPath,
         (emit(partial = true) + "\n").getBytes("UTF-8")))
     }

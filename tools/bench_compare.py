@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
-"""Compare two bench artifacts per query (e.g. clean_r14 vs clean_r13).
+"""Compare two bench artifacts per query (e.g. clean_r15 vs clean_r14).
 
-usage: bench_compare.py old.json new.json [--floor=1.0]
+usage: bench_compare.py old.json new.json [--floor=1.0] [--norm]
 
 --floor deflates the new artifact's numbers by an environmental host-tax
 factor (measured from an identical-code subset) before judging
 regressions — per-query ratios are printed raw AND floor-adjusted.
+
+--norm uses the round-15 paired-run reference samples instead: each
+query's med divides by its own same-minute reference floor (the pinned
+interleaved query), so host weather cancels per query and per round.
+Falls back to raw meds for queries missing a ref in either artifact.
 """
 import json
 import statistics
@@ -13,17 +18,36 @@ import sys
 
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 floor = 1.0
+norm = "--norm" in sys.argv[1:]
 for a in sys.argv[1:]:
     if a.startswith("--floor="):
         floor = float(a.split("=", 1)[1])
-old = json.load(open(args[0]))["query_stats"]
-new = json.load(open(args[1]))["query_stats"]
+oldj = json.load(open(args[0]))
+newj = json.load(open(args[1]))
+old = oldj["query_stats"]
+new = newj["query_stats"]
+
+if norm:
+    for tag, j in (("old", oldj), ("new", newj)):
+        r = j.get("ref")
+        if r:
+            print(f"{tag} ref: n={r['n']} min={r['min']} med={r['med']} "
+                  f"max={r['max']} drift={r['drift']}x")
+
+
+def val(stats, q):
+    med = stats[q]["med"]
+    ref = stats[q].get("ref", -1)
+    if norm and ref and ref > 0:
+        return med / ref
+    return med
+
 
 shared = sorted(set(old) & set(new))
 added = sorted(set(new) - set(old))
 ratios = []
 for q in shared:
-    o, n = old[q]["med"], new[q]["med"]
+    o, n = val(old, q), val(new, q)
     if o > 0:
         ratios.append((n / o, q, o, n))
 ratios.sort(reverse=True)

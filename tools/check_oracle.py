@@ -21,12 +21,12 @@ for name, sql in sorted(oracle.items()):
     try:
         got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
         gcols = sorted(got.columns)
-        gsel = con.sql(f"SELECT {', '.join(gcols)} FROM got ORDER BY ALL")
+        gsel = con.sql("SELECT " + ', '.join(f'"{c}"' for c in gcols) + " FROM got ORDER BY ALL")
         gtypes = [str(t) for t in gsel.types]
         g = gsel.fetchall()
         exp = con.sql(sql)
         ecols = sorted(exp.columns)
-        esel = con.sql(f"SELECT {', '.join(ecols)} FROM exp ORDER BY ALL")
+        esel = con.sql("SELECT " + ', '.join(f'"{c}"' for c in ecols) + " FROM exp ORDER BY ALL")
         etypes = [str(t) for t in esel.types]
         e = esel.fetchall()
     except Exception as ex:

@@ -40,8 +40,16 @@ for path in chunks:
     merged["flagged"] += d.get("flagged", [])
     merged["chunks"].append({
         "path": path, "value": d["value"], "run_wall": d.get("run_wall"),
-        "steal_sec": d.get("steal_sec"),
+        "steal_sec": d.get("steal_sec"), "ref": d.get("ref"),
         "queries": sorted(d["query_stats"])})
+refs = [c["ref"] for c in merged["chunks"] if c.get("ref")]
+if refs:
+    meds = sorted(r["med"] for r in refs)
+    mn = min(r["min"] for r in refs)
+    mx = max(r["max"] for r in refs)
+    merged["ref"] = {"n": sum(r["n"] for r in refs), "min": mn,
+                     "med": meds[len(meds) // 2], "max": mx,
+                     "drift": round(mx / max(mn, 1e-9), 3)}
 if not merged["queries"]:
     sys.exit("refusing to write an empty merged artifact (no queries)")
 if expect is not None and len(merged["queries"]) != expect:
