@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dump `.explain("formatted")` for a subset of declared queries to files —
+  * the before/after plan evidence for optimization rounds (guide §1:
+  * capture plan shape — Exchange count, join strategy, PushedFilters —
+  * before and after every change). Usage:
+  *   runMain graft.PlanDump <sfDir> <outDir> <suffix> [q1,q2,...]
+  * Writes <outDir>/<query>_<suffix>.txt per query. Queries whose builder
+  * itself executes Spark jobs (iterative fixpoints) still produce the
+  * FINAL plan; the iterative round-plan shape is captured separately where
+  * a claim depends on it.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+        System.err.println(s"[plandump] $name ok")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  // Round-15 note (measured, kept for the next optimizer): an attempt to
+  // pre-partition + sort + persist the loop-invariant edge frames by
+  // their per-round join key (so rounds skip the edge-side Exchange/Sort)
+  // REGRESSED every loop it touched at bench scale (q37 1.9×, q47 1.4×,
+  // q40 1.2× in an interleaved A/B) — at these sizes the per-round joins
+  // already BROADCAST the frontier/label side (checkpoint gives the
+  // planner accurate sizes), so no edge exchange existed to remove, and
+  // the extra exchange+sort+materialization was pure cost. At 100 TB the
+  // layout-reuse story belongs to the persisted BUCKETED tables
+  // (TextDedup.bandedIndex discipline), not in-query persists.
+
   /** (id, component) for every node appearing in `edges`, where component
     * is the cluster's minimum node id. Columns `idA`/`idB` name the edge
     * endpoints in `edges`.
@@ -29,40 +40,51 @@ object Components {
                           idB: String = "id_b",
                           maxIter: Int = 20): DataFrame = {
     // undirected: propagate along both orientations. Materialized ONCE —
-    // the loop touches the edge list 2×/iteration, and `edges` is usually
-    // an expensive plan (the whole near-dup candidate pipeline)
+    // the loop touches the edge list every iteration, and `edges` is
+    // usually an expensive plan (the whole near-dup candidate pipeline)
     val e = edges.select(col(idA).as("u"), col(idB).as("v"))
       .union(edges.select(col(idB).as("u"), col(idA).as("v")))
       .distinct()
       .localCheckpoint(true)
-    var labels = e.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      // candidate labels flowing along edges: neighbor's label reaches me
-      val viaEdges = e.join(labels, e("v") === labels("id"))
-        .select(e("u").as("id"), labels("lbl").as("lbl"))
-      // localCheckpoint, not persist: an iterative DataFrame loop grows
-      // its lineage every round and replanning (and even the plan STRING)
-      // eventually dominates or OOMs — truncate it each iteration, the
-      // same discipline as GraphX's Pregel materialization
-      val next = labels.select(col("id"), col("lbl"))
-        .union(viaEdges)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+    locally {
+      var labels = e.select(col("u").as("id")).distinct()
+        .withColumn("lbl", col("id"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
+      // labels only DECREASE pointwise (min over a set containing the old
+      // label), so the exact decimal Σlbl is stationary iff the frame is
+      // — the same 1-row witness as SCC's minLabels. Replaces the old
+      // per-round next⋈labels changed-count join (one full V⋈V join per
+      // round, round-15 guide §2.4).
+      def sigOf(lb: DataFrame): Any =
+        lb.agg(sum(col("lbl").cast("decimal(38,0)"))).head().get(0)
+      var sig = sigOf(labels)
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        // candidate labels flowing along edges: neighbor's label reaches me
+        val viaEdges = e.join(labels, e("v") === labels("id"))
+          .select(e("u").as("id"), labels("lbl").as("lbl"))
+        // localCheckpoint, not persist: an iterative DataFrame loop grows
+        // its lineage every round and replanning (and even the plan STRING)
+        // eventually dominates or OOMs — truncate it each iteration, the
+        // same discipline as GraphX's Pregel materialization
+        val next = labels.select(col("id"), col("lbl"))
+          .union(viaEdges)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint(true)
+        val nsig = sigOf(next)
+        labels = next
+        converged = nsig == sig
+        sig = nsig
+        iter += 1
+      }
+      // silent non-convergence would split true clusters and let duplicates
+      // through the keep-one-per-group step — refuse instead
+      require(converged,
+        s"connectedComponents did not converge within $maxIter iterations " +
+          "(graph diameter exceeds maxIter) — raise maxIter")
+      labels.select(col("id"), col("lbl").as("component"))
     }
-    // silent non-convergence would split true clusters and let duplicates
-    // through the keep-one-per-group step — refuse instead
-    require(converged,
-      s"connectedComponents did not converge within $maxIter iterations " +
-        "(graph diameter exceeds maxIter) — raise maxIter")
-    labels.select(col("id"), col("lbl").as("component"))
   }
 
   // ---------------------------------------------------------------------
@@ -276,6 +298,11 @@ object Components {
               seeds: DataFrame, seedCol: String,
               maxHops: Int = Int.MaxValue): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // round-15: the visited set is kept as per-hop LAYERS (each
+    // checkpointed once when its round produces it) instead of one frame
+    // re-unioned and re-materialized every round — the old shape rewrote
+    // the ENTIRE visited set per hop just to add a layer (guide §1.2:
+    // don't compute things you throw away)
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -283,31 +310,34 @@ object Components {
         col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    var visited = seeds
-      .select(col(seedCol).cast("long").as("node"))
-      .filter(col("node").isNotNull)
-      .distinct()
-      .withColumn("hops", lit(0L))
-      .localCheckpoint(true)
-    var frontier = visited.select("node")
-    var hop = 0L
-    var n = frontier.count()
-    while (n > 0 && hop < maxHops) {
-      hop += 1
-      val next = e
-        .join(frontier.withColumnRenamed("node", "src"), Seq("src"),
-          "left_semi")
-        .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+    locally {
+      val seedLayer = seeds
+        .select(col(seedCol).cast("long").as("node"))
+        .filter(col("node").isNotNull)
+        .distinct()
+        .withColumn("hops", lit(0L))
         .localCheckpoint(true)
-      n = next.count()
-      if (n > 0) {
-        visited = visited.union(next.withColumn("hops", lit(hop)))
+      var layers = Vector(seedLayer)
+      var frontier = seedLayer.select("node")
+      var hop = 0L
+      var n = frontier.count()
+      while (n > 0 && hop < maxHops) {
+        hop += 1
+        val visitedIds = layers.map(_.select("node")).reduce(_ union _)
+        val next = e
+          .join(frontier.withColumnRenamed("node", "src"), Seq("src"),
+            "left_semi")
+          .select(col("dst").as("node")).distinct()
+          .join(visitedIds, Seq("node"), "left_anti")
           .localCheckpoint(true)
-        frontier = next
+        n = next.count()
+        if (n > 0) {
+          layers :+= next.withColumn("hops", lit(hop))
+          frontier = next
+        }
       }
+      layers.reduce(_ union _)
     }
-    visited
   }
 
   /** Single/multi-source WEIGHTED shortest paths (Bellman-Ford with a
@@ -414,30 +444,32 @@ object Components {
   private def relaxToFixpoint(e: DataFrame, start: DataFrame,
                               maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    var dist = start.localCheckpoint(true)
-    var frontier = dist
-    var round = 0
-    var improved = frontier.count()
-    while (improved > 0 && round < maxRounds) {
-      round += 1
-      val next = e
-        .join(frontier.select(col("node").as("src"), col("dist").as("fd")),
-          Seq("src"))
-        .select(col("dst").as("node"), (col("fd") + col("w")).as("nd"))
-        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
-        .join(dist, Seq("node"), "left")
-        .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("node"), col("nd").as("dist"))
-        .localCheckpoint(true)
-      improved = next.count()
-      if (improved > 0) {
-        dist = dist.union(next)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    locally {
+      var dist = start.localCheckpoint(true)
+      var frontier = dist
+      var round = 0
+      var improved = frontier.count()
+      while (improved > 0 && round < maxRounds) {
+        round += 1
+        val next = e
+          .join(frontier.select(col("node").as("src"), col("dist").as("fd")),
+            Seq("src"))
+          .select(col("dst").as("node"), (col("fd") + col("w")).as("nd"))
+          .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+          .join(dist, Seq("node"), "left")
+          .filter(col("dist").isNull || col("nd") < col("dist"))
+          .select(col("node"), col("nd").as("dist"))
           .localCheckpoint(true)
-        frontier = next
+        improved = next.count()
+        if (improved > 0) {
+          dist = dist.union(next)
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint(true)
+          frontier = next
+        }
       }
+      dist
     }
-    dist
   }
 
   /** Sampled harmonic centrality (Boldi & Vigna 2014's axiom-clean
@@ -480,6 +512,8 @@ object Components {
         .gcd(java.math.BigInteger.valueOf(d)).longValueExact()
       l / g * d
     }
+    // round-15: visited kept as per-round LAYERS (the bfsHops discipline —
+    // no full-set re-union + re-materialization per round)
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -487,46 +521,47 @@ object Components {
         col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    var visited = seeds
-      .select(col(seedCol).cast("long").as("source"))
-      .filter(col("source").isNotNull)
-      .distinct()
-      .select(col("source"), col("source").as("node"))
-      .withColumn("d", lit(0L))
-      .localCheckpoint(true)
-    val nSeeds = visited.count()
-    // exact-numerator overflow guard: worst case every source at d=1
-    require(nSeeds <= Long.MaxValue / math.max(denom, 1L) / 2,
-      s"$nSeeds seeds at lcm denominator $denom could overflow h_num — " +
-        "sample the seed set (the estimator wants a sample anyway)")
-    var frontier = visited.select("source", "node")
-    var rnd = 0
-    var n = nSeeds
-    while (n > 0 && rnd < maxRounds) {
-      rnd += 1
-      val next = e
-        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("source"), col("dst").as("node")).distinct()
-        .join(visited.select("source", "node"), Seq("source", "node"),
-          "left_anti")
+    locally {
+      val seedLayer = seeds
+        .select(col(seedCol).cast("long").as("source"))
+        .filter(col("source").isNotNull)
+        .distinct()
+        .select(col("source"), col("source").as("node"))
+        .withColumn("d", lit(0L))
         .localCheckpoint(true)
-      n = next.count()
-      if (n > 0) {
-        visited = visited
-          .union(next.select(col("source"), col("node"))
-            .withColumn("d", lit(rnd.toLong)))
+      val nSeeds = seedLayer.count()
+      // exact-numerator overflow guard: worst case every source at d=1
+      require(nSeeds <= Long.MaxValue / math.max(denom, 1L) / 2,
+        s"$nSeeds seeds at lcm denominator $denom could overflow h_num — " +
+          "sample the seed set (the estimator wants a sample anyway)")
+      var layers = Vector(seedLayer)
+      var frontier = seedLayer.select("source", "node")
+      var rnd = 0
+      var n = nSeeds
+      while (n > 0 && rnd < maxRounds) {
+        rnd += 1
+        val visitedPairs = layers.map(_.select("source", "node"))
+          .reduce(_ union _)
+        val next = e
+          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("source"), col("dst").as("node")).distinct()
+          .join(visitedPairs, Seq("source", "node"), "left_anti")
           .localCheckpoint(true)
-        frontier = next
+        n = next.count()
+        if (n > 0) {
+          layers :+= next.withColumn("d", lit(rnd.toLong))
+          frontier = next
+        }
       }
+      layers.reduce(_ union _).filter(col("d") >= 1L)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("reach"),
+          // `div` keeps every term an exact LONG (d divides the lcm), so
+          // the sum is integer arithmetic end to end — no double crossing
+          sum(expr(s"${denom}L div d")).as("h_num"))
+        .select(col("node"), col("reach"), col("h_num"),
+          round(col("h_num").cast("double") / lit(denom.toDouble), 6).as("h"))
     }
-    visited.filter(col("d") >= 1L)
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("reach"),
-        // `div` keeps every term an exact LONG (d divides the lcm), so
-        // the sum is integer arithmetic end to end — no double crossing
-        sum(expr(s"${denom}L div d")).as("h_num"))
-      .select(col("node"), col("reach"), col("h_num"),
-        round(col("h_num").cast("double") / lit(denom.toDouble), 6).as("h"))
   }
 
   /** Brandes forward phase from a sampled source set: per (source, node)
@@ -553,6 +588,12 @@ object Components {
                      seeds: DataFrame, seedCol: String,
                      maxRounds: Int = 12): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // round-15: visited kept as per-round LAYERS (the bfsHops
+    // discipline); the σ aggregation moved BEFORE the anti-join so the
+    // exchange carries map-side-combined (source, node, Σσ) rows instead
+    // of one row per DAG edge — dropping visited pairs before or after
+    // summing σ is equivalent (the anti-join removes whole (source, node)
+    // groups, never partial contributions)
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -560,43 +601,47 @@ object Components {
         col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    var visited = seeds
-      .select(col(seedCol).cast("long").as("source"))
-      .filter(col("source").isNotNull)
-      .distinct()
-      .select(col("source"), col("source").as("node"),
-        lit(0L).as("d"), lit(1L).cast("decimal(38,0)").as("sigma"))
-      .localCheckpoint(true)
-    var frontier = visited
-    var rnd = 0
-    var n = visited.count()
-    while (n > 0 && rnd < maxRounds) {
-      rnd += 1
-      val next = e
-        .join(frontier.withColumnRenamed("node", "src"),
-          Seq("src"))
-        .select(col("source"), col("dst").as("node"), col("sigma"))
-        .join(visited.select("source", "node"), Seq("source", "node"),
-          "left_anti")
-        .groupBy(col("source"), col("node"))
-        // exact integer σ sums commute — layout-invariant by construction
-        .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
-        .select(col("source"), col("node"), lit(rnd.toLong).as("d"),
-          col("sigma"))
+    locally {
+      val seedLayer = seeds
+        .select(col(seedCol).cast("long").as("source"))
+        .filter(col("source").isNotNull)
+        .distinct()
+        .select(col("source"), col("source").as("node"),
+          lit(0L).as("d"), lit(1L).cast("decimal(38,0)").as("sigma"))
         .localCheckpoint(true)
-      n = next.count()
-      if (n > 0) {
-        visited = visited.union(next).localCheckpoint(true)
-        frontier = next
+      var layers = Vector(seedLayer)
+      var frontier = seedLayer
+      var rnd = 0
+      var n = seedLayer.count()
+      while (n > 0 && rnd < maxRounds) {
+        rnd += 1
+        val visitedPairs = layers.map(_.select("source", "node"))
+          .reduce(_ union _)
+        val next = e
+          .join(frontier.withColumnRenamed("node", "src"),
+            Seq("src"))
+          .select(col("source"), col("dst").as("node"), col("sigma"))
+          .groupBy(col("source"), col("node"))
+          // exact integer σ sums commute — layout-invariant by construction
+          .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
+          .join(visitedPairs, Seq("source", "node"), "left_anti")
+          .select(col("source"), col("node"), lit(rnd.toLong).as("d"),
+            col("sigma"))
+          .localCheckpoint(true)
+        n = next.count()
+        if (n > 0) {
+          layers :+= next
+          frontier = next
+        }
       }
+      // the DuckDB oracle error()-asserts frontier exhaustion; mirror it —
+      // a capped BFS would silently drop every node past maxRounds from the
+      // sigma/reach aggregates
+      require(n == 0,
+        s"brandesForward: frontier still live ($n rows) after $maxRounds " +
+          "rounds (raise maxRounds)")
+      layers.reduce(_ unionByName _)
     }
-    // the DuckDB oracle error()-asserts frontier exhaustion; mirror it —
-    // a capped BFS would silently drop every node past maxRounds from the
-    // sigma/reach aggregates
-    require(n == 0,
-      s"brandesForward: frontier still live ($n rows) after $maxRounds " +
-        "rounds (raise maxRounds)")
-    visited
   }
 
   /** Sampled betweenness centrality (Brandes 2001, sampled sources per
@@ -724,95 +769,98 @@ object Components {
         col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    var remaining = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    var nRemaining = remaining.count()
-    var assigned = Seq.empty[DataFrame]
+    locally {
+      var remaining = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint(true)
+      var nRemaining = remaining.count()
+      var assigned = Seq.empty[DataFrame]
 
-    // trim fixpoint: peel no-in/no-out nodes (each its own SCC)
-    def trim(): Unit = {
-      var changed = true
-      while (changed && nRemaining > 0) {
+      // trim fixpoint: peel no-in/no-out nodes (each its own SCC)
+      def trim(): Unit = {
+        var changed = true
+        while (changed && nRemaining > 0) {
+          val er = e
+            .join(remaining.withColumnRenamed("node", "src"), Seq("src"),
+              "left_semi")
+            .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"),
+              "left_semi")
+          val keep = remaining
+            .join(er.select(col("src").as("node")).distinct(), Seq("node"),
+              "left_semi")
+            .join(er.select(col("dst").as("node")).distinct(), Seq("node"),
+              "left_semi")
+            .localCheckpoint(true)
+          val kc = keep.count()
+          if (kc == nRemaining) changed = false
+          else {
+            assigned :+= remaining.join(keep, Seq("node"), "left_anti")
+              .select(col("node"), col("node").as("scc"))
+              .localCheckpoint(true)
+            remaining = keep
+            nRemaining = kc
+          }
+        }
+      }
+
+      // min-label propagation to a fixpoint over the restricted edge
+      // frame; labels only DECREASE, so the 1-row sum(lab) is the exact
+      // witness
+      def minLabels(er: DataFrame, reverse: Boolean): DataFrame = {
+        val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+        var lab = remaining.select(col("node"), col("node").as("lab"))
+          .localCheckpoint(true)
+        var sig = lab.agg(sum(col("lab"))).head().getLong(0)
+        var rnd = 0
+        var converged = false
+        while (!converged && rnd < maxRounds) {
+          rnd += 1
+          val next = lab
+            .union(er.join(lab.withColumnRenamed("node", from), Seq(from))
+              .select(col(to).as("node"), col("lab")))
+            .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+            .localCheckpoint(true)
+          val nsig = next.agg(sum(col("lab"))).head().getLong(0)
+          converged = nsig == sig
+          sig = nsig
+          lab = next
+        }
+        // a capped, non-stationary fixpoint would silently mislabel deep
+        // cycles (partial f/b mins decide only the min node, trim then
+        // shatters the rest into bogus singleton SCCs) — fail loudly like
+        // the phase loop's require instead
+        require(converged,
+          s"SCC min-label propagation did not reach a fixpoint within " +
+            s"$maxRounds rounds (raise maxRounds)")
+        lab
+      }
+
+      var phase = 0
+      trim()
+      while (nRemaining > 0 && phase < maxPhases) {
+        phase += 1
         val er = e
           .join(remaining.withColumnRenamed("node", "src"), Seq("src"),
             "left_semi")
           .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"),
             "left_semi")
-        val keep = remaining
-          .join(er.select(col("src").as("node")).distinct(), Seq("node"),
-            "left_semi")
-          .join(er.select(col("dst").as("node")).distinct(), Seq("node"),
-            "left_semi")
           .localCheckpoint(true)
-        val kc = keep.count()
-        if (kc == nRemaining) changed = false
-        else {
-          assigned :+= remaining.join(keep, Seq("node"), "left_anti")
-            .select(col("node"), col("node").as("scc"))
-            .localCheckpoint(true)
-          remaining = keep
-          nRemaining = kc
-        }
-      }
-    }
-
-    // min-label propagation to a fixpoint over the restricted edge frame;
-    // labels only DECREASE, so the 1-row sum(lab) is the exact witness
-    def minLabels(er: DataFrame, reverse: Boolean): DataFrame = {
-      val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
-      var lab = remaining.select(col("node"), col("node").as("lab"))
-        .localCheckpoint(true)
-      var sig = lab.agg(sum(col("lab"))).head().getLong(0)
-      var rnd = 0
-      var converged = false
-      while (!converged && rnd < maxRounds) {
-        rnd += 1
-        val next = lab
-          .union(er.join(lab.withColumnRenamed("node", from), Seq(from))
-            .select(col(to).as("node"), col("lab")))
-          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        val f = minLabels(er, reverse = false)
+        val b = minLabels(er, reverse = true)
+        val dec = f.join(b.withColumnRenamed("lab", "blab"), Seq("node"))
+          .filter(col("lab") === col("blab"))
+          .select(col("node"), col("lab").as("scc"))
           .localCheckpoint(true)
-        val nsig = next.agg(sum(col("lab"))).head().getLong(0)
-        converged = nsig == sig
-        sig = nsig
-        lab = next
+        assigned :+= dec
+        remaining = remaining.join(dec, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        nRemaining = remaining.count()
+        trim()
       }
-      // a capped, non-stationary fixpoint would silently mislabel deep
-      // cycles (partial f/b mins decide only the min node, trim then
-      // shatters the rest into bogus singleton SCCs) — fail loudly like
-      // the phase loop's require instead
-      require(converged,
-        s"SCC min-label propagation did not reach a fixpoint within " +
-          s"$maxRounds rounds (raise maxRounds)")
-      lab
+      require(nRemaining == 0,
+        s"SCC did not converge within $maxPhases phases — $nRemaining " +
+          "nodes undecided (raise maxPhases)")
+      assigned.reduce(_ unionByName _)
     }
-
-    var phase = 0
-    trim()
-    while (nRemaining > 0 && phase < maxPhases) {
-      phase += 1
-      val er = e
-        .join(remaining.withColumnRenamed("node", "src"), Seq("src"),
-          "left_semi")
-        .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"),
-          "left_semi")
-        .localCheckpoint(true)
-      val f = minLabels(er, reverse = false)
-      val b = minLabels(er, reverse = true)
-      val dec = f.join(b.withColumnRenamed("lab", "blab"), Seq("node"))
-        .filter(col("lab") === col("blab"))
-        .select(col("node"), col("lab").as("scc"))
-        .localCheckpoint(true)
-      assigned :+= dec
-      remaining = remaining.join(dec, Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      nRemaining = remaining.count()
-      trim()
-    }
-    require(nRemaining == 0,
-      s"SCC did not converge within $maxPhases phases — $nRemaining " +
-        "nodes undecided (raise maxPhases)")
-    assigned.reduce(_ unionByName _)
   }
 }

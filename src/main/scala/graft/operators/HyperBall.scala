@@ -145,6 +145,21 @@ object HyperBall {
     * stationary (registers only grow, so the pair is invariant iff the
     * frame is) or `maxT`, and emits `readout(regs, t)` per distinct
     * round, t = 0 first.
+    *
+    * Round-15 optimization (guide §2.3/§2.4, plan-diffed in plans/r15/):
+    * register state is carried WIDE — one row per node with 2^p register
+    * columns r0..r{m-1} (absent register = 0; a live rho is always ≥ 1)
+    * instead of one (node, bucket, rho) row per live register. The
+    * per-round max-merge join then matches E edge rows instead of
+    * E × 2^p register rows, the contribution aggregate map-side-combines
+    * per src BEFORE its exchange, and the merge groupBy shuffles ~V wide
+    * rows instead of V·2^p + E·2^p tall ones — at sf0.1 that is ~15×
+    * fewer shuffled rows per round, and at 100 TB the same factor in
+    * shuffle bytes (node ids amortize over 2^p registers). Max-merge is
+    * per-(node, bucket) in both layouts, so every readout/signature/
+    * fixpoint frame is BIT-IDENTICAL (the tall view is re-derived by
+    * `tallOf`); HyperBallSpec's scalar-model and resume≡one-shot pins
+    * plus the q45 oracle gates hold unchanged.
     */
   private def runRounds(edges: DataFrame, srcCol: String, dstCol: String,
                         p: Int, maxT: Int,
@@ -153,6 +168,7 @@ object HyperBall {
                        (readout: (DataFrame, Int) => DataFrame): DataFrame = {
     require(p >= 4 && p <= 8, s"p must be in 4..8, got $p")
     require(maxT >= 0, s"maxT must be >= 0, got $maxT")
+    val m = 1 << p
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -160,54 +176,85 @@ object HyperBall {
         col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    // self-ball registers; rho capped at 53 so the harmonic term
-    // 2^(53-rho) stays an exact integer power of two (the cap fires with
-    // probability 2^-53 per hash — never observed, always deterministic)
-    val h = splitmix64(col("node"))
-    val selfRegs = nodes
-      .select(col("node"),
-        shiftrightunsigned(h, 64 - p).as("bucket"),
-        least(leading_zeros64(shiftleft(h, p)) + 1, lit(53)).cast("int")
-          .as("rho"))
-    var regs = seed.fold(selfRegs) { sd =>
-      // resume: the persisted frame max-merges with fresh self-balls
-      // (new nodes get their self register; old registers only grow)
-      selfRegs.unionByName(
+    locally {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      // self-ball registers; rho capped at 53 so the harmonic term
+      // 2^(53-rho) stays an exact integer power of two (the cap fires with
+      // probability 2^-53 per hash — never observed, always deterministic)
+      val h = splitmix64(col("node"))
+      val selfRegs = nodes
+        .select(col("node"),
+          shiftrightunsigned(h, 64 - p).as("bucket"),
+          least(leading_zeros64(shiftleft(h, p)) + 1, lit(53)).cast("int")
+            .as("rho"))
+      // tall (node, bucket, rho) → wide (node, r0..r{m-1}); absent = 0
+      def widen(tall: DataFrame): DataFrame =
+        tall.groupBy(col("node")).agg(
+          coalesce(max(when(col("bucket") === 0, col("rho"))), lit(0))
+            .as("r0"),
+          (1 until m).map(b =>
+            coalesce(max(when(col("bucket") === b, col("rho"))), lit(0))
+              .as(s"r$b")): _*)
+      // wide → tall live-register view: bit-identical to the old layout
+      def tallOf(wide: DataFrame): DataFrame =
+        wide.select(col("node"),
+            posexplode(array((0 until m).map(b => col(s"r$b")): _*))
+              .as(Seq("bucket", "rho")))
+          .filter(col("rho") > 0)
+          .select(col("node"), col("bucket").cast("long").as("bucket"),
+            col("rho"))
+      val maxes = (0 until m).map(b => max(col(s"r$b")).as(s"r$b"))
+      var regs = seed.fold(widen(selfRegs)) { sd =>
+        // resume: the persisted frame max-merges with fresh self-balls
+        // (new nodes get their self register; old registers only grow)
+        widen(selfRegs.unionByName(
           sd.select(col("node").cast("long").as("node"),
             col("bucket").cast("long").as("bucket"),
-            col("rho").cast("int").as("rho")))
-        .groupBy(col("node"), col("bucket"))
-        .agg(max(col("rho")).as("rho"))
-    }.localCheckpoint(true)
+            col("rho").cast("int").as("rho"))))
+      }.localCheckpoint(true)
 
-    var sig = regs.agg(count(lit(1)), sum(col("rho"))).head()
-    var out = Seq(readout(regs, 0))
-    var t = 0
-    var converged = false
-    while (!converged && t < maxT) {
-      t += 1
-      val next = regs
-        .union(e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
-          .select(col("src").as("node"), col("bucket"), col("rho")))
-        .groupBy(col("node"), col("bucket"))
-        .agg(max(col("rho")).as("rho"))
-        .localCheckpoint(true)
-      val nsig = next.agg(count(lit(1)), sum(col("rho"))).head()
-      converged = nsig == sig
-      sig = nsig
-      regs = next
-      if (!converged) out :+= readout(regs, t)
+      // the (count, Σrho) stationarity witness, computed from the wide
+      // frame (Σ over nodes of live-register count / of Σ r_b) — the same
+      // two integers the tall frame's count(1)/sum(rho) produced
+      def sigOf(wide: DataFrame): (Long, Long) = {
+        val r = wide.agg(
+          sum((0 until m).map(b =>
+            when(col(s"r$b") > 0, 1L).otherwise(0L)).reduce(_ + _)),
+          sum((0 until m).map(b => col(s"r$b").cast("long")).reduce(_ + _)))
+          .head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var sig = sigOf(regs)
+      var out = Seq(readout(tallOf(regs), 0))
+      var t = 0
+      var converged = false
+      while (!converged && t < maxT) {
+        t += 1
+        val contrib = e
+          .join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(maxes.head, maxes.tail: _*)
+        val next = regs.unionByName(contrib)
+          .groupBy(col("node"))
+          .agg(maxes.head, maxes.tail: _*)
+          .localCheckpoint(true)
+        val nsig = sigOf(next)
+        converged = nsig == sig
+        sig = nsig
+        regs = next
+        if (!converged) out :+= readout(tallOf(regs), t)
+      }
+      // callers consume the FIXPOINT (N(t) complete, persisted resume
+      // frames, signatures); a capped non-stationary frame silently breaks
+      // the resume-equals-one-shot contract — fail loudly unless the
+      // caller explicitly opted into truncation (strict = false)
+      require(!strict || converged,
+        s"HyperBall: register max-merge not stationary within $maxT " +
+          "rounds (raise maxT, or pass strict = false for a truncated run)")
+      out.reduce(_ unionByName _)
     }
-    // callers consume the FIXPOINT (N(t) complete, persisted resume
-    // frames, signatures); a capped non-stationary frame silently breaks
-    // the resume-equals-one-shot contract — fail loudly unless the
-    // caller explicitly opted into truncation (strict = false)
-    require(!strict || converged,
-      s"HyperBall: register max-merge not stationary within $maxT " +
-        "rounds (raise maxT, or pass strict = false for a truncated run)")
-    out.reduce(_ unionByName _)
   }
 
   /** Effective diameter at quantile `q` from a [[neighborhoodFunction]]

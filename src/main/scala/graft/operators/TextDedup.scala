@@ -126,19 +126,47 @@ object TextDedup {
                      bands: Int = 16, rows: Int = 4,
                      maxBucketSize: Int = 1000): DataFrame = {
     require(bands * rows <= numHashes, "bands*rows must fit the signature")
-    val sketch = bandedSketch(docs, idCol, textCol, n, numHashes, bands, rows)
-    val inBuckets = keepPairableBuckets(sketch, Seq("band", "bucket"), maxBucketSize)
+    // Round-15 reshape (guide §8 — decide with small rows, attach the
+    // payload once): the old shape carried each doc's FULL shingle-hash
+    // array through the band self-join — `bands` copies of the heaviest
+    // column through the exchange — and recomputed the exact Jaccard
+    // once per band COLLISION (a true near-dup pair collides in most of
+    // its bands, so the array_intersect ran ~bands× per pair). Now the
+    // sketch materializes once, the self-join moves only
+    // (doc_id, band, bucket) rows, pairs dedup BEFORE verification, and
+    // the Jaccard is computed exactly once per candidate pair from the
+    // cached sh arrays. Same pair set, same deterministic jaccard value
+    // per pair → bit-identical output (`first` over equal per-collision
+    // values ≡ the single computed value). At 100 TB the production
+    // delta path stays the persisted bucketed index (`bandedIndex`); this
+    // batch form's cache is the corpus sketch it already shuffled before.
+    val sk = docs
+      .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(true)
+    val bandRows = sk
+      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+    val inBuckets = keepPairableBuckets(bandRows, Seq("band", "bucket"),
+      maxBucketSize)
     // alias self-join (NOT renamed projections on each side): both sides
-    // are the identical subplan, so ReuseExchange computes the sketch and
-    // its shuffle ONCE instead of twice
-    inBuckets.alias("a")
+    // are the identical subplan, so ReuseExchange computes the band rows
+    // and their shuffle ONCE instead of twice
+    val cand = inBuckets.alias("a")
       .join(inBuckets.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
-      .groupBy("id_a", "id_b") // same pair may collide in several bands
-      .agg(first(col("jaccard")).as("jaccard"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct() // same pair may collide in several bands
+    cand
+      .join(sk.select(col("doc_id"), col("sh")).alias("sa"),
+        col("id_a") === col("sa.doc_id"))
+      .join(sk.select(col("doc_id"), col("sh")).alias("sb"),
+        col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
   }
 
   /** Verified near-duplicate pairs: candidates whose exact shingle Jaccard
