@@ -28,6 +28,13 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    // ADVICE r15: a typo'd query name used to be silently ignored,
+    // producing missing plan evidence with no error — fail fast instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"PlanDump: no such queries: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>

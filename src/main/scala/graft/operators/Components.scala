@@ -47,35 +47,49 @@ object Components {
       .distinct()
       .localCheckpoint(true)
     locally {
-      var labels = e.select(col("u").as("id")).distinct()
+      // Round-16: FRONTIER-DELTA min-label propagation (the SCC
+      // minLabels / relaxToFixpoint discipline) — only labels that
+      // CHANGED last round flow along edges, improvements accumulate as
+      // checkpointed LAYERS, and the running best per id is a lazy
+      // union-min over the layers. Labels only decrease, so the
+      // delta-synchronous rounds produce the SAME label frame per round
+      // as the old full union+groupBy rewrite (monotone-fixpoint
+      // induction), the round count is identical, and convergence is
+      // "no improvement rows" — the per-round Σlbl 1-row witness and
+      // the per-round V-sized re-materialization are both gone.
+      // localCheckpoint, not persist: an iterative DataFrame loop grows
+      // its lineage every round and replanning (and even the plan STRING)
+      // eventually dominates or OOMs — truncate it each iteration, the
+      // same discipline as GraphX's Pregel materialization.
+      val collapseEvery = 12
+      def fold(layers: Seq[DataFrame]): DataFrame =
+        layers.reduce(_ union _)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      var layers = Vector(e.select(col("u").as("id")).distinct()
         .withColumn("lbl", col("id"))
-        .localCheckpoint(true)
-      // labels only DECREASE pointwise (min over a set containing the old
-      // label), so the exact decimal Σlbl is stationary iff the frame is
-      // — the same 1-row witness as SCC's minLabels. Replaces the old
-      // per-round next⋈labels changed-count join (one full V⋈V join per
-      // round, round-15 guide §2.4).
-      def sigOf(lb: DataFrame): Any =
-        lb.agg(sum(col("lbl").cast("decimal(38,0)"))).head().get(0)
-      var sig = sigOf(labels)
+        .localCheckpoint(true))
+      var delta = layers.head
       var iter = 0
       var converged = false
       while (iter < maxIter && !converged) {
-        // candidate labels flowing along edges: neighbor's label reaches me
-        val viaEdges = e.join(labels, e("v") === labels("id"))
-          .select(e("u").as("id"), labels("lbl").as("lbl"))
-        // localCheckpoint, not persist: an iterative DataFrame loop grows
-        // its lineage every round and replanning (and even the plan STRING)
-        // eventually dominates or OOMs — truncate it each iteration, the
-        // same discipline as GraphX's Pregel materialization
-        val next = labels.select(col("id"), col("lbl"))
-          .union(viaEdges)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .localCheckpoint(true)
-        val nsig = sigOf(next)
-        labels = next
-        converged = nsig == sig
-        sig = nsig
+        val best = if (layers.size == 1) layers.head else fold(layers)
+        // candidate labels flowing along edges: a CHANGED neighbor's
+        // label reaches me (unchanged neighbors already contributed);
+        // the convergence count rides the checkpoint job (IterUtil)
+        val (next, improved) = IterUtil.checkpointCounted(
+          e.join(delta, e("v") === delta("id"))
+            .select(e("u").as("id"), delta("lbl").as("lbl"))
+            .groupBy("id").agg(min("lbl").as("lbl"))
+            .join(best.withColumnRenamed("lbl", "cur"), Seq("id"))
+            .filter(col("lbl") < col("cur"))
+            .select(col("id"), col("lbl")))
+        converged = improved == 0L
+        if (!converged) {
+          layers :+= next
+          delta = next
+          if (layers.size > collapseEvery)
+            layers = Vector(fold(layers).localCheckpoint(true))
+        }
         iter += 1
       }
       // silent non-convergence would split true clusters and let duplicates
@@ -83,6 +97,7 @@ object Components {
       require(converged,
         s"connectedComponents did not converge within $maxIter iterations " +
           "(graph diameter exceeds maxIter) — raise maxIter")
+      val labels = if (layers.size == 1) layers.head else fold(layers)
       labels.select(col("id"), col("lbl").as("component"))
     }
   }
@@ -236,12 +251,7 @@ object Components {
         col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    def degreesAmong(survivors: DataFrame): DataFrame =
-      e.join(survivors.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(survivors.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("core_degree"))
-    var survivors = e.select(col("src").as("node")).distinct()
+    val srcNodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     // the peel reads degrees from src endpoints only — correct ONLY for
     // symmetrized input. A directed edge list used to be accepted
@@ -251,25 +261,47 @@ object Components {
     // (one anti-join over the already-checkpointed frames), and catches
     // the realistic mistake of passing one direction of an edge list.
     val stray = e.select(col("dst").as("node"))
-      .join(survivors, Seq("node"), "left_anti")
+      .join(srcNodes, Seq("node"), "left_anti")
       .limit(1).count()
     require(stray == 0L,
       "kCore requires a SYMMETRIZED edge list (every edge present in " +
         "both directions): found dst nodes that never appear as src — " +
         "union the reversed edges before calling (see q34_kcore)")
-    var n = survivors.count()
-    var converged = n == 0L
-    while (!converged) {
-      val next = degreesAmong(survivors)
-        .filter(col("core_degree") >= k)
-        .select(col("node"))
-        .localCheckpoint(true)
-      val m = next.count()
-      converged = m == n || m == 0L
-      survivors = next
-      n = m
+    // round-16: DELTA peeling — the old loop recounted degrees from the
+    // FULL edge frame every round (two E-sized semi-joins + an E-row
+    // groupBy per peel, even when one node fell). Degrees among the next
+    // survivor set equal the current degrees minus each survivor's edges
+    // to the JUST-REMOVED nodes (e is distinct and symmetrized), so each
+    // round now joins only the removed nodes' out-edges and decrements —
+    // work proportional to the peel, not the graph. The maintained deg
+    // frame IS degreesAmong(survivors) by induction (base: survivors =
+    // all src nodes, semi-joins are no-ops), so the returned fixpoint
+    // frame is identical to the old final recompute.
+    // the "how many fall next" statistic rides each checkpoint job
+    // (IterUtil) — one job per peel round, not two
+    val remMetric = coalesce(sum(when(col("core_degree") < k, 1L)
+      .otherwise(0L)), lit(0L)).as("nrem")
+    var (deg, obs0) = IterUtil.checkpointObserved(
+      e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_degree")),
+      Seq(remMetric))
+    var nRemoved = obs0("nrem").asInstanceOf[Long]
+    while (nRemoved > 0) {
+      val removed = deg.filter(col("core_degree") < k)
+      val dec = e
+        .join(removed.select(col("node").as("src")), Seq("src"), "left_semi")
+        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("_dec"))
+      val (degNext, obsN) = IterUtil.checkpointObserved(
+        deg.filter(col("core_degree") >= k)
+          .join(dec, Seq("node"), "left")
+          .select(col("node"),
+            (col("core_degree") - coalesce(col("_dec"), lit(0L)))
+              .as("core_degree")),
+        Seq(remMetric))
+      deg = degNext
+      nRemoved = obsN("nrem").asInstanceOf[Long]
     }
-    degreesAmong(survivors).filter(col("core_degree") >= k)
+    deg
   }
 
   /** Multi-source BFS hop distance — the link-graph quality feature
@@ -311,28 +343,38 @@ object Components {
       .distinct()
       .localCheckpoint(true)
     locally {
-      val seedLayer = seeds
+      // seed/frontier counts ride their checkpoint jobs (IterUtil) —
+      // one job per hop, not two
+      val (seedLayer, n0) = IterUtil.checkpointCounted(seeds
         .select(col(seedCol).cast("long").as("node"))
         .filter(col("node").isNotNull)
         .distinct()
-        .withColumn("hops", lit(0L))
-        .localCheckpoint(true)
+        .withColumn("hops", lit(0L)))
       var layers = Vector(seedLayer)
+      // the visited-set UNION is tracked separately from the output
+      // layers so it can be collapsed: maxHops is unbounded by default,
+      // and a deep-diameter graph would otherwise grow the anti-join
+      // plan linearly with hop count (ADVICE r15). Collapsing merges
+      // only the node-id sets — the per-hop output layers (which carry
+      // the hops labels) are never merged.
+      var visited = Vector(seedLayer.select("node"))
       var frontier = seedLayer.select("node")
       var hop = 0L
-      var n = frontier.count()
+      var n = n0
       while (n > 0 && hop < maxHops) {
         hop += 1
-        val visitedIds = layers.map(_.select("node")).reduce(_ union _)
-        val next = e
+        val visitedIds = visited.reduce(_ union _)
+        val (next, nNext) = IterUtil.checkpointCounted(e
           .join(frontier.withColumnRenamed("node", "src"), Seq("src"),
             "left_semi")
           .select(col("dst").as("node")).distinct()
-          .join(visitedIds, Seq("node"), "left_anti")
-          .localCheckpoint(true)
-        n = next.count()
+          .join(visitedIds, Seq("node"), "left_anti"))
+        n = nNext
         if (n > 0) {
           layers :+= next.withColumn("hops", lit(hop))
+          visited :+= next
+          if (visited.size > 12)
+            visited = Vector(visited.reduce(_ union _).localCheckpoint(true))
           frontier = next
         }
       }
@@ -438,37 +480,58 @@ object Components {
 
   /** Delta-frontier Bellman-Ford from `start` (node, dist) upper
     * bounds: every start node is frontier in round 1, after that only
-    * improved nodes relax — one join + groupBy-min + a union-min merge
-    * per round, one 1-row action as the convergence witness.
+    * improved nodes relax — one join + groupBy-min + an improvement
+    * filter per round, one 1-row action as the convergence witness.
+    *
+    * Round-16: the distance state is kept as LAYERS of improvements
+    * (each round checkpoints only its improved rows — frontier-sized)
+    * instead of union+groupBy-rewriting and re-materializing the FULL
+    * dist frame every round — the discipline bfsHops/harmonic/brandes
+    * got in round 15, applied to the last full-state rewriter. The
+    * per-round improvement filter reads the running best as a LAZY
+    * union-min over the checkpointed layers (the same per-node minima
+    * the materialized frame held, so every round's frontier, the round
+    * count and the fixpoint are unchanged — labels only decrease, and a
+    * node's current dist is the min over the layers that ever improved
+    * it). Layers collapse into one checkpointed frame every
+    * `collapseEvery` rounds so plan width stays bounded on deep graphs
+    * (the ADVICE-r15 layer-growth concern); the final union-min fold
+    * runs once at exhaustion.
     */
   private def relaxToFixpoint(e: DataFrame, start: DataFrame,
                               maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val collapseEvery = 12
+    def fold(layers: Seq[DataFrame]): DataFrame =
+      layers.reduce(_ union _)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
     locally {
-      var dist = start.localCheckpoint(true)
-      var frontier = dist
+      // the start count and every round's improvement count ride their
+      // frame's checkpoint job (IterUtil — one job per round, not two)
+      var (head0, improved) = IterUtil.checkpointCounted(start)
+      var layers = Vector(head0)
+      var frontier = layers.head
       var round = 0
-      var improved = frontier.count()
       while (improved > 0 && round < maxRounds) {
         round += 1
-        val next = e
+        val best = if (layers.size == 1) layers.head else fold(layers)
+        val (next, nImp) = IterUtil.checkpointCounted(e
           .join(frontier.select(col("node").as("src"), col("dist").as("fd")),
             Seq("src"))
           .select(col("dst").as("node"), (col("fd") + col("w")).as("nd"))
           .groupBy(col("node")).agg(min(col("nd")).as("nd"))
-          .join(dist, Seq("node"), "left")
+          .join(best, Seq("node"), "left")
           .filter(col("dist").isNull || col("nd") < col("dist"))
-          .select(col("node"), col("nd").as("dist"))
-          .localCheckpoint(true)
-        improved = next.count()
+          .select(col("node"), col("nd").as("dist")))
+        improved = nImp
         if (improved > 0) {
-          dist = dist.union(next)
-            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-            .localCheckpoint(true)
+          layers :+= next
           frontier = next
+          if (layers.size > collapseEvery)
+            layers = Vector(fold(layers).localCheckpoint(true))
         }
       }
-      dist
+      if (layers.size == 1) layers.head else fold(layers)
     }
   }
 
@@ -522,14 +585,13 @@ object Components {
       .distinct()
       .localCheckpoint(true)
     locally {
-      val seedLayer = seeds
+      // seed/frontier counts ride their checkpoint jobs (IterUtil)
+      val (seedLayer, nSeeds) = IterUtil.checkpointCounted(seeds
         .select(col(seedCol).cast("long").as("source"))
         .filter(col("source").isNotNull)
         .distinct()
         .select(col("source"), col("source").as("node"))
-        .withColumn("d", lit(0L))
-        .localCheckpoint(true)
-      val nSeeds = seedLayer.count()
+        .withColumn("d", lit(0L)))
       // exact-numerator overflow guard: worst case every source at d=1
       require(nSeeds <= Long.MaxValue / math.max(denom, 1L) / 2,
         s"$nSeeds seeds at lcm denominator $denom could overflow h_num — " +
@@ -542,12 +604,11 @@ object Components {
         rnd += 1
         val visitedPairs = layers.map(_.select("source", "node"))
           .reduce(_ union _)
-        val next = e
+        val (next, nNext) = IterUtil.checkpointCounted(e
           .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("source"), col("dst").as("node")).distinct()
-          .join(visitedPairs, Seq("source", "node"), "left_anti")
-          .localCheckpoint(true)
-        n = next.count()
+          .join(visitedPairs, Seq("source", "node"), "left_anti"))
+        n = nNext
         if (n > 0) {
           layers :+= next.withColumn("d", lit(rnd.toLong))
           frontier = next
@@ -602,22 +663,22 @@ object Components {
       .distinct()
       .localCheckpoint(true)
     locally {
-      val seedLayer = seeds
+      // seed/frontier counts ride their checkpoint jobs (IterUtil)
+      val (seedLayer, nSeeds) = IterUtil.checkpointCounted(seeds
         .select(col(seedCol).cast("long").as("source"))
         .filter(col("source").isNotNull)
         .distinct()
         .select(col("source"), col("source").as("node"),
-          lit(0L).as("d"), lit(1L).cast("decimal(38,0)").as("sigma"))
-        .localCheckpoint(true)
+          lit(0L).as("d"), lit(1L).cast("decimal(38,0)").as("sigma")))
       var layers = Vector(seedLayer)
       var frontier = seedLayer
       var rnd = 0
-      var n = seedLayer.count()
+      var n = nSeeds
       while (n > 0 && rnd < maxRounds) {
         rnd += 1
         val visitedPairs = layers.map(_.select("source", "node"))
           .reduce(_ union _)
-        val next = e
+        val (next, nNext) = IterUtil.checkpointCounted(e
           .join(frontier.withColumnRenamed("node", "src"),
             Seq("src"))
           .select(col("source"), col("dst").as("node"), col("sigma"))
@@ -626,9 +687,8 @@ object Components {
           .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
           .join(visitedPairs, Seq("source", "node"), "left_anti")
           .select(col("source"), col("node"), lit(rnd.toLong).as("d"),
-            col("sigma"))
-          .localCheckpoint(true)
-        n = next.count()
+            col("sigma")))
+        n = nNext
         if (n > 0) {
           layers :+= next
           frontier = next
@@ -770,10 +830,10 @@ object Components {
       .distinct()
       .localCheckpoint(true)
     locally {
-      var remaining = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .localCheckpoint(true)
-      var nRemaining = remaining.count()
+      // every remaining/keep count rides its checkpoint job (IterUtil)
+      var (remaining, nRemaining) = IterUtil.checkpointCounted(
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct())
       var assigned = Seq.empty[DataFrame]
 
       // trim fixpoint: peel no-in/no-out nodes (each its own SCC)
@@ -785,13 +845,11 @@ object Components {
               "left_semi")
             .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"),
               "left_semi")
-          val keep = remaining
+          val (keep, kc) = IterUtil.checkpointCounted(remaining
             .join(er.select(col("src").as("node")).distinct(), Seq("node"),
               "left_semi")
             .join(er.select(col("dst").as("node")).distinct(), Seq("node"),
-              "left_semi")
-            .localCheckpoint(true)
-          val kc = keep.count()
+              "left_semi"))
           if (kc == nRemaining) changed = false
           else {
             assigned :+= remaining.join(keep, Seq("node"), "left_anti")
@@ -804,26 +862,48 @@ object Components {
       }
 
       // min-label propagation to a fixpoint over the restricted edge
-      // frame; labels only DECREASE, so the 1-row sum(lab) is the exact
-      // witness
+      // frame. Round-16: FRONTIER-DELTA form — only labels that CHANGED
+      // last round flow along edges (an unchanged neighbor's label was
+      // already applied in the round after it was attained, and labels
+      // only decrease, so re-sending it is a no-op under min). Delta-
+      // synchronous rounds produce the SAME label frame per round as the
+      // old full-synchronous union+groupBy (standard monotone-fixpoint
+      // induction: the running best per node = min over the delta layers
+      // that ever improved it), so the round count and the fixpoint are
+      // identical; the convergence witness simplifies to "no improvement
+      // rows" — the old 1-row Σ(lab) scan per round is no longer needed.
+      // Per round the join and the checkpoint are DELTA-sized, not
+      // V-sized (the relaxToFixpoint discipline).
       def minLabels(er: DataFrame, reverse: Boolean): DataFrame = {
         val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
-        var lab = remaining.select(col("node"), col("node").as("lab"))
-          .localCheckpoint(true)
-        var sig = lab.agg(sum(col("lab"))).head().getLong(0)
+        val collapseEvery = 12
+        def fold(layers: Seq[DataFrame]): DataFrame =
+          layers.reduce(_ union _)
+            .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        // layer 0 is a trivial projection of the ALREADY-CHECKPOINTED
+        // remaining frame — no extra materialization job needed
+        var layers = Vector(remaining
+          .select(col("node"), col("node").as("lab")))
+        var delta = layers.head
         var rnd = 0
         var converged = false
         while (!converged && rnd < maxRounds) {
           rnd += 1
-          val next = lab
-            .union(er.join(lab.withColumnRenamed("node", from), Seq(from))
-              .select(col(to).as("node"), col("lab")))
+          val best = if (layers.size == 1) layers.head else fold(layers)
+          val (next, improved) = IterUtil.checkpointCounted(er
+            .join(delta.withColumnRenamed("node", from), Seq(from))
+            .select(col(to).as("node"), col("lab"))
             .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-            .localCheckpoint(true)
-          val nsig = next.agg(sum(col("lab"))).head().getLong(0)
-          converged = nsig == sig
-          sig = nsig
-          lab = next
+            .join(best.withColumnRenamed("lab", "cur"), Seq("node"))
+            .filter(col("lab") < col("cur"))
+            .select(col("node"), col("lab")))
+          converged = improved == 0L
+          if (!converged) {
+            layers :+= next
+            delta = next
+            if (layers.size > collapseEvery)
+              layers = Vector(fold(layers).localCheckpoint(true))
+          }
         }
         // a capped, non-stationary fixpoint would silently mislabel deep
         // cycles (partial f/b mins decide only the min node, trim then
@@ -832,7 +912,7 @@ object Components {
         require(converged,
           s"SCC min-label propagation did not reach a fixpoint within " +
             s"$maxRounds rounds (raise maxRounds)")
-        lab
+        if (layers.size == 1) layers.head else fold(layers)
       }
 
       var phase = 0
@@ -845,16 +925,28 @@ object Components {
           .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"),
             "left_semi")
           .localCheckpoint(true)
-        val f = minLabels(er, reverse = false)
-        val b = minLabels(er, reverse = true)
+        // round-16 (guide §2.6 — overlap independent jobs): the forward
+        // and backward fixpoints read the same immutable er/remaining
+        // frames and share nothing else — run them on two driver threads
+        // so each fixpoint's small driver-synchronized rounds back-fill
+        // the other's idle cores; results are unchanged (each fixpoint is
+        // a deterministic function of er alone)
+        val ec = scala.concurrent.ExecutionContext.global
+        val fF = scala.concurrent.Future(minLabels(er, reverse = false))(ec)
+        val fB = scala.concurrent.Future(minLabels(er, reverse = true))(ec)
+        val f = scala.concurrent.Await.result(fF,
+          scala.concurrent.duration.Duration.Inf)
+        val b = scala.concurrent.Await.result(fB,
+          scala.concurrent.duration.Duration.Inf)
         val dec = f.join(b.withColumnRenamed("lab", "blab"), Seq("node"))
           .filter(col("lab") === col("blab"))
           .select(col("node"), col("lab").as("scc"))
           .localCheckpoint(true)
         assigned :+= dec
-        remaining = remaining.join(dec, Seq("node"), "left_anti")
-          .localCheckpoint(true)
-        nRemaining = remaining.count()
+        val (rem2, nRem2) = IterUtil.checkpointCounted(
+          remaining.join(dec, Seq("node"), "left_anti"))
+        remaining = rem2
+        nRemaining = nRem2
         trim()
       }
       require(nRemaining == 0,

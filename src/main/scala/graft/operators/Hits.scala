@@ -59,12 +59,21 @@ object Hits {
       .localCheckpoint(true)
     require(e.limit(1).count() > 0, "hits needs at least one edge")
 
-    // exact integer L1 normalization: q = max(S div scale, 1), v div q
+    // exact integer L1 normalization: q = max(S div scale, 1), v div q.
+    // Round-16: materialize the contribution aggregate ONCE with the
+    // 1-row mass S observed from the SAME job (IterUtil) — the old shape
+    // executed the join+groupBy subtree TWICE per half-step (once under
+    // the mass aggregate's action, once again under the checkpoint of
+    // the normalized projection; separate actions share no exchange) AND
+    // paid a second job for the mass. The normalized projection is lazy
+    // over the checkpointed frame — same arithmetic, bit-identical
+    // scores, ONE heavy job per half-step instead of two.
     def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
-      val s = raw.agg(sum(col(scoreCol))).first().getLong(0)
+      val (m, o) = IterUtil.checkpointObserved(raw,
+        Seq(coalesce(sum(col(scoreCol)), lit(0L)).as("s")))
+      val s = o("s").asInstanceOf[Long]
       val q = math.max(s / scale, 1L)
-      raw.select(col("node"), expr(s"$scoreCol div ${q}L").as(scoreCol))
-        .localCheckpoint(true)
+      m.select(col("node"), expr(s"$scoreCol div ${q}L").as(scoreCol))
     }
 
     var h = e.select(col("src").as("node")).distinct()

@@ -205,42 +205,63 @@ object HyperBall {
           .select(col("node"), col("bucket").cast("long").as("bucket"),
             col("rho"))
       val maxes = (0 until m).map(b => max(col(s"r$b")).as(s"r$b"))
-      var regs = seed.fold(widen(selfRegs)) { sd =>
+      val wide0 = seed.fold(widen(selfRegs)) { sd =>
         // resume: the persisted frame max-merges with fresh self-balls
-        // (new nodes get their self register; old registers only grow)
-        widen(selfRegs.unionByName(
-          sd.select(col("node").cast("long").as("node"),
-            col("bucket").cast("long").as("bucket"),
-            col("rho").cast("int").as("rho"))))
-      }.localCheckpoint(true)
+        // (new nodes get their self register; old registers only grow).
+        // ADVICE r15: widen() would silently DROP seed registers whose
+        // bucket falls outside [0, 2^p) — a frame persisted at a larger p
+        // must fail loudly, not lose registers
+        val guarded = sd.select(col("node").cast("long").as("node"),
+          when(col("bucket").cast("long") < 0 ||
+              col("bucket").cast("long") >= m,
+            raise_error(concat(lit("HyperBall resume: seed bucket "),
+              col("bucket").cast("string"),
+              lit(s" outside [0, $m) — the seed frame was built at a " +
+                "different p"))))
+            .otherwise(col("bucket").cast("long")).as("bucket"),
+          col("rho").cast("int").as("rho"))
+        widen(selfRegs.unionByName(guarded))
+      }
 
       // the (count, Σrho) stationarity witness, computed from the wide
       // frame (Σ over nodes of live-register count / of Σ r_b) — the same
-      // two integers the tall frame's count(1)/sum(rho) produced
-      def sigOf(wide: DataFrame): (Long, Long) = {
-        val r = wide.agg(
-          sum((0 until m).map(b =>
-            when(col(s"r$b") > 0, 1L).otherwise(0L)).reduce(_ + _)),
-          sum((0 until m).map(b => col(s"r$b").cast("long")).reduce(_ + _)))
-          .head()
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-      var sig = sigOf(regs)
+      // two integers the tall frame's count(1)/sum(rho) produced.
+      // Round-16: the witness rides each round's CHECKPOINT job as
+      // observe() metrics (IterUtil) — the old shape paid a second
+      // driver-synchronized job per round just to re-aggregate the frame
+      // it had just materialized.
+      val sigMetrics = Seq(
+        coalesce(sum((0 until m).map(b =>
+          when(col(s"r$b") > 0, 1L).otherwise(0L)).reduce(_ + _)), lit(0L))
+          .as("sregs"),
+        coalesce(sum((0 until m).map(b =>
+          col(s"r$b").cast("long")).reduce(_ + _)), lit(0L)).as("srho"))
+      def sigOf(o: Map[String, Any]): (Long, Long) =
+        (o("sregs").asInstanceOf[Long], o("srho").asInstanceOf[Long])
+      var (regs, obs0) = IterUtil.checkpointObserved(wide0, sigMetrics)
+      var sig = sigOf(obs0)
       var out = Seq(readout(tallOf(regs), 0))
       var t = 0
       var converged = false
       while (!converged && t < maxT) {
         t += 1
-        val contrib = e
+        // round-16: ONE aggregation for contribute+merge instead of two —
+        // max is associative/commutative, so the old per-src contribution
+        // groupBy before the merge groupBy only added a second Exchange;
+        // the single groupBy's map-side partial aggregation performs the
+        // same per-node combining before its one exchange (guide §2.4 —
+        // operations keyed the same way share one exchange). Values are
+        // identical (max over the same multiset).
+        val contribRows = e
           .join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src").as("node"))
-          .agg(maxes.head, maxes.tail: _*)
-        val next = regs.unionByName(contrib)
-          .groupBy(col("node"))
-          .agg(maxes.head, maxes.tail: _*)
-          .localCheckpoint(true)
-        val nsig = sigOf(next)
+          .select(col("src").as("node") +:
+            (0 until m).map(b => col(s"r$b")): _*)
+        val (next, obsN) = IterUtil.checkpointObserved(
+          regs.unionByName(contribRows)
+            .groupBy(col("node"))
+            .agg(maxes.head, maxes.tail: _*),
+          sigMetrics)
+        val nsig = sigOf(obsN)
         converged = nsig == sig
         sig = nsig
         regs = next
@@ -265,6 +286,9 @@ object HyperBall {
     */
   def effectiveDiameter(nf: DataFrame, q: Double = 0.9): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    // GLOBAL window, deliberately: the frame is one row per ball round t
+    // (cardinality ≤ maxT ≤ 32 at any SF) — the WindowExec warning is
+    // expected and harmless here
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
     val top = nf.agg(max(col("t")).as("t_max"),
       max(col("nf")).cast("double").as("nf_max"))

@@ -68,8 +68,9 @@ object PageRank {
       .join(deg.select(col("src").as("node"), lit(false).as("_dang")),
         Seq("node"), "left")
       .withColumn("_dang", coalesce(col("_dang"), lit(true)))
-      .localCheckpoint(true)
-    (eDeg, nodes, nodes.count())
+    // round-16: the node count rides the checkpoint job (IterUtil)
+    val (nodesM, n) = IterUtil.checkpointCounted(nodes)
+    (eDeg, nodesM, n)
   }
 
   /** The damped rounds, a pure function of the start frame — shared by
@@ -87,23 +88,33 @@ object PageRank {
     // passes its seed-restricted expression (over the nodes frame's
     // columns) instead
     val base = Option(baseOf).getOrElse(lit(15L * s0 / 100L))
+    // round-16: the dangling mass that round i+1 redistributes is the
+    // mass of round i's OUTPUT — observed on round i's checkpoint job
+    // (IterUtil) instead of a separate 1-row job per round (and the old
+    // first-round aggregate executed the lazy start plan a second time).
+    // Same sums over the same frames — bit-identical shares.
+    val dangMetric = coalesce(sum(when(col("_dang"), col("pr"))), lit(0L))
+      .as("dmass")
     var pr = start
+    var share = 0L
+    if (redistributeDangling) {
+      val (m0, o0) = IterUtil.checkpointObserved(start, Seq(dangMetric))
+      pr = m0
+      share = o0("dmass").asInstanceOf[Long] / n
+    }
     for (_ <- 1 to iterations) {
-      // one 1-row action per round, same discipline as the loop's own
-      // localCheckpoint; 0 when redistribution is off keeps the damped
-      // expression identical in both modes
-      val share =
-        if (!redistributeDangling) 0L
-        else pr.filter(col("_dang"))
-          .agg(coalesce(sum(col("pr")), lit(0L))).first().getLong(0) / n
       val in = eDeg.join(pr, eDeg("src") === pr("node"))
         .select(eDeg("dst").as("node"), expr("pr div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      pr = nodes.join(in, Seq("node"), "left")
+      val damped = nodes.join(in, Seq("node"), "left")
         .select(nodes.columns.map(col) :+
           (base +
             expr(s"85 * (coalesce(m, 0L) + ${share}L) div 100")).as("pr"): _*)
-        .localCheckpoint(true)
+      if (redistributeDangling) {
+        val (m, o) = IterUtil.checkpointObserved(damped, Seq(dangMetric))
+        pr = m
+        share = o("dmass").asInstanceOf[Long] / n
+      } else pr = damped.localCheckpoint(true)
     }
     pr.select(col("node"), col("pr"))
   }
@@ -249,11 +260,11 @@ object PageRank {
         s"$scale (bound ${(1L << 62) / scale}) — rescale the weights")
     val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
     val eW = e.join(sw, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
+    // round-16: the node count rides the checkpoint job (IterUtil)
+    val (nodes, n) = IterUtil.checkpointCounted(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
     val s0 = scale / n
     var pr = nodes.withColumn("pr", lit(s0))
     for (_ <- 1 to iterations) {

@@ -123,7 +123,8 @@ object Profiler {
     * the concatenated data (`mergeLvl1`), which is what the streaming
     * maintenance below persists per batch.
     */
-  private def level1(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def level1(df: DataFrame, cols: Seq[String],
+                     withNdv: Boolean = false): DataFrame = {
     val byName = checkCols(df, cols)
     val kv = unpivot(df, cols)
     val h = splitmix64(col("k"))
@@ -131,19 +132,33 @@ object Profiler {
       shiftrightunsigned(h, 64 - P))
     val rho = when(col("k").isNotNull,
       least(leading_zeros64(shiftleft(h, P)) + 1, lit(64 - P + 1)))
+    // round-16 (withNdv, used by columnStats(withExact = true) only —
+    // never by the streaming state tables, whose count merge algebra
+    // cannot absorb cross-batch distincts): the EXACT per-bucket
+    // distinct-key count rides the SAME unpivoted scan. `bucket` is a
+    // pure function of `k`, so distinct keys partition across buckets
+    // and Σ ndv_b over a column's buckets is its exact NDV — the old
+    // separate count_distinct pass re-read and re-unpivoted the whole
+    // table (incl. a second md5 per string cell) for the same number.
+    val baseAggs = Seq(
+      max(col("rho")).as("rho"),
+      count(lit(1)).as("cnt"),
+      min(when(ordered(col("vtype")), col("k"))).as("kmn"),
+      max(when(ordered(col("vtype")), col("k"))).as("kmx"),
+      min(col("d")).as("dmn"), max(col("d")).as("dmx"))
+    val aggsAll = if (withNdv) baseAggs :+ count_distinct(col("k")).as("ndv_b")
+                  else baseAggs
+    val outCols = Seq("col_name", "vtype", "bucket", "rho", "cnt", "kmn",
+      "kmx", "dmn", "dmx", "mn", "mx") ++
+      (if (withNdv) Seq("ndv_b") else Nil)
     val registers = kv
       .select(col("col_name"), col("vtype"), bucket.as("bucket"),
         rho.as("rho"), col("k"), col("d"))
       .groupBy(col("col_name"), col("vtype"), col("bucket"))
-      .agg(max(col("rho")).as("rho"),
-        count(lit(1)).as("cnt"),
-        min(when(ordered(col("vtype")), col("k"))).as("kmn"),
-        max(when(ordered(col("vtype")), col("k"))).as("kmx"),
-        min(col("d")).as("dmn"), max(col("d")).as("dmx"))
+      .agg(aggsAll.head, aggsAll.tail: _*)
       .withColumn("mn", lit(null).cast("string"))
       .withColumn("mx", lit(null).cast("string"))
-      .select("col_name", "vtype", "bucket", "rho", "cnt", "kmn", "kmx",
-        "dmn", "dmx", "mn", "mx")
+      .select(outCols.map(col): _*)
 
     val strCols = cols.filter(c => Set("str", "hash")(vtypeOf(byName(c))))
     if (strCols.isEmpty) registers
@@ -155,7 +170,7 @@ object Profiler {
         max(col(c).cast("string")).as(s"__mx_$c")))
       val sentinels = df.agg(aggs.head, aggs.tail: _*)
         .select(explode(array(strCols.map(c =>
-          struct(lit(c).as("col_name"),
+          struct(Seq(lit(c).as("col_name"),
             lit(vtypeOf(byName(c))).as("vtype"),
             lit(-1L).as("bucket"),
             lit(null).cast("int").as("rho"),
@@ -165,7 +180,9 @@ object Profiler {
             lit(null).cast("double").as("dmn"),
             lit(null).cast("double").as("dmx"),
             col(s"__mn_$c").as("mn"),
-            col(s"__mx_$c").as("mx"))): _*)).as("e"))
+            col(s"__mx_$c").as("mx")) ++
+            (if (withNdv) Seq(lit(0L).as("ndv_b")) else Nil): _*)): _*))
+          .as("e"))
         .select(col("e.*"))
       registers.unionByName(sentinels)
     }
@@ -236,16 +253,20 @@ object Profiler {
     */
   def columnStats(df: DataFrame, cols: Seq[String],
                   withExact: Boolean = false): DataFrame = {
-    // tiny; materialized once and shared by the two level-2 consumers
-    val lvl1 = level1(df, cols).localCheckpoint(true)
-    val joined = collapse(lvl1)
-    if (!withExact) joined
-    else joined.join(
-      unpivot(df, cols).filter(col("k").isNotNull)
-        .groupBy(col("col_name"))
-        .agg(count_distinct(col("k")).as("ndv_exact")),
-      Seq("col_name"), "left")
-      .withColumn("ndv_exact", coalesce(col("ndv_exact"), lit(0L)))
+    if (!withExact)
+      // tiny; materialized once and shared by the two level-2 consumers
+      collapse(level1(df, cols).localCheckpoint(true))
+    else {
+      // round-16: exact NDV fused into the register scan (see level1's
+      // withNdv note) — 2 table scans total (unpivot + string min/max)
+      // instead of 3, and the unpivot expressions run once, not twice
+      val lvl1 = level1(df, cols, withNdv = true).localCheckpoint(true)
+      collapse(lvl1.drop("ndv_b")).join(
+        lvl1.groupBy(col("col_name"))
+          .agg(sum(col("ndv_b")).as("ndv_exact")),
+        Seq("col_name"), "left")
+        .withColumn("ndv_exact", coalesce(col("ndv_exact"), lit(0L)))
+    }
   }
 
   /** STREAMING profile maintenance — the `BatchTables` state discipline

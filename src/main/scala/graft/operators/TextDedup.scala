@@ -103,23 +103,38 @@ object TextDedup {
     bandedSketch(docs, idCol, textCol, n, numHashes, bands, rows)
   }
 
-  private def bandedSketch(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int, numHashes: Int, bands: Int,
-                           rows: Int): DataFrame =
+  /** The (doc_id, sh, sig) sketch frame every LSH shape starts from —
+    * lazy; callers that consume it more than once checkpoint it.
+    */
+  private def sketchOf(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("doc_id"), col("sh"),
+
+  /** Band rows (doc_id, sh, band, bucket) from a prebuilt sketch frame. */
+  private def bandRowsOf(sk: DataFrame, bands: Int, rows: Int): DataFrame =
+    sk.select(col("doc_id"), col("sh"),
         explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+  private def bandedSketch(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, numHashes: Int, bands: Int,
+                           rows: Int): DataFrame =
+    bandRowsOf(sketchOf(docs, idCol, textCol, n, numHashes), bands, rows)
 
   /** docs(idCol, textCol) → candidate pairs (id_a < id_b) from banded
     * MinHash-LSH, with the exact shingle-Jaccard attached. One shuffle on
     * the band keys; buckets larger than `maxBucketSize` are dropped (they
     * indicate degenerate content, and any true near-dup inside them is
     * still found via its other, less-degenerate bands).
+    *
+    * CONTRACT (ADVICE r15): `idCol` must be unique per document. A corpus
+    * with duplicate doc_ids would emit multiple rows per (id_a, id_b)
+    * pair with per-copy jaccard values — the caller owns id hygiene
+    * (every declared pipeline feeds primary-keyed doc frames).
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, numHashes: Int = 64,
@@ -140,11 +155,18 @@ object TextDedup {
     // values ≡ the single computed value). At 100 TB the production
     // delta path stays the persisted bucketed index (`bandedIndex`); this
     // batch form's cache is the corpus sketch it already shuffled before.
-    val sk = docs
-      .select(col(idCol).as("doc_id"), shingleHashSet(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sk = sketchOf(docs, idCol, textCol, n, numHashes)
       .localCheckpoint(true)
+    candidatePairsOfSketch(sk, bands, rows, maxBucketSize)
+  }
+
+  /** [[candidatePairs]] over an ALREADY-MATERIALIZED (doc_id, sh, sig)
+    * sketch frame — the round-16 seam that lets the dedup gate compute
+    * the batch's sketch ONCE and share it across its within-batch half,
+    * its cross-index probe and its index write.
+    */
+  private def candidatePairsOfSketch(sk: DataFrame, bands: Int, rows: Int,
+                                     maxBucketSize: Int): DataFrame = {
     val bandRows = sk
       .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
@@ -215,9 +237,23 @@ object TextDedup {
                               rows: Int = 4,
                               maxBucketSize: Int = 1000): DataFrame = {
     require(bands * rows <= numHashes, "bands*rows must fit the signature")
+    incrementalSketchAgainstIndex(index,
+      bandRowsOf(sketchOf(incoming, idCol, textCol, n, numHashes),
+        bands, rows),
+      threshold, maxBucketSize)
+  }
+
+  /** The index-probe join over prebuilt delta band rows (doc_id, sh,
+    * band, bucket) — the seam the gate uses to feed its ONE shared batch
+    * sketch into the cross probe. Plan shape unchanged: the index side
+    * is bucketed (exchange-free), only the delta pays an exchange.
+    */
+  private def incrementalSketchAgainstIndex(index: DataFrame,
+                                            delta: DataFrame,
+                                            threshold: Double,
+                                            maxBucketSize: Int): DataFrame = {
     val cappedIdx = keepPairableBuckets(index, Seq("band", "bucket"),
       maxBucketSize, minSize = 1)
-    val delta = bandedSketch(incoming, idCol, textCol, n, numHashes, bands, rows)
     delta.alias("nw")
       .join(cappedIdx.alias("ex"),
         col("nw.band") === col("ex.band") && col("nw.bucket") === col("ex.bucket"))
@@ -271,19 +307,28 @@ object TextDedup {
         .withColumn("_batch_id", lit(-1L)),
       indexTable, indexPath,
       _.bucketBy(buckets, "band", "bucket").sortBy("bucket"))
+    // round-16: the batch's sketch (shingling + MinHash signature — the
+    // batch's heaviest expression work) materializes ONCE and is shared
+    // by all three consumers; the old shape recomputed it from the raw
+    // text three times (cross probe, within-batch half, index write)
+    val sk = sketchOf(batch, idCol, textCol, n, numHashes)
+      .localCheckpoint(true)
     val cross = gateCrossPairs(batch, idCol, textCol, indexTable, batchId,
-      threshold, n, numHashes, bands, rows, maxBucketSize)
-    val within = candidatePairs(batch, idCol, textCol, n, numHashes, bands,
-        rows, maxBucketSize)
+      threshold, n, numHashes, bands, rows, maxBucketSize,
+      sketch = Some(sk))
+    val within = candidatePairsOfSketch(sk, bands, rows, maxBucketSize)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as("new_id"), col("id_a").as("old_id"),
         col("jaccard"))
     val dups = cross.unionByName(within).localCheckpoint(true)
-    val admitted = batch.join(
+    // index rows for admitted docs = the shared sketch minus rejected ids
+    // (identical to re-sketching the admitted batch rows: docs with empty
+    // shingle sets are absent from both)
+    val admittedSk = sk.join(
       dups.select(col("new_id")).distinct(),
-      batch(idCol) === col("new_id"), "left_anti")
+      sk("doc_id") === col("new_id"), "left_anti")
     withDynamicOverwrite(spark) {
-      bandedIndex(admitted, idCol, textCol, n, numHashes, bands, rows)
+      bandRowsOf(admittedSk, bands, rows)
         .withColumn("_batch_id", lit(batchId))
         .write.mode("overwrite")
         .insertInto(indexTable)
@@ -310,12 +355,18 @@ object TextDedup {
                                     batchId: Long, threshold: Double = 0.8,
                                     n: Int = 3, numHashes: Int = 64,
                                     bands: Int = 16, rows: Int = 4,
-                                    maxBucketSize: Int = 1000): DataFrame = {
+                                    maxBucketSize: Int = 1000,
+                                    sketch: Option[DataFrame] = None)
+      : DataFrame = {
     val idx = batch.sparkSession.table(indexTable)
       .filter(col("_batch_id") =!= batchId) // partition-pruned
       .drop("_batch_id")
-    incrementalAgainstIndex(idx, batch, idCol, textCol, threshold,
-        n, numHashes, bands, rows, maxBucketSize)
+    // the gate passes its shared materialized batch sketch; plan-assertion
+    // callers omit it and get the self-contained build (same band rows)
+    val delta = bandRowsOf(
+      sketch.getOrElse(sketchOf(batch, idCol, textCol, n, numHashes)),
+      bands, rows)
+    incrementalSketchAgainstIndex(idx, delta, threshold, maxBucketSize)
       .filter(col("new_id") =!= col("old_id")) // replay belt-and-braces
   }
 

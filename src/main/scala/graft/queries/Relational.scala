@@ -323,11 +323,19 @@ object Relational {
         "l_extendedprice")
       val a = li.filter($"l_orderkey" % 2 === 0)
       val b = li.filter($"l_orderkey" % 2 === 1)
+      // round-16 (guide §2.6): the two snapshot profiles are independent
+      // (each eagerly materializes its own level-1 state) — build them on
+      // two driver threads so their scans overlap; the diff is unchanged
+      val ec = scala.concurrent.ExecutionContext.global
+      val fa = scala.concurrent.Future(graft.operators.Profiler
+        .columnStats(a, shared :+ "l_partkey", withExact = true))(ec)
+      val fb = scala.concurrent.Future(graft.operators.Profiler
+        .columnStats(b, shared :+ "l_linenumber", withExact = true))(ec)
       graft.operators.Profiler.profileDiff(
-          graft.operators.Profiler.columnStats(a, shared :+ "l_partkey",
-            withExact = true),
-          graft.operators.Profiler.columnStats(b, shared :+ "l_linenumber",
-            withExact = true))
+          scala.concurrent.Await.result(fa,
+            scala.concurrent.duration.Duration.Inf),
+          scala.concurrent.Await.result(fb,
+            scala.concurrent.duration.Duration.Inf))
         .orderBy($"col_name")
     }),
 
@@ -929,6 +937,9 @@ object Relational {
     // run verbatim — gated raw.
     "q29_wow_growth" -> ((s, dir) => {
       import s.implicits._
+      // GLOBAL window, deliberately: the frame is the per-week aggregate
+      // (cardinality = calendar weeks, bounded at any SF) — the WindowExec
+      // single-partition warning is expected and harmless here
       val w = org.apache.spark.sql.expressions.Window.orderBy($"week")
       Tables(s, dir, "orders")
         .groupBy(date_trunc("week", $"o_orderdate").as("week"))
